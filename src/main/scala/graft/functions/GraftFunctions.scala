@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface of the reference (SURVEY.md §2.7), expressed as
+  * pure `Column => Column` builders over Spark built-ins — everything stays
+  * inside whole-stage codegen; no UDFs.
+  */
+object GraftFunctions {
+
+  /** F6 — geocode-type "initialism" fallback
+    * (`address_etl/geocode.py:123-145`): first letter of each `sep`-separated
+    * token, uppercased, truncated to 4 (`property-centroid` -> `PC`).
+    */
+  def initialism(c: Column, sep: String = "-", maxLen: Int = 4): Column =
+    substring(upper(concat_ws("", transform(split(c, java.util.regex.Pattern.quote(sep)), t => substring(t, 1, 1)))), 1, maxLen)
+
+  /** F6 full normalization: prefer the code from a (broadcast-joined) cache
+    * column, else the initialism of the IRI slug.
+    */
+  def normalizeGeocodeType(cachedCode: Column, iri: Column): Column =
+    coalesce(cachedCode, initialism(element_at(split(iri, "/"), -1)))
+
+  /** F1 — composite key synthesis (`CONCAT(a,"/",b,...)`;
+    * `queries/address.py:311-328`, `road.py:77`).
+    */
+  def synthKey(sep: String, parts: Column*): Column = concat_ws(sep, parts: _*)
+
+  /** F3 — COALESCE(IF(cond, v, err), default) idiom: lot_no "0" -> "9999"
+    * (`queries/parcel.py:57-68`).
+    */
+  def zeroToSentinel(c: Column, zero: String = "0", sentinel: String = "9999"): Column =
+    when(c === lit(zero), lit(sentinel)).otherwise(c)
+
+  /** F8 — UTC instant -> Brisbane-local ISO-8601 with offset
+    * (`address_etl/time_convert.py:16-19`; Brisbane is fixed +10:00, no DST).
+    */
+  def brisbaneIso(ts: Column): Column =
+    concat(date_format(from_utc_timestamp(ts, "Australia/Brisbane"), "yyyy-MM-dd'T'HH:mm:ss"), lit("+1000"))
+
+  /** F8 — ESRI epoch-milliseconds -> timestamp (`time_convert.py:6-8`). */
+  def epochMillisToTs(ms: Column): Column = timestamp_millis(ms.cast("long"))
+
+  /** F8 — ESRI where-clause datetime format (`time_convert.py:11-13`). */
+  def esriDatetime(ts: Column): Column = date_format(ts, "yyyy-MM-dd HH:mm:ss")
+
+  /** F9 — duration seconds with millisecond precision (`main_pls.py:213`). */
+  def durationSeconds(start: Column, end: Column): Column =
+    format_number((unix_millis(end) - unix_millis(start)) / 1000.0, 3)
+
+  // ---------------------------------------------------------------------
+  // Text-analysis building blocks (training-data-pipeline extensions).
+  // All are plain expressions so they vectorize under codegen and can be
+  // mirrored 1:1 in the DuckDB oracle SQL.
+  // ---------------------------------------------------------------------
+
+  /** Whitespace tokens (empty strings removed). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Word-count via regex match count — identical semantics in Java regex and
+    * RE2 for the ASCII `\w+` class.
+    */
+  def wordCount(text: Column): Column = size(regexp_extract_all(text, lit("\\w+"), lit(0)))
+
+  /** BPE-ish subword count: words are split into ceil(len/4) chunks — a
+    * deterministic proxy for byte-pair tokenization used for budget
+    * estimates (public rule of thumb: ~4 chars/token).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w{1,4}|[^\\w\\s]"), lit(0)))
+
+  /** Count occurrences of a literal marker inside ' '+text+' ' — the
+    * replace-and-measure idiom so the oracle can reproduce it exactly.
+    */
+  def markerCount(text: Column, marker: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), ""))) / lit(marker.length)).cast("long")
+  }
+
+  /** Normalized text for fingerprinting: lowercase, collapse whitespace, trim. */
+  def normalizeText(text: Column): Column = trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Document fingerprint = md5 of the normalized text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column math over `array<float>` / `array<double>` columns,
+  * built from codegen'd higher-order functions (`zip_with`, `aggregate`) —
+  * no UDFs, so the hot loops stay inside whole-stage codegen and the same
+  * formulas are expressible in the DuckDB oracle.
+  *
+  * Elements are cast to double BEFORE any arithmetic: float->double is exact,
+  * and both engines then accumulate in double left-to-right, which keeps the
+  * oracle bit-compatible.
+  */
+object VectorOps {
+
+  /** Cast array<float> -> array<double> (exact). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(toDouble(a), lit(0.0d), (acc, v) => acc + v * v)
+
+  def norm(a: Column): Column = sqrt(norm2(a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared euclidean distance. */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH bucket id over `nPlanes` deterministic
+    * pseudo-random hyperplanes. Plane p's coefficient for dimension d is a
+    * fixed hash of (p, d) mapped to [-1, 1) — fully reproducible with no
+    * stored model, so executors regenerate it for free (nothing shipped).
+    * Bucket = sign-bit pattern packed into a long.
+    */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int): Column = {
+    require(nPlanes <= 62, "bucket packed into a long")
+    val dv = toDouble(v)
+    val bits = (0 until nPlanes).map { p =>
+      // deterministic coefficient stream: xxhash64 of (plane, dim) scaled to [-1,1)
+      val proj = aggregate(
+        zip_with(dv, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x * (pmod(xxhash64(lit(p), i), lit(1000003L)).cast("double") / lit(500001.5d) - lit(1.0d))),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L) << p).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators of the reference ETL, re-expressed as pure
+  * `DataFrame => DataFrame` combinators (SURVEY.md §2, §7.3 "ops").
+  *
+  * Every operator here is shuffle-aware and designed for a multi-executor
+  * cluster even though tests run on local[*]:
+  *   - per-key operators shuffle ONCE on the key and keep the partitioning;
+  *   - small sides (dictionaries, id maps, key sets) are broadcast;
+  *   - nothing collects to the driver.
+  */
+object RelOps {
+
+  /** A1/W1 — "latest row per key" (reference: latest lifecycle stage per
+    * address, `address_etl/pls/queries/address.py:32-47`).
+    *
+    * Implemented as `row_number` over a single window so the input shuffles
+    * once on `keys`; `tieBreak` columns make the result deterministic when
+    * `orderBy` has duplicates (the reference is only accidentally
+    * deterministic — SURVEY.md §7.4.3).
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Column, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.desc +: tieBreak.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J4/J5 — referential pruning: keep rows of `df` whose `key` appears in
+    * `referenced` (reference: DELETE ... WHERE NOT EXISTS,
+    * `address_etl/pls/tables.py:817-830, 895-908`). The DELETE becomes the
+    * complement: a semi join on the survivors.
+    */
+  def pruneUnreferenced(df: DataFrame, referenced: DataFrame, key: String): DataFrame =
+    df.join(referenced.select(key).distinct(), Seq(key), "left_semi")
+
+  /** J7/J8 — rows of `df` whose `key` has no match in `existing` (new-IRI
+    * detection, `address_etl/id_map.py:36-63`).
+    */
+  def unmatched(df: DataFrame, existing: DataFrame, key: String): DataFrame =
+    df.join(existing.select(key).distinct(), Seq(key), "left_anti")
+
+  /** M1/M2 — upsert ("INSERT ... ON CONFLICT DO UPDATE", last-write-wins per
+    * key; `address_etl/address_iri_pid_map.py:121-137`). New rows win; base
+    * rows survive only where no update exists. One shuffle (the anti join);
+    * when `updates` is small relative to `base` Spark broadcasts it under
+    * AQE, which is the common incremental-delta case at scale.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    updates.select(cols.map(col): _*)
+      .unionByName(base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+  }
+
+  /** M3 — check-then-insert/update for geocodes: incoming rows win and reset
+    * `resetCols` to null on the *incoming* side too per the reference
+    * (`address_etl/geocode.py:231-270` resets site_id on update).
+    */
+  def upsertWithReset(base: DataFrame, incoming: DataFrame, keys: Seq[String], resetCols: Seq[String]): DataFrame = {
+    val reset = resetCols.foldLeft(incoming) { (d, c) =>
+      d.withColumn(c, lit(null).cast(base.schema(c).dataType))
+    }
+    upsert(base, reset, keys)
+  }
+
+  /** U3/M5 — carry-forward: previous-snapshot rows flow into the run with
+    * selected columns nulled (`main_pls.py:121-134`), then current rows win.
+    */
+  def carryForward(previous: DataFrame, current: DataFrame, keys: Seq[String], nullCols: Seq[String]): DataFrame = {
+    val nulled = nullCols.foldLeft(previous) { (d, c) =>
+      d.withColumn(c, lit(null).cast(previous.schema(c).dataType))
+    }
+    upsert(nulled, current, keys)
+  }
+
+  /** A3 — deterministic "first wins" dedup (reference keeps the first row per
+    * road_id in arrival order, `address_etl/pls/tables.py:434-446`). We make
+    * the ordering explicit (SURVEY.md §7.4.3): first = lowest `orderBy`.
+    */
+  def firstWinsDedup(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J6 — join-based backfill with the mandatory one-row-per-key
+    * pre-aggregation (SQLite's scalar subquery silently picks an arbitrary
+    * match; we deterministically take the MIN — SURVEY.md §7.4.2, reference
+    * `address_etl/pls/tables.py:833-892`).
+    *
+    * Fills `targetCol` of `df` where null, from `mapping(key -> valueCol)`.
+    */
+  def backfillFromJoin(df: DataFrame, mapping: DataFrame, key: String, valueCol: String, targetCol: String): DataFrame = {
+    val oneRow = mapping
+      .groupBy(key)
+      .agg(min(valueCol).as("__fill"))
+    df.join(oneRow, Seq(key), "left")
+      .withColumn(targetCol, coalesce(col(targetCol), col("__fill")))
+      .drop("__fill")
+  }
+
+  /** P11/J10 — declarative constraint validation: returns one row per check
+    * with its violation count. FK checks are anti joins; CHECKs are filters.
+    * At scale all checks share one pass per table (they are independent
+    * aggregates Catalyst can collapse), and nothing is collected beyond the
+    * per-check counts.
+    */
+  def validate(checks: Seq[(String, DataFrame)]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    checks.map { case (name, violations) =>
+      violations.agg(count(lit(1)).cast("long").as("violations"))
+        .withColumn("check_name", lit(name))
+        .select("check_name", "violations")
+    }.reduce(_ unionByName _)
+  }
+
+  /** I1 — watermark-based incremental filter (reference pushes
+    * `last_edited_date >= <prev start>` to the remote layer,
+    * `address_etl/geocode.py:190-202`). Here the predicate lands on the scan
+    * so parquet row groups outside the watermark are skipped entirely.
+    */
+  def watermarkDelta(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
+    df.filter(col(tsCol) >= watermark)
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, fingerprinting. All are
+  * embarrassingly parallel scans (no shuffle) built from codegen'd
+  * expressions, so throughput scales linearly with executors at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Marker words per language for the n-gram-heuristic language ID.
+    * (A real pipeline would use character n-gram profiles; the heuristic
+    * keeps the op deterministic and oracle-checkable.)
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a "),
+    "fr" -> Seq(" le ", " la "),
+    "de" -> Seq(" der ", " die "),
+    "es" -> Seq(" el ", " los "),
+    "zh" -> Seq(" de ", " shi "),
+  )
+
+  /** Heuristic language ID: argmax of marker-word hit counts with a
+    * deterministic tie-break (marker list order; default "en").
+    */
+  def langIdCol(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => markerCount(text, m)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in declaration order) achieving the max score
+    scores.reverse.foldLeft(lit("en")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("pred_lang", langIdCol(col(textCol)))
+
+  /** Quality signals: token count, mean token length, distinct-token ratio,
+    * punctuation ratio, plus a composite [0,1] score. Mirrors the public
+    * C4/Gopher-style filters (length + repetition + symbol ratios).
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn("mean_token_len",
+        round(when(col("n_tokens") > 0, length(regexp_replace(t, "\\s+", "")).cast("double") / col("n_tokens")).otherwise(lit(0.0d)), 4))
+      .withColumn("distinct_ratio",
+        round(when(col("n_tokens") > 0, col("n_distinct_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0d)), 4))
+      .withColumn("punct_ratio",
+        round(when(length(t) > 0, (length(t) - length(regexp_replace(t, "[^\\w\\s]", ""))).cast("double") / length(t)).otherwise(lit(0.0d)), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0d), col("n_tokens").cast("double") / lit(50.0d)) * col("distinct_ratio") * (lit(1.0d) - col("punct_ratio")), 4))
+  }
+
+  /** Token budget estimate: whitespace words + BPE-ish subword count. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_words", wordCount(col(textCol)).cast("long"))
+      .withColumn("n_subwords", subwordCount(col(textCol)).cast("long"))
+
+  /** Content fingerprint (md5 of normalized text) + a 64-bit rolling
+    * polynomial hash over tokens (Rabin-Karp style), for cheap
+    * order-sensitive near-identity checks.
+    */
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(normalizeText(col(textCol)))
+    docs
+      .withColumn("fp_md5", fingerprint(col(textCol)))
+      .withColumn("fp_roll",
+        aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(2147483647L)), lit(2305843009213693951L))))
+  }
+}

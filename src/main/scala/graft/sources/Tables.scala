@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the driver-provided parquet fixtures
+  * (`/root/testdata/sf*`; see TESTDATA.md).
+  *
+  * All reads go through here so that scan-level concerns live in one place:
+  *   - column pruning / predicate pushdown happen naturally because callers
+  *     compose on the returned (lazy) DataFrame before any action;
+  *   - the `events` table carries nanosecond-precision parquet timestamps,
+  *     which Spark cannot represent (TimestampType is microseconds). We read
+  *     them as `Long` nanos (legacy nanosAsLong) and downcast to a proper
+  *     TimestampType column, so every downstream operator sees a real
+  *     timestamp. DuckDB oracles must compare at millisecond-or-coarser
+  *     granularity (epoch_ms / date_trunc), which survives the truncation.
+  */
+object Tables {
+  def path(dir: String, table: String): String = s"$dir/$table.parquet"
+
+  def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(path(dir, table))
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** `events` with `ts` as a true TimestampType (µs), derived from the
+    * nanosecond parquet column. `ts_ns` (raw Long) is kept for callers that
+    * need full precision.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read
+      .option("timestampNTZFormat", "")
+      .parquet(path(dir, "events"))
+    val tsField = raw.schema("ts")
+    tsField.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanosAsLong mode: Long nanos since epoch
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      case _: org.apache.spark.sql.types.TimestampType =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet ns read as NTZ in some Spark configs; treat as UTC instant
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming-shaped transforms over the `events` table. The reference is a
+  * scheduled batch job (SURVEY.md §2.9) — its incremental semantics map to
+  * watermark + upsert; these operators give the engine the continuous
+  * equivalent. Each transform is a pure DataFrame function, so the SAME code
+  * runs in a batch query (Verify/Bench oracles) and under `readStream`
+  * (watermarked, incremental) — see EventsStreamSpec.
+  */
+object EventsStream {
+
+  /** Tumbling-window aggregate by event type. In streaming mode callers add
+    * `withWatermark("ts", ...)` upstream; the aggregation is identical.
+    */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Streaming variant with a watermark (late data beyond 1h dropped). */
+  def hourlyTypeCountsStreaming(events: DataFrame): DataFrame =
+    hourlyTypeCounts(events.withWatermark("ts", "1 hour"))
+
+  /** Sessionization: a session ends after `gapMinutes` of user inactivity.
+    * Batch implementation via lag + cumulative sum (the streaming twin uses
+    * `flatMapGroupsWithState`; session numbering is identical).
+    *
+    * All ordering/arithmetic happens on epoch MILLISECONDS (`unix_millis`),
+    * not raw timestamps: the source carries ns precision that Spark
+    * truncates to µs, so ms is the finest granularity at which a DuckDB
+    * oracle over the original file sees identical values.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    events
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMinutes * 60000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"))
+  }
+}

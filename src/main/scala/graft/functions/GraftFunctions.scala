@@ -79,6 +79,15 @@ object GraftFunctions {
     ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), ""))) / lit(marker.length)).cast("long")
   }
 
+  /** Oracle-reproducible 60-bit hash: first 15 hex chars of md5, as a long.
+    * (xxhash64 would be faster but is Spark-specific; md5 is public and
+    * identical in DuckDB/Trino/BigQuery, which makes the LSH/fingerprint
+    * pipelines cross-engine checkable. Swap for xxhash64 in a closed
+    * deployment where oracle parity doesn't matter.)
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace, trim. */
   def normalizeText(text: Column): Column = trim(regexp_replace(lower(text), "\\s+", " "))
 

@@ -33,20 +33,20 @@ object VectorOps {
 
   /** Random-hyperplane LSH bucket id over `nPlanes` deterministic
     * pseudo-random hyperplanes. Plane p's coefficient for dimension d is a
-    * fixed hash of (p, d) mapped to [-1, 1) — fully reproducible with no
-    * stored model, so executors regenerate it for free (nothing shipped).
-    * Bucket = sign-bit pattern packed into a long.
+    * fixed md5-derived hash of "p_d" mapped to [-1, 1) — fully reproducible
+    * with no stored model (executors regenerate it for free, and the same
+    * stream is expressible in the DuckDB oracle). Bucket = sign-bit pattern
+    * packed into a long.
     */
   def lshBucket(v: Column, dim: Int, nPlanes: Int): Column = {
     require(nPlanes <= 62, "bucket packed into a long")
     val dv = toDouble(v)
     val bits = (0 until nPlanes).map { p =>
-      // deterministic coefficient stream: xxhash64 of (plane, dim) scaled to [-1,1)
       val proj = aggregate(
         zip_with(dv, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x * (pmod(xxhash64(lit(p), i), lit(1000003L)).cast("double") / lit(500001.5d) - lit(1.0d))),
+          x * (pmod(graft.functions.GraftFunctions.hash60(concat_ws("_", lit(p), i)), lit(1000003L)).cast("double") / lit(500001.5d) - lit(1.0d))),
         lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L) << p).otherwise(lit(0L))
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -9,18 +10,25 @@ import graft.functions.GraftFunctions._
   *
   *   - exact dedup is one hash-shuffle on the fingerprint;
   *   - MinHash/LSH never compares all pairs: signatures are computed in a
-  *     single scan (map-side), candidates come from an equi self-join on
-  *     (band, bandHash) — i.e. a shuffle whose key cardinality grows with
-  *     corpus size, not corpus²;
-  *   - SimHash bands 64 bits into 16-bit chunks the same way;
-  *   - exact verification runs only on candidate pairs.
+  *     single scan (map-side); candidates come from an equi self-join on
+  *     (band, bandKey) that carries ONLY (id, band, bandKey) — the shingle
+  *     payload is joined back per candidate id afterwards, so the band
+  *     shuffle is keys, not corpus×bands;
+  *   - SimHash bands 60 bits into 15-bit chunks the same way;
+  *   - exact verification runs only on candidate pairs;
+  *   - n-gram Jaccard uses MinHash-LSH candidates *within* cheap blocking
+  *     keys (language) rather than all pairs per block.
+  *
+  * All hashing is md5-prefix based (`hash60`) — deterministic, engine-version
+  * stable, and reproducible in ANSI-ish SQL, so every operator here is
+  * verifiable against a DuckDB oracle bit-for-bit.
   */
 object Dedup {
 
-  private val P = 2147483647L // 2^31-1, prime; keeps a*h+b inside a Long
+  private[graft] val P = 2147483647L // 2^31-1, prime; keeps a*h+b inside a Long
 
   /** Deterministic affine hash constants (fixed, engine-version stable). */
-  private def hashParams(k: Int): Seq[(Long, Long)] =
+  private[graft] def hashParams(k: Int): Seq[(Long, Long)] =
     (0 until k).map { i =>
       val a = (i * 2654435761L + 1013904223L) % (P - 1) + 1
       val b = (i * 97531L + 12345L) % P
@@ -32,30 +40,79 @@ object Dedup {
     val toks = tokens(normalizeText(text))
     array_distinct(
       when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, n))))
+        transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** Exact dedup: group on the md5 fingerprint of normalized text, keep the
-    * lowest id per group. Returns the surviving rows plus the group size.
+  /** Exact dedup: fingerprint the normalized text, keep the lowest-id row per
+    * fingerprint group. Returns the SURVIVING ROWS (all input columns) plus
+    * `fp` and the group size `n_copies`. Both window functions share one
+    * partitioning, so this is a single shuffle on the fingerprint.
     */
-  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val byFp = Window.partitionBy("fp")
     docs
       .withColumn("fp", fingerprint(col(textCol)))
-      .groupBy("fp")
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).cast("long").as("n_copies"))
+      .withColumn("n_copies", count(lit(1)).over(byFp).cast("long"))
+      .withColumn("__rn", row_number().over(byFp.orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   /** MinHash signature column: array of k minima of affine-permuted shingle
     * hashes. One scan, no shuffle; k array traversals stay in codegen.
     */
   def minhashSignature(sh: Column, k: Int = 32): Column = {
-    val hashes = transform(sh, s => pmod(xxhash64(s), lit(P)))
+    val hashes = transform(sh, s => hash60(s))
     array(hashParams(k).map { case (a, b) =>
       array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P))))
     }: _*)
   }
 
-  /** MinHash+LSH candidate pairs with exact Jaccard verification.
+  /** Per-row (band, bandKey) pairs for LSH banding: bandKey = md5 of the
+    * band's sub-signature rendered "b:v1,v2,...". Fixed-width join key.
+    */
+  private def bandKeys(sig: Column, bands: Int, rowsPer: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws(":", lit(b),
+        array_join(transform(slice(sig, b * rowsPer + 1, rowsPer), x => x.cast("string")), ",")))
+    }: _*)
+
+  /** LSH candidate id pairs from a (id, sh [, blockCols...]) frame: the band
+    * self-join carries only ids and band keys (plus the block columns, which
+    * scope collisions), never the shingle arrays.
+    */
+  private def lshCandidates(base: DataFrame, idCol: String, blockCols: Seq[String],
+                            k: Int, bands: Int): DataFrame = {
+    val rowsPer = k / bands
+    val banded = base
+      .withColumn("__sig", minhashSignature(col("sh"), k))
+      .select(col(idCol) +: blockCols.map(col) :+ posexplode(bandKeys(col("__sig"), bands, rowsPer)): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+    val joinKeys = Seq("band", "bk") ++ blockCols
+    val l = banded.select((Seq("band", "bk") ++ blockCols).map(col) :+ col(idCol).as("id_a"): _*)
+    val r = banded.select((Seq("band", "bk") ++ blockCols).map(col) :+ col(idCol).as("id_b"): _*)
+    l.join(r, joinKeys)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact Jaccard verification of candidate id pairs: shingles are joined
+    * back by id (corpus-sized shuffles, not corpus×bands).
+    */
+  private def verifyJaccard(cand: DataFrame, base: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
+    val shA = base.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val shB = base.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     *
     * bands × rowsPerBand must equal the signature length. A pair collides if
     * any band's sub-signature matches exactly; candidates are then verified
@@ -64,54 +121,42 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  k: Int = 32, bands: Int = 8, threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rowsPer = k / bands
-    val withSig = docs
-      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = withSig.select(
-      col(idCol), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPer + 1, rowsPer)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val l = banded.select(col("band"), col("band_hash"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("band_hash"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val base = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val cand = lshCandidates(base, idCol, Nil, k, bands)
+    verifyJaccard(cand, base, idCol, threshold)
   }
 
-  /** 64-bit SimHash per document over token unigrams (count-weighted).
+  /** 60-bit SimHash per document over token unigrams (count-weighted).
     * Computed with one explode + one groupBy (a single shuffle keyed by the
     * document id, which is already the table's natural partitioning).
+    * Documents with zero tokens are excluded (no bits to vote).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L) << b) =!= 0, 1).otherwise(-1)).as(s"b$b")
+      .withColumn("h", hash60(col("tok")))
+    val bitSums: Seq[Column] = (0 until 60).map { b =>
+      sum(when(col("h").bitwiseAND(shiftleft(lit(1L), b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
     }
     val agg = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L) << b).otherwise(lit(0L))
+    val sim = (0 until 60).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col(idCol), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit chunks
-    * (any equal chunk -> candidate; guarantees recall for hamming distance
-    * <= 3), verify with `bit_count(xor) <= maxHamming`.
+  /** SimHash near-dup pairs: band the 60-bit hash into four 15-bit chunks
+    * (any equal chunk -> candidate; guarantees full recall for hamming
+    * distance <= 3 — hence the default), verify with
+    * `bit_count(xor) <= maxHamming`.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxHamming: Int = 8): DataFrame = {
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band LSH only guarantees recall for hamming <= 3")
     val sh = simhash(docs, idCol, textCol)
-    val banded = sh.select(col(idCol), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)), b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))))
+    val chunks = array((0 until 4).map { b =>
+      shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))
+    }: _*)
+    val banded = sh.select(col(idCol), col("simhash"), posexplode(chunks))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val l = banded.select(col("band"), col("chunk"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("chunk"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
@@ -123,26 +168,19 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** N-gram Jaccard near-dup over *blocked* pairs: documents are compared
-    * only within a cheap blocking key (language × length bucket) — the
-    * blocking keeps the join's key cardinality linear in corpus size and is
-    * exactly reproducible in the SQL oracle.
+  /** N-gram Jaccard near-dup: candidates from MinHash-LSH *within* a cheap
+    * blocking key (language), verified with exact shingle-set Jaccard. The
+    * block column narrows LSH collisions across languages; the LSH banding
+    * keeps pair counts linear in corpus size (the round-1 all-pairs-per-block
+    * variant was quadratic in block size).
     */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    langCol: String = "lang", shingleN: Int = 3,
-                   lenBucket: Int = 100, threshold: Double = 0.5): DataFrame = {
-    val base = docs.select(
-      col(idCol), col(langCol).as("blk_lang"),
-      (floor(length(col(textCol)) / lenBucket)).as("blk_len"),
+                   k: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val base = docs.select(col(idCol), col(langCol).as("__blk"),
       shingles(col(textCol), shingleN).as("sh"))
-    val l = base.select(col("blk_lang"), col("blk_len"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val r = base.select(col("blk_lang"), col("blk_len"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("blk_lang", "blk_len"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val cand = lshCandidates(base, idCol, Seq("__blk"), k, bands)
+    verifyJaccard(cand, base, idCol, threshold)
   }
 }

@@ -37,10 +37,18 @@ object IdMap {
 
   /** Extend `map` with ids for every key of `df(keyCol)` not yet mapped.
     * Returns the NEW map (old ∪ new assignments).
+    *
+    * The anti join guards against BOTH the iri and the id key space —
+    * `NOT IN (SELECT iri FROM map UNION SELECT id FROM map)`, reference
+    * `address_etl/id_map.py:36-45` — so extending over an already-encoded
+    * frame is a no-op (idempotence). Null keys are excluded: the reference's
+    * PKs are NOT NULL, and a null can neither join nor be encoded.
     */
   def extend(map: DataFrame, df: DataFrame, keyCol: String): DataFrame = {
-    val keys = df.select(col(keyCol).cast("string").as(KEY)).distinct()
-    val fresh = keys.join(map.select(KEY), Seq(KEY), "left_anti")
+    val keys = df.select(col(keyCol).cast("string").as(KEY))
+      .filter(col(KEY).isNotNull).distinct()
+    val known = map.select(KEY).unionByName(map.select(col(ID).cast("string").as(KEY)))
+    val fresh = keys.join(known, Seq(KEY), "left_anti")
     val maxId = map.agg(coalesce(max(col(ID)), lit(0L)).as("m")) // 1-based like AUTOINCREMENT
     val assigned = fresh
       .withColumn(ID, row_number().over(Window.orderBy(col(KEY))).cast("long"))
@@ -51,11 +59,16 @@ object IdMap {
   }
 
   /** Rewrite `df(keyCol)` text keys to their integer ids using (an already
-    * extended) `map`. Inner join: by construction every key is mapped.
+    * extended) `map`. Inner join: by construction every non-null key is
+    * mapped; null-key rows are rejected up front rather than silently
+    * dropped by the join. No broadcast hint — the map grows with every
+    * distinct key ever seen, so at scale AQE must pick the strategy (it
+    * still broadcasts genuinely-small maps at runtime).
     */
   def encode(df: DataFrame, map: DataFrame, keyCol: String): DataFrame = {
-    val m = broadcast(map.withColumnRenamed(KEY, "__k").withColumnRenamed(ID, "__id"))
-    df.join(m, df(keyCol).cast("string") === m("__k"), "inner")
+    val m = map.withColumnRenamed(KEY, "__k").withColumnRenamed(ID, "__id")
+    df.filter(col(keyCol).isNotNull)
+      .join(m, col(keyCol).cast("string") === col("__k"), "inner")
       .withColumn(keyCol, col("__id"))
       .drop("__k", "__id")
   }

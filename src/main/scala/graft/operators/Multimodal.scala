@@ -79,13 +79,14 @@ object Multimodal {
       .drop("scale")
 
   /** Frame-sampling plumbing for "video" payloads: every `stride`-th
-    * fixed-size byte window becomes one frame row.
+    * fixed-size byte window becomes one frame row. Slices the BINARY payload
+    * (byte offsets), then base64-encodes each frame for a portable output.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media.select(col("doc_id"),
       posexplode(
         transform(
           sequence(lit(0), greatest((length(col("media")) / (frameBytes * stride)).cast("int") - 1, lit(0))),
-          i => substring(base64(col("media")), (i * frameBytes * stride) + 1, frameBytes))))
+          i => base64(col("media").substr(i * lit(frameBytes * stride) + lit(1), lit(frameBytes))))))
       .withColumnRenamed("pos", "frame_no").withColumnRenamed("col", "frame")
 }

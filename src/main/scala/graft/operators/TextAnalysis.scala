@@ -75,6 +75,6 @@ object TextAnalysis {
     docs
       .withColumn("fp_md5", fingerprint(col(textCol)))
       .withColumn("fp_roll",
-        aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(2147483647L)), lit(2305843009213693951L))))
+        aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(hash60(t), lit(2147483647L)), lit(2305843009213693951L))))
   }
 }

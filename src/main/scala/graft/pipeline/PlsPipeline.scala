@@ -30,13 +30,19 @@ object PlsPipeline {
     RelOps.pruneUnreferenced(filled, addresses.select("address_pid"), "address_pid")
   }
 
-  /** Prune addresses that have no IRI→PID mapping, keeping the dropped count
-    * as a metric (reference J4 + the counted, sampled warning — SURVEY.md
-    * §7.4.4). Returns (survivors, droppedCount).
+  /** Prune addresses that have no IRI→PID mapping, keeping the dropped rows
+    * as a lazily-countable metric frame (reference J4 + the counted, sampled
+    * warning — SURVEY.md §7.4.4). One left join computes the membership flag;
+    * both outputs filter the same plan, so with the input cached (or under
+    * AQE shuffle reuse) this is a single pass — never an eager mid-pipeline
+    * action like the round-1 version.
     */
-  def pruneAddressesWithoutPid(addresses: DataFrame, pidMap: DataFrame): (DataFrame, Long) = {
-    val kept = addresses.join(pidMap.select(col("address_iri")), Seq("address_iri"), "left_semi")
-    val dropped = addresses.join(pidMap.select(col("address_iri")), Seq("address_iri"), "left_anti").count()
+  def pruneAddressesWithoutPid(addresses: DataFrame, pidMap: DataFrame): (DataFrame, DataFrame) = {
+    val flagged = addresses.join(
+      pidMap.select(col("address_iri")).distinct().withColumn("__mapped", lit(true)),
+      Seq("address_iri"), "left")
+    val kept = flagged.filter(col("__mapped").isNotNull).drop("__mapped")
+    val dropped = flagged.filter(col("__mapped").isNull).drop("__mapped")
     (kept, dropped)
   }
 
@@ -66,8 +72,11 @@ object PlsPipeline {
     idMaps: Map[String, DataFrame],
   )
 
+  /** `droppedAddresses` is a lazy metric frame — count it at
+    * materialization time (the reference logs the count once, at the end).
+    */
   case class RunOutputs(geocodes: DataFrame, addresses: DataFrame, pidMap: DataFrame,
-                        droppedAddresses: Long)
+                        droppedAddresses: DataFrame)
 
   def run(inputs: RunInputs): RunOutputs = {
     // restore + upsert the IRI→PID cache (M1)

@@ -44,8 +44,11 @@ object Tables {
     tsField.dataType match {
       case org.apache.spark.sql.types.LongType =>
         // nanosAsLong mode: Long nanos since epoch
+        // integral division: `/` on Columns is double division, and 2026-era
+        // epoch nanos exceed double's 2^53 exact range (rounds up to ~256ns
+        // and half-even instead of truncating) — `div` is exact.
         raw.withColumn("ts_ns", col("ts"))
-          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case _: org.apache.spark.sql.types.TimestampType =>
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _: org.apache.spark.sql.types.TimestampNTZType =>

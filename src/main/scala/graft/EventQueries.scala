@@ -1,0 +1,35 @@
+package graft
+
+import graft.streaming.EventsStream
+import graft.sources.Tables
+import Queries.Q
+
+/** Streaming-shaped (batch-twin) query registrations over `events`.
+  * All time math happens at millisecond granularity — the parquet carries
+  * ns timestamps that Spark truncates to µs (see sources.Tables.events).
+  */
+object EventQueries {
+
+  private val hourly: Q = (s, d) => EventsStream.hourlyTypeCounts(Tables.events(s, d))
+
+  private val hourlySql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val sessionize: Q = (s, d) => EventsStream.sessionize(Tables.events(s, d), 30)
+
+  private val sessionizeSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |l AS (SELECT user_id, event_id, ms, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+      |n AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS nw FROM l),
+      |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM n)
+      |SELECT user_id, session_no, count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  val registry: Vector[(String, Q, Option[String])] = Vector(
+    ("hourly_type_counts", hourly, Some(hourlySql)),
+    ("sessionize", sessionize, Some(sessionizeSql)),
+  )
+}

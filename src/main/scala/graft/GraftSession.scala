@@ -16,6 +16,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // read no-tz parquet timestamps as LTZ (session UTC): the engine's
+      // time math (unix_millis, watermarks) is instant-based end to end
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

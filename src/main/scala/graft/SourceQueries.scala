@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sources.{FixtureFetcher, PagedSource, SnapshotStore, SparqlSource, Tables}
+import Queries.Q
+
+/** Source/sink-adapter query registrations: paginated remote scan (S3/S4 +
+  * P8 pushdown), SPARQL bindings parse (S1/S2 + P9 optionals), and the
+  * versioned snapshot store round-trip (S7/S8/K1/O1).
+  */
+object SourceQueries {
+
+  // -- paginated layer scan over a deterministic fixture ------------------
+  private val pageSchema = StructType(Seq(
+    StructField("feature_id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("last_edited", StringType, nullable = false)))
+
+  private def fixtureRows: Seq[Row] =
+    (1 to 20).map(i => Row(i.toLong, s"name_$i", f"2020-01-${(i % 9) + 1}%02d"))
+
+  private val pagedFull: Q = (s, _) =>
+    PagedSource.read(s, new FixtureFetcher(fixtureRows, Some(2)), pageSchema, pageSize = 3)
+
+  private val pagedDelta: Q = (s, _) =>
+    PagedSource.read(s, new FixtureFetcher(fixtureRows, Some(2)), pageSchema,
+      pageSize = 3, whereClause = Some("last_edited >= 2020-01-04"))
+
+  private def fixtureValues(pred: Int => Boolean): String =
+    (1 to 20).filter(pred)
+      .map(i => f"(CAST($i AS BIGINT), 'name_$i', '2020-01-${(i % 9) + 1}%02d')")
+      .mkString(", ")
+
+  private val pagedFullSql =
+    s"SELECT * FROM (VALUES ${fixtureValues(_ => true)}) AS t(feature_id, name, last_edited)"
+
+  private val pagedDeltaSql =
+    s"SELECT * FROM (VALUES ${fixtureValues(i => (i % 9) + 1 >= 4)}) AS t(feature_id, name, last_edited)"
+
+  // -- snapshot store round-trip -------------------------------------------
+  private val snapshot: Q = (s, d) => {
+    val store = new SnapshotStore("/tmp/graft_snapshots")
+    store.write(Tables.nation(s, d).filter(org.apache.spark.sql.functions.col("n_nationkey") < 10),
+      "run_a", "nation")
+    store.write(Tables.nation(s, d), "run_b", "nation")
+    val latest = store.latestRun(s).getOrElse(sys.error("no snapshot written"))
+    store.read(s, latest, "nation")
+  }
+
+  private val snapshotSql = "SELECT * FROM nation"
+
+  // -- SPARQL bindings parse --------------------------------------------------
+  private val sparqlJson =
+    """{"head":{"vars":["addr","pid","status"]},
+      |"results":{"bindings":[
+      |{"addr":{"type":"uri","value":"iri:a1"},"pid":{"type":"literal","value":"P1"},"status":{"type":"literal","value":"ACTIVE","datatype":"urn:dt:code"}},
+      |{"addr":{"type":"uri","value":"iri:a2"},"pid":{"type":"literal","value":"P2"},"status":{"type":"literal","value":"RETIRED","datatype":"urn:dt:code"}},
+      |{"addr":{"type":"uri","value":"iri:a3"},"status":{"type":"literal","value":"ACTIVE","datatype":"urn:dt:other"}},
+      |{"addr":{"type":"uri","value":"iri:a4"},"pid":{"type":"literal","value":"P4"}}
+      |]}}""".stripMargin
+
+  private val sparql: Q = (s, _) => SparqlSource.fromJson(s, sparqlJson)
+
+  private val sparqlSql =
+    """SELECT * FROM (VALUES
+      |  ('iri:a1', CAST(NULL AS VARCHAR), 'P1', CAST(NULL AS VARCHAR), 'ACTIVE', 'urn:dt:code'),
+      |  ('iri:a2', CAST(NULL AS VARCHAR), 'P2', CAST(NULL AS VARCHAR), 'RETIRED', 'urn:dt:code'),
+      |  ('iri:a3', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'ACTIVE', 'urn:dt:other'),
+      |  ('iri:a4', CAST(NULL AS VARCHAR), 'P4', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+      |) AS t(addr, addr_datatype, pid, pid_datatype, status, status_datatype)""".stripMargin
+
+  val registry: Vector[(String, Q, Option[String])] = Vector(
+    ("paged_source_full", pagedFull, Some(pagedFullSql)),
+    ("paged_source_delta", pagedDelta, Some(pagedDeltaSql)),
+    ("snapshot_roundtrip", snapshot, Some(snapshotSql)),
+    ("sparql_bindings", sparql, Some(sparqlSql)),
+  )
+}

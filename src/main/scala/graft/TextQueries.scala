@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.sources.Tables
+import Queries.Q
+
+/** Shared DuckDB-SQL fragments mirroring GraftFunctions exactly. */
+private[graft] object OracleSql {
+  val P = 2147483647L
+
+  /** GraftFunctions.hash60 — first 15 md5 hex chars as BIGINT. */
+  def h60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** GraftFunctions.normalizeText. */
+  def norm(e: String): String = s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+
+  /** GraftFunctions.tokens (empty strings removed). */
+  def toks(e: String): String =
+    s"list_filter(string_split_regex($e, '\\s+'), t -> len(t) > 0)"
+
+  /** Dedup.shingles(text, n) over an already-computed toks expression. */
+  def shingles(toksE: String, n: Int): String =
+    s"""list_distinct(CASE WHEN len($toksE) >= $n
+       | THEN [array_to_string(($toksE)[i + 1:i + $n], ' ') for i in range(0, len($toksE) - ${n - 1})]
+       | ELSE [array_to_string($toksE, ' ')] END)""".stripMargin
+
+  /** Dedup.minhashSignature — k affine minima as SQL select-list items. */
+  def sigItems(shCol: String, k: Int): String =
+    Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform($shCol, s -> ((${h60("s")} % $P) * CAST($a AS BIGINT) + $b) % $P)) AS sig$i"
+    }.mkString(", ")
+
+  /** Dedup band key b over sig0..sig{k-1} columns. */
+  def bandKey(b: Int, rowsPer: Int): String = {
+    val cols = (b * rowsPer until (b + 1) * rowsPer).map(i => s"sig$i").mkString(" || ',' || ")
+    s"md5('$b' || ':' || ($cols))"
+  }
+
+  /** Exact-Jaccard of two distinct string lists, rounded to 6. */
+  def jaccard(a: String, b: String): String =
+    s"round(CAST(len(list_intersect($a, $b)) AS DOUBLE) / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE), 6)"
+}
+
+/** Text-analysis / dedup / multimodal query registrations. */
+object TextQueries {
+  import OracleSql._
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.documents(s, d)
+
+  // -- language ID ----------------------------------------------------
+  private val langId: Q = (s, d) =>
+    TextAnalysis.langId(docs(s, d)).select("doc_id", "lang", "pred_lang")
+
+  private val langIdSql = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      val cnt = ms.map(m =>
+        s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)").mkString(" + ")
+      (lang, s"($cnt)")
+    }
+    val defs = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val best = s"greatest(${scores.map("s_" + _._1).mkString(", ")})"
+    val cases = scores.map { case (l, _) => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'" }.mkString(" ")
+    s"""WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+       |sc AS (SELECT doc_id, lang, $defs FROM p),
+       |b AS (SELECT *, $best AS best FROM sc)
+       |SELECT doc_id, lang, CASE $cases ELSE 'en' END AS pred_lang FROM b""".stripMargin
+  }
+
+  // -- quality scoring -------------------------------------------------
+  private val quality: Q = (s, d) =>
+    TextAnalysis.qualityScore(docs(s, d)).select("doc_id", "n_tokens",
+      "n_distinct_tokens", "mean_token_len", "distinct_ratio", "punct_ratio", "quality_score")
+
+  private val qualitySql =
+    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS tk FROM documents),
+       |m AS (SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens FROM t),
+       |r AS (SELECT doc_id, n_tokens, n_distinct_tokens,
+       |  round(CASE WHEN n_tokens > 0 THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS mean_token_len,
+       |  round(CASE WHEN n_tokens > 0 THEN CAST(n_distinct_tokens AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS distinct_ratio,
+       |  round(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 4) AS punct_ratio
+       |FROM m)
+       |SELECT doc_id, n_tokens, n_distinct_tokens, mean_token_len, distinct_ratio, punct_ratio,
+       |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * distinct_ratio * (1.0 - punct_ratio), 4) AS quality_score
+       |FROM r""".stripMargin
+
+  // -- token counting ---------------------------------------------------
+  private val tokenCounts: Q = (s, d) =>
+    TextAnalysis.tokenCounts(docs(s, d)).select("doc_id", "n_words", "n_subwords")
+
+  private val tokenCountsSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS BIGINT) AS n_subwords
+      |FROM documents""".stripMargin
+
+  // -- fingerprints ------------------------------------------------------
+  private val fingerprints: Q = (s, d) =>
+    TextAnalysis.fingerprints(docs(s, d)).select("doc_id", "fp_md5", "fp_roll")
+
+  private val fingerprintsSql =
+    s"""WITH n AS (SELECT doc_id, ${norm("text")} AS nt FROM documents)
+       |SELECT doc_id, md5(nt) AS fp_md5,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(${toks("nt")}, t -> ${h60("t")} % $P)),
+       |              (acc, h) -> (acc * CAST(1000003 AS BIGINT) + h) % $P) AS fp_roll
+       |FROM n""".stripMargin
+
+  // -- exact dedup --------------------------------------------------------
+  private val exactDedup: Q = (s, d) => Dedup.exact(docs(s, d))
+
+  private val exactDedupSql =
+    s"""WITH f AS (SELECT *, md5(${norm("text")}) AS fp FROM documents),
+       |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
+       |             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+       |SELECT doc_id, text, lang, source, n_chars, fp, n_copies FROM w WHERE rn = 1""".stripMargin
+
+  // -- MinHash + LSH -------------------------------------------------------
+  private def lshSql(k: Int, bands: Int, shingleN: Int, threshold: Double,
+                     blockJoin: Boolean): String = {
+    val rowsPer = k / bands
+    val bandItems = (0 until bands).map(b => s"${bandKey(b, rowsPer)} AS bk$b").mkString(", ")
+    val bkList = (0 until bands).map(i => s"bk$i").mkString(", ")
+    val blockCol = if (blockJoin) ", lang" else ""
+    val blockCond = if (blockJoin) " AND a.lang = b.lang" else ""
+    s"""WITH base AS (SELECT doc_id$blockCol, ${shingles(toks(norm("text")), shingleN)} AS sh FROM documents),
+       |sigs AS (SELECT doc_id$blockCol, sh, ${sigItems("sh", k)} FROM base),
+       |keyed AS (SELECT doc_id$blockCol, $bandItems FROM sigs),
+       |banded AS (SELECT doc_id$blockCol, unnest([$bkList]) AS bk FROM keyed),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id$blockCond),
+       |v AS (SELECT id_a, id_b, ${jaccard("sa.sh", "sb.sh")} AS jaccard
+       |      FROM cand JOIN base sa ON cand.id_a = sa.doc_id JOIN base sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  private val minhashLsh: Q = (s, d) =>
+    Dedup.minhashLsh(docs(s, d), k = 32, bands = 8, threshold = 0.3, shingleN = 3)
+
+  private val minhashLshSql = lshSql(32, 8, 3, 0.3, blockJoin = false)
+
+  private val ngramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccard(docs(s, d), shingleN = 2, k = 32, bands = 16, threshold = 0.3)
+
+  private val ngramJaccardSql = lshSql(32, 16, 2, 0.3, blockJoin = true)
+
+  // -- SimHash ---------------------------------------------------------------
+  private val simhashPairs: Q = (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)
+
+  private val simhashPairsSql =
+    s"""WITH tk AS (SELECT doc_id, unnest(${toks(norm("text"))}) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${h60("tok")} AS h FROM tk),
+       |votes AS (SELECT doc_id, bb.b AS b, sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM h, (SELECT unnest(range(0, 60)) AS b) bb GROUP BY 1, 2),
+       |sims AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY 1),
+       |banded AS (SELECT doc_id, simhash, cc.c AS band, (simhash >> (cc.c * 15)) & 32767 AS chunk
+       |           FROM sims, (SELECT unnest(range(0, 4)) AS c) cc),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
+  // -- multimodal --------------------------------------------------------------
+  private val mmResize: Q = (s, d) =>
+    Multimodal.resizeMeta(Multimodal.syntheticMedia(docs(s, d)), 256)
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+
+  private val mmResizeSql =
+    """WITH m AS (SELECT doc_id, 64 + (length(text) % 512) AS w, 64 + ((doc_id * 7) % 512) AS h FROM documents),
+      |s AS (SELECT doc_id, w, h, CASE WHEN greatest(w, h) > 256 THEN 256.0 / greatest(w, h) ELSE 1.0 END AS sc FROM m)
+      |SELECT doc_id, 'fake/rgb8' AS format, CAST(floor(w * sc) AS INTEGER) AS width, CAST(floor(h * sc) AS INTEGER) AS height FROM s""".stripMargin
+
+  private val mmFrames: Q = (s, d) =>
+    Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, d)), 4, 2)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"), col("frame"))
+
+  private val mmFramesSql =
+    """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents)
+      |SELECT doc_id, t.i AS frame_no, base64(unhex(substr(hx, CAST(t.i * 16 + 1 AS INTEGER), 8))) AS frame
+      |FROM m, (SELECT unnest(range(0, 2)) AS i) t""".stripMargin
+
+  /** Decode plumbing (declared stub) — no SQL twin for blob byte math. */
+  private val mmDecode: Q = (s, d) =>
+    Multimodal.decodeStub(Multimodal.syntheticMedia(docs(s, d)))
+
+  val registry: Vector[(String, Q, Option[String])] = Vector(
+    ("lang_id", langId, Some(langIdSql)),
+    ("quality_score", quality, Some(qualitySql)),
+    ("token_counts", tokenCounts, Some(tokenCountsSql)),
+    ("fingerprints", fingerprints, Some(fingerprintsSql)),
+    ("exact_dedup", exactDedup, Some(exactDedupSql)),
+    ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    ("simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    ("mm_resize", mmResize, Some(mmResizeSql)),
+    ("mm_frames", mmFrames, Some(mmFramesSql)),
+    ("mm_decode", mmDecode, None),
+  )
+}

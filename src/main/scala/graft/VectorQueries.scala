@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import Queries.Q
+
+/** Similarity-search query registrations over the `embeddings` table
+  * (dim-64 float vectors). Oracles reproduce the engine's FP math with the
+  * SAME accumulation order (list_reduce over a prepended 0.0 mirrors
+  * `functions.aggregate`), so doubles are bit-identical, and all ranking is
+  * on round(cosine, 6) with id tie-breaks.
+  */
+object VectorQueries {
+
+  private val DIM = 64
+
+  /** VectorOps.dot with left-to-right accumulation. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  /** VectorOps.norm2: acc + v*v per element, left to right. */
+  private def norm2Sql(a: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> CAST(x AS DOUBLE))), (acc, v) -> acc + v * v)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)})), 6)"
+
+  /** VectorOps.lshBucket(v, DIM, nPlanes) as a SQL expression over col `v`. */
+  private def bucketSql(v: String, nPlanes: Int): String = {
+    val bits = (0 until nPlanes).map { p =>
+      val coef = s"(CAST('0x' || substr(md5('${p}_' || (i - 1)), 1, 15) AS BIGINT) % 1000003) / 500001.5 - 1.0"
+      val proj = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($v[i] AS DOUBLE) * ($coef))), (acc, x) -> acc + x)"
+      s"CASE WHEN ($proj) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  // -- exact brute-force top-k (bounded-buffer aggregation) -------------
+  private val bruteForce: Q = (s, d) =>
+    Similarity.bruteForceTopKAgg(
+      Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      k = 5)
+
+  private val bruteForceSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine FROM c, q WHERE neighbor_id <> query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+
+  // -- LSH-bucketed top-k -------------------------------------------------
+  private val lshTopK: Q = (s, d) =>
+    Similarity.lshTopK(
+      Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      k = 5, dim = DIM, nPlanes = 8)
+
+  private val lshTopKSql =
+    s"""WITH e AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM e),
+       |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+       |       FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+
+  // -- LSH-bucketed near-dup pairs -----------------------------------------
+  private val nearDup: Q = (s, d) =>
+    Similarity.cosineNearDup(Tables.embeddings(s, d), threshold = 0.2, dim = DIM, nPlanes = 8)
+
+  private val nearDupSql =
+    s"""WITH e AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosineSql("a.v", "b.v")} AS cosine
+       |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2""".stripMargin
+
+  val registry: Vector[(String, Q, Option[String])] = Vector(
+    ("brute_force_topk", bruteForce, Some(bruteForceSql)),
+    ("lsh_topk", lshTopK, Some(lshTopKSql)),
+    ("cosine_near_dup", nearDup, Some(nearDupSql)),
+  )
+}

@@ -45,9 +45,18 @@ object GraftFunctions {
   /** F8 — ESRI where-clause datetime format (`time_convert.py:11-13`). */
   def esriDatetime(ts: Column): Column = date_format(ts, "yyyy-MM-dd HH:mm:ss")
 
-  /** F9 — duration seconds with millisecond precision (`main_pls.py:213`). */
+  /** F9 — duration seconds with millisecond precision, `"%.3f"`-formatted
+    * like the reference (`main_pls.py:213`). `format_string`, not
+    * `format_number` — the latter inserts locale thousand separators.
+    */
   def durationSeconds(start: Column, end: Column): Column =
-    format_number((unix_millis(end) - unix_millis(start)) / 1000.0, 3)
+    format_string("%.3f", (unix_millis(end) - unix_millis(start)) / 1000.0)
+
+  /** F10 — URL suffix strip (`address_etl/geocode.py:225-228`,
+    * `removesuffix("/query")`).
+    */
+  def stripUrlSuffix(url: Column, suffix: String = "/query"): Column =
+    regexp_replace(url, java.util.regex.Pattern.quote(suffix) + "$", "")
 
   // ---------------------------------------------------------------------
   // Text-analysis building blocks (training-data-pipeline extensions).

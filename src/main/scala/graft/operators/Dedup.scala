@@ -63,7 +63,9 @@ object Dedup {
     * hashes. One scan, no shuffle; k array traversals stay in codegen.
     */
   def minhashSignature(sh: Column, k: Int = 32): Column = {
-    val hashes = transform(sh, s => hash60(s))
+    // reduce mod P BEFORE the affine step: h*a with a 60-bit h would
+    // overflow a 64-bit long (silent wrap here, an error in SQL engines)
+    val hashes = transform(sh, s => pmod(hash60(s), lit(P)))
     array(hashParams(k).map { case (a, b) =>
       array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P))))
     }: _*)
@@ -163,7 +165,7 @@ object Dedup {
     l.join(r, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

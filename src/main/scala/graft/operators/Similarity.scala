@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
@@ -9,30 +9,56 @@ import graft.functions.VectorOps
   *
   *   - `bruteForceTopK` is the exact baseline: broadcast the (small) query
   *     set against the corpus — one scan of the corpus, no corpus shuffle,
-  *     top-k per query via a window over queries×k rows. At 100 TB the
-  *     corpus side streams; only queries×corpus similarity rows reach the
-  *     shuffle, already pre-filtered per partition is future work (round 2:
-  *     partial top-k via Aggregator before the window).
+  *     and a bounded `TopKAgg` aggregation so map-side partial aggregation
+  *     shrinks each partition to k candidates per query BEFORE the shuffle
+  *     (the round-1 window plan shuffled every scored row).
   *   - `lshTopK` is the scale path: random-hyperplane buckets on both sides;
   *     a query only scans its own bucket, turning the cross product into an
-  *     equi join. Recall < 1 by construction (probe multiple buckets for
-  *     higher recall — future `nProbes`).
+  *     equi join. Recall < 1 by construction.
+  *   - `cosineNearDup` routes pair generation through the same LSH buckets
+  *     (the round-1 version was an unrestricted crossJoin).
+  *
+  * All ranking happens on the cosine ROUNDED to 6 decimals with the id as
+  * tie-break, so results are deterministic and reproducible across engines
+  * (unrounded FP ties would make rank order engine-dependent).
   */
 object Similarity {
 
-  /** Exact cosine top-k neighbors for each query vector (excluding self). */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  private def scored(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val scored = c.crossJoin(q)
+    c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", VectorOps.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", round(VectorOps.cosine(col("q_vec"), col("c_vec")), 6))
+  }
+
+  /** Exact cosine top-k neighbors per query, ranked through a window —
+    * the simple plan; fine when queries×corpus is modest. Prefer
+    * `bruteForceTopKAgg` at scale.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
+    scored(corpus, queries, idCol, vecCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Exact cosine top-k with a bounded aggregation buffer: identical result
+    * to `bruteForceTopK`, but the shuffle carries partitions×k rows instead
+    * of the full scored set.
+    */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    scored(corpus, queries, idCol, vecCol)
+      .groupBy("query_id")
+      .agg(topk(col("cosine"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(arrays_zip(col("tk._1"), col("tk._2"))))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("neighbor_id"), col("col._1").as("cosine"))
   }
 
   /** LSH-bucketed ANN: candidates limited to the query's hyperplane bucket. */
@@ -41,28 +67,30 @@ object Similarity {
     val bucket = VectorOps.lshBucket(col(vecCol), dim, nPlanes)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), bucket.as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), bucket.as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val sc = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", VectorOps.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", round(VectorOps.cosine(col("q_vec"), col("c_vec")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
+    sc.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold` (exact over the
-    * full pair space — use for corpora already blocked/bucketed; the LSH
-    * variant is the scale path).
+  /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by LSH
+    * bucket: pairs are generated only within a hyperplane bucket (equi join),
+    * never all-pairs. Recall < 1 by construction — near-dups land in the
+    * same bucket with probability (1 - θ/π)^nPlanes; lower `nPlanes` for
+    * higher recall, raise it for tighter buckets.
     */
-  def cosineNearDup(vectors: DataFrame, threshold: Double,
+  def cosineNearDup(vectors: DataFrame, threshold: Double, dim: Int, nPlanes: Int = 8,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val l = vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    l.crossJoin(r)
+    val bucket = VectorOps.lshBucket(col(vecCol), dim, nPlanes)
+    val l = vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), bucket.as("bucket"))
+    val r = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), bucket.as("bucket"))
+    l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorOps.cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -66,15 +66,19 @@ object TextAnalysis {
       .withColumn("n_words", wordCount(col(textCol)).cast("long"))
       .withColumn("n_subwords", subwordCount(col(textCol)).cast("long"))
 
-  /** Content fingerprint (md5 of normalized text) + a 64-bit rolling
+  /** Content fingerprint (md5 of normalized text) + a 31-bit rolling
     * polynomial hash over tokens (Rabin-Karp style), for cheap
-    * order-sensitive near-identity checks.
+    * order-sensitive near-identity checks. The accumulator is reduced
+    * mod 2^31-1 each step so intermediate products stay < 2^52 —
+    * overflow-free in any engine's 64-bit integers (Java would wrap
+    * silently; SQL engines raise), keeping the fold oracle-portable.
     */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val P = 2147483647L
     val toks = tokens(normalizeText(col(textCol)))
     docs
       .withColumn("fp_md5", fingerprint(col(textCol)))
       .withColumn("fp_roll",
-        aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(hash60(t), lit(2147483647L)), lit(2305843009213693951L))))
+        aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(hash60(t), lit(P)), lit(P))))
   }
 }

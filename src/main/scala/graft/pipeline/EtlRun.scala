@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sinks.Sinks
+import graft.sources.SnapshotStore
+import graft.util.RunLock
+
+/** The reference's outer run shape (`main_pls.py:59-227`): lock → metadata
+  * start → stages → metadata end → snapshot write → artifact upload →
+  * presigned URL → Kafka publish. Failure atomicity (SURVEY §7.4.7): the
+  * artifact uploads only after every stage succeeded, the notification only
+  * after the upload — and the notifier throws on delivery failure, so a
+  * failed publish fails the run (at-least-once with a durable artifact).
+  */
+object EtlRun {
+
+  final case class Config(
+    etlName: String,
+    bucket: String,
+    keyPrefix: String,          // reference: "pls-etl/"
+    artifactName: String,       // reference: "pls.db"; here the snapshot run id
+    presignedUrlExpirySeconds: Int = 3600,
+  )
+
+  final case class Result(runId: String, s3Key: String, presignedUrl: String,
+                          headers: Map[String, String], startTime: String, endTime: String)
+
+  /** Execute `stages` (name -> frame to persist) and publish the artifact.
+    * `now` is injectable for the exact-timestamp tests.
+    */
+  def run(spark: SparkSession, config: Config, lock: RunLock, store: SnapshotStore,
+          artifacts: Sinks.ArtifactStore, notifier: Sinks.Notifier, topic: String,
+          stages: () => Map[String, DataFrame],
+          now: () => Instant = () => Instant.now()): Result = {
+    lock.acquire()
+    try {
+      val startedAt = now()
+      val startStr = Sinks.brisbaneTimestamp(startedAt)
+
+      val frames = stages()
+
+      val finishedAt = now()
+      val endStr = Sinks.brisbaneTimestamp(finishedAt)
+      val runId = endStr // snapshot version = end timestamp, like the S3 key
+
+      // K4 — run metadata rides inside the snapshot (next run's watermark I1)
+      import spark.implicits._
+      val metadata = Seq((startStr, endStr)).toDF("start_time", "end_time")
+      (frames + ("metadata" -> metadata)).foreach { case (table, df) =>
+        store.write(df, runId, table)
+      }
+
+      // K2 → K3, strictly in this order
+      val s3Key = s"${config.keyPrefix}$endStr/${config.artifactName}"
+      val presigned = artifacts.upload(store.tablePath(runId, config.artifactName),
+        config.bucket, s3Key, config.presignedUrlExpirySeconds)
+      val uploadedAt = now()
+      val headers = Sinks.buildArtifactHeaders(
+        etlName = config.etlName, startedAt = startedAt, finishedAt = finishedAt,
+        uploadedAt = uploadedAt,
+        durationSeconds = (finishedAt.toEpochMilli - startedAt.toEpochMilli) / 1000.0,
+        s3Bucket = config.bucket, s3Key = s3Key,
+        presignedUrlExpirySeconds = config.presignedUrlExpirySeconds)
+      notifier.publish(topic, presigned, headers)
+      Result(runId, s3Key, presigned, headers, startStr, endStr)
+    } finally lock.release()
+  }
+}

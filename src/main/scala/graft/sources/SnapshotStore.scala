@@ -27,8 +27,10 @@ class SnapshotStore(root: String) {
     else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted(Ordering[String].reverse).headOption
   }
 
+  def tablePath(runId: String, table: String): String = s"$root/$runId/$table"
+
   def write(df: DataFrame, runId: String, table: String): Unit =
-    df.write.mode("overwrite").parquet(s"$root/$runId/$table")
+    df.write.mode("overwrite").parquet(tablePath(runId, table))
 
   def read(spark: SparkSession, runId: String, table: String): DataFrame =
     spark.read.parquet(s"$root/$runId/$table")

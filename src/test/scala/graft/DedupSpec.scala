@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "The quick  brown fox jumps over the lazy dog", "en"), // exact dup after normalize
+      (3L, "the quick brown fox jumps over the lazy cat and dog", "en"),  // near dup
+      (4L, "completely different content about spark shuffles here", "en"),
+      (5L, "le renard brun rapide saute par dessus le chien", "fr")
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("exact dedup returns surviving ROWS (lowest id) with group sizes") {
+    val out = Dedup.exact(docs).select("doc_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == Set(1L, 3L, 4L, 5L)) // 2 collapsed into 1
+    assert(out(1L) == 2L && out(3L) == 1L)
+  }
+
+  test("minhashLsh finds the planted near-dup pair, never compares all pairs") {
+    val out = Dedup.minhashLsh(docs, threshold = 0.3, k = 32, bands = 16, shingleN = 2)
+    val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dups always collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"near-dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc stays out
+    // plan shape: banded equi-join only — no cartesian product
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
+  }
+
+  test("simhash pairs respect the hamming bound and the 4x15-bit banding") {
+    val out = Dedup.simhashPairs(docs, maxHamming = 3)
+    out.collect().foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+    intercept[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = 8))
+  }
+
+  test("ngramJaccard blocks by language: cross-language pairs are impossible") {
+    val out = Dedup.ngramJaccard(docs, shingleN = 2, k = 32, bands = 16, threshold = 0.1)
+    val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // fr never pairs with en
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("shingles: n-grams of normalized text, distinct, short-text fallback") {
+    val s = spark; import s.implicits._
+    val out = Seq("a b c d", "x y").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("sh")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](0) == Seq("x y"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+
+/** The batch/streaming-twin contract: the same transform produces the same
+  * rows under readStream (via MemoryStream + complete/update modes) as in
+  * batch — SURVEY §2.9's incremental semantics, expressed the Spark way.
+  */
+class EventsStreamSpec extends SparkSpec {
+
+  private def eventRows = Seq(
+    (1L, "2026-01-01 10:05:00", 7L, "click", 1.25),
+    (2L, "2026-01-01 10:45:00", 7L, "click", 2.50),
+    (3L, "2026-01-01 11:05:00", 7L, "view", 0.75),
+    (4L, "2026-01-01 10:20:00", 8L, "click", 3.00),
+    (5L, "2026-01-01 12:00:00", 7L, "click", 1.00) // >30min gap -> new session
+  )
+
+  private def batchDf = {
+    val s = spark; import s.implicits._
+    eventRows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+  }
+
+  test("hourlyTypeCounts: streaming (MemoryStream, complete mode) == batch") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String, Double)]
+    mem.addData(eventRows.map(e => (e._1, e._2, e._3, e._4, e._5)): _*)
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+    val q = EventsStream.hourlyTypeCountsStreaming(streamDf)
+      .writeStream.format("memory").queryName("hourly_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly_out").collect().map(_.toSeq).toSet
+    val batch = EventsStream.hourlyTypeCounts(batchDf).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.contains(Seq("2026-01-01 10:00:00", "click", 3L, 675L)))
+  }
+
+  test("sessionize: 30-minute gap splits sessions per user") {
+    val out = EventsStream.sessionize(batchDf, 30)
+      .orderBy("user_id", "session_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // user 7: (10:05,10:45) session 1... wait 40min gap -> splits; 11:05 within 20min of 10:45;
+    // 12:00 is 55min after 11:05 -> third session. user 8: one session.
+    assert(out == Seq((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 1L), (8L, 1L, 1L)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IdMap
+
+/** Port of the reference id-map invariants (`tests/test_id_map.py:23-216`,
+  * SURVEY §7.4.1): injectivity, density, stability across runs, and the J8
+  * `NOT IN (iri UNION id)` guard that makes re-encoding a no-op.
+  */
+class IdMapSpec extends SparkSpec {
+
+  private def keysDf(keys: Seq[String]) = {
+    val s = spark; import s.implicits._
+    keys.toDF("pk")
+  }
+
+  test("empty map: 10 keys get dense ids 1..10 in sorted-key order") {
+    val keys = Seq("iri/j", "iri/a", "iri/c", "iri/b", "iri/f", "iri/e", "iri/d", "iri/h", "iri/g", "iri/i")
+    val map = IdMap.extend(IdMap.empty(spark), keysDf(keys), "pk")
+    val got = map.orderBy("id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.map(_._2) == (1L to 10L))
+    assert(got.map(_._1) == keys.sorted) // deterministic assignment order
+  }
+
+  test("injective: one id per key, one key per id") {
+    val map = IdMap.extend(IdMap.empty(spark), keysDf(Seq("a", "b", "c", "a", "b")), "pk")
+    assert(map.count() == 3)
+    assert(map.select("id").distinct().count() == 3)
+    assert(map.select("key").distinct().count() == 3)
+  }
+
+  test("stability: extending with old ∪ new keys never reassigns old ids") {
+    val m1 = IdMap.extend(IdMap.empty(spark), keysDf(Seq("b", "a")), "pk")
+    val m2 = IdMap.extend(m1, keysDf(Seq("a", "c", "b", "d")), "pk")
+    val ids1 = m1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids2 = m2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids1.forall { case (k, v) => ids2(k) == v })
+    assert(ids2("c") == 3 && ids2("d") == 4) // monotonic continuation
+  }
+
+  test("idempotence (J8): extending over an ALREADY-ENCODED frame is a no-op") {
+    val entity = keysDf(Seq("iri/x", "iri/y", "iri/z"))
+    val (encoded, map) = IdMap.extendAndEncode(IdMap.empty(spark), entity, "pk")
+    // the encoded frame's pk column now holds stringable ints 1..3;
+    // re-extending with it must NOT mint ids for "1","2","3"
+    val map2 = IdMap.extend(map, encoded, "pk")
+    assert(map2.count() == map.count())
+    assert(map2.agg(max("id")).head().getLong(0) == 3)
+  }
+
+  test("encode: round-trip pk -> id matches the map; row count preserved") {
+    val s = spark; import s.implicits._
+    val entity = Seq(("iri/a", "x"), ("iri/b", "y"), ("iri/a", "z")).toDF("pk", "payload")
+    val (encoded, map) = IdMap.extendAndEncode(IdMap.empty(spark), entity, "pk")
+    assert(encoded.count() == 3)
+    val joined = encoded.join(map, encoded("pk") === map("id")).count()
+    assert(joined == 3) // every encoded pk is a valid map id
+  }
+
+  test("null keys are excluded, not silently dropped by encode") {
+    val s = spark; import s.implicits._
+    val entity = Seq(Some("a"), None, Some("b")).toDF("pk")
+    val map = IdMap.extend(IdMap.empty(spark), entity, "pk")
+    assert(map.count() == 2) // no id minted for null
+    val encoded = IdMap.encode(entity, map, "pk")
+    assert(encoded.count() == 2) // null row rejected up front
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.RelOps
+
+class RelOpsSpec extends SparkSpec {
+
+  test("latestPerKey keeps exactly the max-orderBy row, tie-broken deterministically") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1, "x"), ("a", 3, "y"), ("a", 3, "z"), ("b", 2, "w"))
+      .toDF("k", "ts", "v")
+    val out = RelOps.latestPerKey(df, Seq("k"), col("ts"), Seq(col("v")))
+      .orderBy("k").collect().toSeq
+    assert(out == Seq(Row("a", 3, "z"), Row("b", 2, "w")))
+  }
+
+  test("upsert: updates win per key, base survives elsewhere; upsertWithReset nulls reset cols") {
+    val s = spark; import s.implicits._
+    val base = Seq(("k1", "old", 1.0), ("k2", "old", 2.0)).toDF("k", "v", "x")
+    val upd = Seq(("k1", "new", 9.0)).toDF("k", "v", "x")
+    val out = RelOps.upsert(base, upd, Seq("k")).orderBy("k").collect().toSeq
+    assert(out == Seq(Row("k1", "new", 9.0), Row("k2", "old", 2.0)))
+
+    val reset = RelOps.upsertWithReset(base, upd, Seq("k"), Seq("x")).orderBy("k").collect().toSeq
+    assert(reset == Seq(Row("k1", "new", null), Row("k2", "old", 2.0)))
+  }
+
+  test("carryForward nulls selected columns on previous rows only") {
+    val s = spark; import s.implicits._
+    val prev = Seq(("k1", "p", "site1"), ("k2", "p", "site2")).toDF("k", "src", "site")
+    val cur = Seq(("k2", "c", "siteC")).toDF("k", "src", "site")
+    val out = RelOps.carryForward(prev, cur, Seq("k"), Seq("site")).orderBy("k").collect().toSeq
+    assert(out == Seq(Row("k1", "p", null), Row("k2", "c", "siteC")))
+  }
+
+  test("validate counts violations per check") {
+    val s = spark; import s.implicits._
+    val bad = Seq(1, 2, 3).toDF("x").filter(col("x") > 1)
+    val ok = Seq(1).toDF("x").filter(col("x") > 99)
+    val out = RelOps.validate(Seq("some_bad" -> bad, "all_good" -> ok))
+      .orderBy("check_name").collect().toSeq
+    assert(out == Seq(Row("all_good", 0L), Row("some_bad", 2L)))
+  }
+
+  test("watermarkDelta pushes the predicate into the parquet scan") {
+    val df = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val plan = RelOps.watermarkDelta(df, "o_orderdate", lit("1997-06-01").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"watermark not pushed to scan:\n$plan")
+  }
+}

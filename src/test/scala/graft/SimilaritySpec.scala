@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bounded-buffer top-k aggregation == window top-k, exactly") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 4)
+    val viaWindow = Similarity.bruteForceTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val viaAgg = Similarity.bruteForceTopKAgg(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty && viaAgg.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("lshTopK returns a subset of the exact neighbors' pairs, all within-bucket") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 4)
+    val approx = Similarity.lshTopK(emb, q, 5, dim = 64, nPlanes = 4)
+    // every (query, neighbor) it returns must score identically to brute force
+    val exact = Similarity.bruteForceTopK(emb, q, Int.MaxValue)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    approx.collect().foreach { r =>
+      assert(math.abs(exact((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("cosineNearDup emits only within-bucket pairs above threshold, no cartesian") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = Similarity.cosineNearDup(emb, threshold = 0.0, dim = 64, nPlanes = 6)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    out.collect().foreach(r => assert(r.getDouble(2) >= 0.0))
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.time.Instant
+import java.nio.file.Files
+
+import graft.pipeline.EtlRun
+import graft.sinks.Sinks
+import graft.sources.SnapshotStore
+import graft.util.{FileRunLock, Retry, RunLock}
+import graft.sources.LayerSchema
+
+/** Ports of the reference's orchestration tests: exact Kafka header set and
+  * formats (`tests/test_main_pls_kafka.py:36-118`), delivery-error raise
+  * (`tests/test_kafka.py`), S3 key layout, upload→publish ordering, schema
+  * drift (`tests/test_geocode_schema.py`), retry/backoff and the run lock.
+  */
+class SinksSpec extends SparkSpec {
+
+  private val t0 = Instant.parse("2026-08-12T00:00:00Z")
+
+  test("artifact headers: exact 7-key set, UTC isoformat values, %.3f duration") {
+    val h = Sinks.buildArtifactHeaders("pls", t0, t0.plusSeconds(125),
+      t0.plusSeconds(126), 125.0, "bkt", "pls-etl/x/pls.db", 3600)
+    assert(h.keySet == Set("etl-name", "etl-started-at", "etl-finished-at",
+      "artifact-uploaded-at", "etl-duration-seconds", "s3-bucket", "s3-key",
+      "presigned-url-expiry-seconds"))
+    assert(h("etl-started-at") == "2026-08-12T00:00:00+00:00")
+    assert(h("etl-finished-at") == "2026-08-12T00:02:05+00:00")
+    assert(h("etl-duration-seconds") == "125.000")
+    assert(h("presigned-url-expiry-seconds") == "3600")
+    // microseconds only when present, like Python isoformat()
+    val hm = Sinks.buildArtifactHeaders("pls", t0.plusNanos(123456000), t0, t0, 0.0, "b", "k", 1)
+    assert(hm("etl-started-at") == "2026-08-12T00:00:00.123456+00:00")
+  }
+
+  test("brisbane timestamps carry the +1000 offset (S3 key / metadata format)") {
+    assert(Sinks.brisbaneTimestamp(t0) == "2026-08-12T10:00:00+1000")
+  }
+
+  test("notifier: delivery error is raised, not swallowed") {
+    val bad = new Sinks.CollectingNotifier(deliveryError = Some("broker down"))
+    val e = intercept[RuntimeException](bad.publish("t", "url", Map()))
+    assert(e.getMessage.contains("Failed to deliver Kafka message"))
+    assert(bad.records.nonEmpty) // record was produced before the flush failed
+  }
+
+  test("EtlRun: snapshot -> upload -> presign -> publish, exact key layout, metadata stamped") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("etlrun").toString
+    val store = new SnapshotStore(root)
+    val artifacts = new Sinks.FakeArtifactStore
+    val notifier = new Sinks.CollectingNotifier()
+    val lock = new FileRunLock("test-etl", Files.createTempDirectory("lock"))
+    val times = Iterator(t0, t0.plusSeconds(90), t0.plusSeconds(91))
+
+    val result = EtlRun.run(spark, EtlRun.Config("pls", "bkt", "pls-etl/", "geocodes"),
+      lock, store, artifacts, notifier, "topic-1",
+      () => Map("geocodes" -> Seq(("g1", "p1")).toDF("geocode_id", "address_pid")),
+      now = () => times.next())
+
+    assert(result.s3Key == "pls-etl/2026-08-12T10:01:30+1000/geocodes")
+    assert(artifacts.uploads.map(_._3).toSeq == Seq(result.s3Key)) // uploaded before publish
+    assert(notifier.records.map(r => (r._1, r._2)).toSeq == Seq(("topic-1", result.presignedUrl)))
+    assert(notifier.records.head._3("etl-duration-seconds") == "90.000")
+    // K4: metadata rode inside the snapshot; next run reads the watermark from it
+    val meta = store.read(spark, result.runId, "metadata").collect()
+    assert(meta.head.getString(0) == "2026-08-12T10:00:00+1000")
+    assert(meta.head.getString(1) == "2026-08-12T10:01:30+1000")
+    // failed publish fails the run AFTER the artifact was uploaded
+    val badNotifier = new Sinks.CollectingNotifier(Some("down"))
+    val times2 = Iterator(t0, t0.plusSeconds(1), t0.plusSeconds(2))
+    intercept[RuntimeException] {
+      EtlRun.run(spark, EtlRun.Config("pls", "bkt", "pls-etl/", "geocodes"),
+        lock, store, artifacts, badNotifier, "topic-1",
+        () => Map("geocodes" -> Seq(("g1", "p1")).toDF("geocode_id", "address_pid")),
+        now = () => times2.next())
+    }
+  }
+
+  test("layer schema drift: field renames resolve; missing fields raise") {
+    val s1 = LayerSchema.geocodeSchema(Set("objectid", "pid", "type", "last_edited_date"))
+    assert(s1.addressPidField == "pid" && s1.geocodeTypeField == "type")
+    assert(s1.lastEditedField.contains("last_edited_date"))
+    val s2 = LayerSchema.geocodeSchema(Set("address_pid", "geocode_type", "geocode_source"))
+    assert(s2.addressPidField == "address_pid" && s2.geocodeSourceField.contains("geocode_source"))
+    intercept[RuntimeException](LayerSchema.geocodeSchema(Set("objectid", "type")))
+    intercept[RuntimeException](LayerSchema.geocodeSchema(Set("objectid", "pid")))
+  }
+
+  test("watermark loss degrades to full refresh (I3/M4)") {
+    val withWm = LayerSchema.geocodeSchema(Set("pid", "type", "last_edited_date"))
+    val noWm = LayerSchema.geocodeSchema(Set("pid", "type"))
+    assert(LayerSchema.whereClause(withWm, Some("2026-01-01 00:00:00")) ==
+      "last_edited_date >= DATE '2026-01-01 00:00:00'")
+    assert(LayerSchema.whereClause(noWm, Some("2026-01-01 00:00:00")) == "1=1")
+    assert(LayerSchema.whereClause(withWm, None) == "1=1")
+    assert(LayerSchema.requiresFullRefresh(noWm, Some("x")))
+    assert(!LayerSchema.requiresFullRefresh(withWm, Some("x")))
+    assert(!LayerSchema.requiresFullRefresh(noWm, None))
+  }
+
+  test("retry: transient errors back off then succeed; token refresh retries immediately") {
+    var calls = 0
+    val slept = scala.collection.mutable.ArrayBuffer[Double]()
+    val out = Retry.withBackoff[String](maxTimeSeconds = 900, sleep = slept.+=(_), now = () => 0L) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assert(slept.toSeq == Seq(1.0, 2.0)) // exponential
+
+    var reauths = 0; var tCalls = 0
+    Retry.withBackoff[Unit](onTokenExpired = () => reauths += 1, sleep = _ => (), now = () => 0L) {
+      tCalls += 1
+      if (tCalls == 1) throw new Retry.TokenExpired("498")
+    }
+    assert(reauths == 1 && tCalls == 2)
+
+    // budget exhausted -> the original error escapes
+    var n = 0L
+    intercept[RuntimeException] {
+      Retry.withBackoff[Unit](maxTimeSeconds = 3, sleep = _ => (),
+        now = () => { n += 1_000_000_000L; n }) {
+        throw new RuntimeException("always")
+      }
+    }
+  }
+
+  test("run lock: held lock blocks, expired lock is reclaimable") {
+    val dir = Files.createTempDirectory("locks")
+    var clock = 1000L
+    def mk(retries: Long = 0) = new FileRunLock("job", dir, ttlSeconds = 100,
+      retryTimeoutSeconds = retries * 60, retryIntervalSeconds = 60,
+      now = () => clock, sleep = _ => clock += 60)
+    val a = mk(); a.acquire()
+    intercept[RuntimeException](mk().acquire()) // no retry budget -> fails fast
+    clock += 101 // TTL expired
+    val b = mk(); b.acquire() // reclaimed
+    b.release()
+    val c: RunLock = mk(); c.acquire(); c.release()
+  }
+}

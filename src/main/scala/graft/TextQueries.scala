@@ -19,16 +19,28 @@ private[graft] object OracleSql {
   def toks(e: String): String =
     s"list_filter(string_split_regex($e, '\\s+'), t -> len(t) > 0)"
 
-  /** Dedup.shingles(text, n) over an already-computed toks expression. */
-  def shingles(toksE: String, n: Int): String =
-    s"""list_distinct(CASE WHEN len($toksE) >= $n
-       | THEN [array_to_string(($toksE)[i + 1:i + $n], ' ') for i in range(0, len($toksE) - ${n - 1})]
-       | ELSE [array_to_string($toksE, ' ')] END)""".stripMargin
+  val B = 1000003L
 
-  /** Dedup.minhashSignature — k affine minima as SQL select-list items. */
+  /** Token-hash list: h60(t) % P per token (Dedup.shingleBase's __hs). */
+  def hashList(toksE: String): String =
+    s"list_transform($toksE, t -> ${h60("t")} % $P)"
+
+  /** Dedup.shingleHashes over a token-hash-list column `hsE`: mod-P rolling
+    * combination of n consecutive token hashes, zero-padded fallback for
+    * short documents, distinct.
+    */
+  def shingleHashList(hsE: String, n: Int): String = {
+    def combine(idx: String): String =
+      (1 until n).foldLeft(s"coalesce(($hsE)[$idx + 1], 0)") { (acc, j) =>
+        s"(($acc) * $B + coalesce(($hsE)[$idx + ${j + 1}], 0)) % $P"
+      }
+    s"list_distinct(CASE WHEN len($hsE) >= $n THEN [${combine("i")} for i in range(0, len($hsE) - ${n - 1})] WHEN len($hsE) > 0 THEN [${combine("0")}] ELSE [] END)"
+  }
+
+  /** Dedup.signatures — k affine minima over shingle hashes. */
   def sigItems(shCol: String, k: Int): String =
     Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-      s"list_min(list_transform($shCol, s -> ((${h60("s")} % $P) * CAST($a AS BIGINT) + $b) % $P)) AS sig$i"
+      s"list_min(list_transform($shCol, h -> (h * CAST($a AS BIGINT) + $b) % $P)) AS sig$i"
     }.mkString(", ")
 
   /** Dedup band key b over sig0..sig{k-1} columns. */
@@ -122,10 +134,12 @@ object TextQueries {
     val bkList = (0 until bands).map(i => s"bk$i").mkString(", ")
     val blockCol = if (blockJoin) ", lang" else ""
     val blockCond = if (blockJoin) " AND a.lang = b.lang" else ""
-    s"""WITH base AS (SELECT doc_id$blockCol, ${shingles(toks(norm("text")), shingleN)} AS sh FROM documents),
+    s"""WITH hl AS (SELECT doc_id$blockCol, ${hashList(toks(norm("text")))} AS hs FROM documents),
+       |base AS (SELECT doc_id$blockCol, ${shingleHashList("hs", shingleN)} AS sh FROM hl),
        |sigs AS (SELECT doc_id$blockCol, sh, ${sigItems("sh", k)} FROM base),
        |keyed AS (SELECT doc_id$blockCol, $bandItems FROM sigs),
-       |banded AS (SELECT doc_id$blockCol, unnest([$bkList]) AS bk FROM keyed),
+       |banded0 AS (SELECT doc_id$blockCol, unnest([$bkList]) AS bk FROM keyed),
+       |banded AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY bk$blockCol) AS bc FROM banded0) WHERE bc <= 1000),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id$blockCond),
        |v AS (SELECT id_a, id_b, ${jaccard("sa.sh", "sb.sh")} AS jaccard
@@ -152,8 +166,9 @@ object TextQueries {
        |votes AS (SELECT doc_id, bb.b AS b, sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
        |          FROM h, (SELECT unnest(range(0, 60)) AS b) bb GROUP BY 1, 2),
        |sims AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY 1),
-       |banded AS (SELECT doc_id, simhash, cc.c AS band, (simhash >> (cc.c * 15)) & 32767 AS chunk
-       |           FROM sims, (SELECT unnest(range(0, 4)) AS c) cc),
+       |banded0 AS (SELECT doc_id, simhash, cc.c AS band, (simhash >> (cc.c * 15)) & 32767 AS chunk
+       |            FROM sims, (SELECT unnest(range(0, 4)) AS c) cc),
+       |banded AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, chunk) AS bc FROM banded0) WHERE bc <= 1000),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
        |         FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming

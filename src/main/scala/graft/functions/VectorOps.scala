@@ -31,20 +31,30 @@ object VectorOps {
   def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
 
+  /** Scala twin of GraftFunctions.hash60 for plan-build-time constants. */
+  private def hash60Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
   /** Random-hyperplane LSH bucket id over `nPlanes` deterministic
     * pseudo-random hyperplanes. Plane p's coefficient for dimension d is a
-    * fixed md5-derived hash of "p_d" mapped to [-1, 1) — fully reproducible
-    * with no stored model (executors regenerate it for free, and the same
-    * stream is expressible in the DuckDB oracle). Bucket = sign-bit pattern
-    * packed into a long.
+    * fixed md5-derived hash of "p_d" mapped to [-1, 1) — reproducible in the
+    * DuckDB oracle. The coefficient matrix is row-independent, so it is
+    * computed ONCE at plan build time and shipped as array literals (the
+    * round-1 version re-hashed nPlanes×dim md5s per row). Bucket = sign-bit
+    * pattern packed into a long.
     */
   def lshBucket(v: Column, dim: Int, nPlanes: Int): Column = {
     require(nPlanes <= 62, "bucket packed into a long")
     val dv = toDouble(v)
     val bits = (0 until nPlanes).map { p =>
+      val coefs = (0 until dim).map { d =>
+        (hash60Scala(s"${p}_$d") % 1000003L).toDouble / 500001.5d - 1.0d
+      }
       val proj = aggregate(
-        zip_with(dv, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x * (pmod(graft.functions.GraftFunctions.hash60(concat_ws("_", lit(p), i)), lit(1000003L)).cast("double") / lit(500001.5d) - lit(1.0d))),
+        zip_with(dv, array(coefs.map(lit): _*), (x, c) => x * c),
         lit(0.0d), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }

@@ -35,13 +35,66 @@ object Dedup {
       (a, b)
     }
 
-  /** Word n-gram shingles of the normalized text (distinct). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(normalizeText(text))
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array column
+    * (distinct). `tk` must be a plain column reference: an inlined
+    * tokenization expression would be re-evaluated per gram inside the
+    * lambda — interpreted higher-order functions have no common-subexpression
+    * elimination, and that costs ~10× (measured 6.9s vs 0.6s at sf0.1).
+    */
+  def gramsOf(tk: Column, n: Int): Column =
     array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array(concat_ws(" ", toks))))
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n), i => concat_ws(" ", slice(tk, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", tk))))
+
+  /** Word n-gram shingles of the normalized text (distinct). Convenience
+    * form for small inputs/tests; pipelines use the two-projection shape
+    * (`tokens` column first, then `gramsOf`) — see gramsOf's scaladoc.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    gramsOf(tokens(normalizeText(text)), n)
+
+  private val B = 1000003L // rolling-combine base; acc*B stays < 2^52
+
+  /** Shingle HASHES: token hashes combined with a mod-P rolling fold —
+    * `((h0*B + h1) % P * B + h2) % P` for n=3. Equivalent to hashing the
+    * n-gram string (collision probability ~n²/2^31 per doc pair —
+    * negligible and mirrored exactly in the oracle SQL), but the gram
+    * construction is pure long arithmetic instead of building hundreds of
+    * strings per document.
+    *
+    * Shape matters: the fold is `zip_with` over SHIFTED SLICES of the hash
+    * array, never `element_at(hs, i)` inside a lambda — higher-order
+    * functions evaluate their array CHILDREN once per row, but a lambda
+    * BODY referencing an outer expression re-evaluates it per element
+    * (interpreted, no CSE), which turns O(tokens) hashing into
+    * O(tokens×grams) — a measured 10-70× blowup at sf0.1.
+    *
+    * Documents shorter than n tokens produce one shingle padded with
+    * zero-hashes (the whole-text fallback of `gramsOf`).
+    */
+  private def shingleHashes(hs: Column, n: Int): Column = {
+    // rolling[j] after step j covers h[i..i+j]; zip_with pads the shorter
+    // shifted slice with nulls, which coalesce turns into the zero padding
+    val rolled = (1 until n).foldLeft(hs) { (acc, j) =>
+      zip_with(acc, slice(hs, lit(j + 1), size(hs)),
+        (a, h) => pmod(a * lit(B) + coalesce(h, lit(0L)), lit(P)))
+    }
+    array_distinct(slice(rolled, lit(1), greatest(size(hs) - (n - 1), lit(1))))
+  }
+
+  /** (id [, blockCols...], sh: array<long>) — tokenization, token hashing,
+    * and gram combination each materialized in their OWN projection, so
+    * every lambda references a bound column (interpreted higher-order
+    * functions re-evaluate inlined child expressions per element).
+    */
+  private def shingleBase(docs: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[(String, Column)], n: Int): DataFrame = {
+    val keep = col(idCol) +: blockCols.map { case (name, c) => c.as(name) }
+    val named = col(idCol) +: blockCols.map(b => col(b._1))
+    docs.select(keep :+ tokens(normalizeText(col(textCol))).as("__tk"): _*)
+      .select(named :+ transform(col("__tk"), t => pmod(hash60(t), lit(P))).as("__hs"): _*)
+      .select(named :+ shingleHashes(col("__hs"), n).as("sh"): _*)
   }
 
   /** Exact dedup: fingerprint the normalized text, keep the lowest-id row per
@@ -71,27 +124,58 @@ object Dedup {
     }: _*)
   }
 
-  /** Per-row (band, bandKey) pairs for LSH banding: bandKey = md5 of the
-    * band's sub-signature rendered "b:v1,v2,...". Fixed-width join key.
+  /** MinHash signatures as one exploded scan + one map-side-combined
+    * groupBy: each shingle is md5-hashed exactly ONCE, then the k affine
+    * minima are plain `min` aggregates (codegen'd, partial map-side).
+    *
+    * This is deliberately NOT `minhashSignature` applied per row: k
+    * `array_min(transform(...))` expressions over one array re-evaluate the
+    * md5 transform k times — higher-order functions run interpreted, outside
+    * codegen's common-subexpression elimination, so the array form costs
+    * k× the hashing (measured 30s vs 3s at sf0.1).
     */
-  private def bandKeys(sig: Column, bands: Int, rowsPer: Int): Column =
-    array((0 until bands).map { b =>
-      md5(concat_ws(":", lit(b),
-        array_join(transform(slice(sig, b * rowsPer + 1, rowsPer), x => x.cast("string")), ",")))
-    }: _*)
+  private def signatures(base: DataFrame, idCol: String, blockCols: Seq[String],
+                         k: Int): DataFrame = {
+    val gcols = (idCol +: blockCols).map(col)
+    val ex = base.select(gcols :+ explode(col("sh")).as("__h"): _*)
+    val minCols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * lit(a) + lit(b), lit(P))).as(s"__sig$i")
+    }
+    ex.groupBy(gcols: _*).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Band keys "md5(b:v1,v2,...)" over signature columns — fixed width. */
+  private def bandKeyCols(bands: Int, rowsPer: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      val sigCols = (b * rowsPer until (b + 1) * rowsPer).map(i => col(s"__sig$i").cast("string"))
+      md5(concat_ws(":", lit(b.toString), concat_ws(",", sigCols: _*)))
+    }
 
   /** LSH candidate id pairs from a (id, sh [, blockCols...]) frame: the band
     * self-join carries only ids and band keys (plus the block columns, which
     * scope collisions), never the shingle arrays.
     */
+  /** Drop LSH buckets larger than `maxBucket` before the self-join: a hot
+    * bucket of m rows yields m²/2 pairs, so without a cap one degenerate
+    * band key (boilerplate documents, empty text, near-constant fields)
+    * turns the candidate join quadratic at scale. Standard LSH practice;
+    * costs bounded recall loss ONLY inside oversized buckets, and the same
+    * predicate is mirrored in the oracle SQL.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("__bc", count(lit(1)).over(w))
+      .filter(col("__bc") <= maxBucket).drop("__bc")
+  }
+
   private def lshCandidates(base: DataFrame, idCol: String, blockCols: Seq[String],
-                            k: Int, bands: Int): DataFrame = {
+                            k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val rowsPer = k / bands
-    val banded = base
-      .withColumn("__sig", minhashSignature(col("sh"), k))
-      .select(col(idCol) +: blockCols.map(col) :+ posexplode(bandKeys(col("__sig"), bands, rowsPer)): _*)
+    val banded0 = signatures(base, idCol, blockCols, k)
+      .select(col(idCol) +: blockCols.map(col) :+ posexplode(array(bandKeyCols(bands, rowsPer): _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
     val joinKeys = Seq("band", "bk") ++ blockCols
+    val banded = capBuckets(banded0, joinKeys, maxBucket)
     val l = banded.select((Seq("band", "bk") ++ blockCols).map(col) :+ col(idCol).as("id_a"): _*)
     val r = banded.select((Seq("band", "bk") ++ blockCols).map(col) :+ col(idCol).as("id_b"): _*)
     l.join(r, joinKeys)
@@ -121,10 +205,11 @@ object Dedup {
     * against `threshold` with the true shingle-set Jaccard.
     */
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                 k: Int = 32, bands: Int = 8, threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+                 k: Int = 32, bands: Int = 8, threshold: Double = 0.5, shingleN: Int = 3,
+                 maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val base = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-    val cand = lshCandidates(base, idCol, Nil, k, bands)
+    val base = shingleBase(docs, idCol, textCol, Nil, shingleN)
+    val cand = lshCandidates(base, idCol, Nil, k, bands, maxBucket)
     verifyJaccard(cand, base, idCol, threshold)
   }
 
@@ -134,7 +219,8 @@ object Dedup {
     * Documents with zero tokens are excluded (no bits to vote).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("tok"))
+    val tok = docs.select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
+      .select(col(idCol), explode(col("__tk")).as("tok"))
       .withColumn("h", hash60(col("tok")))
     val bitSums: Seq[Column] = (0 until 60).map { b =>
       sum(when(col("h").bitwiseAND(shiftleft(lit(1L), b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
@@ -152,14 +238,16 @@ object Dedup {
     * `bit_count(xor) <= maxHamming`.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-band LSH only guarantees recall for hamming <= 3")
     val sh = simhash(docs, idCol, textCol)
     val chunks = array((0 until 4).map { b =>
       shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))
     }: _*)
-    val banded = sh.select(col(idCol), col("simhash"), posexplode(chunks))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val banded = capBuckets(
+      sh.select(col(idCol), col("simhash"), posexplode(chunks))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk"),
+      Seq("band", "chunk"), maxBucket)
     val l = banded.select(col("band"), col("chunk"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("chunk"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("band", "chunk"))
@@ -178,11 +266,11 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    langCol: String = "lang", shingleN: Int = 3,
-                   k: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                   k: Int = 32, bands: Int = 16, threshold: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val base = docs.select(col(idCol), col(langCol).as("__blk"),
-      shingles(col(textCol), shingleN).as("sh"))
-    val cand = lshCandidates(base, idCol, Seq("__blk"), k, bands)
+    val base = shingleBase(docs, idCol, textCol, Seq("__blk" -> col(langCol)), shingleN)
+    val cand = lshCandidates(base, idCol, Seq("__blk"), k, bands, maxBucket)
     verifyJaccard(cand, base, idCol, threshold)
   }
 }

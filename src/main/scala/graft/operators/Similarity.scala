@@ -24,13 +24,19 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Norms are computed once per input row BEFORE the join (they're
+    * per-vector, not per-pair); only the dot product is per-pair work.
+    */
   private def scored(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", VectorOps.norm(col("q_vec"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", VectorOps.norm(col("c_vec")))
     c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(VectorOps.cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
   }
 
   /** Exact cosine top-k neighbors per query, ranked through a window —
@@ -66,10 +72,13 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucket = VectorOps.lshBucket(col(vecCol), dim, nPlanes)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), bucket.as("bucket"))
+      .withColumn("q_norm", VectorOps.norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), bucket.as("bucket"))
+      .withColumn("c_norm", VectorOps.norm(col("c_vec")))
     val sc = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(VectorOps.cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     sc.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -86,10 +95,13 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucket = VectorOps.lshBucket(col(vecCol), dim, nPlanes)
     val l = vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), bucket.as("bucket"))
+      .withColumn("n_a", VectorOps.norm(col("v_a")))
     val r = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), bucket.as("bucket"))
+      .withColumn("n_b", VectorOps.norm(col("v_b")))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
-import graft.sources.{FixtureFetcher, PagedSource, SnapshotStore, SparqlSource, Tables}
+import graft.sources.{FixtureFetcher, PagedSource, ScanSpec, SnapshotStore, SparqlSource, Tables}
 import Queries.Q
 
 /** Source/sink-adapter query registrations: paginated remote scan (S3/S4 +
@@ -21,11 +21,19 @@ object SourceQueries {
     (1 to 20).map(i => Row(i.toLong, s"name_$i", f"2020-01-${(i % 9) + 1}%02d"))
 
   private val pagedFull: Q = (s, _) =>
-    PagedSource.read(s, new FixtureFetcher(fixtureRows, Some(2)), pageSchema, pageSize = 3)
+    PagedSource.read(s, new FixtureFetcher(fixtureRows, pageSchema), pageSchema, pageSize = 3)
 
   private val pagedDelta: Q = (s, _) =>
-    PagedSource.read(s, new FixtureFetcher(fixtureRows, Some(2)), pageSchema,
-      pageSize = 3, whereClause = Some("last_edited >= 2020-01-04"))
+    PagedSource.read(s, new FixtureFetcher(fixtureRows, pageSchema), pageSchema,
+      pageSize = 3, spec = ScanSpec(whereClause = Some("last_edited >= 2020-01-04")))
+
+  /** P2/P7/A4 — projection + key-set + distinct pushdown in one scan. */
+  private val pagedPushdown: Q = (s, _) =>
+    PagedSource.read(s, new FixtureFetcher(fixtureRows, pageSchema), pageSchema,
+      pageSize = 3, spec = ScanSpec(
+        columns = Some(Seq("last_edited")),
+        keys = Some(("feature_id", (4 to 12).map(_.toString).toSet)),
+        distinct = true))
 
   private def fixtureValues(pred: Int => Boolean): String =
     (1 to 20).filter(pred)
@@ -37,6 +45,11 @@ object SourceQueries {
 
   private val pagedDeltaSql =
     s"SELECT * FROM (VALUES ${fixtureValues(i => (i % 9) + 1 >= 4)}) AS t(feature_id, name, last_edited)"
+
+  private val pagedPushdownSql =
+    s"""SELECT DISTINCT last_edited
+       |FROM (VALUES ${fixtureValues(_ => true)}) AS t(feature_id, name, last_edited)
+       |WHERE feature_id BETWEEN 4 AND 12""".stripMargin
 
   // -- snapshot store round-trip -------------------------------------------
   private val snapshot: Q = (s, d) => {
@@ -73,6 +86,7 @@ object SourceQueries {
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("paged_source_full", pagedFull, Some(pagedFullSql)),
     ("paged_source_delta", pagedDelta, Some(pagedDeltaSql)),
+    ("paged_source_pushdown", pagedPushdown, Some(pagedPushdownSql)),
     ("snapshot_roundtrip", snapshot, Some(snapshotSql)),
     ("sparql_bindings", sparql, Some(sparqlSql)),
   )

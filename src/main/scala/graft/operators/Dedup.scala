@@ -222,12 +222,22 @@ object Dedup {
     val tok = docs.select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
       .select(col(idCol), explode(col("__tk")).as("tok"))
       .withColumn("h", hash60(col("tok")))
-    val bitSums: Seq[Column] = (0 until 60).map { b =>
-      sum(when(col("h").bitwiseAND(shiftleft(lit(1L), b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    // bit-vote sums packed 4-per-long (16-bit lanes): 15 aggregates + a
+    // count instead of 60 — the naive one-sum-per-bit plan quadruples the
+    // aggregation width and its codegen size for the same result. Lanes
+    // hold ones-counts; no carry while docs stay under 2^16 tokens.
+    // bit b of the simhash is set iff 2*ones_b > n_tokens — identical to
+    // the ±1-vote rule (sum(±1) > 0 ⟺ 2*ones > count).
+    val packed: Seq[Column] = (0 until 15).map { g =>
+      val term = (0 until 4).map { j =>
+        shiftleft(shiftright(col("h"), 4 * g + j).bitwiseAND(lit(1L)), 16 * j)
+      }.reduce(_ + _)
+      sum(term).as(s"p$g")
     }
-    val agg = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val agg = tok.groupBy(idCol).agg(packed.head, (packed.tail :+ count(lit(1)).as("__cnt")): _*)
     val sim = (0 until 60).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      val ones = shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(lit(0xFFFFL))
+      when(ones * 2 > col("__cnt"), shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col(idCol), sim.as("simhash"))
   }
@@ -248,11 +258,16 @@ object Dedup {
       sh.select(col(idCol), col("simhash"), posexplode(chunks))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk"),
       Seq("band", "chunk"), maxBucket)
-    val l = banded.select(col("band"), col("chunk"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("band"), col("chunk"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("band", "chunk"))
+    // id-only band join (the candidate shuffle carries no payload);
+    // simhash values are joined back once per side after the pair dedup
+    val l = banded.select(col("band"), col("chunk"), col(idCol).as("id_a"))
+    val r = banded.select(col("band"), col("chunk"), col(idCol).as("id_b"))
+    val cand = l.join(r, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val shA = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val shB = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
+import graft.util.Retry
 
 /** S3/S4 — paginated remote-layer ingest (the reference walks an ESRI
   * FeatureServer with `resultOffset`/`resultRecordCount` pages of 2,000;
@@ -10,48 +11,96 @@ import org.apache.spark.sql.types.StructType
   * Spark-native shape: the page space is partitioned with `spark.range`
   * and each executor fetches its own offset ranges via a pluggable,
   * serializable `PageFetcher` — pagination becomes parallelism instead of a
-  * driver-side loop. Retry/backoff (reference I6) belongs inside the
-  * fetcher; token refresh is per-executor state.
+  * driver-side loop. Every fetch runs under exponential backoff with
+  * token-refresh (reference I6, `geocode.py:411-466`); auth state is
+  * per-executor.
+  *
+  * `ScanSpec` is the pushdown surface — the same concerns a DataSource V2
+  * implementation would expose through `SupportsPushDown*` interfaces:
+  *   - `whereClause`: predicate pushdown (P8 watermark, `geocode.py:190-202`)
+  *   - `columns`: projection pushdown (P2 `outFields`, `geocode.py:420-427`)
+  *   - `keys`: key-set pushdown (P7 — the reference serializes key batches
+  *     into VALUES clauses / IN lists, `pls/tables.py:424-430`)
+  *   - `distinct`: distinct-values pushdown (A4 `returnDistinctValues`,
+  *     `geocode.py:331-338`)
   *
   * The engine ships a deterministic in-memory fetcher for tests; a real
   * HTTP fetcher implements the same trait (no egress in this environment).
   */
+final case class ScanSpec(
+  whereClause: Option[String] = None,
+  columns: Option[Seq[String]] = None,
+  keys: Option[(String, Set[String])] = None,
+  distinct: Boolean = false,
+)
+
 trait PageFetcher extends Serializable {
-  /** Total row count (the reference's `returnCountOnly` pushdown, S6). */
-  def count(whereClause: Option[String]): Long
-  /** Fetch rows [offset, offset+limit) as Rows of `schema`. */
-  def fetch(offset: Long, limit: Int, whereClause: Option[String]): Iterator[Row]
+  /** Total row count under `spec` (the reference's `returnCountOnly`, S6). */
+  def count(spec: ScanSpec): Long
+  /** Fetch rows [offset, offset+limit) matching `spec`, in `spec.columns`
+    * order (full schema order when unspecified).
+    */
+  def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row]
+  /** Re-authenticate after a token-expiry failure (ESRI code 498). */
+  def refreshAuth(): Unit = ()
 }
 
 object PagedSource {
-  /** Read a full remote layer as a DataFrame, `pageSize` rows per request,
-    * pages distributed across executors. `whereClause` is the pushed-down
-    * predicate (the reference's watermark `last_edited_date >= ...`, P8).
+  /** Read a remote layer as a DataFrame, `pageSize` rows per request, pages
+    * distributed across executors, fetches retried with backoff.
     */
   def read(spark: SparkSession, fetcher: PageFetcher, schema: StructType,
-           pageSize: Int = 2000, whereClause: Option[String] = None): DataFrame = {
-    val total = fetcher.count(whereClause)
-    if (total == 0) return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val rdd = spark.range(0, total, pageSize).rdd.flatMap { offset =>
-      fetcher.fetch(offset, pageSize, whereClause)
+           pageSize: Int = 2000, spec: ScanSpec = ScanSpec(),
+           retryMaxSeconds: Int = 900): DataFrame = {
+    val prunedSchema = spec.columns match {
+      case Some(cols) => StructType(cols.map(schema(_)))
+      case None => schema
     }
-    spark.createDataFrame(rdd, schema)
+    val total = fetcher.count(spec)
+    if (total == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], prunedSchema)
+    val rdd = spark.range(0, total, pageSize).rdd.flatMap { offset =>
+      Retry.withBackoff(maxTimeSeconds = retryMaxSeconds,
+        onTokenExpired = () => fetcher.refreshAuth()) {
+        fetcher.fetch(offset, pageSize, spec)
+      }
+    }
+    spark.createDataFrame(rdd, prunedSchema)
   }
 }
 
-/** In-memory fixture fetcher: serves a pre-materialized Seq[Row], applying a
-  * `last_edited >= <ts>` watermark when given — mirrors the drift/full-
-  * refresh behavior tests need (S5/I3).
+/** In-memory fixture fetcher over `rows` shaped by `schema`: honors every
+  * ScanSpec pushdown the way the remote service would — `whereClause` in
+  * the fixture format "col >= <value>", key sets, column projection,
+  * distinct — so drift/full-refresh and pushdown behavior are testable
+  * offline (S5/I3).
   */
-class FixtureFetcher(rows: Seq[Row], lastEditedIdx: Option[Int]) extends PageFetcher {
-  private def filtered(whereClause: Option[String]): Seq[Row] = (whereClause, lastEditedIdx) match {
-    case (Some(w), Some(idx)) =>
-      // whereClause fixture format: "last_edited >= <ISO>"
-      val ts = w.split(">=")(1).trim
-      rows.filter(r => r.getString(idx) >= ts)
-    case _ => rows
+class FixtureFetcher(rows: Seq[Row], schema: StructType) extends PageFetcher {
+  private def idx(name: String): Int = schema.fieldIndex(name)
+
+  private def matching(spec: ScanSpec): Seq[Row] = {
+    var out = rows
+    spec.whereClause.filter(_ != "1=1").foreach { w =>
+      val Array(colName, rawValue) = w.split(">=").map(_.trim)
+      // accept the ESRI literal syntax `DATE '2026-01-04'` (LayerSchema.whereClause)
+      val value = rawValue.stripPrefix("DATE").trim.stripPrefix("'").stripSuffix("'")
+      val i = idx(colName)
+      out = out.filter(r => r.getString(i) >= value)
+    }
+    spec.keys.foreach { case (colName, keySet) =>
+      val i = idx(colName)
+      out = out.filter(r => keySet.contains(String.valueOf(r.get(i))))
+    }
+    val projected = spec.columns match {
+      case Some(cols) =>
+        val is = cols.map(idx)
+        out.map(r => Row(is.map(r.get): _*))
+      case None => out
+    }
+    if (spec.distinct) projected.distinct else projected
   }
-  override def count(whereClause: Option[String]): Long = filtered(whereClause).size.toLong
-  override def fetch(offset: Long, limit: Int, whereClause: Option[String]): Iterator[Row] =
-    filtered(whereClause).slice(offset.toInt, offset.toInt + limit).iterator
+
+  override def count(spec: ScanSpec): Long = matching(spec).size.toLong
+  override def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row] =
+    matching(spec).slice(offset.toInt, offset.toInt + limit).iterator
 }

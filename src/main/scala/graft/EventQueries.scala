@@ -28,8 +28,25 @@ object EventQueries {
       |SELECT user_id, session_no, count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** Native session_window (batch twin of the streaming query). Boundary
+    * semantics: an event exactly `gap` after the previous one starts a NEW
+    * session (the window is the half-open [start, last+gap)), hence the
+    * `>=` in the oracle's split condition — `sessionize`'s lag/cumsum uses
+    * strict `>`.
+    */
+  private val sessionWindows: Q = (s, d) => EventsStream.sessionWindows(Tables.events(s, d), 30)
+
+  private val sessionWindowsSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |l AS (SELECT user_id, event_id, ms, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+      |n AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END AS nw FROM l),
+      |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM n)
+      |SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms, count(*) AS n_events
+      |FROM s GROUP BY user_id, session_no""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("hourly_type_counts", hourly, Some(hourlySql)),
     ("sessionize", sessionize, Some(sessionizeSql)),
+    ("session_windows", sessionWindows, Some(sessionWindowsSql)),
   )
 }

@@ -29,9 +29,30 @@ object EventsStream {
   def hourlyTypeCountsStreaming(events: DataFrame): DataFrame =
     hourlyTypeCounts(events.withWatermark("ts", "1 hour"))
 
+  /** Session windows via the native `session_window` aggregation — the
+    * idiomatic Spark shape that runs identically in batch and Structured
+    * Streaming (with a watermark, sessions emit on close in append mode).
+    * A session extends while consecutive events are within `gapMinutes`;
+    * window start = first event, end = last event + gap. Grouping is
+    * identical to `sessionize`'s lag/cumsum formulation — only the output
+    * shape differs (window bounds instead of ordinals).
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("start_ms"),
+        unix_millis(col("w.end")).as("end_ms"),
+        col("n_events"))
+
+  /** Streaming twin: watermarked, emits closed sessions in append mode. */
+  def sessionWindowsStreaming(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionWindows(events.withWatermark("ts", s"$gapMinutes minutes"), gapMinutes)
+
   /** Sessionization: a session ends after `gapMinutes` of user inactivity.
-    * Batch implementation via lag + cumulative sum (the streaming twin uses
-    * `flatMapGroupsWithState`; session numbering is identical).
+    * Batch implementation via lag + cumulative sum (`sessionWindows` above
+    * is the streaming-native twin; session grouping is identical).
     *
     * All ordering/arithmetic happens on epoch MILLISECONDS (`unix_millis`),
     * not raw timestamps: the source carries ns precision that Spark

@@ -45,6 +45,31 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.contains(Seq("2026-01-01 10:00:00", "click", 3L, 675L)))
   }
 
+  test("sessionWindows: streaming (watermark, append mode) closed sessions == batch sessions") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String, Double)]
+    mem.addData(eventRows.map(e => (e._1, e._2, e._3, e._4, e._5)): _*)
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+    val q = EventsStream.sessionWindowsStreaming(streamDf, 30)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past every open session so they close and emit
+      mem.addData((99L, "2026-01-02 09:00:00", 9L, "tick", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_out").collect().map(_.toSeq).toSet
+    // batch over the same rows; the watermark-tick user's session never
+    // closes in the stream, so it's not expected in the streamed output
+    val batch = EventsStream.sessionWindows(batchDf, 30).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("sessionize: 30-minute gap splits sessions per user") {
     val out = EventsStream.sessionize(batchDf, 30)
       .orderBy("user_id", "session_no")

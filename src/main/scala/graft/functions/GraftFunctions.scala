@@ -88,13 +88,20 @@ object GraftFunctions {
     ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), ""))) / lit(marker.length)).cast("long")
   }
 
-  /** Oracle-reproducible 60-bit hash: first 15 hex chars of md5, as a long.
-    * (xxhash64 would be faster but is Spark-specific; md5 is public and
-    * identical in DuckDB/Trino/BigQuery, which makes the LSH/fingerprint
-    * pipelines cross-engine checkable. Swap for xxhash64 in a closed
-    * deployment where oracle parity doesn't matter.)
+  /** Oracle-reproducible 60-bit hash: the value of the first 15 hex chars
+    * of md5, as a long. (xxhash64 would be faster but is Spark-specific;
+    * md5 is public and identical in DuckDB/Trino/BigQuery, which makes the
+    * LSH/fingerprint pipelines cross-engine checkable.) Implemented as the
+    * native codegen'd Hash60Expr; `hash60Portable` is the equivalent
+    * builtin-only chain (what the SQL oracle mirrors).
     */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Hash60Expr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c.cast("string"))))
+
+  /** Builtin-only twin of hash60 (bit-identical; used to cross-check). */
+  def hash60Portable(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Normalized text for fingerprinting: lowercase, collapse whitespace, trim. */

@@ -83,7 +83,40 @@ object SourceQueries {
       |  ('iri:a4', CAST(NULL AS VARCHAR), 'P4', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
       |) AS t(addr, addr_datatype, pid, pid_datatype, status, status_datatype)""".stripMargin
 
+  // -- geocode import (S5 + P8 + F6/F7 + M3/M5 in one flow) ---------------
+  private val geoSchema = StructType(Seq(
+    StructField("objectid", LongType), StructField("pid", StringType),
+    StructField("type", StringType), StructField("lat", DoubleType),
+    StructField("lon", DoubleType), StructField("last_edited_date", StringType)))
+
+  private def geoRows: Seq[Row] = (1 to 24).map { i =>
+    Row(i.toLong, s"pid_$i",
+      Seq("urn:g/property-centroid", "urn:g/structural", "urn:g/water-meter-location")(i % 3),
+      -27.0 - i, 153.0 + i, f"2026-01-${(i % 9) + 1}%02d")
+  }
+
+  private val geocodeImport: Q = (s, d) => {
+    import org.apache.spark.sql.functions.col
+    val typeCodes = Tables.region(s, d) // any tiny frame; we build codes from it
+      .limit(0).select(col("r_name").as("geocode_type_iri"), col("r_name").as("code"))
+      .unionByName(s.createDataFrame(
+        s.sparkContext.parallelize(Seq(Row("urn:g/structural", "STRU"))),
+        StructType(Seq(StructField("geocode_type_iri", StringType), StructField("code", StringType)))))
+    graft.pipeline.GeocodeImport.importGeocodes(
+      s, new FixtureFetcher(geoRows, geoSchema), geoSchema, typeCodes,
+      previous = None, watermark = Some("2026-01-04")).geocodes
+  }
+
+  private val geocodeImportSql = {
+    val values = (1 to 24).filter(i => (i % 9) + 1 >= 4).map { i =>
+      val code = Seq("PC", "STRU", "WML")(i % 3)
+      f"('$i', '$code', 'pid_$i', CAST(NULL AS VARCHAR), CAST(${-27.0 - i} AS DOUBLE), CAST(${153.0 + i} AS DOUBLE))"
+    }.mkString(", ")
+    s"SELECT * FROM (VALUES $values) AS t(geocode_id, geocode_type, address_pid, site_id, centoid_lat, centoid_lon)"
+  }
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
+    ("geocode_import", geocodeImport, Some(geocodeImportSql)),
     ("paged_source_full", pagedFull, Some(pagedFullSql)),
     ("paged_source_delta", pagedDelta, Some(pagedDeltaSql)),
     ("paged_source_pushdown", pagedPushdown, Some(pagedPushdownSql)),

@@ -275,45 +275,90 @@ object Queries {
   private val addressAssembly: Q = (s, d) => {
     val o = ord(s, d); val c = cust(s, d)
     val n = Tables.nation(s, d); val r = Tables.region(s, d)
+    import s.implicits._
+    // A1: latest lifecycle row per key
     val latest = RelOps.latestPerKey(o, Seq("o_custkey"), col("o_orderdate"), Seq(col("o_orderkey")))
-    val notPrivate = RelOps.unmatched(latest,
+    // P4/P5: current-stage + private-tag anti filters
+    val notPrivate = RelOps.unmatched(
+      latest.filter(col("o_orderstatus") =!= "C"),
       c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("o_custkey")),
       "o_custkey")
+    // J6-style one-row-per-key pre-aggregations feeding the OPTIONALs
+    val lineAgg = li(s, d).groupBy(col("l_orderkey").as("o_orderkey")).agg(
+      min("l_partkey").as("first_partkey"),
+      min("l_suppkey").as("first_suppkey"),
+      max("l_shipdate").as("last_ship"))
+    // vocab notation lookups (the reference's P3 datatype-vocab pattern)
+    val prioVocab = Seq("1-URGENT" -> "U", "2-HIGH" -> "H", "3-MEDIUM" -> "M",
+      "4-NOT SPECIFIED" -> "N", "5-LOW" -> "L").toDF("o_orderpriority", "prio_code")
+    val segVocab = Seq("AUTOMOBILE" -> "AU", "BUILDING" -> "BU", "FURNITURE" -> "FU",
+      "HOUSEHOLD" -> "HO", "MACHINERY" -> "MA").toDF("c_mktsegment", "seg_code")
+    // J1 inner spine + J2: ten left-outer OPTIONALs
+    val supp = Tables.supplier(s, d)
+    val n2 = n.select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation"))
     val detail = notPrivate
-      .join(c.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
-      .join(n, col("c_nationkey") === col("n_nationkey"), "left")
-      .join(r, col("n_regionkey") === col("r_regionkey"), "left")
-    val firstLine = li(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
-      .agg(min("l_partkey").as("first_partkey"))
-    val withPart = detail
-      .join(firstLine, Seq("o_orderkey"), "left")
-      .join(Tables.part(s, d).select(col("p_partkey").as("first_partkey"), col("p_name")),
-        Seq("first_partkey"), "left")
+      .join(c.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey")) // inner spine
+      .join(n, col("c_nationkey") === col("n_nationkey"), "left")            // 1 nation
+      .join(r, col("n_regionkey") === col("r_regionkey"), "left")            // 2 region
+      .join(lineAgg, Seq("o_orderkey"), "left")                              // 3 line agg
+      .join(Tables.part(s, d).select(col("p_partkey").as("first_partkey"),
+        col("p_name"), col("p_brand")), Seq("first_partkey"), "left")        // 4 part
+      .join(supp.select(col("s_suppkey").as("first_suppkey"), col("s_name"),
+        col("s_nationkey")), Seq("first_suppkey"), "left")                   // 5 supplier
+      .join(n2, Seq("s_nationkey"), "left")                                  // 6 supplier nation
+      .join(broadcast(prioVocab), Seq("o_orderpriority"), "left")            // 7 vocab
+      .join(broadcast(segVocab), Seq("c_mktsegment"), "left")                // 8 vocab
+      .join(o.filter(col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"), lit("BIG").as("size_tag")), Seq("o_orderkey"), "left") // 9 tag
+      .join(li(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines")), Seq("o_orderkey"), "left")        // 10 line count
+    // F1 key synthesis + J9 PID enrichment (inner: unmapped rows drop)
     val pidMap = o.filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey"), concat(lit("PID_"), col("o_orderkey")).as("address_pid"))
-    withPart.join(pidMap, Seq("o_orderkey"))
+    detail.join(pidMap, Seq("o_orderkey"))
       .select(
         synthKey("/", col("o_orderkey"), col("o_custkey"), upper(col("n_name"))).as("addr_key"),
         col("o_orderkey"), col("o_custkey"),
         upper(col("n_name")).as("nation"), col("r_name").as("region"),
-        col("p_name").as("first_part"), col("address_pid"))
+        col("p_name").as("first_part"), col("p_brand").as("first_brand"),
+        col("s_name").as("supp_name"), col("supp_nation"),
+        unix_millis(col("last_ship")).as("last_ship_ms"),
+        col("prio_code"), col("seg_code"),
+        coalesce(col("size_tag"), lit("STD")).as("size_tag"),
+        col("n_lines"), col("address_pid"))
   }
 
   private val addressAssemblySql =
     """WITH latest AS (
       |  SELECT * FROM (SELECT o.*, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders o) WHERE rn = 1),
-      |np AS (SELECT * FROM latest WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')),
-      |fl AS (SELECT l_orderkey AS o_orderkey, min(l_partkey) AS first_partkey FROM lineitem GROUP BY 1),
+      |np AS (SELECT * FROM latest WHERE o_orderstatus <> 'C'
+      |       AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')),
+      |la AS (SELECT l_orderkey AS o_orderkey, min(l_partkey) AS first_partkey, min(l_suppkey) AS first_suppkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1),
+      |lc AS (SELECT l_orderkey AS o_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1),
+      |pv AS (SELECT * FROM (VALUES ('1-URGENT','U'),('2-HIGH','H'),('3-MEDIUM','M'),('4-NOT SPECIFIED','N'),('5-LOW','L')) AS t(o_orderpriority, prio_code)),
+      |sv AS (SELECT * FROM (VALUES ('AUTOMOBILE','AU'),('BUILDING','BU'),('FURNITURE','FU'),('HOUSEHOLD','HO'),('MACHINERY','MA')) AS t(c_mktsegment, seg_code)),
+      |big AS (SELECT o_orderkey, 'BIG' AS size_tag FROM orders WHERE o_totalprice > 200000.0),
       |pid AS (SELECT o_orderkey, 'PID_' || o_orderkey AS address_pid FROM orders WHERE o_orderkey % 7 <> 0)
       |SELECT concat_ws('/', np.o_orderkey, np.o_custkey, upper(n.n_name)) AS addr_key,
       |       np.o_orderkey, np.o_custkey, upper(n.n_name) AS nation, r.r_name AS region,
-      |       p.p_name AS first_part, pid.address_pid
+      |       p.p_name AS first_part, p.p_brand AS first_brand,
+      |       s.s_name AS supp_name, n2.n_name AS supp_nation,
+      |       epoch_ms(la.last_ship) AS last_ship_ms,
+      |       pv.prio_code, sv.seg_code,
+      |       coalesce(big.size_tag, 'STD') AS size_tag,
+      |       lc.n_lines, pid.address_pid
       |FROM np
       |JOIN customer c ON np.o_custkey = c.c_custkey
       |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
       |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
-      |LEFT JOIN fl ON np.o_orderkey = fl.o_orderkey
-      |LEFT JOIN part p ON fl.first_partkey = p.p_partkey
+      |LEFT JOIN la ON np.o_orderkey = la.o_orderkey
+      |LEFT JOIN part p ON la.first_partkey = p.p_partkey
+      |LEFT JOIN supplier s ON la.first_suppkey = s.s_suppkey
+      |LEFT JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |LEFT JOIN pv ON np.o_orderpriority = pv.o_orderpriority
+      |LEFT JOIN sv ON c.c_mktsegment = sv.c_mktsegment
+      |LEFT JOIN big ON np.o_orderkey = big.o_orderkey
+      |LEFT JOIN lc ON np.o_orderkey = lc.o_orderkey
       |JOIN pid ON np.o_orderkey = pid.o_orderkey""".stripMargin
 
   // ------------------------------------------------------------------

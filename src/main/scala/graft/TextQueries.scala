@@ -194,9 +194,21 @@ object TextQueries {
       |SELECT doc_id, t.i AS frame_no, base64(unhex(substr(hx, CAST(t.i * 16 + 1 AS INTEGER), 8))) AS frame
       |FROM m, (SELECT unnest(range(0, 2)) AS i) t""".stripMargin
 
-  /** Decode plumbing (declared stub) — no SQL twin for blob byte math. */
+  /** Decode plumbing (declared stub). The stub's byte math IS oracle-
+    * checkable: mean over the 16 md5 bytes parsed from hex; mean*10000 is
+    * an exact integer (sum*625 < 2^53), so `rint` is the identity in both
+    * engines.
+    */
   private val mmDecode: Q = (s, d) =>
     Multimodal.decodeStub(Multimodal.syntheticMedia(docs(s, d)))
+
+  private val mmDecodeSql =
+    """WITH m AS (SELECT doc_id, md5(text) AS hx, length(text) AS lt FROM documents)
+      |SELECT doc_id, CAST(16 AS INTEGER) AS byte_len,
+      |  CAST(64 + (lt % 512) AS INTEGER) AS width,
+      |  CAST(64 + ((doc_id * 7) % 512) AS INTEGER) AS height,
+      |  CAST(list_sum([('0x' || substr(hx, 2*i - 1, 2))::BIGINT for i in range(1, 17)]) * 625 AS DOUBLE) / 10000 AS mean_byte
+      |FROM m""".stripMargin
 
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("lang_id", langId, Some(langIdSql)),
@@ -209,6 +221,6 @@ object TextQueries {
     ("simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),
     ("mm_frames", mmFrames, Some(mmFramesSql)),
-    ("mm_decode", mmDecode, None),
+    ("mm_decode", mmDecode, Some(mmDecodeSql)),
   )
 }

@@ -119,6 +119,34 @@ object RelOps {
     }.reduce(_ unionByName _)
   }
 
+  /** P11 — quarantine split: partition rows into (passing, violating) for a
+    * constraint, one flag projection, both outputs filter the same plan
+    * (the "quarantine split" alternative to assert-empty in SURVEY §2.2).
+    */
+  def quarantine(df: DataFrame, constraint: Column): (DataFrame, DataFrame) = {
+    val flagged = df.withColumn("__ok", constraint)
+    (flagged.filter(col("__ok")).drop("__ok"),
+      flagged.filter(!col("__ok") || col("__ok").isNull).drop("__ok"))
+  }
+
+  /** Skew-salted join: replicate each `right` row `salt` times and scatter
+    * `left` rows uniformly across the replicas, so one hot key spreads over
+    * `salt` reducers instead of one straggler task. Use when a key's row
+    * count dwarfs the rest and AQE's skew splitting isn't enough (e.g. the
+    * reference's address_pid distribution if one PID mapped millions of
+    * geocodes). Inner/left joins only (semantics preserved: each left row
+    * matches exactly its salt replica).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], salt: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must exceed 1")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** I1 — watermark-based incremental filter (reference pushes
     * `last_edited_date >= <prev start>` to the remote layer,
     * `address_etl/geocode.py:190-202`). Here the predicate lands on the scan

@@ -29,6 +29,28 @@ object EventsStream {
   def hourlyTypeCountsStreaming(events: DataFrame): DataFrame =
     hourlyTypeCounts(events.withWatermark("ts", "1 hour"))
 
+  /** I2 — the streaming twin of the reference's late/changed-data upsert
+    * (`address_etl/geocode.py:231-270`): each micro-batch merges into the
+    * carried state with `RelOps.upsert` (last write wins per key), the
+    * `foreachBatch` merge pattern from SURVEY §2.9. State lives in
+    * `store(runId)`-style parquet; returns the StreamingQuery.
+    */
+  def upsertStream(updates: DataFrame, keys: Seq[String], statePath: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val current = try spark.read.parquet(statePath)
+        catch { case _: Throwable => batch.limit(0) }
+        val merged = graft.operators.RelOps.upsert(current, batch.toDF(), keys)
+        // rewrite via a temp dir: the merge reads the same path it replaces
+        val tmp = statePath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(statePath)
+      }
+      .start()
+
   /** Session windows via the native `session_window` aggregation — the
     * idiomatic Spark shape that runs identically in batch and Structured
     * Streaming (with a watermark, sessions emit on close in append mode).

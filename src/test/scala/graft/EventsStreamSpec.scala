@@ -70,6 +70,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("upsertStream: micro-batches merge into carried state, last write wins per key") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert-stream")
+    val statePath = s"$dir/state"
+    Seq(("k1", "orig"), ("k2", "orig")).toDF("k", "v")
+      .write.parquet(statePath)
+
+    val mem = MemoryStream[(String, String)]
+    val q = EventsStream.upsertStream(mem.toDF().toDF("k", "v"), Seq("k"),
+      statePath, s"$dir/ckpt")
+    try {
+      mem.addData(("k2", "upd1"), ("k3", "new"))
+      q.processAllAvailable()
+      mem.addData(("k3", "upd2"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val state = spark.read.parquet(statePath)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state == Map("k1" -> "orig", "k2" -> "upd1", "k3" -> "upd2"))
+  }
+
   test("sessionize: 30-minute gap splits sessions per user") {
     val out = EventsStream.sessionize(batchDf, 30)
       .orderBy("user_id", "session_no")

@@ -43,6 +43,26 @@ class RelOpsSpec extends SparkSpec {
     assert(out == Seq(Row("all_good", 0L), Row("some_bad", 2L)))
   }
 
+  test("quarantine splits pass/fail including null-constraint rows") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", Some(5)), ("b", Some(-1)), ("c", None)).toDF("k", "v")
+    val (good, bad) = RelOps.quarantine(df, col("v") > 0)
+    assert(good.select("k").as[String].collect().toSeq == Seq("a"))
+    assert(bad.select("k").as[String].collect().sorted.toSeq == Seq("b", "c"))
+  }
+
+  test("saltedJoin == plain join, with the hot key scattered") {
+    val s = spark; import s.implicits._
+    val left = (1 to 500).map(i => (if (i <= 450) "hot" else s"k$i", i)).toDF("k", "v")
+    val right = Seq(("hot", "H"), ("k451", "A"), ("k999", "Z")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).collect().map(_.toSeq).toSet
+    val salted = RelOps.saltedJoin(left, right, Seq("k"), salt = 8).collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 451)
+    val plainLeft = left.join(right, Seq("k"), "left").collect().map(_.toSeq).toSet
+    val saltedLeft = RelOps.saltedJoin(left, right, Seq("k"), 8, "left").collect().map(_.toSeq).toSet
+    assert(saltedLeft == plainLeft)
+  }
+
   test("watermarkDelta pushes the predicate into the parquet scan") {
     val df = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
     val plan = RelOps.watermarkDelta(df, "o_orderdate", lit("1997-06-01").cast("timestamp"))

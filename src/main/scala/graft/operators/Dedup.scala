@@ -183,14 +183,24 @@ object Dedup {
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
   }
 
-  /** Exact Jaccard verification of candidate id pairs: shingles are joined
-    * back by id (corpus-sized shuffles, not corpus×bands).
+  /** Exact Jaccard verification of candidate id pairs. The shingle table is
+    * joined ONCE: candidate pairs melt to (pair, side, id) rows, pick up
+    * their shingles in a single equi join, and fold back to one row per
+    * pair — half the base-table passes of the naive join-per-side shape
+    * (`base` is an unpersisted lineage; every pass recomputes it).
     */
   private def verifyJaccard(cand: DataFrame, base: DataFrame, idCol: String,
                             threshold: Double): DataFrame = {
-    val shA = base.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val shB = base.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+    val melted = cand
+      .select(col("id_a"), col("id_b"), explode(array(
+        struct(lit("a").as("side"), col("id_a").as("id")),
+        struct(lit("b").as("side"), col("id_b").as("id")))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.side"), col("m.id"))
+    val withSh = melted.join(base.select(col(idCol).as("id"), col("sh")), Seq("id"))
+    withSh.groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("side") === "a", col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("side") === "b", col("sh")), ignoreNulls = true).as("sh_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))

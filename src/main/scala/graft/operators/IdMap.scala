@@ -73,6 +73,28 @@ object IdMap {
       .drop("__k", "__id")
   }
 
+  /** Bulk variant of `extend` for cold-start loads where the delta is NOT
+    * small: ids come from `sortBy(key).zipWithIndex` (a distributed sort
+    * plus a per-partition offset pass) instead of a single-partition
+    * window. Identical assignments — zipWithIndex over the key-sorted RDD
+    * IS row_number by key — so the two are interchangeable per data size
+    * (IdMapSpec asserts equality).
+    */
+  def extendBulk(map: DataFrame, df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val keys = df.select(col(keyCol).cast("string").as(KEY))
+      .filter(col(KEY).isNotNull).distinct()
+    val known = map.select(KEY).unionByName(map.select(col(ID).cast("string").as(KEY)))
+    val fresh = keys.join(known, Seq(KEY), "left_anti")
+    val maxId = map.agg(coalesce(max(col(ID)), lit(0L))).head().getLong(0)
+    val assignedRdd = fresh.select(KEY).rdd.map(_.getString(0))
+      .sortBy(identity).zipWithIndex()
+      .map { case (k, i) => org.apache.spark.sql.Row(k, i + 1 + maxId) }
+    val assigned = spark.createDataFrame(assignedRdd, fresh.schema
+      .add(org.apache.spark.sql.types.StructField(ID, org.apache.spark.sql.types.LongType, nullable = false)))
+    map.select(KEY, ID).unionByName(assigned)
+  }
+
   /** extend + encode in one step; returns (encoded entity, new map). */
   def extendAndEncode(map: DataFrame, df: DataFrame, keyCol: String): (DataFrame, DataFrame) = {
     val m2 = extend(map, df, keyCol)

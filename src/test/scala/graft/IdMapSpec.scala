@@ -57,6 +57,22 @@ class IdMapSpec extends SparkSpec {
     assert(joined == 3) // every encoded pk is a valid map id
   }
 
+  test("extendBulk (zipWithIndex path) assigns exactly the same ids as extend") {
+    val keys = Seq("z", "m", "a", "q", "b", "m", "z")
+    val viaWindow = IdMap.extend(IdMap.empty(spark), keysDf(keys), "pk")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaBulk = IdMap.extendBulk(IdMap.empty(spark), keysDf(keys), "pk")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaBulk == viaWindow)
+    // and continuing from an existing map
+    val m1 = IdMap.extend(IdMap.empty(spark), keysDf(Seq("a", "b")), "pk")
+    val w2 = IdMap.extend(m1, keysDf(keys), "pk").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val b2 = IdMap.extendBulk(m1, keysDf(keys), "pk").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(b2 == w2)
+  }
+
   test("null keys are excluded, not silently dropped by encode") {
     val s = spark; import s.implicits._
     val entity = Seq(Some("a"), None, Some("b")).toDF("pk")

@@ -20,11 +20,15 @@ class PlsFlowSpec extends SparkSpec {
       ("geo-2", "PC", "999", Option.empty[String], -28.0, 152.0)
     ).toDF("geocode_id", "geocode_type", "address_pid", "site_id", "centoid_lat", "centoid_lon")
 
-    val out = PlsPipeline.backfillAndPruneGeocodes(geocodes, addresses)
-      .select("geocode_id", "address_pid", "site_id")
+    val result = PlsPipeline.backfillAndPruneGeocodes(geocodes, addresses)
+    val out = result.select("geocode_id", "address_pid", "site_id")
       .orderBy("geocode_id").collect().toSeq
-
     assert(out == Seq(Row("geo-1", "100", "site-1")))
+
+    // the output round-trips through the typed model (SURVEY §1.3)
+    val typed = result.as[graft.model.Model.Geocode].collect()
+    assert(typed.head == graft.model.Model.Geocode("geo-1", "PC", Some("100"),
+      Some("site-1"), Some(-27.0), Some(153.0)))
   }
 
   test("backfill does not multiply rows when one address_pid maps to several sites (J6 pre-agg)") {

@@ -65,6 +65,29 @@ object VectorQueries {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
        |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
 
+  // -- IVF-partitioned top-k -----------------------------------------------
+  private val ivfTopK: Q = (s, d) =>
+    Similarity.ivfTopK(
+      Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      k = 5, dim = DIM, nCentroids = 16, nProbe = 4)
+
+  private val ivfTopKSql = {
+    val d2 = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)) * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))), (acc, x) -> acc + x)"
+    s"""WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+       |              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |dists AS (SELECT e.vec_id, cent.cell, $d2 AS dist FROM e, cent),
+       |assign AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dists) WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS query_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dists WHERE vec_id < 8) WHERE rn <= 4),
+       |c AS (SELECT e.vec_id AS neighbor_id, e.v AS cv2, a.cell FROM e JOIN assign a ON e.vec_id = a.vec_id),
+       |q AS (SELECT qp.query_id, qp.cell, e2.v AS qv FROM qprobe qp JOIN e e2 ON qp.query_id = e2.vec_id),
+       |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv2")} AS cosine
+       |       FROM c JOIN q USING (cell) WHERE neighbor_id <> query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+  }
+
   // -- LSH-bucketed near-dup pairs -----------------------------------------
   private val nearDup: Q = (s, d) =>
     Similarity.cosineNearDup(Tables.embeddings(s, d), threshold = 0.2, dim = DIM, nPlanes = 8)
@@ -78,6 +101,7 @@ object VectorQueries {
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("brute_force_topk", bruteForce, Some(bruteForceSql)),
     ("lsh_topk", lshTopK, Some(lshTopKSql)),
+    ("ivf_topk", ivfTopK, Some(ivfTopKSql)),
     ("cosine_near_dup", nearDup, Some(nearDupSql)),
   )
 }

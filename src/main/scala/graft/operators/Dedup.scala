@@ -112,27 +112,17 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** MinHash signature column: array of k minima of affine-permuted shingle
-    * hashes. One scan, no shuffle; k array traversals stay in codegen.
-    */
-  def minhashSignature(sh: Column, k: Int = 32): Column = {
-    // reduce mod P BEFORE the affine step: h*a with a 60-bit h would
-    // overflow a 64-bit long (silent wrap here, an error in SQL engines)
-    val hashes = transform(sh, s => pmod(hash60(s), lit(P)))
-    array(hashParams(k).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P))))
-    }: _*)
-  }
-
   /** MinHash signatures as one exploded scan + one map-side-combined
     * groupBy: each shingle is md5-hashed exactly ONCE, then the k affine
     * minima are plain `min` aggregates (codegen'd, partial map-side).
     *
-    * This is deliberately NOT `minhashSignature` applied per row: k
-    * `array_min(transform(...))` expressions over one array re-evaluate the
-    * md5 transform k times — higher-order functions run interpreted, outside
-    * codegen's common-subexpression elimination, so the array form costs
-    * k× the hashing (measured 30s vs 3s at sf0.1).
+    * This is deliberately NOT k `array_min(transform(...))` expressions over
+    * a per-row signature array: those re-evaluate the md5 transform k times —
+    * higher-order functions run interpreted, outside codegen's
+    * common-subexpression elimination, so the array form costs k× the
+    * hashing (measured 30s vs 3s at sf0.1). The mod-P reduction happens
+    * upstream in shingleBase (h*a with a 60-bit h would overflow a long —
+    * silent wrap here, an error in SQL engines).
     */
   private def signatures(base: DataFrame, idCol: String, blockCols: Seq[String],
                          k: Int): DataFrame = {

@@ -365,7 +365,8 @@ object Queries {
   // Full PLS run (§3.1) over TPC-H-derived fixture frames
   // ------------------------------------------------------------------
 
-  private[graft] val plsRun: Q = (s, d) => {
+  /** Shared fixture inputs for the PLS pipeline queries. */
+  private def plsInputs(s: SparkSession, d: String): PlsPipeline.RunInputs = {
     val c = cust(s, d); val o = ord(s, d); val sup = Tables.supplier(s, d)
     val importedPid = c.filter(col("c_custkey") % 5 =!= 0).select(
       concat(lit("iri_"), col("c_custkey")).as("address_iri"),
@@ -391,10 +392,25 @@ object Queries {
       lit(null).cast("string").as("site_id"),
       (col("s_acctbal") * 2.0).as("centoid_lat"),
       (col("s_acctbal") * 2.0 + 1.0).as("centoid_lon"))
-    val out = PlsPipeline.run(PlsPipeline.RunInputs(
-      Some(prevGeo), Some(prevPid), importedPid, impGeo, addresses, Map.empty))
-    out.geocodes.select("geocode_id", "geocode_type", "address_pid", "site_id",
-      "centoid_lat", "centoid_lon")
+    PlsPipeline.RunInputs(Some(prevGeo), Some(prevPid), importedPid, impGeo, addresses, Map.empty)
+  }
+
+  private[graft] val plsRun: Q = (s, d) =>
+    PlsPipeline.run(plsInputs(s, d)).geocodes
+      .select("geocode_id", "geocode_type", "address_pid", "site_id",
+        "centoid_lat", "centoid_lon")
+
+  /** M6 in-pipeline: surviving addresses with their PK dictionary-encoded
+    * to stable dense ids (`PlsPipeline.encodeEntityKeys`).
+    */
+  private val plsEncoded: Q = (s, d) => {
+    val out = PlsPipeline.run(plsInputs(s, d))
+    val (encoded, _) = PlsPipeline.encodeEntityKeys(
+      Map("addresses" -> out.addresses),
+      Map("addresses" -> IdMap.empty(s)),
+      Map("addresses" -> "address_iri"))
+    encoded("addresses").select(col("address_iri").as("addr_id"),
+      col("address_pid"), col("site_id"))
   }
 
   private val plsRunSql =
@@ -410,6 +426,16 @@ object Queries {
       |filled AS (SELECT g.geocode_id, g.geocode_type, g.address_pid, coalesce(g.site_id, m.f) AS site_id, g.centoid_lat, g.centoid_lon
       |           FROM geo_base g LEFT JOIN mapping m ON g.address_pid = m.address_pid)
       |SELECT * FROM filled WHERE address_pid IN (SELECT address_pid FROM addr_kept)""".stripMargin
+
+  private val plsEncodedSql =
+    """WITH imported_pid AS (SELECT 'iri_' || c_custkey AS address_iri FROM customer WHERE c_custkey % 5 <> 0),
+      |prev_pid AS (SELECT 'iri_' || c_custkey AS address_iri FROM customer WHERE c_custkey % 2 = 0),
+      |pid_map AS (SELECT address_iri FROM imported_pid UNION SELECT address_iri FROM prev_pid),
+      |addresses AS (SELECT DISTINCT 'iri_' || o_custkey AS address_iri, 'pid_' || o_custkey AS address_pid, 's' || (o_custkey % 50) AS site_id FROM orders),
+      |addr_kept AS (SELECT * FROM addresses WHERE address_iri IN (SELECT address_iri FROM pid_map)),
+      |map AS (SELECT address_iri AS key, CAST(row_number() OVER (ORDER BY address_iri) AS BIGINT) AS id
+      |        FROM (SELECT DISTINCT address_iri FROM addr_kept))
+      |SELECT m.id AS addr_id, a.address_pid, a.site_id FROM addr_kept a JOIN map m ON a.address_iri = m.key""".stripMargin
 
   // ------------------------------------------------------------------
   // Registry
@@ -437,6 +463,7 @@ object Queries {
     ("scalar_funcs_time", scalarTime, Some(scalarTimeSql)),
     ("address_assembly", addressAssembly, Some(addressAssemblySql)),
     ("pls_run", plsRun, Some(plsRunSql)),
+    ("pls_encoded", plsEncoded, Some(plsEncodedSql)),
   ) ++ TextQueries.registry ++ VectorQueries.registry ++ EventQueries.registry ++
     SourceQueries.registry
 }

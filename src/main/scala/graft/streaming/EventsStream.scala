@@ -29,6 +29,29 @@ object EventsStream {
   def hourlyTypeCountsStreaming(events: DataFrame): DataFrame =
     hourlyTypeCounts(events.withWatermark("ts", "1 hour"))
 
+  /** Custom keyed state via `mapGroupsWithState`: running per-user totals
+    * that survive across micro-batches (the KeyValueGroupedDataset state
+    * API — for accumulators the built-in windows can't express). Update
+    * output mode; batch twin is a plain groupBy sum. State per key is two
+    * longs — bounded by the user population, not the event volume.
+    */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val (n0, cents0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var cents = cents0
+          rows.foreach { r => n += 1; cents += math.rint(r._2 * 100).toLong }
+          state.update((n, cents))
+          (user, n, cents)
+      }
+  }
+
   /** I2 — the streaming twin of the reference's late/changed-data upsert
     * (`address_etl/geocode.py:231-270`): each micro-batch merges into the
     * carried state with `RelOps.upsert` (last write wins per key), the

@@ -70,6 +70,27 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("runningUserTotals: mapGroupsWithState accumulates across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val streamDf = mem.toDF().toDF("user_id", "value")
+    val q = EventsStream.runningUserTotals(streamDf)
+      .toDF("user_id", "n_events", "value_cents")
+      .writeStream.format("memory").queryName("totals_out").outputMode("update").start()
+    try {
+      mem.addData((7L, 1.25), (8L, 2.00))
+      q.processAllAvailable()
+      mem.addData((7L, 0.75))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: latest row per user is the accumulated state
+    val last = spark.table("totals_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+    assert(last == Map(7L -> ((2L, 200L)), 8L -> ((1L, 200L))))
+  }
+
   test("upsertStream: micro-batches merge into carried state, last write wins per key") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

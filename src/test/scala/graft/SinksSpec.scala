@@ -77,6 +77,21 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("EtlRun atomicity: a failing stage uploads nothing, publishes nothing, releases the lock") {
+    val root = Files.createTempDirectory("etlrun-fail").toString
+    val artifacts = new Sinks.FakeArtifactStore
+    val notifier = new Sinks.CollectingNotifier()
+    val lock = new FileRunLock("fail-etl", Files.createTempDirectory("lock2"))
+    intercept[RuntimeException] {
+      EtlRun.run(spark, EtlRun.Config("pls", "bkt", "pls-etl/", "geocodes"),
+        lock, new SnapshotStore(root), artifacts, notifier, "topic",
+        () => throw new RuntimeException("stage blew up"),
+        now = () => t0)
+    }
+    assert(artifacts.uploads.isEmpty && notifier.records.isEmpty)
+    lock.acquire(); lock.release() // lock was released by the failed run
+  }
+
   test("layer schema drift: field renames resolve; missing fields raise") {
     val s1 = LayerSchema.geocodeSchema(Set("objectid", "pid", "type", "last_edited_date"))
     assert(s1.addressPidField == "pid" && s1.geocodeTypeField == "type")

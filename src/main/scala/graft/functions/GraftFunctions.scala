@@ -45,6 +45,9 @@ object GraftFunctions {
   /** F8 — ESRI where-clause datetime format (`time_convert.py:11-13`). */
   def esriDatetime(ts: Column): Column = date_format(ts, "yyyy-MM-dd HH:mm:ss")
 
+  /** F8 — inverse parse: ESRI datetime string -> UTC timestamp. */
+  def parseEsriDatetime(s: Column): Column = to_timestamp(s, "yyyy-MM-dd HH:mm:ss")
+
   /** F9 — duration seconds with millisecond precision, `"%.3f"`-formatted
     * like the reference (`main_pls.py:213`). `format_string`, not
     * `format_number` — the latter inserts locale thousand separators.

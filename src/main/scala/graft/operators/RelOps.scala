@@ -119,6 +119,14 @@ object RelOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic debug sample: the n lowest-key rows (the reference ships
+    * a fixed 100-parcel sample for dev runs, `pls/debug_parcels.py:1-102`,
+    * asserted to be exactly 100 in its tests — here the sample derives from
+    * the data instead of a hardcoded list).
+    */
+  def debugSample(df: DataFrame, key: String, n: Int = 100): DataFrame =
+    df.orderBy(col(key).asc).limit(n)
+
   /** P11 — quarantine split: partition rows into (passing, violating) for a
     * constraint, one flag projection, both outputs filter the same plan
     * (the "quarantine split" alternative to assert-empty in SURVEY §2.2).

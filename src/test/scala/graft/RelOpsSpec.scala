@@ -43,6 +43,22 @@ class RelOpsSpec extends SparkSpec {
     assert(out == Seq(Row("all_good", 0L), Row("some_bad", 2L)))
   }
 
+  test("debugSample: exactly n rows, lowest keys, stable across calls") {
+    val part = graft.sources.Tables.part(spark, "/root/testdata/sf0.01")
+    val s1 = RelOps.debugSample(part, "p_partkey").collect().map(_.getLong(0)).toSeq
+    val s2 = RelOps.debugSample(part, "p_partkey").collect().map(_.getLong(0)).toSeq
+    assert(s1.length == 100 && s1 == s2 && s1 == s1.sorted)
+  }
+
+  test("parseEsriDatetime round-trips esriDatetime") {
+    val s = spark; import s.implicits._
+    import graft.functions.GraftFunctions
+    val n = Seq("2026-01-05 04:30:00").toDF("t")
+      .select(GraftFunctions.esriDatetime(GraftFunctions.parseEsriDatetime(col("t"))).as("rt"))
+      .head().getString(0)
+    assert(n == "2026-01-05 04:30:00")
+  }
+
   test("quarantine splits pass/fail including null-constraint rows") {
     val s = spark; import s.implicits._
     val df = Seq(("a", Some(5)), ("b", Some(-1)), ("c", None)).toDF("k", "v")

@@ -157,6 +157,28 @@ object TextQueries {
 
   private val ngramJaccardSql = lshSql(32, 16, 2, 0.3, blockJoin = true)
 
+  // -- cluster-collapse dedup over MinHash-LSH pairs ----------------------
+  private val clusterDedup: Q = (s, d) =>
+    Dedup.dedupClusters(docs(s, d),
+      Dedup.minhashLsh(docs(s, d), k = 32, bands = 8, threshold = 0.3, shingleN = 3))
+
+  /** Recursive min-reachable over the same pair graph the minhash oracle
+    * produces (duplicate clusters are tiny, so enumerating reachable sets
+    * is cheap for the oracle).
+    */
+  private val clusterDedupSql = {
+    val pairs = lshSql(32, 8, 3, 0.3, blockJoin = false)
+    s"""WITH RECURSIVE pairs AS (
+       |$pairs
+       |),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |r(id, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.m FROM e JOIN r ON e.dst = r.id)
+       |SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id""".stripMargin
+  }
+
   // -- SimHash ---------------------------------------------------------------
   private val simhashPairs: Q = (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)
 
@@ -219,6 +241,7 @@ object TextQueries {
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    ("cluster_dedup", clusterDedup, Some(clusterDedupSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),
     ("mm_frames", mmFrames, Some(mmFramesSql)),
     ("mm_decode", mmDecode, Some(mmDecodeSql)),

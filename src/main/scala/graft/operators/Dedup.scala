@@ -273,6 +273,42 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Cluster-collapse: assign every document the MINIMUM id reachable
+    * through the near-duplicate pair graph (connected components), so a
+    * duplicate CLUSTER — not just a pair — keeps exactly one survivor.
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the smaller; converges in O(cluster diameter) rounds
+    * (near-dup clusters are shallow). Each round persists its labels and
+    * releases the previous round's — bounded lineage, executor-resident
+    * state, driver sees only the convergence count.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = docs.select(col(idCol).as("id")).distinct()
+      .withColumn("cluster_id", col("id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val msgs = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("nl").as("min_nbr"))
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("min_nbr"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      changed = next.join(labels.select(col("id"), col("cluster_id").as("old")), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("cluster_id"))
+  }
+
   /** N-gram Jaccard near-dup: candidates from MinHash-LSH *within* a cheap
     * blocking key (language), verified with exact shingle-set Jaccard. The
     * block column narrows LSH collisions across languages; the LSH banding

@@ -48,6 +48,17 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("dedupClusters: transitive closure collapses chains to the minimum id") {
+    val s = spark; import s.implicits._
+    val ids = (1L to 7L).toDF("doc_id")
+    // chain 1-2, 2-3 (transitive), pair 5-6; 4 and 7 singletons
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.dedupClusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("shingles: n-grams of normalized text, distinct, short-text fallback") {
     val s = spark; import s.implicits._
     val out = Seq("a b c d", "x y").toDF("t")

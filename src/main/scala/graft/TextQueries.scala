@@ -82,19 +82,26 @@ object TextQueries {
   // -- quality scoring -------------------------------------------------
   private val quality: Q = (s, d) =>
     TextAnalysis.qualityScore(docs(s, d)).select("doc_id", "n_tokens",
-      "n_distinct_tokens", "mean_token_len", "distinct_ratio", "punct_ratio", "quality_score")
+      "n_distinct_tokens", "mean_token_len", "distinct_ratio", "punct_ratio",
+      "n_stopwords", "stopword_ratio", "quality_score")
 
-  private val qualitySql =
-    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS tk FROM documents),
-       |m AS (SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens FROM t),
-       |r AS (SELECT doc_id, n_tokens, n_distinct_tokens,
+  private val qualitySql = {
+    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS tk, ${toks("lower(text)")} AS ltk FROM documents),
+       |m AS (SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |             CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+       |             CAST(len(list_filter(ltk, x -> list_contains($stopList, x))) AS BIGINT) AS n_stopwords FROM t),
+       |r AS (SELECT doc_id, n_tokens, n_distinct_tokens, n_stopwords,
        |  round(CASE WHEN n_tokens > 0 THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS mean_token_len,
        |  round(CASE WHEN n_tokens > 0 THEN CAST(n_distinct_tokens AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS distinct_ratio,
+       |  round(CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
        |  round(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 4) AS punct_ratio
        |FROM m)
        |SELECT doc_id, n_tokens, n_distinct_tokens, mean_token_len, distinct_ratio, punct_ratio,
+       |  n_stopwords, stopword_ratio,
        |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * distinct_ratio * (1.0 - punct_ratio), 4) AS quality_score
        |FROM r""".stripMargin
+  }
 
   // -- token counting ---------------------------------------------------
   private val tokenCounts: Q = (s, d) =>

@@ -37,14 +37,21 @@ object Hash60 {
   private val digests = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+  private val buffers = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
 
   /** Top 60 bits of md5(bytes): bytes 0..6 followed by the high nibble of
     * byte 7 — exactly the integer value of the first 15 hex characters.
+    * Digest lands in a thread-local buffer: this runs once per token in
+    * the dedup hot loops, so the per-call 16-byte allocation shows up.
     */
   def hash(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes)
+    val d = buffers.get()
+    md.digest(d, 0, 16)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

@@ -40,15 +40,27 @@ object TextAnalysis {
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("pred_lang", langIdCol(col(textCol)))
 
+  /** English stopword list for the stopword-ratio signal (Gopher uses the
+    * presence of common function words as a natural-language indicator).
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "or", "to",
+    "in", "is", "are", "was", "for", "on", "with", "that", "this", "it", "as")
+
   /** Quality signals: token count, mean token length, distinct-token ratio,
-    * punctuation ratio, plus a composite [0,1] score. Mirrors the public
-    * C4/Gopher-style filters (length + repetition + symbol ratios).
+    * punctuation ratio, stopword ratio, plus a composite [0,1] score.
+    * Mirrors the public C4/Gopher-style filters (length + repetition +
+    * symbol + stopword ratios).
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
+    val stopArr = array(stopwords.map(lit): _*)
     docs
       .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(tokens(lower(t)), tk => array_contains(stopArr, tk))).cast("long"))
+      .withColumn("stopword_ratio",
+        round(when(col("n_tokens") > 0, col("n_stopwords").cast("double") / col("n_tokens")).otherwise(lit(0.0d)), 4))
       .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
       .withColumn("mean_token_len",
         round(when(col("n_tokens") > 0, length(regexp_replace(t, "\\s+", "")).cast("double") / col("n_tokens")).otherwise(lit(0.0d)), 4))

@@ -392,7 +392,7 @@ object Queries {
       lit(null).cast("string").as("site_id"),
       (col("s_acctbal") * 2.0).as("centoid_lat"),
       (col("s_acctbal") * 2.0 + 1.0).as("centoid_lon"))
-    PlsPipeline.RunInputs(Some(prevGeo), Some(prevPid), importedPid, impGeo, addresses, Map.empty)
+    PlsPipeline.RunInputs(Some(prevGeo), Some(prevPid), importedPid, impGeo, addresses)
   }
 
   private[graft] val plsRun: Q = (s, d) =>

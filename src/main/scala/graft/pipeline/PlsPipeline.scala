@@ -69,7 +69,6 @@ object PlsPipeline {
     importedPidMap: DataFrame,            // ESRI delta (S4, already watermark-filtered)
     importedGeocodes: DataFrame,          // ESRI delta (S3)
     addresses: DataFrame,                 // SPARQL-populated entity frames
-    idMaps: Map[String, DataFrame],
   )
 
   /** `droppedAddresses` is a lazy metric frame — count it at

@@ -69,7 +69,7 @@ class PlsFlowSpec extends SparkSpec {
       .toDF("address_iri", "address_pid", "site_id")
 
     val out = PlsPipeline.run(PlsPipeline.RunInputs(
-      Some(prevGeo), Some(prevPid), impPid, impGeo, addresses, Map.empty))
+      Some(prevGeo), Some(prevPid), impPid, impGeo, addresses))
 
     // pid map: imported wins for iri-1; iri-2 carried
     val pids = out.pidMap.orderBy("address_iri").as[(String, String)].collect().toSeq

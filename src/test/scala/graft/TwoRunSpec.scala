@@ -39,7 +39,7 @@ class TwoRunSpec extends SparkSpec {
     val map1 = IdMap.extend(IdMap.empty(spark), addr1.select(col("address_iri").as("pk")), "pk")
 
     val times1 = Iterator(t0, t0.plusSeconds(60), t0.plusSeconds(61))
-    val out1 = PlsPipeline.run(PlsPipeline.RunInputs(None, None, pid1, geo1, addr1, Map.empty))
+    val out1 = PlsPipeline.run(PlsPipeline.RunInputs(None, None, pid1, geo1, addr1))
     val r1 = EtlRun.run(spark, EtlRun.Config("pls", "bkt", "pls-etl/", "geocodes"),
       lock, store, artifacts, new Sinks.CollectingNotifier(), "t",
       () => Map("geocodes" -> out1.geocodes, "addresses" -> out1.addresses,
@@ -66,7 +66,7 @@ class TwoRunSpec extends SparkSpec {
       .toDF("geocode_id", "geocode_type", "address_pid", "site_id", "centoid_lat", "centoid_lon")
 
     val out2 = PlsPipeline.run(PlsPipeline.RunInputs(
-      prevGeo, prevPid, pid2, geo2, addr2, Map.empty))
+      prevGeo, prevPid, pid2, geo2, addr2))
     val map2 = IdMap.extend(prevMap, addr2.select(col("address_iri").as("pk")), "pk")
 
     // pid map: upserted (iri-2 -> p2b), carried (iri-1), new (iri-3)

@@ -56,14 +56,17 @@ object VectorQueries {
       Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 8),
       k = 5, dim = DIM, nPlanes = 8)
 
-  private val lshTopKSql =
+  private val lshTopKSql = {
+    val probeList = (s"b0" +: (0 until 8).map(p => s"xor(b0, CAST(${1L << p} AS BIGINT))")).mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+       |q AS (SELECT query_id, qv, unnest($probeList) AS bucket
+       |      FROM (SELECT vec_id AS query_id, v AS qv, bucket AS b0 FROM e WHERE vec_id < 8)),
        |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM e),
        |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
        |       FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
        |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+  }
 
   // -- IVF-partitioned top-k -----------------------------------------------
   private val ivfTopK: Q = (s, d) =>

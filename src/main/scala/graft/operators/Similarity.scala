@@ -67,11 +67,25 @@ object Similarity {
         col("col._2").as("neighbor_id"), col("col._1").as("cosine"))
   }
 
-  /** LSH-bucketed ANN: candidates limited to the query's hyperplane bucket. */
+  /** LSH-bucketed ANN with multi-probe: besides its own hyperplane bucket,
+    * each query probes every bucket at Hamming distance 1 (one flipped
+    * sign bit — the buckets a near neighbor most likely fell into), so
+    * recall rises from ~(1-θ/π)^n to covering all single-plane
+    * misclassifications at the cost of nPlanes+1 probes. The corpus side
+    * keeps ONE bucket per row; a (query, neighbor) pair can match at most
+    * one probe, so no pair dedup is needed.
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, nPlanes: Int = 8,
+              multiProbe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucket = VectorOps.lshBucket(col(vecCol), dim, nPlanes)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), bucket.as("bucket"))
+    val probes =
+      if (multiProbe)
+        explode(array(col("__b") +: (0 until nPlanes).map(p =>
+          col("__b").bitwiseXOR(shiftleft(lit(1L), p))): _*))
+      else col("__b")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), bucket.as("__b"))
+      .withColumn("bucket", probes).drop("__b")
       .withColumn("q_norm", VectorOps.norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), bucket.as("bucket"))
       .withColumn("c_norm", VectorOps.norm(col("c_vec")))

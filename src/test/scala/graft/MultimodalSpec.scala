@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq((1L, "abc"), (2L, "a longer document body for width variation"))
+      .toDF("doc_id", "text")
+  }
+
+  test("syntheticMedia: binary payload with typed metadata") {
+    val m = Multimodal.syntheticMedia(docs)
+    assert(m.schema("media").dataType.typeName == "binary")
+    val r = m.orderBy("doc_id").collect()
+    assert(r(0).getAs[Array[Byte]]("media").length == 16) // md5 = 16 bytes
+    val meta = r(0).getStruct(2)
+    assert(meta.getString(0) == "fake/rgb8")
+    assert(meta.getInt(1) == 64 + 3) // width = 64 + len("abc") % 512
+    assert(meta.getInt(2) == 64 + 7) // height = 64 + (1*7) % 512
+  }
+
+  test("decodeStub: per-partition batch decode, mean byte matches hand computation") {
+    val out = Multimodal.decodeStub(Multimodal.syntheticMedia(docs))
+      .orderBy("doc_id").collect()
+    val md = java.security.MessageDigest.getInstance("MD5").digest("abc".getBytes)
+    val expectedMean = math.rint(md.map(b => (b & 0xff).toDouble).sum / 16 * 10000) / 10000
+    assert(out(0).getAs[Int]("byte_len") == 16)
+    assert(out(0).getAs[Double]("mean_byte") == expectedMean)
+  }
+
+  test("resizeMeta: scales the long side to maxSide, preserves aspect via floor") {
+    val s = spark; import s.implicits._
+    val media = Seq((1L, Array[Byte](1), ("f", 640, 480)), (2L, Array[Byte](1), ("f", 100, 50)))
+      .toDF("doc_id", "media", "meta")
+      .withColumn("meta", struct(col("meta._1").as("format"),
+        col("meta._2").as("width"), col("meta._3").as("height")))
+    val out = Multimodal.resizeMeta(media, 256).orderBy("doc_id")
+      .select("meta.width", "meta.height").collect()
+    assert((out(0).getInt(0), out(0).getInt(1)) == (256, 192)) // 640x480 -> 256x192
+    assert((out(1).getInt(0), out(1).getInt(1)) == (100, 50))  // under maxSide: untouched
+  }
+
+  test("sampleFrames: byte-window frames at the right offsets") {
+    val s = spark; import s.implicits._
+    val payload = (0 until 32).map(_.toByte).toArray // 32 bytes
+    val media = Seq((9L, payload)).toDF("doc_id", "media")
+    // frameBytes=4, stride=2: 32/(4*2)=4 frames at byte offsets 0,8,16,24
+    val frames = Multimodal.sampleFrames(media, 4, 2).orderBy("frame_no").collect()
+    assert(frames.length == 4)
+    val dec = java.util.Base64.getDecoder
+    frames.zipWithIndex.foreach { case (r, i) =>
+      assert(dec.decode(r.getString(2)).toSeq == payload.slice(i * 8, i * 8 + 4).toSeq)
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    val s = spark; import s.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("langId: marker-word argmax with declaration-order tie-break, en default") {
+    def lang(t: String) =
+      TextAnalysis.langId(one(t)).head().getAs[String]("pred_lang")
+    assert(lang("we saw the dog and the cat near a tree") == "en")
+    assert(lang("je vois le chien et la porte du jardin") == "fr")
+    assert(lang("ich sah der hund und die katze dort") == "de")
+    assert(lang("xyzzy plugh") == "en") // no markers anywhere -> default
+  }
+
+  test("quality signals on a curated string") {
+    val r = TextAnalysis.qualityScore(one("the the cat!! sat.")).head()
+    assert(r.getAs[Long]("n_tokens") == 4)
+    assert(r.getAs[Long]("n_distinct_tokens") == 3)   // the, cat!!, sat.
+    assert(r.getAs[Long]("n_stopwords") == 2)         // the x2
+    assert(r.getAs[Double]("stopword_ratio") == 0.5)
+    assert(r.getAs[Double]("punct_ratio") == math.rint(3.0 / 18 * 10000) / 10000)
+  }
+
+  test("token counts: words vs BPE-ish subwords") {
+    val r = TextAnalysis.tokenCounts(one("internationalization is fun!")).head()
+    assert(r.getAs[Long]("n_words") == 3)
+    // internationalization(20) -> 5 chunks, is -> 1, fun -> 1, ! -> 1
+    assert(r.getAs[Long]("n_subwords") == 8)
+  }
+
+  test("fingerprints: whitespace-insensitive md5, order-sensitive rolling hash") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b  c"), (2L, "A B C"), (3L, "c b a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprints(df).orderBy("doc_id").collect()
+    assert(out(0).getString(2) == out(1).getString(2)) // fp_md5 normalize-equal
+    assert(out(0).getLong(3) == out(1).getLong(3))     // fp_roll too
+    assert(out(0).getLong(3) != out(2).getLong(3))     // order matters
+  }
+}

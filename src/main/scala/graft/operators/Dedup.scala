@@ -295,12 +295,16 @@ object Dedup {
       val msgs = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("nl").as("min_nbr"))
+      // convergence count rides the materializing action itself
+      // (Dataset.observe) — one job per iteration, no compare-join
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(msgs, Seq("id"), "left")
+        .observe(obs, sum(when(col("min_nbr") < col("cluster_id"), 1L).otherwise(0L)).as("n_changed"))
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("min_nbr"), col("cluster_id"))).as("cluster_id"))
         .persist()
-      changed = next.join(labels.select(col("id"), col("cluster_id").as("old")), Seq("id"))
-        .filter(col("cluster_id") =!= col("old")).count()
+      next.count() // materialize the persist + collect the metric
+      changed = obs.get("n_changed").asInstanceOf[Long]
       labels.unpersist()
       labels = next
       iter += 1

@@ -32,6 +32,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH candidates are a superset of single-probe") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 6)
+    def pairs(mp: Boolean) =
+      Similarity.lshTopK(emb, q, Int.MaxValue, dim = 64, nPlanes = 8, multiProbe = mp)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(mp = false)
+    val multi = pairs(mp = true)
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size) // Hamming-1 probes actually add recall
+  }
+
   test("ivfTopK scores match brute force on the pairs it returns; k rows per query") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 4)

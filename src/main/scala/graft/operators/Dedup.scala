@@ -287,7 +287,11 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
-    var labels = docs.select(col(idCol).as("id")).distinct()
+    // iterate over pair-PARTICIPATING nodes only (both edge directions are
+    // present, so `src` covers them all): duplicate-cluster membership is a
+    // sliver of the corpus, and singletons trivially label themselves —
+    // they join back once at the end
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).persist()
     var changed = 1L
     var iter = 0
@@ -310,7 +314,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("cluster_id"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** N-gram Jaccard near-dup: candidates from MinHash-LSH *within* a cheap

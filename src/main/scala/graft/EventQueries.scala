@@ -44,7 +44,23 @@ object EventQueries {
       |SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms, count(*) AS n_events
       |FROM s GROUP BY user_id, session_no""".stripMargin
 
+  /** Custom keyed state (mapGroupsWithState) run in BATCH mode: one group
+    * invocation per user over empty initial state — the same code path the
+    * streaming test drives across micro-batches.
+    */
+  private val userTotals: Q = (s, d) => {
+    import s.implicits._
+    EventsStream.runningUserTotals(Tables.events(s, d))
+      .toDF("user_id", "n_events", "value_cents")
+  }
+
+  private val userTotalsSql =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
+    ("user_totals", userTotals, Some(userTotalsSql)),
     ("hourly_type_counts", hourly, Some(hourlySql)),
     ("sessionize", sessionize, Some(sessionizeSql)),
     ("session_windows", sessionWindows, Some(sessionWindowsSql)),

@@ -74,11 +74,16 @@ object IdMap {
   }
 
   /** Bulk variant of `extend` for cold-start loads where the delta is NOT
-    * small: ids come from `sortBy(key).zipWithIndex` (a distributed sort
-    * plus a per-partition offset pass) instead of a single-partition
-    * window. Identical assignments — zipWithIndex over the key-sorted RDD
-    * IS row_number by key — so the two are interchangeable per data size
-    * (IdMapSpec asserts equality).
+    * small: ids come from Spark's own `orderBy(key)` (a distributed
+    * range-partitioned sort) followed by `zipWithIndex` (one per-partition
+    * offset pass) instead of a single-partition window. Sorting with the
+    * SAME engine sort as `extend`'s `Window.orderBy` matters: Spark orders
+    * strings by UTF-8 binary bytes, while Scala's `String` ordering compares
+    * UTF-16 code units — the two disagree on supplementary-plane characters,
+    * which would silently destabilize ids if the paths were mixed across
+    * runs. Identical assignments — zipWithIndex over the key-sorted RDD IS
+    * row_number by key — so the two are interchangeable per data size
+    * (IdMapSpec asserts equality, including on supplementary-plane keys).
     */
   def extendBulk(map: DataFrame, df: DataFrame, keyCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -87,8 +92,8 @@ object IdMap {
     val known = map.select(KEY).unionByName(map.select(col(ID).cast("string").as(KEY)))
     val fresh = keys.join(known, Seq(KEY), "left_anti")
     val maxId = map.agg(coalesce(max(col(ID)), lit(0L))).head().getLong(0)
-    val assignedRdd = fresh.select(KEY).rdd.map(_.getString(0))
-      .sortBy(identity).zipWithIndex()
+    val assignedRdd = fresh.orderBy(KEY).rdd.map(_.getString(0))
+      .zipWithIndex()
       .map { case (k, i) => org.apache.spark.sql.Row(k, i + 1 + maxId) }
     val assigned = spark.createDataFrame(assignedRdd, fresh.schema
       .add(org.apache.spark.sql.types.StructField(ID, org.apache.spark.sql.types.LongType, nullable = false)))

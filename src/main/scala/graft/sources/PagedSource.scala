@@ -38,7 +38,10 @@ trait PageFetcher extends Serializable {
   /** Total row count under `spec` (the reference's `returnCountOnly`, S6). */
   def count(spec: ScanSpec): Long
   /** Fetch rows [offset, offset+limit) matching `spec`, in `spec.columns`
-    * order (full schema order when unspecified).
+    * order (full schema order when unspecified). The returned iterator is
+    * drained eagerly by `PagedSource.read` inside its retry scope, so lazy
+    * implementations still get backoff/token-refresh coverage for errors
+    * thrown during iteration.
     */
   def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row]
   /** Re-authenticate after a token-expiry failure (ESRI code 498). */
@@ -62,7 +65,11 @@ object PagedSource {
     val rdd = spark.range(0, total, pageSize).rdd.flatMap { offset =>
       Retry.withBackoff(maxTimeSeconds = retryMaxSeconds,
         onTokenExpired = () => fetcher.refreshAuth()) {
-        fetcher.fetch(offset, pageSize, spec)
+        // materialize the page INSIDE the retried body: a fetcher that
+        // streams rows lazily (or throws TokenExpired from next()) would
+        // otherwise be consumed by Spark AFTER withBackoff returned,
+        // escaping both the backoff and the token-refresh path
+        fetcher.fetch(offset, pageSize, spec).toVector
       }
     }
     spark.createDataFrame(rdd, prunedSchema)

@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object EventsStream {
 
+  /** `round(value * 100)` with the exact semantics of Spark's `round` on a
+    * double (HALF_UP over the shortest-decimal representation) — the one
+    * rounding rule used everywhere: here, in `hourlyTypeCounts`, and in the
+    * DuckDB oracles. `math.rint` (half-even) disagrees on exact .5 binary
+    * values such as 0.125*100.
+    */
+  private[streaming] def halfUpCents(value: Double): Long =
+    java.math.BigDecimal.valueOf(value * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
   /** Tumbling-window aggregate by event type. In streaming mode callers add
     * `withWatermark("ts", ...)` upstream; the aggregation is identical.
     */
@@ -46,31 +56,84 @@ object EventsStream {
         case (user, rows, state) =>
           val (n0, cents0) = state.getOption.getOrElse((0L, 0L))
           var n = n0; var cents = cents0
-          rows.foreach { r => n += 1; cents += math.rint(r._2 * 100).toLong }
+          rows.foreach { r => n += 1; cents += halfUpCents(r._2) }
           state.update((n, cents))
           (user, n, cents)
       }
   }
 
+  /** Versioned state store for `upsertStream`. Each write lands in its own
+    * `v-<version>` parquet dir; the COMMIT POINT is the creation of the
+    * empty `commit-v-<version>` marker (file create is atomic), so a crash
+    * mid-write leaves a dangling uncommitted dir that readers never see —
+    * no overwrite-in-place, no window where state is partial. Readers pick
+    * the highest committed version; read errors on a COMMITTED version
+    * propagate (they are corruption, not cold start) instead of silently
+    * resetting state.
+    */
+  private def stateFs(spark: org.apache.spark.sql.SparkSession, stateDir: String) = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def versionName(v: Long): String = f"v-$v%020d"
+
+  /** Highest committed version in `stateDir`, if any. */
+  private def latestVersion(spark: org.apache.spark.sql.SparkSession, stateDir: String): Option[String] = {
+    val (fs, dir) = stateFs(spark, stateDir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName).filter(_.startsWith("commit-"))
+      .maxOption.map(_.stripPrefix("commit-"))
+  }
+
+  /** Read the current committed state (None on cold start — no commits). */
+  def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String): Option[DataFrame] =
+    latestVersion(spark, stateDir).map(v => spark.read.parquet(s"$stateDir/$v"))
+
+  /** Write + commit one state version. Idempotent per version (a replayed
+    * micro-batch overwrites its own dir and re-creates the same marker).
+    * Older committed versions are garbage-collected after the commit.
+    */
+  def writeState(df: DataFrame, stateDir: String, version: Long): Unit = {
+    val spark = df.sparkSession
+    val vn = versionName(version)
+    df.write.mode("overwrite").parquet(s"$stateDir/$vn")
+    val (fs, dir) = stateFs(spark, stateDir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"commit-$vn"), true).close()
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      val old = n.stripPrefix("commit-")
+      if ((n.startsWith("commit-") && old < vn) || (n.startsWith("v-") && n < vn))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** I2 — the streaming twin of the reference's late/changed-data upsert
     * (`address_etl/geocode.py:231-270`): each micro-batch merges into the
     * carried state with `RelOps.upsert` (last write wins per key), the
-    * `foreachBatch` merge pattern from SURVEY §2.9. State lives in
-    * `store(runId)`-style parquet; returns the StreamingQuery.
+    * `foreachBatch` merge pattern from SURVEY §2.9. State lives in the
+    * versioned parquet store above (read with `readState`); batch N commits
+    * version N+1, and because the merge reads from the previous version's
+    * directory, there is no read-what-you-replace temp-dir copy. A replayed
+    * batch whose version is already committed is skipped (exactly-once
+    * state effect on top of foreachBatch's at-least-once delivery).
+    * Returns the StreamingQuery.
     */
   def upsertStream(updates: DataFrame, keys: Seq[String], statePath: String,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val current = try spark.read.parquet(statePath)
-        catch { case _: Throwable => batch.limit(0) }
-        val merged = graft.operators.RelOps.upsert(current, batch.toDF(), keys)
-        // rewrite via a temp dir: the merge reads the same path it replaces
-        val tmp = statePath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(statePath)
+        // a replayed batch whose version is already committed is a no-op —
+        // merging again would read and overwrite the same version dir
+        val target = versionName(batchId + 1)
+        if (latestVersion(spark, statePath).forall(_ < target)) {
+          val current = readState(spark, statePath).getOrElse(batch.limit(0).toDF())
+          val merged = graft.operators.RelOps.upsert(current, batch.toDF(), keys)
+          writeState(merged, statePath, batchId + 1)
+        }
       }
       .start()
 

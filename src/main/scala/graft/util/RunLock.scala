@@ -31,9 +31,20 @@ final class FileRunLock(
   private def tryAcquire(): Boolean = {
     // expired lock is reclaimable (the TTL semantics of the reference)
     if (Files.exists(path)) {
-      val stamp = new String(Files.readAllBytes(path), StandardCharsets.UTF_8).trim.toLong
+      // a concurrently-deleted or garbage stamp counts as lock-held: the
+      // next retry re-reads; never let a read race grant the lock
+      val stamp = try new String(Files.readAllBytes(path), StandardCharsets.UTF_8).trim.toLong
+      catch { case _: Exception => return false }
       if (now() - stamp < ttlSeconds) return false
-      Files.delete(path)
+      // atomic reclaim: move the expired lock aside — exactly one waiter
+      // wins the move and may recreate; the losers' moves throw and they
+      // fall back to contending on CREATE_NEW below next round. Deleting
+      // in place would let a second waiter delete the winner's FRESH lock.
+      val tombstone = dir.resolve(s"graft-lock-$lockId.expired-$stamp")
+      try {
+        Files.move(path, tombstone, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Files.deleteIfExists(tombstone)
+      } catch { case _: Exception => return false }
     }
     try {
       Files.write(path, now().toString.getBytes(StandardCharsets.UTF_8),

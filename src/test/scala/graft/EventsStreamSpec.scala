@@ -96,8 +96,8 @@ class EventsStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("upsert-stream")
     val statePath = s"$dir/state"
-    Seq(("k1", "orig"), ("k2", "orig")).toDF("k", "v")
-      .write.parquet(statePath)
+    EventsStream.writeState(
+      Seq(("k1", "orig"), ("k2", "orig")).toDF("k", "v"), statePath, 0L)
 
     val mem = MemoryStream[(String, String)]
     val q = EventsStream.upsertStream(mem.toDF().toDF("k", "v"), Seq("k"),
@@ -109,9 +109,37 @@ class EventsStreamSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    val state = spark.read.parquet(statePath)
+    val state = EventsStream.readState(spark, statePath).get
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state == Map("k1" -> "orig", "k2" -> "upd1", "k3" -> "upd2"))
+
+    // only the latest committed version survives GC; exactly one commit marker
+    val files = new java.io.File(statePath).listFiles().map(_.getName).toSet
+    assert(files.count(_.startsWith("commit-")) == 1, files)
+    assert(files.count(_.startsWith("v-")) == 1, files)
+  }
+
+  test("state store: cold start is None; uncommitted write is invisible; committed read propagates errors") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("state-store")
+    val statePath = s"$dir/state"
+    assert(EventsStream.readState(spark, statePath).isEmpty)
+
+    // a crash mid-write = parquet dir without its commit marker → still cold
+    Seq(("k1", "partial")).toDF("k", "v").write.parquet(s"$statePath/v-00000000000000000007")
+    assert(EventsStream.readState(spark, statePath).isEmpty)
+
+    // a committed version is read back exactly
+    EventsStream.writeState(Seq(("k1", "good")).toDF("k", "v"), statePath, 8L)
+    val rows = EventsStream.readState(spark, statePath).get.collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("k1", "good")))
+
+    // corruption of a COMMITTED version fails loudly instead of resetting state
+    val vDir = new java.io.File(s"$statePath/v-00000000000000000008")
+    vDir.listFiles().foreach(_.delete()); vDir.delete()
+    intercept[Exception] {
+      EventsStream.readState(spark, statePath).get.collect()
+    }
   }
 
   test("sessionize: 30-minute gap splits sessions per user") {

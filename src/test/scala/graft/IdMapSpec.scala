@@ -73,6 +73,19 @@ class IdMapSpec extends SparkSpec {
     assert(b2 == w2)
   }
 
+  test("extendBulk == extend on supplementary-plane keys (UTF-8 vs UTF-16 order)") {
+    // "�" (one UTF-16 unit, 3 UTF-8 bytes ef bf bd) sorts BEFORE
+    // "😀" (U+1F600, surrogate pair, 4 UTF-8 bytes f0 9f 98 80)
+    // in UTF-8 byte order, but AFTER it under UTF-16 code-unit compareTo —
+    // the two orderings genuinely disagree on these keys.
+    val keys = Seq("😀", "�", "a", "😁z")
+    val viaWindow = IdMap.extend(IdMap.empty(spark), keysDf(keys), "pk")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaBulk = IdMap.extendBulk(IdMap.empty(spark), keysDf(keys), "pk")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaBulk == viaWindow)
+  }
+
   test("null keys are excluded, not silently dropped by encode") {
     val s = spark; import s.implicits._
     val entity = Seq(Some("a"), None, Some("b")).toDF("pk")

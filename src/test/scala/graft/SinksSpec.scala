@@ -142,6 +142,32 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("paged source: token expiry thrown from a LAZY page iterator still re-auths") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.sources.{PagedSource, PageFetcher, ScanSpec}
+    LazyFetcherState.authed.set(false)
+    val fetcher = new PageFetcher {
+      override def count(spec: ScanSpec): Long = 1
+      // the page streams lazily and only fails when CONSUMED — the retry
+      // scope must drain it, or the expiry escapes backoff entirely
+      override def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row] =
+        new Iterator[Row] {
+          private var emitted = false
+          override def hasNext: Boolean = !emitted
+          override def next(): Row = {
+            if (!LazyFetcherState.authed.get()) throw new Retry.TokenExpired("498 mid-stream")
+            emitted = true; Row(s"row-$offset")
+          }
+        }
+      override def refreshAuth(): Unit = LazyFetcherState.authed.set(true)
+    }
+    val schema = StructType(Seq(StructField("v", StringType)))
+    val out = PagedSource.read(spark, fetcher, schema, pageSize = 2)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("row-0"))
+    assert(LazyFetcherState.authed.get())
+  }
+
   test("run lock: held lock blocks, expired lock is reclaimable") {
     val dir = Files.createTempDirectory("locks")
     var clock = 1000L
@@ -155,4 +181,11 @@ class SinksSpec extends SparkSpec {
     b.release()
     val c: RunLock = mk(); c.acquire(); c.release()
   }
+}
+
+/** Executor-visible auth state for the lazy-iterator retry test (local mode:
+  * one JVM, so a static is visible to both the task and the assertion).
+  */
+object LazyFetcherState {
+  val authed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

@@ -11,12 +11,15 @@ object Bench {
     // JIT + codegen compilation for every query plan shape, so the timed
     // pass measures the operators, not JVM warm-up (order-dependent noise
     // of up to ±20% otherwise)
+    // optional local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 limits the run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).exists() && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

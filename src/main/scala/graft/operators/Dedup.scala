@@ -276,44 +276,75 @@ object Dedup {
   /** Cluster-collapse: assign every document the MINIMUM id reachable
     * through the near-duplicate pair graph (connected components), so a
     * duplicate CLUSTER — not just a pair — keeps exactly one survivor.
-    * Iterative min-label propagation: each round joins labels across edges
-    * and keeps the smaller; converges in O(cluster diameter) rounds
-    * (near-dup clusters are shallow). Each round persists its labels and
-    * releases the previous round's — bounded lineage, executor-resident
-    * state, driver sees only the convergence count.
+    *
+    * Min-label propagation with a POINTER-DOUBLING hop: each round a node
+    * takes the least of its own label, its neighbors' labels, and its
+    * label's label (`label(label(x))` — the shortcut that collapses chains
+    * logarithmically), so rounds are O(log diameter) rather than
+    * O(diameter). Each round persists its labels and releases the previous
+    * round's — bounded lineage, executor-resident state, the driver sees
+    * only the convergence count.
+    *
+    * The iteration state is a SLIVER of the corpus (pair-participating
+    * nodes only), so its partitioning is sized from the measured edge
+    * count, not inherited from the corpus-scale shuffle setting: at sf0.1
+    * that is ONE partition (hundreds of edges — per-round cost is job
+    * overhead, not data), while a 100 TB corpus with billions of near-dup
+    * edges gets the session's full shuffle width.
+    *
+    * Every round ends in `localCheckpoint`, which CUTS THE LOGICAL LINEAGE.
+    * This is load-bearing, not an optimization: `labels` appears 2-3× in
+    * each round's plan, so without the cut the analyzed plan tree grows
+    * ~3× per round — caching the data does not cap the plan, and by round
+    * ~8 AQE's plan stringification alone overflows the driver heap. With
+    * the cut, every round plans against a constant-size RDD scan (the same
+    * shape GraphX uses for iterative graph algorithms; for recovery under
+    * executor loss swap in reliable `checkpoint`).
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val spark = pairs.sparkSession
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().persist()
+      .distinct()
+    val sym0 = sym.localCheckpoint() // materializes the (expensive) pair lineage once
+    val edgeCount = sym0.count()
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(sessionParts.toLong, edgeCount / 2_000_000L + 1)).toInt
+    val edges = sym0.repartition(parts, col("dst")).localCheckpoint()
     // iterate over pair-PARTICIPATING nodes only (both edge directions are
     // present, so `src` covers them all): duplicate-cluster membership is a
     // sliver of the corpus, and singletons trivially label themselves —
     // they join back once at the end
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).persist()
-    var changed = 1L
+      .withColumn("cluster_id", col("id"))
+      .repartition(parts, col("id")).localCheckpoint()
+    var changed = if (edgeCount == 0) 0L else 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val msgs = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("nl").as("min_nbr"))
-      // convergence count rides the materializing action itself
-      // (Dataset.observe) — one job per iteration, no compare-join
       val obs = org.apache.spark.sql.Observation()
+      // second join = POINTER-DOUBLING hop: also consider label(label(x)),
+      // which collapses long chains logarithmically instead of one hop/round
       val next = labels.join(msgs, Seq("id"), "left")
-        .observe(obs, sum(when(col("min_nbr") < col("cluster_id"), 1L).otherwise(0L)).as("n_changed"))
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("min_nbr"), col("cluster_id"))).as("cluster_id"))
-        .persist()
-      next.count() // materialize the persist + collect the metric
+        .join(labels.select(col("id").as("__lbl"), col("cluster_id").as("__ll")),
+          col("cluster_id") === col("__lbl"), "left")
+        .withColumn("__new", least(
+          col("cluster_id"),
+          coalesce(col("min_nbr"), col("cluster_id")),
+          coalesce(col("__ll"), col("cluster_id"))))
+        // convergence count rides the materializing action itself
+        // (Dataset.observe) — one job per round, no compare-join
+        .observe(obs, sum(when(col("__new") < col("cluster_id"), 1L).otherwise(0L)).as("n_changed"))
+        .select(col("id"), col("__new").as("cluster_id"))
+        .repartition(parts, col("id"))
+        .localCheckpoint() // eager: runs the round AND cuts lineage
       changed = obs.get("n_changed").asInstanceOf[Long]
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     docs.select(col(idCol).as("id")).distinct()
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("cluster_id"), col("id")).as("cluster_id"))

@@ -66,7 +66,7 @@ object Queries {
     */
   private val firstWins: Q = (s, d) =>
     RelOps.firstWinsDedup(li(s, d), Seq("l_orderkey"),
-      Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc))
+      Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
 
   private val firstWinsSql =

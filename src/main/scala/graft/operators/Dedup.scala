@@ -88,7 +88,7 @@ object Dedup {
     * every lambda references a bound column (interpreted higher-order
     * functions re-evaluate inlined child expressions per element).
     */
-  private def shingleBase(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleBase(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[(String, Column)], n: Int): DataFrame = {
     val keep = col(idCol) +: blockCols.map { case (name, c) => c.as(name) }
     val named = col(idCol) +: blockCols.map(b => col(b._1))
@@ -124,7 +124,7 @@ object Dedup {
     * upstream in shingleBase (h*a with a 60-bit h would overflow a long —
     * silent wrap here, an error in SQL engines).
     */
-  private def signatures(base: DataFrame, idCol: String, blockCols: Seq[String],
+  private[graft] def signatures(base: DataFrame, idCol: String, blockCols: Seq[String],
                          k: Int): DataFrame = {
     val gcols = (idCol +: blockCols).map(col)
     val ex = base.select(gcols :+ explode(col("sh")).as("__h"): _*)
@@ -135,7 +135,7 @@ object Dedup {
   }
 
   /** Band keys "md5(b:v1,v2,...)" over signature columns — fixed width. */
-  private def bandKeyCols(bands: Int, rowsPer: Int): Seq[Column] =
+  private[graft] def bandKeyCols(bands: Int, rowsPer: Int): Seq[Column] =
     (0 until bands).map { b =>
       val sigCols = (b * rowsPer until (b + 1) * rowsPer).map(i => col(s"__sig$i").cast("string"))
       md5(concat_ws(":", lit(b.toString), concat_ws(",", sigCols: _*)))
@@ -152,13 +152,13 @@ object Dedup {
     * costs bounded recall loss ONLY inside oversized buckets, and the same
     * predicate is mirrored in the oracle SQL.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     banded.withColumn("__bc", count(lit(1)).over(w))
       .filter(col("__bc") <= maxBucket).drop("__bc")
   }
 
-  private def lshCandidates(base: DataFrame, idCol: String, blockCols: Seq[String],
+  private[graft] def lshCandidates(base: DataFrame, idCol: String, blockCols: Seq[String],
                             k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val rowsPer = k / bands
     val banded0 = signatures(base, idCol, blockCols, k)
@@ -179,7 +179,7 @@ object Dedup {
     * pair — half the base-table passes of the naive join-per-side shape
     * (`base` is an unpersisted lineage; every pass recomputes it).
     */
-  private def verifyJaccard(cand: DataFrame, base: DataFrame, idCol: String,
+  private[graft] def verifyJaccard(cand: DataFrame, base: DataFrame, idCol: String,
                             threshold: Double): DataFrame = {
     val melted = cand
       .select(col("id_a"), col("id_b"), explode(array(
@@ -208,10 +208,24 @@ object Dedup {
                  k: Int = 32, bands: Int = 8, threshold: Double = 0.5, shingleN: Int = 3,
                  maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val base = shingleBase(docs, idCol, textCol, Nil, shingleN)
+    val base = persistedBase(docs, idCol, textCol, Nil, shingleN)
     val cand = lshCandidates(base, idCol, Nil, k, bands, maxBucket)
     verifyJaccard(cand, base, idCol, threshold)
   }
+
+  /** The shingle table has TWO consumers — candidate generation and exact
+    * verification — so it is persisted (spilling to disk at scale) rather
+    * than recomputed: without it the verify pass re-runs the full
+    * normalize→tokenize→hash scan of the corpus, the single most expensive
+    * map stage of the pipeline. Spark evicts cache blocks LRU, so a
+    * long-lived session reclaims the space; recompute-on-eviction is the
+    * documented fallback (the lineage stays valid). Same pattern as
+    * MLlib's MinHashLSH, which warns when its input is uncached.
+    */
+  private def persistedBase(docs: DataFrame, idCol: String, textCol: String,
+                            blockCols: Seq[(String, Column)], n: Int): DataFrame =
+    shingleBase(docs, idCol, textCol, blockCols, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** 60-bit SimHash per document over token unigrams (count-weighted).
     * Computed with one explode + one groupBy (a single shuffle keyed by the
@@ -302,13 +316,80 @@ object Dedup {
     * executor loss swap in reliable `checkpoint`).
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
-                    idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
+                    idCol: String = "doc_id", maxIters: Int = 50,
+                    maxLocalEdges: Long = 1L << 20): DataFrame = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
     val sym0 = sym.localCheckpoint() // materializes the (expensive) pair lineage once
     val edgeCount = sym0.count()
+    // Size-gated strategy switch (the measured edge count is already in
+    // hand): a deduped near-dup edge list within `maxLocalEdges` is solved
+    // with one driver-side union-find pass and broadcast back — the same
+    // runtime size-based re-plan AQE applies to joins. Iterating Spark jobs
+    // over a graph that fits in tens of MB spends O(log d) full scheduler
+    // round-trips on no data; above the gate (billions of edges at 100 TB)
+    // the distributed pointer-doubling loop below is the path.
+    val (labels, small) =
+      if (edgeCount <= maxLocalEdges) (localLabels(sym0), true)
+      else (propagateLabels(sym0, edgeCount, maxIters), false)
+    docs.select(col(idCol).as("id")).distinct()
+      .join(if (small) broadcast(labels) else labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** Min-labels of pair-participating nodes by driver-side union-find
+    * (union-by-min-root + path compression, so every root IS its
+    * component's minimum). One `collect` of the deduped edge list — gated
+    * by `maxLocalEdges` in `dedupClusters`.
+    */
+  private def localLabels(sym0: DataFrame): DataFrame = {
+    val spark = sym0.sparkSession
+    val idType = sym0.schema("src").dataType
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { val gp = parent.getOrDefault(p, p); parent.put(x, gp); x = p; p = gp }
+      x
+    }
+    val seen = new java.util.LinkedHashSet[Any]()
+    sym0.collect().foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      seen.add(a); seen.add(b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (labelOrdering.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](seen.size())
+    seen.forEach(id => rows.add(org.apache.spark.sql.Row(id, find(id))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Driver-side value ordering that MATCHES Spark's: numerics naturally,
+    * strings as UTF-8 binary (`UTF8String` ordering) — Java's UTF-16
+    * `compareTo` disagrees on supplementary-plane code points, which would
+    * silently flip min-labels between the local and distributed paths.
+    */
+  private val labelOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) => java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+  }
+
+  /** Distributed min-label propagation with pointer doubling — see the
+    * `dedupClusters` scaladoc above for the plan-shape rationale
+    * (localCheckpoint lineage cuts, edge-count-sized partitioning).
+    */
+  private def propagateLabels(sym0: DataFrame, edgeCount: Long, maxIters: Int): DataFrame = {
+    val spark = sym0.sparkSession
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(sessionParts.toLong, edgeCount / 2_000_000L + 1)).toInt
     val edges = sym0.repartition(parts, col("dst")).localCheckpoint()
@@ -345,9 +426,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    docs.select(col(idCol).as("id")).distinct()
-      .join(labels, Seq("id"), "left")
-      .select(col("id").as(idCol), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    labels
   }
 
   /** N-gram Jaccard near-dup: candidates from MinHash-LSH *within* a cheap
@@ -361,7 +440,7 @@ object Dedup {
                    k: Int = 32, bands: Int = 16, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val base = shingleBase(docs, idCol, textCol, Seq("__blk" -> col(langCol)), shingleN)
+    val base = persistedBase(docs, idCol, textCol, Seq("__blk" -> col(langCol)), shingleN)
     val cand = lshCandidates(base, idCol, Seq("__blk"), k, bands, maxBucket)
     verifyJaccard(cand, base, idCol, threshold)
   }

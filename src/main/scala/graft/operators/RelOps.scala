@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational operators of the reference ETL, re-expressed as pure
@@ -16,18 +15,25 @@ import org.apache.spark.sql.functions._
 object RelOps {
 
   /** A1/W1 — "latest row per key" (reference: latest lifecycle stage per
-    * address, `address_etl/pls/queries/address.py:32-47`).
+    * address, `address_etl/pls/queries/address.py:32-47`). Latest = highest
+    * `(orderBy, tieBreak...)` lexicographically; `tieBreak` columns make the
+    * result deterministic when `orderBy` has duplicates (the reference is
+    * only accidentally deterministic — SURVEY.md §7.4.3).
     *
-    * Implemented as `row_number` over a single window so the input shuffles
-    * once on `keys`; `tieBreak` columns make the result deterministic when
-    * `orderBy` has duplicates (the reference is only accidentally
-    * deterministic — SURVEY.md §7.4.3).
+    * Implemented as `max_by` over a struct ordering, NOT a `row_number`
+    * window: an aggregate combines map-side, so the shuffle carries at most
+    * one row per key per input partition, where the window shape shuffles
+    * and sorts the ENTIRE table. Same single shuffle on `keys`, a fraction
+    * of the payload — the difference between the two at 100 TB is the whole
+    * table. Struct comparison ranks a null field lowest, matching the
+    * window form's `desc` (nulls-last) semantics.
     */
   def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Column, tieBreak: Seq[Column] = Nil): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.desc +: tieBreak.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderBy +: tieBreak: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ord).as("__row"))
+      .select(col("__row.*"))
   }
 
   /** J4/J5 — referential pruning: keep rows of `df` whose `key` appears in
@@ -79,13 +85,20 @@ object RelOps {
 
   /** A3 — deterministic "first wins" dedup (reference keeps the first row per
     * road_id in arrival order, `address_etl/pls/tables.py:434-446`). We make
-    * the ordering explicit (SURVEY.md §7.4.3): first = lowest `orderBy`.
+    * the ordering explicit (SURVEY.md §7.4.3): first = LOWEST
+    * `(orderBy...)` lexicographically. `orderBy` takes plain value columns
+    * (ascending — the dual of `latestPerKey`), not `.asc`/`.desc` sort
+    * orders.
+    *
+    * `min_by` aggregate, not a `row_number` window — see `latestPerKey` for
+    * why (map-side combine vs whole-table shuffle-sort).
     */
   def firstWinsDedup(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderBy: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(payload, ord).as("__row"))
+      .select(col("__row.*"))
   }
 
   /** J6 — join-based backfill with the mandatory one-row-per-key

@@ -34,6 +34,18 @@ object DedupClusterProps extends Properties("DedupClusters") {
       val s = spark; import s.implicits._
       val docs = (1L to N).toDF("doc_id")
       val pairs = edges.distinct.toDF("id_a", "id_b")
+      // maxLocalEdges = 0 forces the distributed pointer-doubling path
+      val got = Dedup.dedupClusters(docs, pairs, maxLocalEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges.distinct)
+    }
+
+  property("size-gated local labels == union-find component minima") =
+    forAllNoShrink(edgeGen) { edges =>
+      val s = spark; import s.implicits._
+      val docs = (1L to N).toDF("doc_id")
+      val pairs = edges.distinct.toDF("id_a", "id_b")
+      // default gate: these graphs are far under maxLocalEdges → local path
       val got = Dedup.dedupClusters(docs, pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == unionFind(edges.distinct)

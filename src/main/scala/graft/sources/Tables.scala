@@ -19,8 +19,19 @@ import org.apache.spark.sql.functions._
 object Tables {
   def path(dir: String, table: String): String = s"$dir/$table.parquet"
 
+  /** Fixture scans are memoized per (session, path): every query in the
+    * registry re-reads its input tables, and each fresh `spark.read.parquet`
+    * re-lists the directory and re-parses footers ON THE DRIVER — dozens of
+    * redundant metadata passes per Verify/Bench run (the data path is lazy
+    * and unaffected). Safe because the driver fixtures are immutable for a
+    * session's lifetime; mutable paths (snapshot stores, state dirs) do not
+    * read through here precisely so they re-list every time.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def read(spark: SparkSession, dir: String, table: String): DataFrame =
-    spark.read.parquet(path(dir, table))
+    memo.computeIfAbsent((spark, path(dir, table)), kv => kv._1.read.parquet(kv._2))
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
@@ -36,7 +47,11 @@ object Tables {
     * nanosecond parquet column. `ts_ns` (raw Long) is kept for callers that
     * need full precision.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent((spark, path(dir, "events") + "#events"),
+      _ => eventsUncached(spark, dir))
+
+  private def eventsUncached(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read
       .option("timestampNTZFormat", "")
       .parquet(path(dir, "events"))

@@ -18,7 +18,7 @@ object EventsStream {
     * DuckDB oracles. `math.rint` (half-even) disagrees on exact .5 binary
     * values such as 0.125*100.
     */
-  private[streaming] def halfUpCents(value: Double): Long =
+  private[graft] def halfUpCents(value: Double): Long =
     java.math.BigDecimal.valueOf(value * 100)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 

@@ -142,6 +142,19 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("halfUpCents: HALF_UP on exact binary .5 values, agreeing with Spark's round") {
+    val s = spark; import s.implicits._
+    // 0.125*100 = 12.5 exactly in binary: HALF_UP gives 13 where
+    // math.rint (half-even) gives 12 — the divergence the per-user state
+    // aggregator must NOT have vs the hourly batch query and the oracle
+    assert(EventsStream.halfUpCents(0.125) == 13L)
+    assert(EventsStream.halfUpCents(-0.125) == -13L)
+    val sparkRound = Seq(0.125, -0.125, 0.115, 1.005, 2.675)
+      .toDF("v").select(round(col("v") * 100).cast("long")).collect().map(_.getLong(0)).toSeq
+    val ours = Seq(0.125, -0.125, 0.115, 1.005, 2.675).map(EventsStream.halfUpCents)
+    assert(ours == sparkRound)
+  }
+
   test("sessionize: 30-minute gap splits sessions per user") {
     val out = EventsStream.sessionize(batchDf, 30)
       .orderBy("user_id", "session_no")

@@ -15,6 +15,26 @@ class RelOpsSpec extends SparkSpec {
     assert(out == Seq(Row("a", 3, "z"), Row("b", 2, "w")))
   }
 
+  test("latestPerKey: null orderBy loses to any non-null; all-null group falls to tieBreak") {
+    val s = spark; import s.implicits._
+    // the max_by struct ordering must match the old window's desc
+    // (nulls-last) semantics: a null ts never beats a real one
+    val df = Seq(("a", Some(1), "hi"), ("a", None, "zz"),
+      ("b", None, "p"), ("b", None, "q")).toDF("k", "ts", "v")
+    val out = RelOps.latestPerKey(df, Seq("k"), col("ts"), Seq(col("v")))
+      .orderBy("k").collect().toSeq
+    assert(out == Seq(Row("a", 1, "hi"), Row("b", null, "q")))
+  }
+
+  test("firstWinsDedup keeps the lexicographically-lowest row per key") {
+    val s = spark; import s.implicits._
+    val df = Seq(("k1", 2, 9), ("k1", 1, 5), ("k1", 1, 3), ("k2", 7, 7))
+      .toDF("k", "a", "b")
+    val out = RelOps.firstWinsDedup(df, Seq("k"), Seq(col("a"), col("b")))
+      .orderBy("k").collect().toSeq
+    assert(out == Seq(Row("k1", 1, 3), Row("k2", 7, 7)))
+  }
+
   test("upsert: updates win per key, base survives elsewhere; upsertWithReset nulls reset cols") {
     val s = spark; import s.implicits._
     val base = Seq(("k1", "old", 1.0), ("k2", "old", 2.0)).toDF("k", "v", "x")

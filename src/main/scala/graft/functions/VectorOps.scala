@@ -3,32 +3,41 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector column math over `array<float>` / `array<double>` columns,
-  * built from codegen'd higher-order functions (`zip_with`, `aggregate`) —
-  * no UDFs, so the hot loops stay inside whole-stage codegen and the same
-  * formulas are expressible in the DuckDB oracle.
+/** Dense-vector column math over `array<float>` / `array<double>` columns.
+  *
+  * The per-pair hot loops (`dot`, `dist2`, `norm2`) are native codegen'd
+  * Catalyst expressions (`DotExpr`/`Dist2Expr` — tight primitive loops
+  * inside whole-stage codegen). The higher-order-function twins
+  * (`dotHof`/`dist2Hof`) remain as the SQL-portable formulation the DuckDB
+  * oracle mirrors; FunctionsSpec asserts the two are bit-identical.
   *
   * Elements are cast to double BEFORE any arithmetic: float->double is exact,
   * and both engines then accumulate in double left-to-right, which keeps the
   * oracle bit-compatible.
   */
 object VectorOps {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
   /** Cast array<float> -> array<double> (exact). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = toCol(DotExpr(toExpr(a), toExpr(b)))
 
-  def norm2(a: Column): Column =
-    aggregate(toDouble(a), lit(0.0d), (acc, v) => acc + v * v)
+  def norm2(a: Column): Column = dot(a, a)
 
   def norm(a: Column): Column = sqrt(norm2(a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Squared euclidean distance. */
-  def dist2(a: Column, b: Column): Column =
+  def dist2(a: Column, b: Column): Column = toCol(Dist2Expr(toExpr(a), toExpr(b)))
+
+  /** Builtin-only HOF twin of `dot` (what the SQL oracle mirrors). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Builtin-only HOF twin of `dist2`. */
+  private[graft] def dist2Hof(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
 
   /** Scala twin of GraftFunctions.hash60 for plan-build-time constants. */
@@ -48,14 +57,11 @@ object VectorOps {
     */
   def lshBucket(v: Column, dim: Int, nPlanes: Int): Column = {
     require(nPlanes <= 62, "bucket packed into a long")
-    val dv = toDouble(v)
     val bits = (0 until nPlanes).map { p =>
       val coefs = (0 until dim).map { d =>
         (hash60Scala(s"${p}_$d") % 1000003L).toDouble / 500001.5d - 1.0d
       }
-      val proj = aggregate(
-        zip_with(dv, array(coefs.map(lit): _*), (x, c) => x * c),
-        lit(0.0d), (acc, x) => acc + x)
+      val proj = dot(v, array(coefs.map(lit): _*))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

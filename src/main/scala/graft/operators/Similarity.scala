@@ -57,10 +57,20 @@ object Similarity {
     * of the full scored set.
     */
   def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankTopK(scored(corpus, queries, idCol, vecCol), k)
+
+  /** Shared ranking tail: scored (query_id, neighbor_id, cosine) rows →
+    * top-k per query through the bounded `TopKAgg`, so the shuffle carries
+    * at most partitions×queries×k rows (a `row_number` window would
+    * shuffle-sort every scored candidate). Requires a LONG neighbor id
+    * (the aggregator's buffer type); rank = 1-based in (cosine desc,
+    * neighbor_id asc) order — identical to the window formulation
+    * (asserted in SimilaritySpec).
+    */
+  private def rankTopK(sc: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k))
-    scored(corpus, queries, idCol, vecCol)
-      .groupBy("query_id")
+    sc.groupBy("query_id")
       .agg(topk(col("cosine"), col("neighbor_id")).as("tk"))
       .select(col("query_id"), posexplode(arrays_zip(col("tk._1"), col("tk._2"))))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
@@ -93,10 +103,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    sc.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(sc, k)
   }
 
   /** IVF (inverted-file) ANN: a deterministic coarse codebook — the
@@ -119,9 +126,7 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }
 
     def dist2To(v: Column, cvec: Seq[Double]): Column =
-      aggregate(
-        zip_with(VectorOps.toDouble(v), array(cvec.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
+      VectorOps.dist2(v, array(cvec.map(lit): _*))
     def cellStructs(v: Column): Column =
       array(codebook.map { case (i, cvec) =>
         struct(dist2To(v, cvec).as("d"), lit(i).as("cell"))
@@ -139,10 +144,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    sc.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(sc, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by LSH

@@ -30,6 +30,42 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("native DotExpr/Dist2Expr == HOF twins bit-for-bit, incl. null/length edge cases") {
+    val s = spark; import s.implicits._
+    import graft.functions.VectorOps
+    // real float embeddings from the fixture + hand-built edge cases
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(64)
+    val self = emb.select(col("embedding").as("a"), col("embedding").as("b"))
+    val pairs = emb.select(col("embedding").as("a"))
+      .crossJoin(emb.select(col("embedding").as("b")).limit(4))
+    for (df <- Seq(self, pairs)) {
+      val rows = df.select(
+        VectorOps.dot(col("a"), col("b")).as("n_dot"),
+        VectorOps.dotHof(col("a"), col("b")).as("h_dot"),
+        VectorOps.dist2(col("a"), col("b")).as("n_d2"),
+        VectorOps.dist2Hof(col("a"), col("b")).as("h_d2")).collect()
+      assert(rows.nonEmpty)
+      // bit-for-bit: compare raw double bits, not epsilon
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"dot mismatch: $r")
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)), s"dist2 mismatch: $r")
+      }
+    }
+    // edge cases: empty arrays -> 0.0; length mismatch -> null; null array -> null
+    val edge = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f))),
+      (None, Some(Seq(1.0f)))).toDF("a", "b")
+    val got = edge.select(
+      VectorOps.dot(col("a"), col("b")).as("n"),
+      VectorOps.dotHof(col("a"), col("b")).as("h")).collect()
+    assert(got.map(r => (r.get(0), r.get(1))).toSeq ==
+      Seq((11.0, 11.0), (0.0, 0.0), (null, null), (null, null)))
+  }
+
   test("scalar surface: initialism, zeroToSentinel, stripUrlSuffix, durationSeconds") {
     val s = spark; import s.implicits._
     val row = Seq(("property-centroid", "0", "https://x/api/query"))

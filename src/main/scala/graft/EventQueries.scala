@@ -59,10 +59,32 @@ object EventQueries {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Multi-row keyed state (flatMapGroupsWithState) in batch mode: one
+    * alert row per 5000-cent boundary the per-user running total crosses,
+    * folding events in (ms, event_id) order. The oracle mirrors it with a
+    * cumulative-sum window + generate_series over the crossed boundaries.
+    */
+  private val spendAlerts: Q = (s, d) => {
+    import s.implicits._
+    EventsStream.spendAlerts(Tables.events(s, d), stepCents = 5000L)
+      .toDF("user_id", "boundary_cents", "event_id")
+  }
+
+  private val spendAlertsSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |c AS (SELECT *, CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM e),
+      |x AS (SELECT user_id, event_id,
+      |             CAST(floor(CAST(cum - cents AS DOUBLE) / 5000) AS BIGINT) + 1 AS lo,
+      |             CAST(floor(CAST(cum AS DOUBLE) / 5000) AS BIGINT) AS hi FROM c)
+      |SELECT user_id, CAST(unnest(generate_series(lo, hi)) * 5000 AS BIGINT) AS boundary_cents, event_id
+      |FROM x""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("user_totals", userTotals, Some(userTotalsSql)),
     ("hourly_type_counts", hourly, Some(hourlySql)),
     ("sessionize", sessionize, Some(sessionizeSql)),
     ("session_windows", sessionWindows, Some(sessionWindowsSql)),
+    ("spend_alerts", spendAlerts, Some(spendAlertsSql)),
   )
 }

@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.Hash60Expr
+import graft.functions.{Dist2Expr, DotExpr, Hash60Expr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * expressions so SQL users get them too (`SELECT hash60(col) ...`).
-  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * expressions so SQL users get them too (`SELECT hash60(col) ...`,
+  * `SELECT vec_dot(a, b) ...`). Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * (GraftSession does).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -16,5 +17,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hash60"),
       new ExpressionInfo(classOf[Hash60Expr].getName, "hash60"),
       (children: Seq[Expression]) => Hash60Expr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "vec_dot"),
+      (children: Seq[Expression]) => DotExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dist2"),
+      new ExpressionInfo(classOf[Dist2Expr].getName, "vec_dist2"),
+      (children: Seq[Expression]) => Dist2Expr(children(0), children(1))))
   }
 }

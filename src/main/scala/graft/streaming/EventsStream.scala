@@ -62,6 +62,48 @@ object EventsStream {
       }
   }
 
+  /** Custom keyed state with MULTI-ROW emission via `flatMapGroupsWithState`
+    * (the zero-or-more-outputs-per-group shape `mapGroupsWithState` cannot
+    * express): per-user running spend with one alert row emitted for every
+    * `stepCents` boundary the running total crosses — an event that jumps
+    * two boundaries emits two rows; a total that falls and re-crosses a
+    * boundary alerts again.
+    *
+    * Rows are folded in `(ms, event_id)` order — a total order, so the
+    * batch run and an in-order streaming replay produce identical output
+    * (EventsStreamSpec drives both). State per key is one long. Cents use
+    * the same HALF_UP rounding as every other money path. In a production
+    * stream a state TTL (`GroupStateTimeout`) would bound the key space;
+    * the fixture population is finite.
+    */
+  def spendAlerts(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  stepCents: Long = 5000L)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), unix_millis(col("ts")).as("ms"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[(Long, Long, Long)]
+          rows.toVector.sortBy(r => (r._2, r._3)).foreach { r =>
+            val prev = cum
+            cum += halfUpCents(r._4)
+            var b = Math.floorDiv(prev, stepCents) + 1
+            while (b <= Math.floorDiv(cum, stepCents)) {
+              out += ((user, b * stepCents, r._3))
+              b += 1
+            }
+          }
+          state.update(cum)
+          out.result().iterator
+      }
+  }
+
   /** Versioned state store for `upsertStream`. Each write lands in its own
     * `v-<version>` parquet dir; the COMMIT POINT is the creation of the
     * empty `commit-v-<version>` marker (file create is atomic), so a crash

@@ -91,6 +91,34 @@ class EventsStreamSpec extends SparkSpec {
     assert(last == Map(7L -> ((2L, 200L)), 8L -> ((1L, 200L))))
   }
 
+  test("spendAlerts: flatMapGroupsWithState emits per crossed boundary, across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, "2026-01-01 10:00:00", 7L, 7.50),   // cum 750: no boundary
+                 (2L, "2026-01-01 10:05:00", 7L, 5.00))   // cum 1250: crosses 1000
+    val b2 = Seq((3L, "2026-01-01 10:10:00", 7L, 25.00))  // cum 3750: crosses 2000 AND 3000
+    def mkDf(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    val q = EventsStream.spendAlerts(mkDf(mem.toDF()), stepCents = 1000L)
+      .toDF("user_id", "boundary_cents", "event_id")
+      .writeStream.format("memory").queryName("alerts_out").outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("alerts_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((7L, 1000L, 2L), (7L, 2000L, 3L), (7L, 3000L, 3L)))
+    // in-order replay == one batch pass over the concatenation
+    val batch = EventsStream.spendAlerts(mkDf((b1 ++ b2).toDF()), stepCents = 1000L)
+      .collect().map(t => (t._1, t._2, t._3)).toSet
+    assert(streamed == batch)
+  }
+
   test("upsertStream: micro-batches merge into carried state, last write wins per key") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

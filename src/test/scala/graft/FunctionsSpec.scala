@@ -30,6 +30,17 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("vec_dot / vec_dist2 are registered for SQL via GraftExtensions") {
+    val dot = spark.sql(
+      "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(dot == 9.0)
+    val d2 = spark.sql(
+      "SELECT vec_dist2(array(CAST(1.0 AS DOUBLE)), array(CAST(4.0 AS DOUBLE))) AS d")
+      .head().getDouble(0)
+    assert(d2 == 9.0)
+  }
+
   test("native DotExpr/Dist2Expr == HOF twins bit-for-bit, incl. null/length edge cases") {
     val s = spark; import s.implicits._
     import graft.functions.VectorOps

@@ -42,4 +42,29 @@ class SnapshotStore(root: String) {
     val p = new org.apache.hadoop.fs.Path(s"$root/$runId/$table")
     if (fs(spark).exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
+
+  /** K1 at 100 TB — bucketed snapshot write: hash-bucket the table by its
+    * join key on the way out. The snapshot is rewritten every run anyway,
+    * so the bucketing costs one extra sort within the write — and every
+    * keyed join of the NEXT run (previous snapshot ⋈ current delta on the
+    * entity key, the recurring big⋈big join of the incremental flow) then
+    * reads both sides pre-partitioned and skips the shuffle entirely when
+    * bucket layouts line up (asserted in SinksSpec). Bucket metadata lives
+    * in the session catalog (`bucketBy` requires `saveAsTable`); the files
+    * stay under the snapshot layout via the external-table path.
+    *
+    * Returns the catalog table name to `spark.table(...)` (reading the
+    * path directly would see the data but not the bucketing).
+    */
+  def writeBucketed(df: DataFrame, runId: String, table: String,
+                    key: String, numBuckets: Int): String = {
+    val name = s"snap_${runId}_$table".replaceAll("[^A-Za-z0-9_]", "_")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", tablePath(runId, table))
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(name)
+    name
+  }
 }

@@ -168,6 +168,29 @@ class SinksSpec extends SparkSpec {
     assert(LazyFetcherState.authed.get())
   }
 
+  test("bucketed snapshot tables join WITHOUT a shuffle on either side") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("bucketed-snap")
+    val store = new graft.sources.SnapshotStore(dir.toString)
+    val prev = (1L to 1000L).map(i => (i, s"prev_$i")).toDF("k", "pv")
+    val cur = (500L to 1500L).map(i => (i, s"cur_$i")).toDF("k", "cv")
+    val tPrev = store.writeBucketed(prev, "run1", "prev", "k", 8)
+    val tCur = store.writeBucketed(cur, "run1", "cur", "k", 8)
+    // disable broadcast so the join would otherwise need a full shuffle
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(tPrev).join(spark.table(tCur), Seq("k"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"), s"bucketed join still shuffles:\n$physical")
+      assert(joined.count() == 501)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+      spark.sql(s"DROP TABLE IF EXISTS $tPrev")
+      spark.sql(s"DROP TABLE IF EXISTS $tCur")
+    }
+  }
+
   test("run lock: held lock blocks, expired lock is reclaimable") {
     val dir = Files.createTempDirectory("locks")
     var clock = 1000L

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -99,18 +98,22 @@ object Dedup {
 
   /** Exact dedup: fingerprint the normalized text, keep the lowest-id row per
     * fingerprint group. Returns the SURVIVING ROWS (all input columns) plus
-    * `fp` and the group size `n_copies`. Both window functions share one
-    * partitioning, so this is a single shuffle on the fingerprint.
+    * `fp` and the group size `n_copies`.
+    *
+    * One `min_by` + `count` aggregation on the fingerprint — like
+    * `RelOps.latestPerKey`, the aggregate form partially combines map-side
+    * (shuffle ≈ one row per fingerprint per partition), where the previous
+    * two-window form shuffle-sorted every row. At corpus scale the shuffle
+    * payload drops from the corpus to ~|distinct docs|.
     */
-  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val byFp = Window.partitionBy("fp")
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .withColumn("fp", fingerprint(col(textCol)))
-      .withColumn("n_copies", count(lit(1)).over(byFp).cast("long"))
-      .withColumn("__rn", row_number().over(byFp.orderBy(col(idCol))))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+      .groupBy("fp")
+      .agg(
+        min_by(struct(docs.columns.map(col): _*), col(idCol)).as("__row"),
+        count(lit(1)).cast("long").as("n_copies"))
+      .select(col("__row.*") +: Seq(col("fp"), col("n_copies")): _*)
 
   /** MinHash signatures as one exploded scan + one map-side-combined
     * groupBy: each shingle is md5-hashed exactly ONCE, then the k affine
@@ -242,10 +245,15 @@ object Dedup {
     // hold ones-counts; no carry while docs stay under 2^16 tokens.
     // bit b of the simhash is set iff 2*ones_b > n_tokens — identical to
     // the ±1-vote rule (sum(±1) > 0 ⟺ 2*ones > count).
+    // nibble-spread: bits [4g, 4g+3] land in the four 16-bit lanes with one
+    // multiply — x·(1 + 2^15 + 2^30 + 2^45) lays four non-overlapping copies
+    // of the nibble 15 bits apart, so lane masks pick bit j at position 16j
+    // (4 ops/group instead of 16 shift-mask-shift chains; identical values)
+    val spread = 1L | (1L << 15) | (1L << 30) | (1L << 45)
+    val lanes = 1L | (1L << 16) | (1L << 32) | (1L << 48)
     val packed: Seq[Column] = (0 until 15).map { g =>
-      val term = (0 until 4).map { j =>
-        shiftleft(shiftright(col("h"), 4 * g + j).bitwiseAND(lit(1L)), 16 * j)
-      }.reduce(_ + _)
+      val term = (shiftright(col("h"), 4 * g).bitwiseAND(lit(0xFL)) * lit(spread))
+        .bitwiseAND(lit(lanes))
       sum(term).as(s"p$g")
     }
     val agg = tok.groupBy(idCol).agg(packed.head, (packed.tail :+ count(lit(1)).as("__cnt")): _*)

@@ -124,6 +124,42 @@ object TextQueries {
        |              (acc, h) -> (acc * CAST(1000003 AS BIGINT) + h) % $P) AS fp_roll
        |FROM n""".stripMargin
 
+  // -- PII redaction -----------------------------------------------------
+  /** The fixture corpus carries no PII, so the query plants a
+    * deterministic email/phone/IP per document before scrubbing — the
+    * oracle replays the same construction and the same regex chain, so a
+    * pattern drifting between Java and RE2 semantics breaks the hash.
+    */
+  private val piiRedact: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextAnalysis.redactPii(concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 0412 345 678 at 10.0.0."),
+        pmod(col("doc_id"), lit(256L)).cast("string"))).as("clean"))
+
+  private val piiRedactSql =
+    """WITH raw AS (SELECT doc_id,
+      |  text || ' contact user' || doc_id || '@example.com or 0412 345 678 at 10.0.0.' || (doc_id % 256) AS t
+      |  FROM documents)
+      |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+      |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |  '\b\d{4} \d{3} \d{3}\b', '<PHONE>', 'g') AS clean
+      |FROM raw""".stripMargin
+
+  // -- token-window chunking ---------------------------------------------
+  private val chunkTokens: Q = (s, d) =>
+    TextAnalysis.chunkTokens(docs(s, d), window = 32, overlap = 8)
+
+  private val chunkTokensSql =
+    s"""WITH t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
+       |st AS (SELECT doc_id, tk,
+       |         unnest(generate_series(0, greatest(len(tk) - 1, 0), 24)) AS start FROM t)
+       |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_no,
+       |  CAST(least(len(tk) - start, 32) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(tk, start + 1, start + 32), ' ') AS chunk_text
+       |FROM st""".stripMargin
+
   // -- exact dedup --------------------------------------------------------
   private val exactDedup: Q = (s, d) => Dedup.exact(docs(s, d))
 
@@ -244,6 +280,8 @@ object TextQueries {
     ("quality_score", quality, Some(qualitySql)),
     ("token_counts", tokenCounts, Some(tokenCountsSql)),
     ("fingerprints", fingerprints, Some(fingerprintsSql)),
+    ("pii_redact", piiRedact, Some(piiRedactSql)),
+    ("chunk_tokens", chunkTokens, Some(chunkTokensSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),

@@ -78,6 +78,48 @@ object TextAnalysis {
       .withColumn("n_words", wordCount(col(textCol)).cast("long"))
       .withColumn("n_subwords", subwordCount(col(textCol)).cast("long"))
 
+  /** PII redaction: emails, IPv4 addresses, and AU-format phone numbers
+    * replaced with typed placeholders — the standard scrub pass before
+    * training-data release. Pure codegen'd `regexp_replace` chain (no UDF,
+    * no shuffle); the patterns stay within the regex subset Java and RE2
+    * interpret identically, so the DuckDB oracle replays them verbatim
+    * (with the explicit 'g' flag — DuckDB replaces first-match by
+    * default, Spark replaces globally). Email first: an address contains
+    * digit runs and dots that the later patterns could clip.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      "\\b\\d{4} \\d{3} \\d{3}\\b", "<PHONE>")
+
+  /** Fixed-size token windows with overlap — context-window chunking for
+    * training-sequence packing. Chunk `i` covers tokens
+    * `[i·stride, i·stride + window)` with `stride = window − overlap`; the
+    * final chunk may be short, and an empty document yields one empty
+    * chunk (rows never vanish). The token array is materialized in its own
+    * projection BEFORE the per-chunk lambda references it — an inlined
+    * tokenization would re-run per chunk (interpreted HOFs have no CSE).
+    * Output: (id, chunk_no, n_tokens, chunk_text), one row per chunk —
+    * a pure per-row explode, no shuffle.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                  window: Int = 32, overlap: Int = 8): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window, "need 0 <= overlap < window")
+    val stride = window - overlap
+    docs
+      .select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(sequence(lit(0), greatest(size(col("__tk")) - 1, lit(0)), lit(stride))))
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_no"),
+        least(size(col("__tk")) - col("col"), lit(window)).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("__tk"), col("col") + 1, lit(window))).as("chunk_text"))
+  }
+
   /** Content fingerprint (md5 of normalized text) + a 31-bit rolling
     * polynomial hash over tokens (Rabin-Karp style), for cheap
     * order-sensitive near-identity checks. The accumulator is reduced

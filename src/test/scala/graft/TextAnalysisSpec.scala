@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
@@ -32,6 +33,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_words") == 3)
     // internationalization(20) -> 5 chunks, is -> 1, fun -> 1, ! -> 1
     assert(r.getAs[Long]("n_subwords") == 8)
+  }
+
+  test("redactPii scrubs emails, IPv4s, and AU phone numbers with typed placeholders") {
+    val s = spark; import s.implicits._
+    val out = Seq(
+      "mail me at jo.smith+x@dept.example.org thanks",
+      "server 192.168.0.1 and mobile 0412 345 678",
+      "no pii here, just 12 plain words and 3.14").toDF("t")
+      .select(TextAnalysis.redactPii(col("t")).as("clean"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "mail me at <EMAIL> thanks",
+      "server <IP> and mobile <PHONE>",
+      "no pii here, just 12 plain words and 3.14"))
+  }
+
+  test("chunkTokens: overlapping fixed windows, short tail, empty doc keeps one empty chunk") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, " ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, window = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 4L, "w7 w8 w9 w10"),
+      (1L, 3L, 1L, "w10"),
+      (2L, 0L, 0L, "")))
   }
 
   test("fingerprints: whitespace-insensitive md5, order-sensitive rolling hash") {

@@ -85,9 +85,12 @@ object TextQueries {
       "n_distinct_tokens", "mean_token_len", "distinct_ratio", "punct_ratio",
       "n_stopwords", "stopword_ratio", "quality_score")
 
-  private val qualitySql = {
+  /** The quality-signal CTE body (everything after `WITH`), shared by the
+    * quality_score oracle and the source_filter oracle.
+    */
+  private val qualityCtes = {
     val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS tk, ${toks("lower(text)")} AS ltk FROM documents),
+    s"""t AS (SELECT doc_id, text, ${toks("text")} AS tk, ${toks("lower(text)")} AS ltk FROM documents),
        |m AS (SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_tokens,
        |             CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
        |             CAST(len(list_filter(ltk, x -> list_contains($stopList, x))) AS BIGINT) AS n_stopwords FROM t),
@@ -96,12 +99,37 @@ object TextQueries {
        |  round(CASE WHEN n_tokens > 0 THEN CAST(n_distinct_tokens AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS distinct_ratio,
        |  round(CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
        |  round(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 4) AS punct_ratio
-       |FROM m)
-       |SELECT doc_id, n_tokens, n_distinct_tokens, mean_token_len, distinct_ratio, punct_ratio,
+       |FROM m),
+       |q AS (SELECT doc_id, n_tokens, n_distinct_tokens, mean_token_len, distinct_ratio, punct_ratio,
        |  n_stopwords, stopword_ratio,
        |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * distinct_ratio * (1.0 - punct_ratio), 4) AS quality_score
-       |FROM r""".stripMargin
+       |FROM r)""".stripMargin
   }
+
+  private val qualitySql = s"WITH $qualityCtes\nSELECT * FROM q"
+
+  // -- source-level quality gate -----------------------------------------
+  private val sourceFilter: Q = (s, d) =>
+    TextAnalysis.sourceQualityFilter(docs(s, d), minMean = 0.37)
+      .select("doc_id", "source", "lang")
+
+  private val sourceFilterSql =
+    s"""WITH $qualityCtes,
+       |good AS (SELECT d.source FROM q JOIN documents d USING (doc_id)
+       |         GROUP BY d.source
+       |         HAVING sum(CAST(quality_score AS DECIMAL(18,4))) >= CAST(0.37 AS DECIMAL(18,4)) * count(*))
+       |SELECT doc_id, source, lang FROM documents WHERE source IN (SELECT source FROM good)""".stripMargin
+
+  // -- deterministic stratified sampling ---------------------------------
+  private val stratified: Q = (s, d) =>
+    TextAnalysis.stratifiedSample(docs(s, d),
+      rates = Map("en" -> 0.5), defaultRate = 0.25)
+      .select("doc_id", "lang", "source")
+
+  private val stratifiedSql =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ${h60("lang || ':' || doc_id")} % 1000000 <
+       |      CASE WHEN lang = 'en' THEN 500000 ELSE 250000 END""".stripMargin
 
   // -- token counting ---------------------------------------------------
   private val tokenCounts: Q = (s, d) =>
@@ -282,6 +310,8 @@ object TextQueries {
     ("fingerprints", fingerprints, Some(fingerprintsSql)),
     ("pii_redact", piiRedact, Some(piiRedactSql)),
     ("chunk_tokens", chunkTokens, Some(chunkTokensSql)),
+    ("source_filter", sourceFilter, Some(sourceFilterSql)),
+    ("stratified_sample", stratified, Some(stratifiedSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),

@@ -78,6 +78,50 @@ object TextAnalysis {
       .withColumn("n_words", wordCount(col(textCol)).cast("long"))
       .withColumn("n_subwords", subwordCount(col(textCol)).cast("long"))
 
+  /** Source-level quality gate: keep documents whose SOURCE's mean
+    * composite quality score clears `minMean` — the standard
+    * spam-domain/boilerplate-site filter (per-document scores are noisy;
+    * the per-source aggregate is the reliable signal). Two-level shape:
+    * per-doc scan → per-source aggregate (map-side combined, |sources|
+    * rows) → semi join back, which AQE broadcasts. The gate compares in
+    * DECIMAL — `sum(score) >= minMean × count` — because a double mean is
+    * partition-order-dependent and could flip a boundary source between
+    * engines.
+    */
+  def sourceQualityFilter(docs: DataFrame, sourceCol: String = "source",
+                          minMean: Double = 0.2): DataFrame = {
+    val good = qualityScore(docs)
+      .groupBy(sourceCol)
+      .agg(
+        sum(col("quality_score").cast("decimal(18,4)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .filter(col("__s") >= lit(minMean).cast("decimal(18,4)") * col("__n"))
+      .select(sourceCol)
+    docs.join(good, Seq(sourceCol), "left_semi")
+  }
+
+  /** Deterministic stratified sampling — per-stratum keep rates for
+    * composing training mixes ("50% of en, 25% of everything else").
+    * Membership is a pure hash decision on (stratum, id): seedless,
+    * reproducible across engines and runs, stable under repartitioning —
+    * none of which holds for `df.sample`. A row is kept iff
+    * `hash60(stratum:id) mod 1e6 < rate·1e6`, so expected rates are exact
+    * to 1e-6 granularity and strata are sampled independently. Pure
+    * filter: no shuffle, composes with scan pushdown.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double = 1.0, stratumCol: String = "lang",
+                       idCol: String = "doc_id"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1), "rates in [0,1]")
+    val bucket = pmod(
+      hash60(concat_ws(":", col(stratumCol), col(idCol).cast("string"))), lit(1000000L))
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 1e6).toLong)) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit((r * 1e6).toLong)).otherwise(acc)
+    }
+    docs.filter(bucket < threshold)
+  }
+
   /** PII redaction: emails, IPv4 addresses, and AU-format phone numbers
     * replaced with typed placeholders — the standard scrub pass before
     * training-data release. Pure codegen'd `regexp_replace` chain (no UDF,

@@ -35,6 +35,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_subwords") == 8)
   }
 
+  test("sourceQualityFilter drops every document of a low-mean source") {
+    val s = spark; import s.implicits._
+    val good = (1 to 5).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta$i", "good"))
+    val junk = (6 to 10).map(i => (i.toLong, "!!! ??? !!! ??? !!!", "junk"))
+    val df = (good ++ junk).toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.sourceQualityFilter(df, minMean = 0.05)
+      .select("source").distinct().collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("good"))
+  }
+
+  test("stratifiedSample: deterministic, rate-monotone, exact at the extremes") {
+    val s = spark; import s.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "lang")
+    def ids(rates: Map[String, Double], default: Double) =
+      TextAnalysis.stratifiedSample(df, rates, default)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(Map("en" -> 1.0), 1.0).size == 400)
+    assert(ids(Map("en" -> 0.0), 1.0).forall(_ % 2 == 1)) // en stratum emptied
+    val quarter = ids(Map("en" -> 0.25), 0.25)
+    val threeQ = ids(Map("en" -> 0.75), 0.75)
+    assert(quarter.subsetOf(threeQ)) // raising the rate only adds rows
+    assert(quarter == ids(Map("en" -> 0.25), 0.25)) // reproducible, no seed state
+  }
+
   test("redactPii scrubs emails, IPv4s, and AU phone numbers with typed placeholders") {
     val s = spark; import s.implicits._
     val out = Seq(

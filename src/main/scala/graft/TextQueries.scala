@@ -188,6 +188,17 @@ object TextQueries {
        |  array_to_string(list_slice(tk, start + 1, start + 32), ' ') AS chunk_text
        |FROM st""".stripMargin
 
+  // -- document-frequency corpus stats -------------------------------------
+  private val docFreq: Q = (s, d) => TextAnalysis.docFrequency(docs(s, d))
+
+  private val docFreqSql =
+    s"""WITH t AS (SELECT doc_id, list_distinct(${toks(norm("text"))}) AS tk FROM documents),
+       |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+       |tot AS (SELECT count(DISTINCT doc_id) AS total FROM documents)
+       |SELECT token, count(*) AS df_count,
+       |  round(CAST(count(*) AS DOUBLE) / (SELECT total FROM tot), 6) AS df_ratio
+       |FROM e GROUP BY 1""".stripMargin
+
   // -- exact dedup --------------------------------------------------------
   private val exactDedup: Q = (s, d) => Dedup.exact(docs(s, d))
 
@@ -312,6 +323,7 @@ object TextQueries {
     ("chunk_tokens", chunkTokens, Some(chunkTokensSql)),
     ("source_filter", sourceFilter, Some(sourceFilterSql)),
     ("stratified_sample", stratified, Some(stratifiedSql)),
+    ("doc_freq", docFreq, Some(docFreqSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),

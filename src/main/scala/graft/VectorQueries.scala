@@ -101,10 +101,23 @@ object VectorQueries {
        |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2""".stripMargin
 
+  // -- mean-pooled class centroids -----------------------------------------
+  private val centroids: Q = (s, d) =>
+    Similarity.classCentroids(Tables.embeddings(s, d))
+
+  private val centroidsSql =
+    s"""WITH x AS (SELECT label, d.dim AS dim,
+       |  CAST(round(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+       |  FROM embeddings, (SELECT unnest(range(0, $DIM)) AS dim) d)
+       |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       |  round(sum(q) / count(*) / 1000000.0, 6) AS centroid
+       |FROM x GROUP BY 1, 2""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("brute_force_topk", bruteForce, Some(bruteForceSql)),
     ("lsh_topk", lshTopK, Some(lshTopKSql)),
     ("ivf_topk", ivfTopK, Some(ivfTopKSql)),
     ("cosine_near_dup", nearDup, Some(nearDupSql)),
+    ("class_centroids", centroids, Some(centroidsSql)),
   )
 }

@@ -167,4 +167,28 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Mean-pooled class centroids — the distributed shape for averaging
+    * vectors (class prototypes, cluster centers, nearest-centroid
+    * classifiers): explode to (class, dim, value) and let a plain
+    * map-side-combined sum do the work, so the shuffle carries
+    * |classes|×dim partial sums, never vectors. One row per (class, dim) —
+    * no array reassembly, so no collect_list ordering hazard.
+    *
+    * Values are quantized to micros (`round(v·1e6)` as long) BEFORE
+    * summation: a double sum is partition-order-dependent in its last
+    * bits, which would make the result nondeterministic across runs and
+    * engines; the long sum is exact and associative. The final division
+    * back to a rounded double mean is deterministic given identical sums.
+    */
+  def classCentroids(vectors: DataFrame, classCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(classCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(classCol), col("dim").cast("long").as("dim"))
+      .agg(
+        sum(round(col("v").cast("double") * 1000000).cast("long")).as("__sq"),
+        count(lit(1)).cast("long").as("n"))
+      .select(col(classCol), col("dim"), col("n"),
+        round(col("__sq") / col("n") / 1000000.0, 6).as("centroid"))
 }

@@ -164,6 +164,26 @@ object TextAnalysis {
         concat_ws(" ", slice(col("__tk"), col("col") + 1, lit(window))).as("chunk_text"))
   }
 
+  /** Corpus document-frequency statistics: for each token, how many
+    * documents contain it and its share of the corpus — the input to IDF
+    * weighting, stopword discovery, and boilerplate detection. Per-doc
+    * DISTINCT tokens explode to one row each, then a plain
+    * map-side-combined count per token — shuffle carries |vocab| partial
+    * counts, not the token stream. `df_ratio` divides two exact longs, so
+    * it is deterministic.
+    */
+  def docFrequency(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val total = docs.select(countDistinct(col(idCol)).as("__total"))
+    docs
+      .select(col(idCol), explode(array_distinct(tokens(normalizeText(col(textCol))))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).cast("long").as("df_count"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("df_count"),
+        round(col("df_count").cast("double") / col("__total"), 6).as("df_ratio"))
+  }
+
   /** Content fingerprint (md5 of normalized text) + a 31-bit rolling
     * polynomial hash over tokens (Rabin-Karp style), for cheap
     * order-sensitive near-identity checks. The accumulator is reduced

@@ -45,6 +45,16 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.size > single.size) // Hamming-1 probes actually add recall
   }
 
+  test("classCentroids: exact quantized means per (class, dim)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Seq(1.0f, 3.0f), "x"), (2L, Seq(3.0f, 5.0f), "x"),
+      (3L, Seq(10.0f, 0.0f), "y")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.classCentroids(df).orderBy("label", "dim")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(("x", 0L, 2L, 2.0), ("x", 1L, 2L, 4.0),
+      ("y", 0L, 1L, 10.0), ("y", 1L, 1L, 0.0)))
+  }
+
   test("ivfTopK scores match brute force on the pairs it returns; k rows per query") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 4)

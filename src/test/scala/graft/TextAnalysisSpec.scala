@@ -35,6 +35,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_subwords") == 8)
   }
 
+  test("docFrequency counts documents-per-token over distinct per-doc tokens") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b a"), (2L, "a"), (3L, "c a")).toDF("doc_id", "text")
+    val out = TextAnalysis.docFrequency(df).orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("a", 3L, 1.0), ("b", 1L, 0.333333), ("c", 1L, 0.333333)))
+  }
+
   test("sourceQualityFilter drops every document of a low-mean source") {
     val s = spark; import s.implicits._
     val good = (1 to 5).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta$i", "good"))

@@ -62,6 +62,19 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup with BOUNDED state: keep the first event per
+    * key, dropping repeats that arrive within the watermark window.
+    * `dropDuplicatesWithinWatermark` evicts each key's dedup state once
+    * the watermark passes it — unlike a plain streaming `dropDuplicates`,
+    * whose state grows with every key ever seen and OOMs a 100 TB stream.
+    * Trade: a duplicate arriving later than `lateness` after its first
+    * occurrence is emitted again (at-least-once dedup) — the standard
+    * contract for watermarked streams. Batch twin: `dropDuplicates(keys)`.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
+
   /** Custom keyed state with MULTI-ROW emission via `flatMapGroupsWithState`
     * (the zero-or-more-outputs-per-group shape `mapGroupsWithState` cannot
     * express): per-user running spend with one alert row emitted for every

@@ -91,6 +91,32 @@ class EventsStreamSpec extends SparkSpec {
     assert(last == Map(7L -> ((2L, 200L)), 8L -> ((1L, 200L))))
   }
 
+  test("dedupStream drops within-watermark repeats across micro-batches, state stays bounded") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val streamDf = mem.toDF().toDF("k", "ts_s", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val q = EventsStream.dedupStream(streamDf, Seq("k"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData((1L, "2026-01-01 10:00:00", "first"), (2L, "2026-01-01 10:00:00", "first"))
+      q.processAllAvailable()
+      // duplicate of k=1 within the watermark window: dropped
+      mem.addData((1L, "2026-01-01 10:05:00", "dup"))
+      q.processAllAvailable()
+      // advance event time far past the watermark, then repeat k=1: its
+      // dedup state was evicted, so the late duplicate is emitted again
+      mem.addData((3L, "2026-01-01 12:00:00", "tick"))
+      q.processAllAvailable()
+      mem.addData((1L, "2026-01-01 12:00:01", "re-emitted"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(out == Seq((1L, "first"), (1L, "re-emitted"), (2L, "first"), (3L, "tick")))
+  }
+
   test("spendAlerts: flatMapGroupsWithState emits per crossed boundary, across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

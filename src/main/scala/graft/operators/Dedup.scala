@@ -437,6 +437,19 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup collapse: the full corpus minus every
+    * non-canonical cluster member — each near-duplicate CLUSTER (from
+    * `dedupClusters` over any pair source) keeps exactly its minimum-id
+    * row. The winner set is |clusters| ids, broadcast-joinable back
+    * against the corpus under AQE.
+    */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val winners = dedupClusters(docs, pairs, idCol)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(idCol)
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** N-gram Jaccard near-dup: candidates from MinHash-LSH *within* a cheap
     * blocking key (language), verified with exact shingle-set Jaccard. The
     * block column narrows LSH collisions across languages; the LSH banding

@@ -59,6 +59,16 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("survivors keeps exactly one row (minimum id) per near-dup cluster") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 7L).map(i => (i, s"text_$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.survivors(docs, pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "text_1"), (4L, "text_4"), (5L, "text_5"), (7L, "text_7")))
+  }
+
   test("shingles: n-grams of normalized text, distinct, short-text fallback") {
     val s = spark; import s.implicits._
     val out = Seq("a b c d", "x y").toDF("t")

@@ -17,13 +17,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hash60"),
       new ExpressionInfo(classOf[Hash60Expr].getName, "hash60"),
       (children: Seq[Expression]) => Hash60Expr(children.head)))
+    def binary(name: String, mk: (Expression, Expression) => Expression)
+        (children: Seq[Expression]): Expression = children match {
+      case Seq(a, b) => mk(a, b)
+      case other => throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${other.size}")
+    }
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotExpr(children(0), children(1))))
+      binary("vec_dot", DotExpr.apply) _))
     ext.injectFunction((
       new FunctionIdentifier("vec_dist2"),
       new ExpressionInfo(classOf[Dist2Expr].getName, "vec_dist2"),
-      (children: Seq[Expression]) => Dist2Expr(children(0), children(1))))
+      binary("vec_dist2", Dist2Expr.apply) _))
   }
 }

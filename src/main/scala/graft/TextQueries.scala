@@ -128,7 +128,7 @@ object TextQueries {
 
   private val stratifiedSql =
     s"""SELECT doc_id, lang, source FROM documents
-       |WHERE ${h60("lang || ':' || doc_id")} % 1000000 <
+       |WHERE ${h60("coalesce(lang, '') || ':' || doc_id")} % 1000000 <
        |      CASE WHEN lang = 'en' THEN 500000 ELSE 250000 END""".stripMargin
 
   // -- token counting ---------------------------------------------------

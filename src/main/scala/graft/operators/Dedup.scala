@@ -111,7 +111,11 @@ object Dedup {
       .withColumn("fp", fingerprint(col(textCol)))
       .groupBy("fp")
       .agg(
-        min_by(struct(docs.columns.map(col): _*), col(idCol)).as("__row"),
+        // struct-wrapped ordering: min_by on a bare column IGNORES null
+        // ids (flipping the survivor, or fabricating an all-null row when
+        // every id in a group is null); a struct field ranks null lowest,
+        // matching row_number-over-asc's nulls-first
+        min_by(struct(docs.columns.map(col): _*), struct(col(idCol))).as("__row"),
         count(lit(1)).cast("long").as("n_copies"))
       .select(col("__row.*") +: Seq(col("fp"), col("n_copies")): _*)
 
@@ -220,10 +224,12 @@ object Dedup {
     * verification — so it is persisted (spilling to disk at scale) rather
     * than recomputed: without it the verify pass re-runs the full
     * normalize→tokenize→hash scan of the corpus, the single most expensive
-    * map stage of the pipeline. Spark evicts cache blocks LRU, so a
-    * long-lived session reclaims the space; recompute-on-eviction is the
-    * documented fallback (the lineage stays valid). Same pattern as
-    * MLlib's MinHashLSH, which warns when its input is uncached.
+    * map stage of the pipeline. Repeated calls over the same input do NOT
+    * stack copies — Spark's CacheManager registers cache entries by
+    * canonicalized plan and ignores re-persists of an already-cached plan —
+    * and cache blocks evict LRU with recompute-on-eviction as the fallback
+    * (the lineage stays valid). Same pattern as MLlib's MinHashLSH, which
+    * warns when its input is uncached.
     */
   private def persistedBase(docs: DataFrame, idCol: String, textCol: String,
                             blockCols: Seq[(String, Column)], n: Int): DataFrame =

@@ -113,8 +113,13 @@ object TextAnalysis {
                        defaultRate: Double = 1.0, stratumCol: String = "lang",
                        idCol: String = "doc_id"): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1), "rates in [0,1]")
+    // explicit coalesce: a NULL stratum hashes as the empty stratum and is
+    // sampled at defaultRate. (concat_ws would silently SKIP the null —
+    // hashing into a different domain than the `coalesce(s,'') || ':' || id`
+    // formulation an SQL mirror uses — and `||` would null the whole hash.)
     val bucket = pmod(
-      hash60(concat_ws(":", col(stratumCol), col(idCol).cast("string"))), lit(1000000L))
+      hash60(concat(coalesce(col(stratumCol), lit("")), lit(":"), col(idCol).cast("string"))),
+      lit(1000000L))
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 1e6).toLong)) {
       case (acc, (stratum, r)) =>
         when(col(stratumCol) === stratum, lit((r * 1e6).toLong)).otherwise(acc)

@@ -30,8 +30,15 @@ object Tables {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def read(spark: SparkSession, dir: String, table: String): DataFrame =
+  // the memo strongly retains sessions via their DataFrames; the cap keeps
+  // a long-lived JVM cycling many sessions from accumulating dead plans
+  // (the rare clear just re-lists on the next read)
+  private val MemoCap = 128
+
+  def read(spark: SparkSession, dir: String, table: String): DataFrame = {
+    if (memo.size > MemoCap) memo.clear()
     memo.computeIfAbsent((spark, path(dir, table)), kv => kv._1.read.parquet(kv._2))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")

@@ -182,9 +182,21 @@ object EventsStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         // a replayed batch whose version is already committed is a no-op —
-        // merging again would read and overwrite the same version dir
+        // merging again would read and overwrite the same version dir.
+        // foreachBatch only ever replays the MOST RECENT batch, so the
+        // no-op case is exactly `latest == target`; state strictly AHEAD
+        // of the incoming batch id means the checkpoint was reset while
+        // the state dir survived — skipping would silently drop every
+        // batch until the counter catches up, so fail loudly instead.
         val target = versionName(batchId + 1)
-        if (latestVersion(spark, statePath).forall(_ < target)) {
+        val latest = latestVersion(spark, statePath)
+        if (latest.exists(_ > target))
+          throw new IllegalStateException(
+            s"upsertStream state at version ${latest.get} is ahead of micro-batch " +
+              s"version $target: checkpoint and state dir disagree (was the " +
+              "checkpoint deleted?). Refusing to silently drop batches — " +
+              "remove or realign the state dir to recover.")
+        if (!latest.contains(target)) {
           val current = readState(spark, statePath).getOrElse(batch.limit(0).toDF())
           val merged = graft.operators.RelOps.upsert(current, batch.toDF(), keys)
           writeState(merged, statePath, batchId + 1)

@@ -31,20 +31,46 @@ final class FileRunLock(
   private def tryAcquire(): Boolean = {
     // expired lock is reclaimable (the TTL semantics of the reference)
     if (Files.exists(path)) {
-      // a concurrently-deleted or garbage stamp counts as lock-held: the
-      // next retry re-reads; never let a read race grant the lock
-      val stamp = try new String(Files.readAllBytes(path), StandardCharsets.UTF_8).trim.toLong
-      catch { case _: Exception => return false }
+      val content = try new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+      catch { case _: Exception => return false } // concurrently deleted: retry
+      val stamp = try content.trim.toLong catch {
+        case _: Exception =>
+          // corrupt/empty stamp (a holder crashed between CREATE_NEW and the
+          // content write): fall back to the file's mtime so the TTL still
+          // reclaims it eventually — treating it as held-forever would
+          // deadlock every future run on a one-byte artifact
+          try Files.getLastModifiedTime(path).toMillis / 1000
+          catch { case _: Exception => return false }
+      }
       if (now() - stamp < ttlSeconds) return false
       // atomic reclaim: move the expired lock aside — exactly one waiter
       // wins the move and may recreate; the losers' moves throw and they
       // fall back to contending on CREATE_NEW below next round. Deleting
       // in place would let a second waiter delete the winner's FRESH lock.
       val tombstone = dir.resolve(s"graft-lock-$lockId.expired-$stamp")
-      try {
-        Files.move(path, tombstone, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        Files.deleteIfExists(tombstone)
-      } catch { case _: Exception => return false }
+      try Files.move(path, tombstone, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Exception => return false }
+      // verify we moved the lock we MEASURED: a late mover can otherwise
+      // steal the fresh lock the reclaim winner just recreated (winner
+      // moves, deletes the tombstone, recreates — then the loser's move
+      // sees the recreated file). Content mismatch → put it back.
+      val moved = try new String(Files.readAllBytes(tombstone), StandardCharsets.UTF_8)
+      catch { case _: Exception => "" }
+      if (moved != content) {
+        try Files.move(tombstone, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case e: Exception =>
+            // a third acquirer created a new lock in the microsecond the
+            // name was vacant: fail LOUDLY — silent continuation would
+            // leave two processes believing they hold the lock. (The
+            // production DynamoDB impl has a true conditional put and no
+            // such window.)
+            throw new IllegalStateException(
+              s"lock $lockId corrupted during reclaim; manual cleanup of $tombstone required", e)
+        }
+        return false
+      }
+      Files.deleteIfExists(tombstone)
     }
     try {
       Files.write(path, now().toString.getBytes(StandardCharsets.UTF_8),

@@ -59,6 +59,16 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("exact dedup: null ids rank FIRST (window-asc semantics), no fabricated rows") {
+    val s = spark; import s.implicits._
+    val df = Seq((Option.empty[Long], "same text"), (Some(7L), "same text"),
+      (Some(9L), "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df).orderBy(col("n_copies").desc)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(3))).toSeq
+    // the null-id row survives its group (nulls-first), nothing fabricated
+    assert(out == Seq((None, 2L), (Some(9L), 1L)))
+  }
+
   test("survivors keeps exactly one row (minimum id) per near-dup cluster") {
     val s = spark; import s.implicits._
     val docs = (1L to 7L).map(i => (i, s"text_$i")).toDF("doc_id", "text")

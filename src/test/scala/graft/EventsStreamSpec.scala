@@ -173,6 +173,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(files.count(_.startsWith("v-")) == 1, files)
   }
 
+  test("upsertStream fails loudly when state is AHEAD of the batch counter (checkpoint reset)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert-reset")
+    val statePath = s"$dir/state"
+    // state already at version 42, but the (fresh) checkpoint restarts batch ids at 0
+    EventsStream.writeState(Seq(("k1", "v")).toDF("k", "v"), statePath, 42L)
+    val mem = MemoryStream[(String, String)]
+    val q = EventsStream.upsertStream(mem.toDF().toDF("k", "v"), Seq("k"),
+      statePath, s"$dir/ckpt")
+    try {
+      mem.addData(("k2", "new"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("ahead of micro-batch") ||
+        Option(e.getCause).exists(_.getMessage.contains("ahead of micro-batch")))
+    } finally q.stop()
+    // state untouched — the mismatched batch was NOT silently dropped into it
+    val state = EventsStream.readState(spark, statePath).get.collect()
+    assert(state.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("k1", "v")))
+  }
+
   test("state store: cold start is None; uncommitted write is invisible; committed read propagates errors") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("state-store")

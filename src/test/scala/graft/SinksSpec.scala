@@ -204,6 +204,19 @@ class SinksSpec extends SparkSpec {
     b.release()
     val c: RunLock = mk(); c.acquire(); c.release()
   }
+
+  test("run lock: corrupt/empty stamp falls back to mtime and stays TTL-reclaimable") {
+    val dir = Files.createTempDirectory("locks2")
+    // a holder that crashed between CREATE_NEW and the content write
+    Files.write(dir.resolve("graft-lock-job"), Array.emptyByteArray)
+    val wallNow = System.currentTimeMillis() / 1000
+    // clock far past the file's mtime + TTL: the corrupt lock must be
+    // reclaimable, not a permanent deadlock
+    val l = new FileRunLock("job", dir, ttlSeconds = 100,
+      retryTimeoutSeconds = 0, retryIntervalSeconds = 60,
+      now = () => wallNow + 200, sleep = _ => ())
+    l.acquire(); l.release()
+  }
 }
 
 /** Executor-visible auth state for the lazy-iterator retry test (local mode:

@@ -67,6 +67,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(quarter == ids(Map("en" -> 0.25), 0.25)) // reproducible, no seed state
   }
 
+  test("stratifiedSample: NULL stratum hashes as empty stratum at the default rate") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some("en")), (2L, Option.empty[String])).toDF("doc_id", "lang")
+    val all = TextAnalysis.stratifiedSample(df, Map("en" -> 1.0), defaultRate = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L)) // null-stratum row is sampled, not nulled away
+    val none = TextAnalysis.stratifiedSample(df, Map("en" -> 1.0), defaultRate = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(none == Set(1L)) // and it follows defaultRate, not a named stratum
+  }
+
   test("redactPii scrubs emails, IPv4s, and AU phone numbers with typed placeholders") {
     val s = spark; import s.implicits._
     val out = Seq(

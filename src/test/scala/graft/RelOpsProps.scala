@@ -42,4 +42,40 @@ object RelOpsProps extends Properties("RelOps") {
       val twice = RelOps.upsert(once, upd, Seq("k"))
       once.collect().map(_.toSeq).toSet == twice.collect().map(_.toSeq).toSet
     }
+
+  // (key, ts: Option, tieBreak) — duplicated ts values and null ts included,
+  // exercising the max_by struct ordering's tie-break and null ranking
+  private val keyedRows = Gen.listOfN(24, Gen.zip(
+    Gen.choose(1, 5),
+    Gen.option(Gen.choose(1, 4)),
+    Gen.choose(1, 99)))
+
+  property("latestPerKey == in-memory max by (ts nulls-lowest, tieBreak)") =
+    forAllNoShrink(keyedRows) { rows0 =>
+      val s = spark; import s.implicits._
+      import org.apache.spark.sql.functions.col
+      // tieBreak must be a total order per key for the comparison to be fair
+      val rows = rows0.zipWithIndex.map { case ((k, ts, _), i) => (k, ts, i) }
+      val out = RelOps.latestPerKey(rows.toDF("k", "ts", "tb"), Seq("k"), col("ts"), Seq(col("tb")))
+        .collect().map(r => r.getInt(0) -> (Option(r.get(1)).map(_.asInstanceOf[Int]), r.getInt(2))).toMap
+      val want = rows.groupBy(_._1).map { case (k, g) =>
+        val best = g.maxBy { case (_, ts, tb) => (ts.getOrElse(Int.MinValue), tb) }
+        k -> (best._2, best._3)
+      }
+      out == want
+    }
+
+  property("firstWinsDedup == in-memory min by the lexicographic order columns") =
+    forAllNoShrink(keyedRows) { rows0 =>
+      val s = spark; import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val rows = rows0.zipWithIndex.map { case ((k, ts, o), i) => (k, ts.getOrElse(0), o, i) }
+      val out = RelOps.firstWinsDedup(rows.toDF("k", "a", "b", "i"), Seq("k"), Seq(col("a"), col("b"), col("i")))
+        .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+      val want = rows.groupBy(_._1).map { case (k, g) =>
+        val best = g.minBy { case (_, a, b, i) => (a, b, i) }
+        k -> (best._2, best._3, best._4)
+      }
+      out == want
+    }
 }

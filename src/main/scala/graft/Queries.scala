@@ -283,11 +283,14 @@ object Queries {
       latest.filter(col("o_orderstatus") =!= "C"),
       c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("o_custkey")),
       "o_custkey")
-    // J6-style one-row-per-key pre-aggregations feeding the OPTIONALs
+    // J6-style one-row-per-key pre-aggregation feeding the OPTIONALs —
+    // ONE pass over lineitem also carries the line count (join #10), so
+    // the table is scanned/shuffled once, not twice
     val lineAgg = li(s, d).groupBy(col("l_orderkey").as("o_orderkey")).agg(
       min("l_partkey").as("first_partkey"),
       min("l_suppkey").as("first_suppkey"),
-      max("l_shipdate").as("last_ship"))
+      max("l_shipdate").as("last_ship"),
+      count(lit(1)).as("n_lines"))
     // vocab notation lookups (the reference's P3 datatype-vocab pattern)
     val prioVocab = Seq("1-URGENT" -> "U", "2-HIGH" -> "H", "3-MEDIUM" -> "M",
       "4-NOT SPECIFIED" -> "N", "5-LOW" -> "L").toDF("o_orderpriority", "prio_code")
@@ -310,8 +313,7 @@ object Queries {
       .join(broadcast(segVocab), Seq("c_mktsegment"), "left")                // 8 vocab
       .join(o.filter(col("o_totalprice") > 200000.0)
         .select(col("o_orderkey"), lit("BIG").as("size_tag")), Seq("o_orderkey"), "left") // 9 tag
-      .join(li(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
-        .agg(count(lit(1)).as("n_lines")), Seq("o_orderkey"), "left")        // 10 line count
+      // (10th OPTIONAL, the per-order line count, rides the lineAgg join)
     // F1 key synthesis + J9 PID enrichment (inner: unmapped rows drop)
     val pidMap = o.filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey"), concat(lit("PID_"), col("o_orderkey")).as("address_pid"))

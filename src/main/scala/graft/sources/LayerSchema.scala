@@ -56,4 +56,52 @@ object LayerSchema {
     */
   def requiresFullRefresh(schema: GeocodeLayerSchema, esriDate: Option[String]): Boolean =
     esriDate.isDefined && schema.lastEditedField.isEmpty
+
+  /** S4/S5 — the IRI→PID layer's own schema resolution (reference
+    * `address_etl/address_iri_pid_map.py:19-66`). Note the preferences are
+    * the REVERSE of the geocode layer's: this layer's live names are the
+    * short forms (`iri`, `pid`), with the long forms as drift fallbacks;
+    * the object id honors `objectIdField` then `objectIdFieldName`.
+    */
+  final case class IriPidLayerSchema(
+    objectIdField: String,
+    addressIriField: String,
+    addressPidField: String,
+    lastEditedField: Option[String],
+  ) {
+    def supportsIncrementalImport: Boolean = lastEditedField.isDefined
+  }
+
+  def iriPidSchema(fieldNames: Set[String], objectIdField: Option[String] = None,
+                   objectIdFieldName: Option[String] = None): IriPidLayerSchema =
+    IriPidLayerSchema(
+      objectIdField = objectIdField.orElse(objectIdFieldName).getOrElse("objectid"),
+      addressIriField = pick(fieldNames, "iri", "address_iri")
+        .getOrElse(throw new RuntimeException(
+          "Address IRI to PID layer schema is missing address IRI field")),
+      addressPidField = pick(fieldNames, "pid", "address_pid")
+        .getOrElse(throw new RuntimeException(
+          "Address IRI to PID layer schema is missing address PID field")),
+      lastEditedField =
+        if (fieldNames.contains("last_edited_date")) Some("last_edited_date") else None,
+    )
+
+  /** P8 twin for the IRI→PID layer — degrades to `1=1` (full refresh) when
+    * the watermark column is gone (`address_iri_pid_map.py:69-81`).
+    */
+  def whereClause(schema: IriPidLayerSchema, esriDate: Option[String]): String =
+    (esriDate, schema.lastEditedField) match {
+      case (Some(d), Some(f)) => s"$f >= DATE '$d'"
+      case _ => "1=1"
+    }
+
+  /** Canonical feature normalization: resolved physical names → the stable
+    * (objectid, address_iri, address_pid) string columns downstream tables
+    * key on (`address_iri_pid_map.py:84-95`).
+    */
+  def normalizeIriPidFeature(attrs: Map[String, Any], schema: IriPidLayerSchema): Map[String, String] =
+    Map(
+      "objectid" -> String.valueOf(attrs(schema.objectIdField)),
+      "address_iri" -> String.valueOf(attrs(schema.addressIriField)),
+      "address_pid" -> String.valueOf(attrs(schema.addressPidField)))
 }

@@ -51,6 +51,34 @@ class GeocodeImportSpec extends SparkSpec {
       ("9", "PC", "p9", null)))
   }
 
+  test("iri-pid layer schema: live short names preferred, objectIdFieldName fallback, drift long forms") {
+    import graft.sources.LayerSchema
+    // live field names (reference test_address_iri_pid_map.py:16-34)
+    val live = LayerSchema.iriPidSchema(
+      Set("objectid", "iri", "pid", "last_edited_date"), objectIdField = Some("objectid"))
+    assert(live == LayerSchema.IriPidLayerSchema("objectid", "iri", "pid", Some("last_edited_date")))
+    assert(live.supportsIncrementalImport)
+    // drift: long forms accepted; short forms preferred when BOTH exist
+    val drift = LayerSchema.iriPidSchema(Set("oid", "address_iri", "address_pid"),
+      objectIdFieldName = Some("oid"))
+    assert(drift == LayerSchema.IriPidLayerSchema("oid", "address_iri", "address_pid", None))
+    assert(!drift.supportsIncrementalImport)
+    val both = LayerSchema.iriPidSchema(Set("iri", "address_iri", "pid", "address_pid"))
+    assert(both.addressIriField == "iri" && both.addressPidField == "pid")
+    intercept[RuntimeException](LayerSchema.iriPidSchema(Set("pid")))      // no iri field
+    intercept[RuntimeException](LayerSchema.iriPidSchema(Set("iri")))      // no pid field
+    // where clause + watermark degradation (reference :37-49)
+    assert(LayerSchema.whereClause(live, None) == "1=1")
+    assert(LayerSchema.whereClause(live, Some("2026-04-14 00:00:00")) ==
+      "last_edited_date >= DATE '2026-04-14 00:00:00'")
+    assert(LayerSchema.whereClause(drift, Some("2026-04-14 00:00:00")) == "1=1")
+    // normalization to canonical string columns (reference :52-74)
+    val norm = LayerSchema.normalizeIriPidFeature(
+      Map("objectid" -> 7, "iri" -> "https://example.com/address/1", "pid" -> 42), live)
+    assert(norm == Map("objectid" -> "7",
+      "address_iri" -> "https://example.com/address/1", "address_pid" -> "42"))
+  }
+
   test("full refresh on watermark loss: carried state cleared, all rows fetched") {
     val noWmSchema = StructType(driftedSchema.fields.filterNot(_.name == "last_edited_date"))
     val noWmRows = rows.map(r => Row(r.toSeq.dropRight(1): _*))

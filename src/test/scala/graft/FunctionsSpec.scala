@@ -30,6 +30,21 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("time conversions reproduce the reference's exact values (test_time_convert.py)") {
+    val s = spark; import s.implicits._
+    import graft.functions.GraftFunctions._
+    val row = Seq(1749822139000L).toDF("ms").select(
+      epochMillisToTs(col("ms")).as("ts"),
+      esriDatetime(epochMillisToTs(col("ms"))).as("esri"),
+      brisbaneIso(epochMillisToTs(col("ms"))).as("bne")).head()
+    // milliseconds_to_iso_8601_utc: 1749822139000 == 2025-06-13T13:42:19Z
+    assert(row.getTimestamp(0).toInstant == java.time.Instant.parse("2025-06-13T13:42:19Z"))
+    // datetime_to_esri_datetime_utc round-trip formats the UTC instant
+    assert(row.getString(1) == "2025-06-13 13:42:19")
+    // utc_to_brisbane_time: +10:00, no DST in Queensland
+    assert(row.getString(2) == "2025-06-13T23:42:19+1000")
+  }
+
   test("vec_dot / vec_dist2 are registered for SQL via GraftExtensions") {
     val dot = spark.sql(
       "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d")

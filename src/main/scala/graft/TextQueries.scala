@@ -287,7 +287,7 @@ object TextQueries {
   private val mmResizeSql =
     """WITH m AS (SELECT doc_id, 64 + (length(text) % 512) AS w, 64 + ((doc_id * 7) % 512) AS h FROM documents),
       |s AS (SELECT doc_id, w, h, CASE WHEN greatest(w, h) > 256 THEN 256.0 / greatest(w, h) ELSE 1.0 END AS sc FROM m)
-      |SELECT doc_id, 'fake/rgb8' AS format, CAST(floor(w * sc) AS INTEGER) AS width, CAST(floor(h * sc) AS INTEGER) AS height FROM s""".stripMargin
+      |SELECT doc_id, 'fake/rgb8' AS format, CAST(round(w * sc) AS INTEGER) AS width, CAST(round(h * sc) AS INTEGER) AS height FROM s""".stripMargin
 
   private val mmFrames: Q = (s, d) =>
     Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, d)), 4, 2)

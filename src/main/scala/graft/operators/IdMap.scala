@@ -59,18 +59,30 @@ object IdMap {
   }
 
   /** Rewrite `df(keyCol)` text keys to their integer ids using (an already
-    * extended) `map`. Inner join: by construction every non-null key is
-    * mapped; null-key rows are rejected up front rather than silently
-    * dropped by the join. No broadcast hint — the map grows with every
-    * distinct key ever seen, so at scale AQE must pick the strategy (it
-    * still broadcasts genuinely-small maps at runtime).
+    * extended) `map`. LEFT join + keep-as-is, mirroring the reference's
+    * UPDATE (`id_map.py:59-84`): a non-null key that matches no map entry
+    * is — by `extend`'s iri ∪ id guard — an id-space string from an
+    * already-encoded frame, and passes through unchanged (this is what
+    * makes double-encoding a no-op). A key that is neither mapped nor a
+    * valid id raises rather than silently nulling or dropping the row.
+    * Null-key rows are rejected up front. No broadcast hint — the map
+    * grows with every distinct key ever seen, so at scale AQE must pick
+    * the strategy (it still broadcasts genuinely-small maps at runtime).
     */
   def encode(df: DataFrame, map: DataFrame, keyCol: String): DataFrame = {
     val m = map.withColumnRenamed(KEY, "__k").withColumnRenamed(ID, "__id")
     df.filter(col(keyCol).isNotNull)
-      .join(m, col(keyCol).cast("string") === col("__k"), "inner")
-      .withColumn(keyCol, col("__id"))
-      .drop("__k", "__id")
+      .join(m, col(keyCol).cast("string") === col("__k"), "left")
+      // try_cast: under ANSI mode a plain cast on a non-numeric key would
+      // throw CAST_INVALID_INPUT before the diagnostic below can fire
+      .withColumn("__asId", expr(s"try_cast(`$keyCol` AS BIGINT)"))
+      // assert_true lives in a Filter (null = pass = keep), NOT a dropped
+      // projection — Catalyst prunes unused project columns, which would
+      // silently optimize the check away
+      .where(assert_true(col("__id").isNotNull || col("__asId").isNotNull,
+        concat(lit(s"unmappable $keyCol (neither a mapped key nor an id): "), col(keyCol))).isNull)
+      .withColumn(keyCol, coalesce(col("__id"), col("__asId")))
+      .drop("__k", "__id", "__asId")
   }
 
   /** Bulk variant of `extend` for cold-start loads where the delta is NOT

@@ -52,10 +52,14 @@ object Multimodal {
       StructField("height", IntegerType, nullable = false),
       StructField("mean_byte", DoubleType, nullable = false),
     ))
-    val rdd = media.select("doc_id", "media", "meta.width", "meta.height").rdd.mapPartitions { it =>
+    val rdd = media.select("doc_id", "media", "meta.width", "meta.height")
+      .filter(col("doc_id").isNotNull) // unkeyable row: nothing to attach features to
+      .rdd.mapPartitions { it =>
       // one pass per partition == one decode batch
       it.map { r =>
-        val bytes = r.getAs[Array[Byte]]("media")
+        // schema claims media non-null, but a null payload (e.g. upstream
+        // md5(null)) must yield empty features, not an executor NPE
+        val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
         // STUB decode: a real codec call goes here (e.g. JPEG -> pixels).
         val mean = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
         Row(r.getAs[Long]("doc_id"), bytes.length, r.getAs[Int]("width"), r.getAs[Int]("height"),
@@ -65,7 +69,11 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** "Resize" plumbing: metadata-only transform scaling width/height. */
+  /** "Resize" plumbing: metadata-only transform scaling width/height.
+    * `round`, not `floor`: floor on the double ratio can land the longest
+    * side at maxSide−1 (e.g. 300·(100/300) = 99.999… → 99); rounding puts
+    * it at exactly maxSide.
+    */
   def resizeMeta(media: DataFrame, maxSide: Int): DataFrame =
     media
       .withColumn("scale",
@@ -74,19 +82,30 @@ object Multimodal {
         .otherwise(lit(1.0d)))
       .withColumn("meta", struct(
         col("meta.format").as("format"),
-        floor(col("meta.width") * col("scale")).cast("int").as("width"),
-        floor(col("meta.height") * col("scale")).cast("int").as("height")))
+        round(col("meta.width") * col("scale")).cast("int").as("width"),
+        round(col("meta.height") * col("scale")).cast("int").as("height")))
       .drop("scale")
 
   /** Frame-sampling plumbing for "video" payloads: every `stride`-th
     * fixed-size byte window becomes one frame row. Slices the BINARY payload
     * (byte offsets), then base64-encodes each frame for a portable output.
+    *
+    * Frame `i` covers bytes `[i·frameBytes·stride, +frameBytes)`; the count
+    * is `floor((len − frameBytes) / (frameBytes·stride)) + 1` — every FULLY
+    * in-bounds window, including the tail one the old `len / (fb·stride)`
+    * formula dropped. Payloads shorter than one frame emit zero rows (not a
+    * phantom empty frame).
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val len = length(col("media"))
+    val n = when(len >= frameBytes,
+      floor((len - frameBytes) / (frameBytes * stride)).cast("int") + 1).otherwise(lit(0))
     media.select(col("doc_id"),
       posexplode(
-        transform(
-          sequence(lit(0), greatest((length(col("media")) / (frameBytes * stride)).cast("int") - 1, lit(0))),
-          i => base64(col("media").substr(i * lit(frameBytes * stride) + lit(1), lit(frameBytes))))))
+        when(n > 0, transform(
+          sequence(lit(0), n - 1),
+          i => base64(col("media").substr(i * lit(frameBytes * stride) + lit(1), lit(frameBytes)))))
+        .otherwise(array())))
       .withColumnRenamed("pos", "frame_no").withColumnRenamed("col", "frame")
+  }
 }

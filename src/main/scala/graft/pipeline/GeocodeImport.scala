@@ -32,8 +32,13 @@ object GeocodeImport {
     val fullRefresh = LayerSchema.requiresFullRefresh(layer, watermark)
     val where = LayerSchema.whereClause(layer, watermark)
 
+    // P2: project only the fields the normalization reads (the reference's
+    // outFields pushdown, `geocode.py:420-427`) — a wide layer otherwise
+    // ships every attribute over the wire on every incremental run
     val raw = PagedSource.read(spark, fetcher, physicalSchema, pageSize,
-      ScanSpec(whereClause = Some(where)))
+      ScanSpec(whereClause = Some(where),
+        columns = Some(Seq(layer.objectIdField, layer.geocodeTypeField,
+          layer.addressPidField, "lat", "lon"))))
 
     // physical -> logical names + eager string casts (F7,
     // `geocode.py:205-222`), then type normalization (F6)
@@ -43,8 +48,11 @@ object GeocodeImport {
       col(layer.addressPidField).cast("string").as("address_pid"),
       col("lat").cast("double").as("centoid_lat"),
       col("lon").cast("double").as("centoid_lon"))
-    val codes = broadcast(typeCodes.select(
-      col("geocode_type_iri"), col("code").as("__code")))
+    // defensive one-row-per-iri: a duplicate iri in the cache (stored and
+    // fetched both carrying a changed code) would otherwise FAN OUT the
+    // left join and duplicate every geocode of that type downstream
+    val codes = broadcast(typeCodes
+      .groupBy("geocode_type_iri").agg(min("code").as("__code")))
     val normalized = renamed
       .join(codes, Seq("geocode_type_iri"), "left")
       .withColumn("geocode_type",

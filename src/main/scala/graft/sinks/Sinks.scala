@@ -57,16 +57,23 @@ object Sinks {
     * (`main_pls.py:33-34`), asserted exactly in `test_main_pls_kafka.py`.
     */
   def kafkaTimestamp(t: Instant): String = {
-    val base = if (t.getNano == 0) "yyyy-MM-dd'T'HH:mm:ss" else "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    // gate on MICROseconds: Python datetime carries µs only, so an instant
+    // with 0 < nano < 1000 isoformats with NO fraction — `getNano == 0`
+    // would print ".000000" and break the byte-exact header contract
+    val base = if (t.getNano / 1000 == 0) "yyyy-MM-dd'T'HH:mm:ss" else "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     DateTimeFormatter.ofPattern(base).withZone(ZoneOffset.UTC).format(t) + "+00:00"
   }
 
   /** Brisbane-local ISO with +1000 offset — the S3-key / metadata format
-    * (`main_pls.py:83, 195, 198`; Brisbane has no DST).
+    * (`main_pls.py:83, 195, 198`; Brisbane has no DST). Like Python's
+    * `isoformat()`, microseconds appear iff non-zero — which also makes
+    * runs finishing within the same SECOND produce distinct run ids /
+    * S3 keys instead of silently overwriting each other's snapshots.
     */
-  def brisbaneTimestamp(t: Instant): String =
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
-      .withZone(ZoneOffset.ofHours(10)).format(t) + "+1000"
+  def brisbaneTimestamp(t: Instant): String = {
+    val base = if (t.getNano / 1000 == 0) "yyyy-MM-dd'T'HH:mm:ss" else "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    DateTimeFormatter.ofPattern(base).withZone(ZoneOffset.ofHours(10)).format(t) + "+1000"
+  }
 
   /** The 7 artifact headers, byte-exact to `main_pls.py:37-56`. */
   def buildArtifactHeaders(etlName: String, startedAt: Instant, finishedAt: Instant,

@@ -21,9 +21,17 @@ object EsriSource {
       StructField("geometry", StructType(Seq(
         StructField("x", DoubleType), StructField("y", DoubleType))))))))))
 
-  /** One row per feature: `attrs` map + lon/lat (null without geometry). */
+  /** One row per feature: `attrs` map + lon/lat (null without geometry).
+    * A page that does not parse to the expected shape (truncated body, an
+    * ESRI `{"error": ...}` document) RAISES — `from_json` yields null on
+    * parse failure and a plain `explode` would silently swallow the whole
+    * 2000-row page, the reference's `json.loads` raises instead. The check
+    * sits in a Filter (assert_true is null = pass) so it cannot be pruned.
+    */
   def features(pages: Dataset[String]): DataFrame =
-    pages.select(from_json(col("value"), pageSchema).as("p"))
+    pages.select(col("value"), from_json(col("value"), pageSchema).as("p"))
+      .where(assert_true(col("p").isNotNull && col("p.features").isNotNull,
+        concat(lit("malformed ESRI page document: "), substring(col("value"), 1, 200))).isNull)
       .select(explode(col("p.features")).as("f"))
       .select(col("f.attributes").as("attrs"),
         col("f.geometry.x").as("lon"), col("f.geometry.y").as("lat"))

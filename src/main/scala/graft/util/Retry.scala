@@ -27,8 +27,12 @@ object Retry {
     while (true) {
       try return body
       catch {
-        case _: TokenExpired =>
-          // re-auth then retry immediately; not a backoff attempt
+        case e: TokenExpired =>
+          // re-auth then retry immediately; not a BACKOFF attempt, but
+          // still bounded by the wall-clock deadline — a token the service
+          // rejects after every refresh (revoked credentials, clock skew)
+          // must exhaust the budget, not loop forever
+          if (now() > deadline) throw e
           onTokenExpired()
         case e: Throwable if isRetryable(e) =>
           val delay = math.min(baseDelaySeconds * math.pow(2, attempt), maxDelaySeconds)

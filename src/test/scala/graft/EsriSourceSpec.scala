@@ -32,6 +32,22 @@ class EsriSourceSpec extends SparkSpec {
     assert(norm(1).isNullAt(3) && norm(1).isNullAt(4)) // geometry absent -> nulls
   }
 
+  test("malformed or error page documents raise instead of silently dropping the page") {
+    val s = spark; import s.implicits._
+    val truncated = """{"features": [{"attributes": {"objectid"""
+    val errorDoc = """{"error": {"code": 498, "message": "Invalid token"}}"""
+    for (bad <- Seq(truncated, errorDoc)) {
+      val e = intercept[Exception] {
+        EsriSource.features(spark.createDataset(Seq(page, bad))).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("malformed ESRI page")), s"got: $e")
+    }
+    // a VALID page with zero features is fine (end of pagination), not an error
+    assert(EsriSource.features(spark.createDataset(Seq("""{"features": []}"""))).count() == 0)
+  }
+
   test("normalized IRIs feed the F6 initialism fallback (example-new-geocode -> ENG)") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._

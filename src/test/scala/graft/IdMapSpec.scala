@@ -48,6 +48,23 @@ class IdMapSpec extends SparkSpec {
     assert(map2.agg(max("id")).head().getLong(0) == 3)
   }
 
+  test("encode is idempotent: double-encoding passes ids through unchanged (reference UPDATE semantics)") {
+    val entity = keysDf(Seq("iri/x", "iri/y", "iri/z"))
+    val (encoded, map) = IdMap.extendAndEncode(IdMap.empty(spark), entity, "pk")
+    val twice = IdMap.encode(encoded, map, "pk")
+    assert(twice.count() == 3) // nothing silently dropped
+    assert(twice.collect().map(_.toSeq).toSet == encoded.collect().map(_.toSeq).toSet)
+  }
+
+  test("encode raises on a key that is neither mapped nor an id-space string") {
+    val entity = keysDf(Seq("iri/x"))
+    val (_, map) = IdMap.extendAndEncode(IdMap.empty(spark), entity, "pk")
+    val rogue = keysDf(Seq("iri/never-extended"))
+    val e = intercept[Exception] { IdMap.encode(rogue, map, "pk").collect() }
+    assert(e.getMessage.contains("unmappable") ||
+      Option(e.getCause).exists(_.getMessage.contains("unmappable")))
+  }
+
   test("encode: round-trip pk -> id matches the map; row count preserved") {
     val s = spark; import s.implicits._
     val entity = Seq(("iri/a", "x"), ("iri/b", "y"), ("iri/a", "z")).toDF("pk", "payload")

@@ -31,7 +31,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Double]("mean_byte") == expectedMean)
   }
 
-  test("resizeMeta: scales the long side to maxSide, preserves aspect via floor") {
+  test("resizeMeta: scales the long side to maxSide, preserves aspect") {
     val s = spark; import s.implicits._
     val media = Seq((1L, Array[Byte](1), ("f", 640, 480)), (2L, Array[Byte](1), ("f", 100, 50)))
       .toDF("doc_id", "media", "meta")
@@ -54,5 +54,26 @@ class MultimodalSpec extends SparkSpec {
     frames.zipWithIndex.foreach { case (r, i) =>
       assert(dec.decode(r.getString(2)).toSeq == payload.slice(i * 8, i * 8 + 4).toSeq)
     }
+  }
+
+  test("sampleFrames: tail window kept when fully in bounds; sub-frame payload emits zero rows") {
+    val s = spark; import s.implicits._
+    // len=10, frameBytes=2, stride=2: windows at 0,4,8 — ALL in bounds (3
+    // frames; the old len/(fb*stride) formula dropped the tail one)
+    val media = Seq((1L, (0 until 10).map(_.toByte).toArray),
+      (2L, Array[Byte](1)), (3L, Array.emptyByteArray)).toDF("doc_id", "media")
+    val out = Multimodal.sampleFrames(media, 2, 2)
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L)) // docs 2 and 3: shorter than one frame -> no rows
+  }
+
+  test("resizeMeta: longest side lands on exactly maxSide (no floor off-by-one)") {
+    val s = spark; import s.implicits._
+    // 300x200 @ max 100: 100/300 in binary is just under 1/3 — floor gave 99
+    val media = Seq((1L, Array[Byte](1), ("f", 300, 200))).toDF("doc_id", "media", "meta")
+      .withColumn("meta", struct(col("meta._1").as("format"),
+        col("meta._2").as("width"), col("meta._3").as("height")))
+    val out = Multimodal.resizeMeta(media, 100).select("meta.width", "meta.height").head()
+    assert((out.getInt(0), out.getInt(1)) == (100, 67))
   }
 }

@@ -140,6 +140,27 @@ class SinksSpec extends SparkSpec {
         throw new RuntimeException("always")
       }
     }
+
+    // a token the service rejects after EVERY refresh exhausts the
+    // wall-clock budget instead of looping forever
+    var m = 0L; var refreshes = 0
+    intercept[Retry.TokenExpired] {
+      Retry.withBackoff[Unit](maxTimeSeconds = 3, sleep = _ => (),
+        onTokenExpired = () => refreshes += 1,
+        now = () => { m += 1_000_000_000L; m }) {
+        throw new Retry.TokenExpired("498 forever")
+      }
+    }
+    assert(refreshes >= 1 && refreshes <= 3)
+  }
+
+  test("kafkaTimestamp: sub-microsecond instants have NO fraction (python isoformat parity)") {
+    val base = java.time.Instant.parse("2026-01-01T10:00:00Z")
+    assert(Sinks.kafkaTimestamp(base.plusNanos(500)) == "2026-01-01T10:00:00+00:00")
+    assert(Sinks.kafkaTimestamp(base.plusNanos(1500)) == "2026-01-01T10:00:00.000001+00:00")
+    // brisbane form follows the same rule — same-second runs get distinct ids
+    assert(Sinks.brisbaneTimestamp(base) == "2026-01-01T20:00:00+1000")
+    assert(Sinks.brisbaneTimestamp(base.plusNanos(123000)) == "2026-01-01T20:00:00.000123+1000")
   }
 
   test("paged source: token expiry thrown from a LAZY page iterator still re-auths") {

@@ -23,6 +23,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins in:\n$plan")
   }
 
+  test("per-key dedup queries aggregate — no whole-table Window sort may reappear") {
+    // latestPerKey/firstWinsDedup/exact are max_by/min_by aggregates whose
+    // shuffle carries ~|keys|; a row_number Window (shuffle-sorts the whole
+    // table) sneaking back in is a 100 TB regression, caught here
+    for (name <- Seq("latest_per_key", "first_wins_dedup", "exact_dedup")) {
+      val plan = Queries.registry.collectFirst { case (`name`, q, _) => q }
+        .get(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name plans a Window:\n$plan")
+      assert(plan.contains("Aggregate"), s"$name lost its aggregate:\n$plan")
+    }
+  }
+
   test("scans prune columns: q1_agg reads only the needed lineitem columns") {
     val plan = Queries.registry.collectFirst { case ("q1_agg", q, _) => q }
       .get(spark, dir).queryExecution.executedPlan.toString

@@ -22,9 +22,14 @@ object Bench {
     // two timed passes, per-query minimum: steady-state cost with
     // machine-load spikes (this box is shared) filtered out — the same
     // reasoning as the JIT warm-up pass above
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timedPass(): Seq[(String, Double)] = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // a crashing query must not read as a near-zero-time perf win
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failed += name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (p1, p2) = (timedPass(), timedPass())
@@ -32,7 +37,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,6 +12,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any PREVIOUS run's output first: a failing query must leave
+      // NO parquet behind, or a reused outDir would let the oracle compare
+      // stale results and grade a broken query as a MATCH
+      val dest = java.nio.file.Paths.get(s"$outDir/$name")
+      if (Files.exists(dest)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dest).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -62,7 +62,10 @@ object VectorOps {
         (hash60Scala(s"${p}_$d") % 1000003L).toDouble / 500001.5d - 1.0d
       }
       val proj = dot(v, array(coefs.map(lit): _*))
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      // null proj (null element / wrong dimension) must POISON the bucket
+      // to null, not default to bit 0 — otherwise every malformed vector
+      // lands together in bucket 0 as plausible ANN candidates
+      when(proj >= 0, shiftleft(lit(1L), p)).when(proj < 0, lit(0L))
     }
     bits.reduce(_ + _)
   }

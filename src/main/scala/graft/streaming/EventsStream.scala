@@ -148,7 +148,10 @@ object EventsStream {
 
   /** Write + commit one state version. Idempotent per version (a replayed
     * micro-batch overwrites its own dir and re-creates the same marker).
-    * Older committed versions are garbage-collected after the commit.
+    * Committed versions older than the PREVIOUS one are garbage-collected
+    * after the commit — the one-version grace keeps a concurrent reader
+    * that selected the then-latest version via `readState` from hitting
+    * FileNotFoundException when the writer commits right behind it.
     */
   def writeState(df: DataFrame, stateDir: String, version: Long): Unit = {
     val spark = df.sparkSession
@@ -156,10 +159,13 @@ object EventsStream {
     df.write.mode("overwrite").parquet(s"$stateDir/$vn")
     val (fs, dir) = stateFs(spark, stateDir)
     fs.create(new org.apache.hadoop.fs.Path(dir, s"commit-$vn"), true).close()
+    val committed = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("commit-")).map(_.stripPrefix("commit-")).sorted
+    val keep = committed.takeRight(2).toSet
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      val old = n.stripPrefix("commit-")
-      if ((n.startsWith("commit-") && old < vn) || (n.startsWith("v-") && n < vn))
+      val v = n.stripPrefix("commit-")
+      if ((n.startsWith("commit-") || n.startsWith("v-")) && !keep.contains(v))
         fs.delete(st.getPath, true)
     }
   }
@@ -196,6 +202,17 @@ object EventsStream {
               s"version $target: checkpoint and state dir disagree (was the " +
               "checkpoint deleted?). Refusing to silently drop batches — " +
               "remove or realign the state dir to recover.")
+        // the symmetric gap: committed state BEHIND the previous batch's
+        // version means intermediate batches' merges are missing (state dir
+        // restored from an older backup) — merging batch N onto it would
+        // mask the loss forever. (A fully ABSENT state dir stays a valid
+        // cold start: deliberately clearing state to rebuild is a
+        // documented recovery path.)
+        if (latest.exists(_ < versionName(batchId)))
+          throw new IllegalStateException(
+            s"upsertStream state at version ${latest.get} is behind micro-batch " +
+              s"version ${versionName(batchId)}: intermediate batches are missing " +
+              "from the state dir (restored from an old backup?).")
         if (!latest.contains(target)) {
           val current = readState(spark, statePath).getOrElse(batch.limit(0).toDF())
           val merged = graft.operators.RelOps.upsert(current, batch.toDF(), keys)
@@ -213,6 +230,26 @@ object EventsStream {
     * shape differs (window bounds instead of ordinals).
     */
   def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionAgg(msTruncated(events), gapMinutes)
+
+  /** Streaming twin: watermarked, emits closed sessions in append mode.
+    * Truncation happens BEFORE the watermark so `session_window` groups on
+    * exactly the watermarked event-time column.
+    */
+  def sessionWindowsStreaming(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionAgg(msTruncated(events).withWatermark("ts", s"$gapMinutes minutes"), gapMinutes)
+
+  /** `ts` truncated to MILLISECONDS: the source carries ns-precision
+    * timestamps (µs after Spark's read), and every other time operator —
+    * and every oracle — compares at ms granularity. Without the
+    * truncation, a session gap landing within 1 ms of the boundary splits
+    * differently in `session_window` (µs math) than in the ms-based
+    * `sessionize`/oracle formulation.
+    */
+  private def msTruncated(events: DataFrame): DataFrame =
+    events.withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+
+  private def sessionAgg(events: DataFrame, gapMinutes: Int): DataFrame =
     events
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).cast("long").as("n_events"))
@@ -220,10 +257,6 @@ object EventsStream {
         unix_millis(col("w.start")).as("start_ms"),
         unix_millis(col("w.end")).as("end_ms"),
         col("n_events"))
-
-  /** Streaming twin: watermarked, emits closed sessions in append mode. */
-  def sessionWindowsStreaming(events: DataFrame, gapMinutes: Int = 30): DataFrame =
-    sessionWindows(events.withWatermark("ts", s"$gapMinutes minutes"), gapMinutes)
 
   /** Sessionization: a session ends after `gapMinutes` of user inactivity.
     * Batch implementation via lag + cumulative sum (`sessionWindows` above

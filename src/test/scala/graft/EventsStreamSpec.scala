@@ -167,10 +167,12 @@ class EventsStreamSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state == Map("k1" -> "orig", "k2" -> "upd1", "k3" -> "upd2"))
 
-    // only the latest committed version survives GC; exactly one commit marker
+    // GC keeps the latest committed version plus ONE prior (concurrent-
+    // reader grace); the seeded v0 from before both batches is gone
     val files = new java.io.File(statePath).listFiles().map(_.getName).toSet
-    assert(files.count(_.startsWith("commit-")) == 1, files)
-    assert(files.count(_.startsWith("v-")) == 1, files)
+    assert(files.count(_.startsWith("commit-")) == 2, files)
+    assert(files.count(_.startsWith("v-")) == 2, files)
+    assert(!files.exists(_.endsWith("0" * 20)), files) // seeded version 0 GC'd
   }
 
   test("upsertStream fails loudly when state is AHEAD of the batch counter (checkpoint reset)") {

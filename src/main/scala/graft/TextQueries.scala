@@ -261,6 +261,24 @@ object TextQueries {
        |SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id""".stripMargin
   }
 
+  // -- winnowing sketch near-dup -------------------------------------------
+  private val winnowDedup: Q = (s, d) =>
+    Dedup.winnow(docs(s, d), shingleN = 3, w = 4, threshold = 0.3)
+
+  private val winnowDedupSql = {
+    val W = 4
+    s"""WITH hl AS (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents),
+       |base AS (SELECT doc_id, ${shingleHashList("hs", 3)} AS sh FROM hl),
+       |sk AS (SELECT doc_id, list_distinct([list_min(list_slice(sh, i + 1, i + $W)) for i in range(0, greatest(len(sh) - $W, 0) + 1)]) AS sk FROM base),
+       |ex AS (SELECT doc_id, unnest(sk) AS wh FROM sk),
+       |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY wh) AS bc FROM ex) WHERE bc <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM capped a JOIN capped b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+       |v AS (SELECT id_a, id_b, ${jaccard("sa.sh", "sb.sh")} AS jaccard
+       |      FROM cand JOIN base sa ON cand.id_a = sa.doc_id JOIN base sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3""".stripMargin
+  }
+
   // -- SimHash ---------------------------------------------------------------
   private val simhashPairs: Q = (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)
 
@@ -326,6 +344,7 @@ object TextQueries {
     ("doc_freq", docFreq, Some(docFreqSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    ("winnow_dedup", winnowDedup, Some(winnowDedupSql)),
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     ("cluster_dedup", clusterDedup, Some(clusterDedupSql)),

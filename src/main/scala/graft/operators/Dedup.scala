@@ -443,6 +443,39 @@ object Dedup {
     labels
   }
 
+  /** Winnowing sketch (MOSS-style): the distinct set of window-minima over
+    * sliding windows of `w` consecutive shingle hashes. Guarantee: two
+    * documents sharing a run of at least `w + n − 1` tokens share at least
+    * one sketch hash — so the sketch is a CONTAINMENT-oriented candidate
+    * key (long verbatim overlaps), complementary to MinHash's
+    * whole-document resemblance. `sh` must be a materialized column
+    * reference (HOF lambda rule — see `gramsOf`).
+    */
+  private[graft] def winnowSketch(sh: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(sh) - w, lit(0))),
+      i => array_min(slice(sh, i + lit(1), lit(w)))))
+
+  /** Winnowing near-dup pairs: candidates share a sketch hash (equi join on
+    * the hash — never all pairs; hot sketch hashes capped like LSH
+    * buckets), then exact shingle-Jaccard verification. Detects documents
+    * with long shared passages that MinHash banding can miss when overall
+    * resemblance is low.
+    */
+  def winnow(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+             shingleN: Int = 3, w: Int = 4, threshold: Double = 0.3,
+             maxBucket: Int = 1000): DataFrame = {
+    val base = persistedBase(docs, idCol, textCol, Nil, shingleN)
+    val ex = base.select(col(idCol), explode(winnowSketch(col("sh"), w)).as("wh"))
+    val capped = capBuckets(ex, Seq("wh"), maxBucket)
+    val l = capped.select(col("wh"), col(idCol).as("id_a"))
+    val r = capped.select(col("wh"), col(idCol).as("id_b"))
+    val cand = l.join(r, Seq("wh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    verifyJaccard(cand, base, idCol, threshold)
+  }
+
   /** End-to-end near-dup collapse: the full corpus minus every
     * non-canonical cluster member — each near-duplicate CLUSTER (from
     * `dedupClusters` over any pair source) keeps exactly its minimum-id

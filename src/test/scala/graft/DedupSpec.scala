@@ -59,6 +59,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("winnow: shared-passage docs pair up; sketch guarantee holds on a long common run") {
+    val s = spark; import s.implicits._
+    val common = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $common"),
+      (2L, s"$common delta epsilon zeta"),   // long shared run with doc 1
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val out = Dedup.winnow(docs, shingleN = 3, w = 4, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L))) // guarantee: run >= w+n-1 tokens -> shared sketch hash
+  }
+
   test("exact dedup: null ids rank FIRST (window-asc semantics), no fabricated rows") {
     val s = spark; import s.implicits._
     val df = Seq((Option.empty[Long], "same text"), (Some(7L), "same text"),

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Ranking, RelOps, Sketches, Spatial}
+import graft.sources.Tables
+import Queries.Q
+import OracleSql.{norm, toks}
+
+/** Round-4 extension queries: temporal (as-of), spatial (grid-bucketed),
+  * retrieval (BM25), sketches (HLL / quantile with exact gates), and
+  * corpus-mixing statistics. Oracle SQL mirrors every float operation
+  * order exactly (see Queries' determinism rules).
+  */
+object ExtQueries {
+
+  // ------------------------------------------------------------------
+  // As-of join (point-in-time): last click at-or-before each purchase.
+  // ------------------------------------------------------------------
+
+  private val asofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+    // right side made unique per (user, ms) — ties collapse to the max
+    // click_id so the as-of match is well-defined in any engine
+    val clicks = RelOps.latestPerKey(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_millis(col("ts")).as("click_ms"), col("value").as("click_value")),
+      Seq("user_id", "click_ms"), col("click_id"), Nil)
+    AsOf.asOfJoin(purchases, clicks, Seq("user_id"), col("ms"), col("click_ms"),
+      payloadCols = Seq("click_id", "click_ms", "click_value"),
+      tieBreak = Seq("click_ms", "click_id"))
+  }
+
+  private val asofJoinSql =
+    """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'purchase'),
+      |c0 AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ms, value AS click_value
+      |       FROM events WHERE event_type = 'click'),
+      |c AS (SELECT user_id, click_id, click_ms, click_value FROM
+      |        (SELECT *, row_number() OVER (PARTITION BY user_id, click_ms ORDER BY click_id DESC) AS rn FROM c0)
+      |      WHERE rn = 1)
+      |SELECT p.user_id, p.event_id, p.ms, c.click_id, c.click_ms, c.click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ms <= p.ms""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Spatial: deterministic synthetic coordinates derived from keys
+  // (Queensland-ish degree box), then grid-bucketed radius / nearest.
+  // ------------------------------------------------------------------
+
+  private def suppliersGeo(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.supplier(s, d).select(col("s_suppkey"),
+      (lit(-29.0) + (col("s_suppkey") * 7 % 997).cast("double") * lit(0.01)).as("s_lat"),
+      (lit(151.0) + (col("s_suppkey") * 13 % 1009).cast("double") * lit(0.01)).as("s_lon"))
+
+  private def customersGeo(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.customer(s, d).select(col("c_custkey"),
+      (lit(-29.0) + (col("c_custkey") % 997).cast("double") * lit(0.01)).as("c_lat"),
+      (lit(151.0) + (col("c_custkey") * 31 % 1009).cast("double") * lit(0.01)).as("c_lon"))
+
+  // bare SQL float literals are DECIMAL in DuckDB — CAST to DOUBLE so the
+  // whole coordinate derivation runs in IEEE doubles like the Spark side
+  private val geoSql =
+    """sg AS (SELECT s_suppkey,
+      |         CAST(-29.0 AS DOUBLE) + (s_suppkey * 7 % 997) * CAST(0.01 AS DOUBLE) AS s_lat,
+      |         CAST(151.0 AS DOUBLE) + (s_suppkey * 13 % 1009) * CAST(0.01 AS DOUBLE) AS s_lon FROM supplier),
+      |cg AS (SELECT c_custkey,
+      |         CAST(-29.0 AS DOUBLE) + (c_custkey % 997) * CAST(0.01 AS DOUBLE) AS c_lat,
+      |         CAST(151.0 AS DOUBLE) + (c_custkey * 31 % 1009) * CAST(0.01 AS DOUBLE) AS c_lon FROM customer)""".stripMargin
+
+  private val spatialRadius: Q = (s, d) =>
+    Spatial.radiusJoin(suppliersGeo(s, d), customersGeo(s, d),
+      "s_lat", "s_lon", "c_lat", "c_lon", radius = 0.15)
+      .select(col("s_suppkey"), col("c_custkey"), round(col("dist2"), 9).as("dist2"))
+
+  private val spatialRadiusSql =
+    s"""WITH $geoSql
+      |SELECT s_suppkey, c_custkey,
+      |  round((s_lat - c_lat) * (s_lat - c_lat) + (s_lon - c_lon) * (s_lon - c_lon), 9) AS dist2
+      |FROM sg, cg
+      |WHERE (s_lat - c_lat) * (s_lat - c_lat) + (s_lon - c_lon) * (s_lon - c_lon)
+      |      <= CAST(0.15 AS DOUBLE) * CAST(0.15 AS DOUBLE)""".stripMargin
+
+  private val spatialNearest: Q = (s, d) =>
+    Spatial.nearestWithinRadius(suppliersGeo(s, d), customersGeo(s, d),
+      "s_lat", "s_lon", "c_lat", "c_lon", radius = 0.3,
+      leftKeys = Seq("s_suppkey"), tieBreak = Seq("c_custkey"))
+      .select(col("s_suppkey"), col("c_custkey"), round(col("dist2"), 9).as("dist2"))
+
+  private val spatialNearestSql =
+    s"""WITH $geoSql,
+      |cand AS (SELECT s_suppkey, c_custkey,
+      |    (s_lat - c_lat) * (s_lat - c_lat) + (s_lon - c_lon) * (s_lon - c_lon) AS dist2
+      |  FROM sg, cg
+      |  WHERE (s_lat - c_lat) * (s_lat - c_lat) + (s_lon - c_lon) * (s_lon - c_lon)
+      |        <= CAST(0.3 AS DOUBLE) * CAST(0.3 AS DOUBLE))
+      |SELECT s_suppkey, c_custkey, round(dist2, 9) AS dist2 FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY s_suppkey ORDER BY dist2, c_custkey) AS rn FROM cand)
+      |WHERE rn = 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // BM25 ranked retrieval (fixed term set over `documents`).
+  // ------------------------------------------------------------------
+
+  private val bm25Terms = Seq("spark", "query", "window", "hash")
+
+  private val bm25Search: Q = (s, d) =>
+    Ranking.bm25(Tables.documents(s, d), bm25Terms)
+
+  /** Mirrors Ranking.bm25's float-op order exactly (k1=1.2, b=0.75). */
+  private val bm25SearchSql: String = {
+    val tfDefs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfAggs = bm25Terms.indices.map { i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(", ")
+    val avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    val termScores = bm25Terms.indices.map { i =>
+      s"""ln(1.0 + (CAST(n AS DOUBLE) - df$i + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         | * (CAST(tf$i AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         | / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |    * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / $avgdl))"""
+        .stripMargin.linesIterator.mkString(" ")
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
+      |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfDefs FROM tk),
+      |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfAggs FROM base),
+      |scored AS (SELECT doc_id, round($termScores, 6) AS score FROM base, stats)
+      |SELECT doc_id, score FROM scored WHERE score > CAST(0.0 AS DOUBLE)
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Sketch aggregates with exact gates.
+  // ------------------------------------------------------------------
+
+  private val hllDistinct: Q = (s, d) =>
+    Sketches.distinctWithHllGate(Tables.lineitem(s, d), Seq("l_returnflag"), "l_partkey")
+
+  private val hllDistinctSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, true AS hll_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  private val quantiles: Q = (s, d) =>
+    Sketches.percentilesWithGate(Tables.lineitem(s, d),
+      Seq("l_returnflag", "l_linestatus"), "l_quantity")
+
+  private val quantilesSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+      |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95), 6) AS p95,
+      |  true AS approx_ok
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Training-mix reweighting over (source, lang) strata.
+  // ------------------------------------------------------------------
+
+  private val mixWeights: Q = (s, d) =>
+    Ranking.mixWeights(Tables.documents(s, d), Seq("source", "lang"))
+
+  private val mixWeightsSql =
+    s"""WITH perdoc AS (SELECT source, lang, CAST(len(${toks(norm("text"))}) AS BIGINT) AS dl FROM documents),
+      |strata AS (SELECT source, lang, count(*) AS n_docs, sum(dl) AS n_tokens FROM perdoc GROUP BY 1, 2),
+      |tot AS (SELECT sum(n_tokens) AS total, count(*) AS n_strata FROM strata),
+      |w AS (SELECT source, lang, n_docs, n_tokens,
+      |        round(CAST(n_tokens AS DOUBLE) / total, 6) AS share,
+      |        round(least(CAST(5.0 AS DOUBLE), (CAST(total AS DOUBLE) / n_strata) / n_tokens), 6) AS weight
+      |      FROM strata, tot)
+      |SELECT source, lang, n_docs, n_tokens, share, weight,
+      |       CAST(floor(weight * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS sampled_tokens
+      |FROM w""".stripMargin
+
+  val registry: Vector[(String, Q, Option[String])] = Vector(
+    ("asof_join", asofJoin, Some(asofJoinSql)),
+    ("spatial_radius", spatialRadius, Some(spatialRadiusSql)),
+    ("spatial_nearest", spatialNearest, Some(spatialNearestSql)),
+    ("bm25_search", bm25Search, Some(bm25SearchSql)),
+    ("hll_distinct", hllDistinct, Some(hllDistinctSql)),
+    ("quantiles", quantiles, Some(quantilesSql)),
+    ("mix_weights", mixWeights, Some(mixWeightsSql)),
+  )
+}

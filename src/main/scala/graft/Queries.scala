@@ -467,5 +467,5 @@ object Queries {
     ("pls_run", plsRun, Some(plsRunSql)),
     ("pls_encoded", plsEncoded, Some(plsEncodedSql)),
   ) ++ TextQueries.registry ++ VectorQueries.registry ++ EventQueries.registry ++
-    SourceQueries.registry
+    SourceQueries.registry ++ ExtQueries.registry
 }

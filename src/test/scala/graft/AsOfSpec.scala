@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+/** AsOf.asOfJoin vs a brute-force per-row scan: semantics (<= and strict <),
+  * no-match nulls, and tie determinism.
+  */
+class AsOfSpec extends SparkSpec {
+
+  private def fixture = {
+    val s = spark; import s.implicits._
+    val left = Seq(
+      (1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
+      (2L, 100L, "p3"), (3L, 7L, "p4"))
+      .toDF("user_id", "ms", "pid")
+    val right = Seq(
+      (1L, 10L, 100L, 1.0), (1L, 15L, 101L, 2.0), (1L, 3L, 102L, 3.0),
+      (2L, 100L, 103L, 4.0), (2L, 101L, 104L, 5.0))
+      .toDF("user_id", "click_ms", "click_id", "v")
+    (left, right)
+  }
+
+  test("<= picks the latest right row at-or-before each left row") {
+    val (l, r) = fixture
+    val out = AsOf.asOfJoin(l, r, Seq("user_id"), col("ms"), col("click_ms"),
+      Seq("click_id", "v"), tieBreak = Seq("click_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), Option(x.get(3)), Option(x.get(4)))).toSet
+    assert(out === Set(
+      (1L, 10L, Some(100L), Some(1.0)),  // equal ord matches
+      (1L, 20L, Some(101L), Some(2.0)),  // latest before
+      (1L, 5L, Some(102L), Some(3.0)),
+      (2L, 100L, Some(103L), Some(4.0)), // 101 is after → excluded
+      (3L, 7L, None, None)))             // no right rows for key
+  }
+
+  test("strict < excludes the equal-ordinate right row") {
+    val (l, r) = fixture
+    val out = AsOf.asOfJoin(l, r, Seq("user_id"), col("ms"), col("click_ms"),
+      Seq("click_id"), tieBreak = Seq("click_id"), strict = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1), Option(x.get(3)))).toSet
+    assert(out.contains((1L, 10L, Some(102L)))) // 10 itself no longer eligible
+    assert(out.contains((2L, 100L, None)))      // only right row was at == 100
+  }
+
+  test("right rows tying on the ordinate resolve to the last in tie-break order") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "ms")
+    val r = Seq((1L, 10L, 7L, "a"), (1L, 10L, 9L, "b"), (1L, 10L, 8L, "c"))
+      .toDF("k", "rms", "rid", "tag")
+    val out = AsOf.asOfJoin(l, r, Seq("k"), col("ms"), col("rms"),
+      Seq("rid", "tag"), tieBreak = Seq("rid"))
+      .collect().head
+    assert(out.getLong(2) === 9L && out.getString(3) === "b")
+  }
+
+  test("matches a brute-force scan on randomized data") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = (0 until 200).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val right = (0 until 300).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val lDf = left.toDF("k", "ms", "lid")
+    val rDf = right.toDF("k", "rms", "rid")
+    val got = AsOf.asOfJoin(lDf, rDf, Seq("k"), col("ms"), col("rms"),
+      Seq("rid"), tieBreak = Seq("rid"))
+      .collect().map(x => (x.getLong(2), Option(x.get(3)))).toMap
+    val expected = left.map { case (k, ms, lid) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= ms)
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("plan shuffles once on the key — no range join, no cartesian") {
+    val (l, r) = fixture
+    val plan = AsOf.asOfJoin(l, r, Seq("user_id"), col("ms"), col("click_ms"),
+      Seq("click_id"), tieBreak = Seq("click_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    // one window over the union — the as-of itself adds exactly one exchange
+    assert(plan.contains("Window"), plan)
+  }
+}

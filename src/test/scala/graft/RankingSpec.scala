@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ranking, Sketches}
+
+/** Ranking.bm25 / mixWeights and the Sketches gates. */
+class RankingSpec extends SparkSpec {
+
+  test("bm25 reproduces a hand-rolled reference scorer") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "spark query spark table"),
+      (1L, "query window row"),
+      (2L, "table value row batch"),
+      (3L, "spark spark spark spark")).toDF("doc_id", "text")
+    val terms = Seq("spark", "query")
+    val got = Ranking.bm25(docs, terms, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference implementation (same formula, plain Scala)
+    val toks = Map(0L -> Seq("spark", "query", "spark", "table"),
+      1L -> Seq("query", "window", "row"), 2L -> Seq("table", "value", "row", "batch"),
+      3L -> Seq("spark", "spark", "spark", "spark"))
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def score(id: Long): Double = {
+      val dl = toks(id).size.toDouble
+      terms.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        val df = toks.values.count(_.contains(t)).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+    }
+    val expected = toks.keys.map(id => id -> BigDecimal(score(id))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .filter(_._2 > 0).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, sc) => assert(math.abs(sc - expected(id)) < 1e-9, s"doc $id") }
+  }
+
+  test("bm25 returns at most topK rows, ranked desc with id tie-break") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "alpha beta" else "gamma"))
+      .toDF("doc_id", "text")
+    val rows = Ranking.bm25(docs, Seq("alpha"), topK = 5).collect()
+    assert(rows.length === 5)
+    // all even ids score identically → ties resolve by ascending id
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 2L, 4L, 6L, 8L))
+  }
+
+  test("mixWeights: shares sum to ~1, uniform target capped by maxUpsample") {
+    val s = spark; import s.implicits._
+    val docs = Seq.fill(90)(("big", "en", "a b c d e f g h i j")) ++
+      Seq.fill(2)(("tiny", "en", "a b"))
+    val out = Ranking.mixWeights(docs.toDF("source", "lang", "text"),
+      Seq("source", "lang"), maxUpsample = 5.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    val (_, bigTok, bigShare, bigW, _) = out("big")
+    val (_, tinyTok, _, tinyW, tinySampled) = out("tiny")
+    assert(bigTok === 900L && tinyTok === 4L)
+    assert(math.abs(bigShare - 900.0 / 904.0) < 1e-6)
+    // target = 452 tokens/stratum → big downsampled, tiny capped at ×5
+    assert(bigW < 1.0)
+    assert(tinyW === 5.0)
+    assert(tinySampled === 20L)
+  }
+
+  test("sketch gates hold on fixture data and exact stats are right") {
+    val s = spark; import s.implicits._
+    val df = (1 to 1000).map(i => (i % 3, i.toDouble, (i % 101).toLong))
+      .toDF("g", "v", "k")
+    val hll = Sketches.distinctWithHllGate(df, Seq("g"), "k").collect()
+    assert(hll.forall(_.getBoolean(2)), "HLL gate failed")
+    assert(hll.map(_.getLong(1)).forall(n => n > 30 && n <= 101))
+    val q = Sketches.percentilesWithGate(df, Seq("g"), "v").collect()
+    assert(q.forall(_.getBoolean(3)), "quantile sketch gate failed")
+    // group g=0: 333 values 3,6,...,999 → median = the 167th = 501
+    val g0 = q.find(_.getInt(0) == 0).get
+    assert(g0.getDouble(1) === 501.0)
+  }
+}

@@ -172,6 +172,27 @@ object ExtQueries {
       |       CAST(floor(weight * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS sampled_tokens
       |FROM w""".stripMargin
 
+  // ------------------------------------------------------------------
+  // DataSource V2 paged source: Catalyst-planned pushdown (key set +
+  // column pruning reach the fetcher as ScanSpec, driven by the optimizer
+  // rather than caller plumbing — see sources/v2/PagedV2.scala).
+  // ------------------------------------------------------------------
+
+  private val pagedV2: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val name = s"customer:$d"
+    graft.sources.v2.FetcherRegistry.register(name,
+      new graft.sources.FixtureFetcher(cust.collect().toSeq, cust.schema), cust.schema)
+    s.read.format("graft.sources.v2.PagedTableProvider")
+      .option("fetcher", name).option("pageSize", "2000").load()
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  private val pagedV2Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("asof_join", asofJoin, Some(asofJoinSql)),
     ("spatial_radius", spatialRadius, Some(spatialRadiusSql)),
@@ -180,5 +201,6 @@ object ExtQueries {
     ("hll_distinct", hllDistinct, Some(hllDistinctSql)),
     ("quantiles", quantiles, Some(quantilesSql)),
     ("mix_weights", mixWeights, Some(mixWeightsSql)),
+    ("paged_v2", pagedV2, Some(pagedV2Sql)),
   )
 }

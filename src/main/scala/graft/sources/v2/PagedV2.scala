@@ -1,0 +1,185 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources.{PageFetcher, ScanSpec}
+
+/** DataSource V2 face of the paged-remote-source contract (S3/S4/P2/P7/P8):
+  * the same `PageFetcher` + `ScanSpec` that `PagedSource.read` drives
+  * imperatively, exposed as `spark.read.format(...)` so CATALYST plans the
+  * pushdown instead of the caller wiring it by hand:
+  *
+  *   - `SupportsPushDownRequiredColumns` → `ScanSpec.columns` (the
+  *     reference's `outFields` projection, `geocode.py:420-427`);
+  *   - `SupportsPushDownFilters` → `ScanSpec.keys` for `In` (the VALUES
+  *     key-batch pushdown, `pls/tables.py:424-430`) and
+  *     `ScanSpec.whereClause` for string `>=` (the watermark predicate,
+  *     `geocode.py:190-202`); everything else stays a post-scan Filter;
+  *   - `SupportsPushDownLimit` → caps how many pages are even planned;
+  *   - one `InputPartition` per page → executor-side fetch parallelism,
+  *     exactly like `PagedSource.read`'s `spark.range` formulation.
+  *
+  * At 100 TB the win is that column/predicate pruning now composes with
+  * everything Catalyst does — a view over this source gets its filters
+  * pushed through joins into the remote call without any hand plumbing.
+  *
+  * Fetchers are handed over through a driver-side registry (the options map
+  * can only carry strings); the executor side receives the fetcher via
+  * `InputPartition` serialization, so the registry is never consulted off
+  * the driver.
+  */
+object FetcherRegistry {
+  private val fetchers =
+    new java.util.concurrent.ConcurrentHashMap[String, (PageFetcher, StructType)]()
+
+  def register(name: String, fetcher: PageFetcher, schema: StructType): Unit =
+    fetchers.put(name, (fetcher, schema))
+
+  private[v2] def lookup(name: String): (PageFetcher, StructType) = {
+    val e = fetchers.get(name)
+    require(e != null, s"no fetcher registered under '$name' — call FetcherRegistry.register first")
+    e
+  }
+}
+
+class PagedTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FetcherRegistry.lookup(options.get("fetcher"))._2
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val name = properties.get("fetcher")
+    val pageSize = Option(properties.get("pagesize")).map(_.toInt).getOrElse(2000)
+    new PagedTable(name, FetcherRegistry.lookup(name)._1, schema, pageSize)
+  }
+}
+
+private[v2] class PagedTable(name: String, fetcher: PageFetcher, schema: StructType,
+                             pageSize: Int) extends Table with SupportsRead {
+  override def name(): String = s"paged($name)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(fetcher, schema, pageSize)
+}
+
+private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var spec = ScanSpec()
+  private var pushed = Array.empty[Filter]
+  private var limit: Option[Int] = None
+  private var outSchema = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def stringCol(attr: String) =
+      fullSchema.fieldNames.contains(attr) && fullSchema(attr).dataType == StringType
+    val (accepted, rejected) = filters.partition {
+      // key-set pushdown (P7): only on string columns — the fixture wire
+      // format carries key sets as strings, like the reference's VALUES.
+      // Catalyst rewrites single-element In to EqualTo, so both shapes map
+      // to the same one-key-set pushdown.
+      case In(attr, vs) if stringCol(attr) &&
+        vs.forall(_.isInstanceOf[String]) && spec.keys.isEmpty => true
+      case EqualTo(attr, _: String) if stringCol(attr) && spec.keys.isEmpty => true
+      // watermark predicate (P8): string >= literal
+      case GreaterThanOrEqual(attr, _: String)
+        if fullSchema.fieldNames.contains(attr) && spec.whereClause.isEmpty => true
+      case _ => false
+    }
+    accepted.foreach {
+      case In(attr, vs) =>
+        spec = spec.copy(keys = Some(attr -> vs.map(_.asInstanceOf[String]).toSet))
+      case EqualTo(attr, v: String) =>
+        spec = spec.copy(keys = Some(attr -> Set(v)))
+      case GreaterThanOrEqual(attr, v: String) =>
+        spec = spec.copy(whereClause = Some(s"$attr >= $v"))
+      case _ =>
+    }
+    pushed = accepted
+    // rejected filters must still run post-scan; Spark re-applies whatever
+    // we return here
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Spark may ask for zero columns (count-only); keep one so rows exist
+    val cols =
+      if (requiredSchema.isEmpty) Seq(fullSchema.fieldNames.head)
+      else requiredSchema.fieldNames.toSeq
+    spec = spec.copy(columns = Some(cols))
+    outSchema = StructType(cols.map(fullSchema(_)))
+  }
+
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    false // advisory: Spark still applies the exact limit on top
+  }
+
+  override def build(): Scan = new PagedScan(fetcher, outSchema, spec, pageSize, limit)
+}
+
+private[v2] class PagedScan(fetcher: PageFetcher, schema: StructType, spec: ScanSpec,
+                            pageSize: Int, limit: Option[Int]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PagedScan(spec=$spec, pageSize=$pageSize, limit=$limit)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total0 = fetcher.count(spec) // count pushdown (S6), driver-side
+    val total = limit.map(l => math.min(l.toLong, total0)).getOrElse(total0)
+    (0L until total by pageSize.toLong)
+      .map(off => PagePartition(off, math.min(pageSize.toLong, total - off).toInt): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PageReaderFactory(fetcher, schema, spec)
+}
+
+private[v2] case class PagePartition(offset: Long, limit: Int) extends InputPartition
+
+private[v2] class PageReaderFactory(fetcher: PageFetcher, schema: StructType, spec: ScanSpec)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[PagePartition]
+    new PartitionReader[InternalRow] {
+      private val rows = fetcher.fetch(part.offset, part.limit, spec)
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = toInternal(rows.next()); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  /** External Row → InternalRow for the wire types the paged sources carry
+    * (strings, integers, longs, doubles, booleans — SURVEY §1.2: everything
+    * else is stringified at ingest, like the reference's `str()` casts).
+    */
+  private def toInternal(r: org.apache.spark.sql.Row): InternalRow = {
+    val vals = schema.fields.indices.map { i =>
+      val v = r.get(i)
+      if (v == null) null
+      else schema.fields(i).dataType match {
+        case StringType => UTF8String.fromString(v.asInstanceOf[String])
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType | ShortType => v
+        case other => throw new UnsupportedOperationException(
+          s"paged V2 source carries primitive wire types only, got $other")
+      }
+    }
+    InternalRow.fromSeq(vals)
+  }
+}

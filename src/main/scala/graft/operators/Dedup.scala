@@ -180,27 +180,39 @@ object Dedup {
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
   }
 
-  /** Exact Jaccard verification of candidate id pairs. The shingle table is
-    * joined ONCE: candidate pairs melt to (pair, side, id) rows, pick up
-    * their shingles in a single equi join, and fold back to one row per
-    * pair — half the base-table passes of the naive join-per-side shape
-    * (`base` is an unpersisted lineage; every pass recomputes it).
+  /** Exact Jaccard verification of candidate id pairs: two equi joins pick
+    * up each side's shingles from the (persisted) shingle table, and the
+    * intersect/union ratio is computed in the projection — no aggregation.
+    *
+    * Why two joins and not the melt→join→groupBy-first shape this replaced:
+    * `base` is persisted by every caller (persistedBase), so a second pass
+    * costs a cache read, not a recompute — and the melt shape's real price
+    * was its groupBy over 2×|candidates| rows CARRYING THE SHINGLE ARRAYS
+    * as aggregate state (measured 40% of winnow_dedup's runtime at sf0.1).
+    * Here the per-doc side of each join is ~|docs| rows, which AQE
+    * broadcasts outright when small (the sf0.1 plan has ZERO exchanges
+    * after candidate dedup); at corpus scale both joins hash-partition on
+    * an id — the same shuffle the melt shape paid — and the groupBy stage
+    * is simply gone.
     */
   private[graft] def verifyJaccard(cand: DataFrame, base: DataFrame, idCol: String,
                             threshold: Double): DataFrame = {
-    val melted = cand
-      .select(col("id_a"), col("id_b"), explode(array(
-        struct(lit("a").as("side"), col("id_a").as("id")),
-        struct(lit("b").as("side"), col("id_b").as("id")))).as("m"))
-      .select(col("id_a"), col("id_b"), col("m.side"), col("m.id"))
-    val withSh = melted.join(base.select(col(idCol).as("id"), col("sh")), Seq("id"))
-    withSh.groupBy("id_a", "id_b")
-      .agg(
-        first(when(col("side") === "a", col("sh")), ignoreNulls = true).as("sh_a"),
-        first(when(col("side") === "b", col("sh")), ignoreNulls = true).as("sh_b"))
+    cand
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // size-ratio prune: jaccard ≤ min/max (intersection ≤ the smaller
+      // set, union ≥ the larger), so pairs failing min ≥ t·max can never
+      // verify — dropped BEFORE the per-pair set intersection. The 1e-9
+      // slack keeps FP rounding of t·max from pruning an exact-boundary
+      // pair (true ratios are quantized at ≥ 1/(|a|+|b|), far above it).
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double") - lit(1e-9))
+      // |a ∪ b| = |a| + |b| − |a ∩ b| (shingle arrays are distinct), so the
+      // union array is never materialized — identical values, half the
+      // set-operation work on the |candidates| hot path
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+        col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

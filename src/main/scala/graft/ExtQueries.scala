@@ -33,6 +33,13 @@ object ExtQueries {
       tieBreak = Seq("click_ms", "click_id"))
   }
 
+  /** The stateful streaming twin, run in batch mode (like `user_totals` /
+    * `spend_alerts`): same enrichment, same oracle shape as `asof_join`.
+    */
+  private val asofStream: Q = (s, d) =>
+    graft.streaming.EventsStream.asOfEnrich(Tables.events(s, d))
+      .toDF("user_id", "event_id", "ms", "click_id", "click_ms", "click_value")
+
   private val asofJoinSql =
     """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'purchase'),
       |c0 AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ms, value AS click_value
@@ -195,6 +202,7 @@ object ExtQueries {
 
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("asof_join", asofJoin, Some(asofJoinSql)),
+    ("asof_stream", asofStream, Some(asofJoinSql)),
     ("spatial_radius", spatialRadius, Some(spatialRadiusSql)),
     ("spatial_nearest", spatialNearest, Some(spatialNearestSql)),
     ("bm25_search", bm25Search, Some(bm25SearchSql)),

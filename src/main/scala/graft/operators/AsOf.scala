@@ -68,7 +68,10 @@ object AsOf {
         lit(null).cast(tieType).as("__tie"),
         struct(left.columns.map(col): _*).as("__l"),
         lit(null).cast(payloadType).as("__p")): _*)
-    val r = right.select(
+    // a null right ordinate can never satisfy `<=`/`<` (standard as-of /
+    // SQL ASOF semantics) — without this filter it would sort NULLS FIRST
+    // and get carried onto null-ordinate left rows
+    val r = right.filter(rightOrd.isNotNull).select(
       keys.map(col) ++ Seq(
         rightOrd.as("__ord"), lit(rightSide).as("__side"),
         struct(tieBreak.map(col): _*).as("__tie"),

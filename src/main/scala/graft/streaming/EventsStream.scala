@@ -117,6 +117,51 @@ object EventsStream {
       }
   }
 
+  /** Streaming twin of `AsOf.asOfJoin` (point-in-time enrichment): each
+    * `leftType` event is enriched with the most recent `rightType` event
+    * at-or-before it for the same user, via `flatMapGroupsWithState` —
+    * per-key state is ONE row (the latest right event seen), so state is
+    * bounded by the key population, not the stream volume, and there is no
+    * stream-stream join buffer to watermark.
+    *
+    * Rows fold in (ms, side, event_id) order with right before left at
+    * equal ms — exactly the batch operator's union-sort order — so an
+    * in-order replay equals `AsOf.asOfJoin` row-for-row
+    * (EventsStreamSpec drives both). Late right events only affect
+    * SUBSEQUENT left events (state keeps the max-(ms, id) right row) —
+    * the standard at-least-once enrichment contract for out-of-order
+    * streams; the batch twin is the exact-replay oracle.
+    */
+  def asOfEnrich(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                 leftType: String = "purchase", rightType: String = "click")
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Option[Long], Option[Long], Option[Double])] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_millis(col("ts")).as("ms"),
+        col("event_id").cast("long"), col("event_type"), col("value").cast("double"))
+      .filter(col("event_type").isin(leftType, rightType))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double), (Long, Long, Long, Option[Long], Option[Long], Option[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var st = state.getOption // (click_ms, click_id, click_value)
+          val out = Vector.newBuilder[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+          rows.toVector
+            .sortBy(r => (r._2, if (r._4 == rightType) 0 else 1, r._3))
+            .foreach { r =>
+              if (r._4 == rightType) {
+                if (st.forall(s => s._1 < r._2 || (s._1 == r._2 && s._2 < r._3)))
+                  st = Some((r._2, r._3, r._5))
+              } else
+                out += ((user, r._3, r._2, st.map(_._2), st.map(_._1), st.map(_._3)))
+            }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Versioned state store for `upsertStream`. Each write lands in its own
     * `v-<version>` parquet dir; the COMMIT POINT is the creation of the
     * empty `commit-v-<version>` marker (file create is atomic), so a crash

@@ -73,6 +73,62 @@ class AsOfSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("null ordinates never match: null right rows are ignored, null left rows get no match") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, Some(10L), "a"), (1L, None, "b")).toDF("k", "ms", "tag")
+    val r = Seq((1L, Some(5L), 100L), (1L, None, 999L)).toDF("k", "rms", "rid")
+    val out = AsOf.asOfJoin(l, r, Seq("k"), col("ms"), col("rms"),
+      Seq("rid"), tieBreak = Seq("rid"))
+      .collect().map(x => (x.getString(2), Option(x.get(3)))).toMap
+    assert(out("a") === Some(100L)) // the null-ord right row (999) is invisible
+    assert(out("b") === None)       // a null left ordinate matches nothing
+  }
+
+  test("asOfEnrich: streaming across micro-batches == batch == AsOf.asOfJoin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts_s, user_id, event_type, value)
+    val b1 = Seq((1L, "2026-01-01 10:00:00", 7L, "click", 1.5),
+                 (2L, "2026-01-01 10:01:00", 7L, "purchase", 9.0),
+                 (3L, "2026-01-01 10:02:00", 8L, "purchase", 2.0)) // no click yet
+    val b2 = Seq((4L, "2026-01-01 10:03:00", 7L, "click", 2.5),
+                 (5L, "2026-01-01 10:04:00", 7L, "purchase", 1.0), // sees click 4 from b2
+                 (6L, "2026-01-01 10:05:00", 8L, "purchase", 3.0)) // still no click for 8
+    def mkDf(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+    val mem = MemoryStream[(Long, String, Long, String, Double)]
+    val q = graft.streaming.EventsStream.asOfEnrich(mkDf(mem.toDF()))
+      .toDF("user_id", "event_id", "ms", "click_id", "click_ms", "click_value")
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("asof_out").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)))).toMap
+    assert(streamed === Map(
+      2L -> Some(1L), 3L -> None, 5L -> Some(4L), 6L -> None))
+
+    // in-order replay == one batch pass == the batch as-of join operator
+    val all = mkDf((b1 ++ b2).toDF())
+    val batch = graft.streaming.EventsStream.asOfEnrich(all)
+      .collect().map(t => (t._2, t._4)).toMap
+    assert(batch === streamed)
+    val viaJoin = AsOf.asOfJoin(
+      all.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms")),
+      all.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_millis(col("ts")).as("click_ms")),
+      Seq("user_id"), col("ms"), col("click_ms"),
+      Seq("click_id"), tieBreak = Seq("click_id"))
+      .collect().map(r => (r.getLong(1), Option(r.get(3)))).toMap
+    assert(viaJoin === streamed)
+  }
+
   test("plan shuffles once on the key — no range join, no cartesian") {
     val (l, r) = fixture
     val plan = AsOf.asOfJoin(l, r, Seq("user_id"), col("ms"), col("click_ms"),

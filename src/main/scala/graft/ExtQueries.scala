@@ -200,6 +200,25 @@ object ExtQueries {
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
       |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Gopher-style duplicate n-gram fraction (repetition quality signal).
+  // ------------------------------------------------------------------
+
+  private val gramRepetition: Q = (s, d) =>
+    graft.operators.TextAnalysis.gramRepetition(Tables.documents(s, d))
+
+  private val gramRepetitionSql = {
+    import OracleSql.{hashList, rolledGramList}
+    def frac(g: String) =
+      s"round(CASE WHEN len($g) > 0 THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct($g)) AS DOUBLE) / len($g) ELSE CAST(0.0 AS DOUBLE) END, 6)"
+    s"""WITH hl AS (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents),
+      |g AS (SELECT doc_id, ${rolledGramList("hs", 2)} AS g2, ${rolledGramList("hs", 3)} AS g3 FROM hl)
+      |SELECT doc_id,
+      |  CAST(len(g2) AS BIGINT) AS n_grams_2, ${frac("g2")} AS dup_frac_2,
+      |  CAST(len(g3) AS BIGINT) AS n_grams_3, ${frac("g3")} AS dup_frac_3
+      |FROM g""".stripMargin
+  }
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("asof_join", asofJoin, Some(asofJoinSql)),
     ("asof_stream", asofStream, Some(asofJoinSql)),
@@ -210,5 +229,6 @@ object ExtQueries {
     ("quantiles", quantiles, Some(quantilesSql)),
     ("mix_weights", mixWeights, Some(mixWeightsSql)),
     ("paged_v2", pagedV2, Some(pagedV2Sql)),
+    ("gram_repetition", gramRepetition, Some(gramRepetitionSql)),
   )
 }

@@ -37,6 +37,17 @@ private[graft] object OracleSql {
     s"list_distinct(CASE WHEN len($hsE) >= $n THEN [${combine("i")} for i in range(0, len($hsE) - ${n - 1})] WHEN len($hsE) > 0 THEN [${combine("0")}] ELSE [] END)"
   }
 
+  /** Dedup.rolledGramHashes — per-OCCURRENCE gram hashes (no distinct, no
+    * short-doc padding; empty below n tokens).
+    */
+  def rolledGramList(hsE: String, n: Int): String = {
+    def combine(idx: String): String =
+      (1 until n).foldLeft(s"coalesce(($hsE)[$idx + 1], 0)") { (acc, j) =>
+        s"(($acc) * $B + coalesce(($hsE)[$idx + ${j + 1}], 0)) % $P"
+      }
+    s"CASE WHEN len($hsE) >= $n THEN [${combine("i")} for i in range(0, len($hsE) - ${n - 1})] ELSE [] END"
+  }
+
   /** Dedup.signatures — k affine minima over shingle hashes. */
   def sigItems(shCol: String, k: Int): String =
     Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>

@@ -82,6 +82,20 @@ object Dedup {
     array_distinct(slice(rolled, lit(1), greatest(size(hs) - (n - 1), lit(1))))
   }
 
+  /** Gram hashes WITHOUT dedup or short-doc padding: one entry per n-gram
+    * occurrence, empty for documents shorter than n tokens. The raw
+    * positional stream `shingleHashes` distils — callers that need
+    * occurrence counts (repetition metrics) use this form.
+    */
+  private[graft] def rolledGramHashes(hs: Column, n: Int): Column = {
+    val rolled = (1 until n).foldLeft(hs) { (acc, j) =>
+      zip_with(acc, slice(hs, lit(j + 1), size(hs)),
+        (a, h) => pmod(a * lit(B) + coalesce(h, lit(0L)), lit(P)))
+    }
+    when(size(hs) >= n, slice(rolled, lit(1), size(hs) - (n - 1)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** (id [, blockCols...], sh: array<long>) — tokenization, token hashing,
     * and gram combination each materialized in their OWN projection, so
     * every lambda references a bound column (interpreted higher-order

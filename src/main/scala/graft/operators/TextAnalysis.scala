@@ -204,4 +204,32 @@ object TextAnalysis {
       .withColumn("fp_roll",
         aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(hash60(t), lit(P)), lit(P))))
   }
+
+  /** Gopher-style repetition signal: the fraction of n-gram OCCURRENCES
+    * that are duplicates of an earlier occurrence in the same document
+    * (`1 − distinct/total`), for each window size in `ns`. High values
+    * flag boilerplate/looping text that per-token `distinct_ratio`
+    * misses (a document repeating one paragraph has normal unigram
+    * diversity but dup_frac_3 ≈ 1). Pure per-row expressions over the
+    * hash-space gram stream — one scan, no shuffle, no string n-grams
+    * materialized. Documents shorter than n tokens score 0.
+    */
+  def gramRepetition(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val P = 2147483647L
+    val base = docs
+      .select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
+      .select(col(idCol), transform(col("__tk"), t => pmod(hash60(t), lit(P))).as("__hs"))
+    val withGrams = ns.foldLeft(base) { (df, n) =>
+      df.withColumn(s"__g$n", Dedup.rolledGramHashes(col("__hs"), n))
+    }
+    val out = ns.foldLeft(withGrams) { (df, n) =>
+      df.withColumn(s"n_grams_$n", size(col(s"__g$n")).cast("long"))
+        .withColumn(s"dup_frac_$n", round(
+          when(col(s"n_grams_$n") > 0,
+            lit(1.0d) - size(array_distinct(col(s"__g$n"))).cast("double") / col(s"n_grams_$n"))
+            .otherwise(lit(0.0d)), 6))
+    }
+    out.select(col(idCol) +: ns.flatMap(n => Seq(col(s"n_grams_$n"), col(s"dup_frac_$n"))): _*)
+  }
 }

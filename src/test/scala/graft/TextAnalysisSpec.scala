@@ -115,4 +115,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getLong(3) == out(1).getLong(3))     // fp_roll too
     assert(out(0).getLong(3) != out(2).getLong(3))     // order matters
   }
+
+  test("gramRepetition: duplicate n-gram fractions, short docs score zero") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b"),   // 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+      (1L, "x y z"),          // all grams unique
+      (2L, "w"),              // shorter than any n → zero
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.gramRepetition(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(0L) === ((5L, 0.6, 4L, 0.5)))  // 3-grams: aba bab aba bab → 4 total, 2 distinct
+    assert(out(1L) === ((2L, 0.0, 1L, 0.0)))
+    assert(out(2L) === ((0L, 0.0, 0L, 0.0)))
+    assert(out(3L) === ((0L, 0.0, 0L, 0.0)))
+  }
 }

@@ -72,29 +72,29 @@ object Dedup {
     * Documents shorter than n tokens produce one shingle padded with
     * zero-hashes (the whole-text fallback of `gramsOf`).
     */
-  private def shingleHashes(hs: Column, n: Int): Column = {
-    // rolling[j] after step j covers h[i..i+j]; zip_with pads the shorter
-    // shifted slice with nulls, which coalesce turns into the zero padding
-    val rolled = (1 until n).foldLeft(hs) { (acc, j) =>
+  /** The shared mod-P rolling fold: rolling[i] after step j covers
+    * h[i..i+j]; `zip_with` pads the shorter shifted slice with nulls, which
+    * coalesce turns into zero padding. Single source of truth — the fold is
+    * mirrored character-for-character in the oracle SQL
+    * (OracleSql.shingleHashList / rolledGramList), so it must not fork.
+    */
+  private def rollingFold(hs: Column, n: Int): Column =
+    (1 until n).foldLeft(hs) { (acc, j) =>
       zip_with(acc, slice(hs, lit(j + 1), size(hs)),
         (a, h) => pmod(a * lit(B) + coalesce(h, lit(0L)), lit(P)))
     }
-    array_distinct(slice(rolled, lit(1), greatest(size(hs) - (n - 1), lit(1))))
-  }
+
+  private def shingleHashes(hs: Column, n: Int): Column =
+    array_distinct(slice(rollingFold(hs, n), lit(1), greatest(size(hs) - (n - 1), lit(1))))
 
   /** Gram hashes WITHOUT dedup or short-doc padding: one entry per n-gram
     * occurrence, empty for documents shorter than n tokens. The raw
     * positional stream `shingleHashes` distils — callers that need
     * occurrence counts (repetition metrics) use this form.
     */
-  private[graft] def rolledGramHashes(hs: Column, n: Int): Column = {
-    val rolled = (1 until n).foldLeft(hs) { (acc, j) =>
-      zip_with(acc, slice(hs, lit(j + 1), size(hs)),
-        (a, h) => pmod(a * lit(B) + coalesce(h, lit(0L)), lit(P)))
-    }
-    when(size(hs) >= n, slice(rolled, lit(1), size(hs) - (n - 1)))
+  private[graft] def rolledGramHashes(hs: Column, n: Int): Column =
+    when(size(hs) >= n, slice(rollingFold(hs, n), lit(1), size(hs) - (n - 1)))
       .otherwise(array().cast("array<bigint>"))
-  }
 
   /** (id [, blockCols...], sh: array<long>) — tokenization, token hashing,
     * and gram combination each materialized in their OWN projection, so

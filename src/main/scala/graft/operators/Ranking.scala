@@ -38,9 +38,14 @@ object Ranking {
     }
     // __tk is a materialized column reference — the HOF-lambda rule
     // (Dedup.gramsOf): an inlined tokenize would re-run per element
+    // persisted: BOTH the stats aggregate and the scoring projection read
+    // this frame — without the cache the corpus is scanned and re-tokenized
+    // twice (the dominant cost). Same pattern as Dedup.persistedBase;
+    // CacheManager dedups re-persists of the same canonical plan.
     val base = docs
       .select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
       .select(col(idCol) +: size(col("__tk")).cast("long").as("__dl") +: tf: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statAggs = sum(col("__dl")).as("__sumdl") +:
       terms.indices.map(i => sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
     val stats = base.agg(count(lit(1)).as("__n"), statAggs: _*)
@@ -77,8 +82,11 @@ object Ranking {
                  textCol: String = "text", maxUpsample: Double = 5.0): DataFrame = {
     val perDoc = docs.select(strataCols.map(col) :+
       size(tokens(normalizeText(col(textCol)))).cast("long").as("__dl"): _*)
+    // persisted: the totals aggregate and the weight projection both read
+    // the strata frame — uncached, each re-runs the corpus tokenization
     val strata = perDoc.groupBy(strataCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum("__dl").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = strata.agg(
       sum("n_tokens").as("__total"), count(lit(1)).as("__n_strata"))
     strata.crossJoin(broadcast(totals))

@@ -55,8 +55,12 @@ class PagedTableProvider extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val name = properties.get("fetcher")
-    val pageSize = Option(properties.get("pagesize")).map(_.toInt).getOrElse(2000)
+    // properties preserves the caller's option casing (unlike inferSchema's
+    // CaseInsensitiveStringMap) — normalize, or option("pageSize", …) would
+    // be silently ignored
+    val opts = new CaseInsensitiveStringMap(properties)
+    val name = opts.get("fetcher")
+    val pageSize = Option(opts.get("pagesize")).map(_.toInt).getOrElse(2000)
     new PagedTable(name, FetcherRegistry.lookup(name)._1, schema, pageSize)
   }
 }
@@ -83,32 +87,35 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def stringCol(attr: String) =
       fullSchema.fieldNames.contains(attr) && fullSchema(attr).dataType == StringType
-    val (accepted, rejected) = filters.partition {
+    // sequential accept-as-we-mutate: each ScanSpec slot takes ONE filter;
+    // a second key or watermark filter must fall through to post-scan
+    // evaluation — a partition() over pre-mutation guards would claim both
+    // and silently drop all but the last (wrong results, not just slow)
+    val accepted = Vector.newBuilder[Filter]
+    val rejected = Vector.newBuilder[Filter]
+    filters.foreach {
       // key-set pushdown (P7): only on string columns — the fixture wire
       // format carries key sets as strings, like the reference's VALUES.
       // Catalyst rewrites single-element In to EqualTo, so both shapes map
       // to the same one-key-set pushdown.
-      case In(attr, vs) if stringCol(attr) &&
-        vs.forall(_.isInstanceOf[String]) && spec.keys.isEmpty => true
-      case EqualTo(attr, _: String) if stringCol(attr) && spec.keys.isEmpty => true
-      // watermark predicate (P8): string >= literal
-      case GreaterThanOrEqual(attr, _: String)
-        if fullSchema.fieldNames.contains(attr) && spec.whereClause.isEmpty => true
-      case _ => false
-    }
-    accepted.foreach {
-      case In(attr, vs) =>
+      case f @ In(attr, vs) if stringCol(attr) &&
+          vs.forall(_.isInstanceOf[String]) && spec.keys.isEmpty =>
         spec = spec.copy(keys = Some(attr -> vs.map(_.asInstanceOf[String]).toSet))
-      case EqualTo(attr, v: String) =>
+        accepted += f
+      case f @ EqualTo(attr, v: String) if stringCol(attr) && spec.keys.isEmpty =>
         spec = spec.copy(keys = Some(attr -> Set(v)))
-      case GreaterThanOrEqual(attr, v: String) =>
+        accepted += f
+      // watermark predicate (P8): string >= literal
+      case f @ GreaterThanOrEqual(attr, v: String)
+          if fullSchema.fieldNames.contains(attr) && spec.whereClause.isEmpty =>
         spec = spec.copy(whereClause = Some(s"$attr >= $v"))
-      case _ =>
+        accepted += f
+      case f => rejected += f
     }
-    pushed = accepted
+    pushed = accepted.result().toArray
     // rejected filters must still run post-scan; Spark re-applies whatever
     // we return here
-    rejected
+    rejected.result().toArray
   }
 
   override def pushedFilters(): Array[Filter] = pushed

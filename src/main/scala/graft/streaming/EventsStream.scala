@@ -127,35 +127,43 @@ object EventsStream {
     * Rows fold in (ms, side, event_id) order with right before left at
     * equal ms — exactly the batch operator's union-sort order — so an
     * in-order replay equals `AsOf.asOfJoin` row-for-row
-    * (EventsStreamSpec drives both). Late right events only affect
-    * SUBSEQUENT left events (state keeps the max-(ms, id) right row) —
-    * the standard at-least-once enrichment contract for out-of-order
-    * streams; the batch twin is the exact-replay oracle.
+    * (EventsStreamSpec drives both). Out-of-order arrivals degrade along
+    * the as-of contract, never against it: the emit guard
+    * (`state ms <= left ms`) means a left event arriving after a LATER
+    * right event gets no match rather than a future one (the leakage a
+    * point-in-time join exists to prevent), and a late right event only
+    * affects subsequent left events. Null ordinates mirror the batch
+    * twin: a null-ts right event can never match; a null-ts left event is
+    * emitted unmatched.
     */
   def asOfEnrich(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                  leftType: String = "purchase", rightType: String = "click")
-      : org.apache.spark.sql.Dataset[(Long, Long, Long, Option[Long], Option[Long], Option[Double])] = {
+      : org.apache.spark.sql.Dataset[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Double])] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     events
       .select(col("user_id").cast("long"), unix_millis(col("ts")).as("ms"),
         col("event_id").cast("long"), col("event_type"), col("value").cast("double"))
       .filter(col("event_type").isin(leftType, rightType))
-      .as[(Long, Long, Long, String, Double)]
+      .as[(Long, Option[Long], Long, String, Option[Double])]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Double), (Long, Long, Long, Option[Long], Option[Long], Option[Double])](
+      .flatMapGroupsWithState[(Long, Long, Option[Double]), (Long, Long, Option[Long], Option[Long], Option[Long], Option[Double])](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (user, rows, state) =>
           var st = state.getOption // (click_ms, click_id, click_value)
-          val out = Vector.newBuilder[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+          val out = Vector.newBuilder[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Double])]
           rows.toVector
-            .sortBy(r => (r._2, if (r._4 == rightType) 0 else 1, r._3))
+            .sortBy(r => (r._2.getOrElse(Long.MinValue), if (r._4 == rightType) 0 else 1, r._3))
             .foreach { r =>
-              if (r._4 == rightType) {
-                if (st.forall(s => s._1 < r._2 || (s._1 == r._2 && s._2 < r._3)))
-                  st = Some((r._2, r._3, r._5))
-              } else
-                out += ((user, r._3, r._2, st.map(_._2), st.map(_._1), st.map(_._3)))
+              if (r._4 == rightType)
+                r._2.foreach { ms =>
+                  if (st.forall(s => s._1 < ms || (s._1 == ms && s._2 < r._3)))
+                    st = Some((ms, r._3, r._5))
+                }
+              else {
+                val m = r._2.flatMap(ms => st.filter(_._1 <= ms))
+                out += ((user, r._3, r._2, m.map(_._2), m.map(_._1), m.flatMap(_._3)))
+              }
             }
           st.foreach(state.update)
           out.result().iterator

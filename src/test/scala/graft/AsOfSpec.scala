@@ -129,6 +129,29 @@ class AsOfSpec extends SparkSpec {
     assert(viaJoin === streamed)
   }
 
+  test("asOfEnrich never leaks a future right event onto a late-arriving left event") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mkDf(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val mem = MemoryStream[(Long, String, Long, String, Double)]
+    val q = graft.streaming.EventsStream.asOfEnrich(mkDf(mem.toDF()))
+      .toDF("user_id", "event_id", "ms", "click_id", "click_ms", "click_value")
+      .writeStream.format("memory").queryName("asof_late").outputMode("append").start()
+    try {
+      // batch 1: a click at 10:05
+      mem.addData((1L, "2026-01-01 10:05:00", 7L, "click", 1.0)); q.processAllAvailable()
+      // batch 2: a LATE purchase at 10:01 — before the only click seen.
+      // Attaching click 1 would hand the model data from its future.
+      mem.addData((2L, "2026-01-01 10:01:00", 7L, "purchase", 5.0)); q.processAllAvailable()
+    } finally q.stop()
+    val row = spark.table("asof_late").collect().head
+    assert(row.getLong(1) === 2L && row.get(3) == null,
+      s"late purchase must get NO match, got click ${row.get(3)}")
+  }
+
   test("plan shuffles once on the key — no range join, no cartesian") {
     val (l, r) = fixture
     val plan = AsOf.asOfJoin(l, r, Seq("user_id"), col("ms"), col("click_ms"),

@@ -62,13 +62,40 @@ class V2SourceSpec extends SparkSpec {
     assert(out.length === expected.length)
   }
 
-  test("pages become input partitions; limit caps the planned pages") {
+  /** Planned page count straight from the V2 scan node — the executor-side
+    * fetcher is a deserialized COPY, so recording offsets into the driver's
+    * instance (the first version of this test) asserts nothing.
+    */
+  private def plannedPages(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("pageSize option is honored: pages become input partitions") {
+    FetcherRegistry.register("rec3a", new RecordingFetcher(rows, schema), schema)
+    assert(plannedPages(readV2("rec3a", pageSize = 10)) === 10) // 100 rows / 10
+  }
+
+  test("pushed limit caps the planned pages") {
+    FetcherRegistry.register("rec3b", new RecordingFetcher(rows, schema), schema)
+    val df = readV2("rec3b", pageSize = 10).limit(25)
+    assert(df.count() === 25)
+    assert(plannedPages(df) === 3) // ceil(25/10), not the 10 full pages
+  }
+
+  test("two pushable filters: one takes the ScanSpec slot, the other still applies post-scan") {
     val f = new RecordingFetcher(rows, schema)
-    FetcherRegistry.register("rec3", f, schema)
-    val n = readV2("rec3", pageSize = 10).limit(25).count()
-    assert(n === 25)
-    // 100 rows would be 10 pages; the pushed limit plans only ceil(25/10)=3
-    assert(f.fetchOffsets.size <= 3, s"planned ${f.fetchOffsets.size} pages")
+    FetcherRegistry.register("rec5", f, schema)
+    // seg='A' rows are k0,k3,k6,... — k1 is seg='B', so the result is EMPTY
+    // if BOTH equality filters survive. A pushdown that claims both but
+    // keeps only the last returns [k1] (the bug this guards against).
+    val out = readV2("rec5")
+      .filter(col("seg") === "A" && col("k") === "k1")
+      .collect()
+    assert(out.isEmpty)
+    // exactly one of the two occupies the single key slot
+    assert(f.lastCountSpec.keys.exists(k => k == ("seg" -> Set("A")) || k == ("k" -> Set("k1"))))
   }
 
   test("V2 read equals the plain DataFrame over the same rows") {

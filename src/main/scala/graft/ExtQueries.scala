@@ -106,6 +106,32 @@ object ExtQueries {
       |WHERE rn = 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // Z-order (Morton) curve values — the spatial write-layout primitive.
+  // ------------------------------------------------------------------
+
+  private val zValue: Q = (s, d) =>
+    customersGeo(s, d).select(col("c_custkey"),
+      Spatial.zValueOf(col("c_lat"), col("c_lon"), 0.01).as("zv"))
+
+  /** Mirrors Spatial.spreadBits' mask-shift chain; nesting duplicates each
+    * step (no variables in an expression) but DuckDB evaluates it fine.
+    */
+  private def spreadSql(e: String): String = {
+    var x = s"(($e) & 2147483647)"
+    for ((sh, m) <- Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+        4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L, 1 -> 0x5555555555555555L))
+      x = s"(($x | ($x << $sh)) & $m)"
+    x
+  }
+
+  private val zValueSql =
+    s"""WITH $geoSql,
+      |cells AS (SELECT c_custkey,
+      |  CAST(floor((c_lat + CAST(90.0 AS DOUBLE)) / CAST(0.01 AS DOUBLE)) AS BIGINT) AS cx,
+      |  CAST(floor((c_lon + CAST(180.0 AS DOUBLE)) / CAST(0.01 AS DOUBLE)) AS BIGINT) AS cy FROM cg)
+      |SELECT c_custkey, (${spreadSql("cx")} | (${spreadSql("cy")} << 1)) AS zv FROM cells""".stripMargin
+
+  // ------------------------------------------------------------------
   // BM25 ranked retrieval (fixed term set over `documents`).
   // ------------------------------------------------------------------
 
@@ -219,6 +245,31 @@ object ExtQueries {
       |FROM g""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Incremental aggregate maintenance: previous agg state ⊕ watermark
+  // delta == full re-aggregation (the oracle asserts exactly that).
+  // ------------------------------------------------------------------
+
+  private val incrementalAgg: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val wm = lit("1997-06-01").cast("timestamp")
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy("o_custkey").agg(
+      sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"),
+      count(lit(1)).as("n_orders"),
+      max(unix_millis(col("o_orderdate"))).as("last_order_ms"))
+    val prev = aggOf(o.filter(col("o_orderdate") < wm))
+    val delta = aggOf(RelOps.watermarkDelta(o, "o_orderdate", wm))
+    RelOps.mergeAggState(prev, delta, Seq("o_custkey"),
+      sumCols = Seq("total_price", "n_orders"), maxCols = Seq("last_order_ms"))
+      .select(col("o_custkey"), col("total_price").cast("double").as("total_price"),
+        col("n_orders"), col("last_order_ms"))
+  }
+
+  private val incrementalAggSql =
+    """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  count(*) AS n_orders, max(epoch_ms(o_orderdate)) AS last_order_ms
+      |FROM orders GROUP BY 1""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("asof_join", asofJoin, Some(asofJoinSql)),
     ("asof_stream", asofStream, Some(asofJoinSql)),
@@ -230,5 +281,7 @@ object ExtQueries {
     ("mix_weights", mixWeights, Some(mixWeightsSql)),
     ("paged_v2", pagedV2, Some(pagedV2Sql)),
     ("gram_repetition", gramRepetition, Some(gramRepetitionSql)),
+    ("incremental_agg", incrementalAgg, Some(incrementalAggSql)),
+    ("z_value", zValue, Some(zValueSql)),
   )
 }

@@ -175,4 +175,26 @@ object RelOps {
     */
   def watermarkDelta(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
     df.filter(col(tsCol) >= watermark)
+
+  /** Incremental aggregate maintenance: merge the PREVIOUS run's per-key
+    * aggregate state with the aggregate of a watermark delta, giving the
+    * same result as re-aggregating the full corpus — for the decomposable
+    * aggregates (sum, count, min, max) whose merge is their own combine
+    * function. The incremental twin of the carry-forward pattern (I1/I2):
+    * steady-state cost is agg(delta) + a shuffle of ~|keys in delta ∪
+    * previous| state rows, never a corpus re-scan. (avg = merged sum /
+    * merged count; distinct needs a sketch — see Sketches.)
+    *
+    * Both inputs must already be one row per key with identical columns:
+    * `sumCols` merge by +, `minCols` by least, `maxCols` by greatest.
+    */
+  def mergeAggState(previous: DataFrame, delta: DataFrame, keys: Seq[String],
+                    sumCols: Seq[String], minCols: Seq[String] = Nil,
+                    maxCols: Seq[String] = Nil): DataFrame = {
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      minCols.map(c => min(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
+    previous.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

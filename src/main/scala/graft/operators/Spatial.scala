@@ -61,6 +61,51 @@ object Spatial {
       .drop("__cx", "__cy")
   }
 
+  /** Bit-spread step of the Morton (Z-order) curve: inserts a zero between
+    * consecutive bits of a 31-bit non-negative value (classic mask-shift
+    * chain — pure codegen'd bitwise arithmetic, no UDF).
+    */
+  private def spreadBits(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0x7FFFFFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x3333333333333333L))
+    x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x5555555555555555L))
+    x
+  }
+
+  /** Morton z-value of two NON-NEGATIVE cell indices (≤ 2³¹−1): interleaves
+    * their bits so points close in 2-D are close in the 1-D sort order.
+    */
+  def zValue(cx: Column, cy: Column): Column =
+    spreadBits(cx).bitwiseOR(shiftleft(spreadBits(cy), 1))
+
+  /** Z-value for raw coordinates: cells of `cellSize` degrees, offset to
+    * non-negative (lat+90, lon+180).
+    */
+  def zValueOf(lat: Column, lon: Column, cellSize: Double): Column =
+    zValue(floor((lat + lit(90.0)) / lit(cellSize)).cast("long"),
+           floor((lon + lit(180.0)) / lit(cellSize)).cast("long"))
+
+  /** Range-partition + sort a frame along the Z-curve of (latCol, lonCol) —
+    * the write-side layout that makes bounding-box scans skip: rows near in
+    * space land in the same files/row groups, so parquet min/max stats
+    * prune most of the corpus for a spatial predicate. The read-side twin
+    * of `radiusJoin`'s cell bucketing; at 100 TB this is the difference
+    * between a bounding-box query scanning everything and scanning the
+    * touched curve segments. (The same layout primitive Delta/Iceberg call
+    * OPTIMIZE ZORDER BY.)
+    */
+  def zOrdered(df: DataFrame, latCol: String, lonCol: String,
+               cellSize: Double = 0.01, partitions: Int = 0): DataFrame = {
+    val withZ = df.withColumn("__z", zValueOf(col(latCol), col(lonCol), cellSize))
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    withZ.repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z").drop("__z")
+  }
+
   /** Nearest right point within `radius` for each left row that has one —
     * top-1 per left key via a `min_by` struct aggregate (map-side combined;
     * no window sort), ranked by (dist2, tieBreak) for total-order

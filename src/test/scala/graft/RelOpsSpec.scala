@@ -106,4 +106,21 @@ class RelOpsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
       s"watermark not pushed to scan:\n$plan")
   }
+
+  test("mergeAggState: previous ⊕ delta == full re-aggregation, for any split") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val df = rows.toDF("k", "v", "ord")
+    def aggOf(d: org.apache.spark.sql.DataFrame) = d.groupBy("k").agg(
+      sum("v").as("sv"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+    val full = aggOf(df).collect().map(_.toSeq).toSet
+    for (cut <- Seq(0L, 120L, 499L, 500L)) { // empty prev, mid, near-full, empty delta
+      val merged = RelOps.mergeAggState(
+        aggOf(df.filter(col("ord") < cut)), aggOf(df.filter(col("ord") >= cut)),
+        Seq("k"), sumCols = Seq("sv", "n"), minCols = Seq("mn"), maxCols = Seq("mx"))
+        .collect().map(_.toSeq).toSet
+      assert(merged === full, s"cut=$cut")
+    }
+  }
 }

@@ -257,7 +257,10 @@ object ExtQueries {
       sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"),
       count(lit(1)).as("n_orders"),
       max(unix_millis(col("o_orderdate"))).as("last_order_ms"))
-    val prev = aggOf(o.filter(col("o_orderdate") < wm))
+    // null-ts rows belong to the PREVIOUS side (they can never appear in a
+    // watermark delta) — `< wm` alone would drop them from BOTH sides and
+    // silently break the prev ⊕ delta == full invariant the oracle asserts
+    val prev = aggOf(o.filter(col("o_orderdate") < wm || col("o_orderdate").isNull))
     val delta = aggOf(RelOps.watermarkDelta(o, "o_orderdate", wm))
     RelOps.mergeAggState(prev, delta, Seq("o_custkey"),
       sumCols = Seq("total_price", "n_orders"), maxCols = Seq("last_order_ms"))

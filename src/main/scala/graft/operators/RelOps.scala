@@ -193,6 +193,11 @@ object RelOps {
                     maxCols: Seq[String] = Nil): DataFrame = {
     val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
       minCols.map(c => min(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
+    require(aggs.nonEmpty, "mergeAggState needs at least one sum/min/max column")
+    // NOTE: inputs must already be one row per key — a non-aggregated
+    // `previous` is double-counted here, not detected (checking would cost
+    // a full pass; the caller owns the contract like the reference's
+    // carried-forward state tables)
     previous.unionByName(delta)
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

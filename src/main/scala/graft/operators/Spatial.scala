@@ -77,9 +77,17 @@ object Spatial {
 
   /** Morton z-value of two NON-NEGATIVE cell indices (≤ 2³¹−1): interleaves
     * their bits so points close in 2-D are close in the 1-D sort order.
+    * Out-of-range indices RAISE rather than silently truncating — a masked
+    * high bit would collapse far-apart points onto the same curve position,
+    * quietly destroying the locality the layout exists for.
     */
-  def zValue(cx: Column, cy: Column): Column =
-    spreadBits(cx).bitwiseOR(shiftleft(spreadBits(cy), 1))
+  def zValue(cx: Column, cy: Column): Column = {
+    def checked(c: Column, name: String): Column =
+      when(c < 0L || c > 0x7FFFFFFFL,
+        raise_error(concat(lit(s"z-order cell index $name out of [0, 2^31) range: "), c.cast("string"))))
+        .otherwise(c)
+    spreadBits(checked(cx, "cx")).bitwiseOR(shiftleft(spreadBits(checked(cy, "cy")), 1))
+  }
 
   /** Z-value for raw coordinates: cells of `cellSize` degrees, offset to
     * non-negative (lat+90, lon+180).

@@ -69,8 +69,19 @@ class SpatialSpec extends SparkSpec {
       .select(col("x"), col("y"), Spatial.zValue(col("x"), col("y")).as("z"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     pts.foreach { case (x, y) => assert(got((x, y)) === refZ(x, y), s"($x,$y)") }
-    // z-order locality: adjacent cells share high bits (monotone in each coord)
-    assert(got.values.forall(_ >= 0L))
+  }
+
+  test("zValue interleave order: cx occupies even bits, cy odd — and out-of-range raises") {
+    val s = spark; import s.implicits._
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 5L)).toDF("x", "y")
+      .select(Spatial.zValue(col("x"), col("y")).as("z")).collect().map(_.getLong(0))
+    assert(z(0) === 1L && z(1) === 2L) // pins the cx/cy bit assignment vs the oracle
+    assert(z(2) === (1L | 4L | 2L | 32L)) // 3=0b11 → bits 0,2; 5=0b101 → bits 1,5
+    val bad = Seq((0x80000000L, 0L)).toDF("x", "y")
+      .select(Spatial.zValue(col("x"), col("y")).as("z"))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("out of [0, 2^31) range") ||
+      Option(e.getCause).exists(_.getMessage.contains("out of [0, 2^31) range")))
   }
 
   test("zOrdered write clusters nearby points into the same files") {

@@ -14,11 +14,13 @@ private[graft] class RecordingFetcher(rows: Seq[Row], schema: StructType)
     extends PageFetcher {
   private val inner = new FixtureFetcher(rows, schema)
   @volatile var lastCountSpec: ScanSpec = _
-  val fetchOffsets = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  // NOTE: count() runs on the DRIVER (planning); fetch() runs on a
+  // deserialized executor-side COPY, so recording anything there into
+  // this instance would assert nothing — page counts are verified via
+  // the plan's BatchScanExec partitions instead
   override def count(spec: ScanSpec): Long = { lastCountSpec = spec; inner.count(spec) }
-  override def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row] = {
-    fetchOffsets.add(offset); inner.fetch(offset, limit, spec)
-  }
+  override def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row] =
+    inner.fetch(offset, limit, spec)
 }
 
 /** The DataSource V2 face: Catalyst must drive ScanSpec pushdown by itself. */

@@ -187,6 +187,25 @@ object ExtQueries {
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // Group-wise top-k through the bounded TopKAgg buffer (aggregate, not
+  // a window sort — the oracle IS the window formulation).
+  // ------------------------------------------------------------------
+
+  private val topkPerKey: Q = (s, d) =>
+    RelOps.topKPerKey(Tables.lineitem(s, d), Seq("l_orderkey"),
+      col("l_extendedprice"), col("l_linenumber"), k = 3)
+      .select(col("l_orderkey"), col("rank"),
+        col("id").as("l_linenumber"), col("score").as("l_extendedprice"))
+
+  private val topkPerKeySql =
+    """SELECT l_orderkey, rank, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_orderkey,
+      |    CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rank,
+      |    CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+      |  FROM lineitem)
+      |WHERE rank <= 3""".stripMargin
+
+  // ------------------------------------------------------------------
   // Training-mix reweighting over (source, lang) strata.
   // ------------------------------------------------------------------
 
@@ -273,6 +292,32 @@ object ExtQueries {
       |  count(*) AS n_orders, max(epoch_ms(o_orderdate)) AS last_order_ms
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Materialized mix: apply the weights as hash-gated sampling/replication.
+  // ------------------------------------------------------------------
+
+  private val mixApply: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Ranking.applyMixWeights(docs, Ranking.mixWeights(docs, Seq("source", "lang")),
+      Seq("source", "lang"))
+      .select(col("doc_id"), col("source"), col("lang"), col("copy"))
+  }
+
+  private val mixApplySql =
+    s"""WITH perdoc AS (SELECT source, lang, CAST(len(${toks(norm("text"))}) AS BIGINT) AS dl FROM documents),
+      |strata AS (SELECT source, lang, count(*) AS n_docs, sum(dl) AS n_tokens FROM perdoc GROUP BY 1, 2),
+      |tot AS (SELECT sum(n_tokens) AS total, count(*) AS n_strata FROM strata),
+      |w AS (SELECT source, lang,
+      |        round(least(CAST(5.0 AS DOUBLE), (CAST(total AS DOUBLE) / n_strata) / n_tokens), 6) AS weight
+      |      FROM strata, tot),
+      |cand AS (SELECT d.doc_id, d.source, d.lang, w.weight,
+      |           unnest(range(0, CAST(floor(w.weight) AS BIGINT) + 1)) AS copy
+      |         FROM documents d JOIN w ON d.source = w.source AND d.lang = w.lang),
+      |g AS (SELECT *, CAST('0x' || substr(md5(coalesce(source, '') || ':' || coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS u FROM cand)
+      |SELECT doc_id, source, lang, copy FROM g
+      |WHERE copy < CAST(floor(weight) AS BIGINT)
+      |   OR u < CAST(floor((weight - floor(weight)) * CAST(1000000 AS DOUBLE)) AS BIGINT)""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("asof_join", asofJoin, Some(asofJoinSql)),
     ("asof_stream", asofStream, Some(asofJoinSql)),
@@ -286,5 +331,7 @@ object ExtQueries {
     ("gram_repetition", gramRepetition, Some(gramRepetitionSql)),
     ("incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     ("z_value", zValue, Some(zValueSql)),
+    ("topk_per_key", topkPerKey, Some(topkPerKeySql)),
+    ("mix_apply", mixApply, Some(mixApplySql)),
   )
 }

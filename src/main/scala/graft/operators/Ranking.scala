@@ -99,4 +99,33 @@ object Ranking {
       .select(strataCols.map(col) ++
         Seq(col("n_docs"), col("n_tokens"), col("share"), col("weight"), col("sampled_tokens")): _*)
   }
+
+  /** MATERIALIZE a training mix: join each document to its stratum's
+    * sampling weight (the `mixWeights` output) and apply it as
+    * deterministic hash-gated sampling — weight w < 1 keeps a w-fraction
+    * of the stratum; w ≥ 1 replicates every document ⌊w⌋ times plus one
+    * more at the fractional rate, so expected multiplicity is exactly w.
+    * `copy` (0-based replica index) rides along for sequence-packing
+    * consumers that must not collapse deliberate upsamples.
+    *
+    * The gate hash is `hash60(stratum:id)` — seedless, engine-portable,
+    * stable under repartitioning, and monotone in the weight (raising a
+    * stratum's weight only ADDS rows), the same mechanism as
+    * `TextAnalysis.stratifiedSample`. The weights side is |strata| rows —
+    * broadcast under AQE; the replicate-explode emits ⌊w⌋+1 candidate
+    * rows per doc, bounded by the mixWeights `maxUpsample` cap.
+    */
+  def applyMixWeights(docs: DataFrame, weights: DataFrame, strataCols: Seq[String],
+                      idCol: String = "doc_id"): DataFrame = {
+    val w = weights.select(strataCols.map(col) :+ col("weight"): _*)
+    val strataKey = concat_ws(":",
+      strataCols.map(c => coalesce(col(c), lit(""))) :+ col(idCol).cast("string"): _*)
+    docs.join(w, strataCols)
+      .withColumn("copy", explode(sequence(lit(0L), floor(col("weight")).cast("long"))))
+      .withColumn("__u", pmod(hash60(strataKey), lit(1000000L)))
+      // full copies always survive; the one fractional copy is hash-gated
+      .filter(col("copy") < floor(col("weight")).cast("long") ||
+        col("__u") < floor((col("weight") - floor(col("weight"))) * lit(1e6)).cast("long"))
+      .drop("__u", "weight")
+  }
 }

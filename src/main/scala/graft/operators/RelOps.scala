@@ -176,6 +176,25 @@ object RelOps {
   def watermarkDelta(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
     df.filter(col(tsCol) >= watermark)
 
+  /** Group-wise top-k through the bounded `TopKAgg` buffer: each partition
+    * contributes at most k rows per key to the shuffle (map-side partial
+    * aggregation), where the `row_number` window formulation shuffle-SORTS
+    * every row of every group — the same aggregate-vs-window trade as
+    * `latestPerKey`, generalized from top-1 to top-k. Requires a LONG id
+    * and numeric score; rank is 1-based in (score desc, id asc) order —
+    * identical to the window form (asserted in RelOpsSpec). Callers with
+    * FP scores should pre-round them (cross-engine rank stability).
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String], scoreCol: Column,
+                 idCol: Column, k: Int): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(new TopKAgg(k))
+    df.groupBy(keys.map(col): _*)
+      .agg(topk(scoreCol.cast("double"), idCol.cast("long")).as("__tk"))
+      .select(keys.map(col) :+ posexplode(arrays_zip(col("__tk._1"), col("__tk._2"))): _*)
+      .select(keys.map(col) ++ Seq((col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("id"), col("col._1").as("score")): _*)
+  }
+
   /** Incremental aggregate maintenance: merge the PREVIOUS run's per-key
     * aggregate state with the aggregate of a watermark delta, giving the
     * same result as re-aggregating the full corpus — for the decomposable

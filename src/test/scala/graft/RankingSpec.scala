@@ -66,6 +66,33 @@ class RankingSpec extends SparkSpec {
     assert(tinySampled === 20L)
   }
 
+  test("applyMixWeights: expected multiplicity per stratum, deterministic, copy-indexed") {
+    val s = spark; import s.implicits._
+    // big stratum (downsampled, w<1) and tiny stratum (upsampled, capped ×5)
+    val docs = ((0 until 400).map(i => (i.toLong, "big", "en", "a b c d e f g h i j")) ++
+      (400 until 410).map(i => (i.toLong, "tiny", "en", "a b"))).toDF("doc_id", "source", "lang", "text")
+    val w = Ranking.mixWeights(docs, Seq("source", "lang"))
+    val out = Ranking.applyMixWeights(docs, w, Seq("source", "lang"))
+      .select("doc_id", "source", "copy").collect()
+    val wMap = w.collect().map(r => r.getString(0) -> r.getDouble(5)).toMap // weight col
+    val byDoc = out.groupBy(_.getLong(0))
+    // every replica count is floor(w) or floor(w)+1 for its stratum
+    byDoc.foreach { case (id, rs) =>
+      val wt = wMap(rs.head.getString(1))
+      assert(rs.length == math.floor(wt).toLong || rs.length == math.floor(wt).toLong + 1, s"doc $id")
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (0L until rs.length).toSeq, s"doc $id copies")
+    }
+    // aggregate multiplicity tracks the weight (hash gate is unbiased-ish)
+    val bigN = out.count(_.getString(1) == "big").toDouble / 400
+    assert(math.abs(bigN - wMap("big")) < 0.1, s"big multiplicity $bigN vs ${wMap("big")}")
+    val tinyN = out.count(_.getString(1) == "tiny").toDouble / 10
+    assert(math.abs(tinyN - wMap("tiny")) < 1.0, s"tiny multiplicity $tinyN vs ${wMap("tiny")}")
+    // deterministic: a second run is identical
+    val out2 = Ranking.applyMixWeights(docs, w, Seq("source", "lang"))
+      .select("doc_id", "source", "copy").collect()
+    assert(out.map(_.toSeq).toSet === out2.map(_.toSeq).toSet)
+  }
+
   test("sketch gates hold on fixture data and exact stats are right") {
     val s = spark; import s.implicits._
     val df = (1 to 1000).map(i => (i % 3, i.toDouble, (i % 101).toLong))

@@ -107,6 +107,23 @@ class RelOpsSpec extends SparkSpec {
       s"watermark not pushed to scan:\n$plan")
   }
 
+  test("topKPerKey == the row_number window formulation, and bounds k") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 1000).map(i => (rnd.nextInt(30).toLong, rnd.nextInt(500).toDouble, i.toLong))
+    val df = rows.toDF("k", "score", "id")
+    val agg = RelOps.topKPerKey(df, Seq("k"), col("score"), col("id"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = Window.partitionBy("k").orderBy(col("score").desc, col("id").asc)
+    val win = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("k"), col("rank"), col("id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(agg === win)
+    assert(agg.groupBy(_._1).values.forall(_.size <= 5))
+  }
+
   test("mergeAggState: previous ⊕ delta == full re-aggregation, for any split") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)

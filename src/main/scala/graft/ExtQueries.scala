@@ -310,9 +310,11 @@ object ExtQueries {
       |w AS (SELECT source, lang,
       |        round(least(CAST(5.0 AS DOUBLE), (CAST(total AS DOUBLE) / n_strata) / n_tokens), 6) AS weight
       |      FROM strata, tot),
-      |cand AS (SELECT d.doc_id, d.source, d.lang, w.weight,
-      |           unnest(range(0, CAST(floor(w.weight) AS BIGINT) + 1)) AS copy
-      |         FROM documents d JOIN w ON d.source = w.source AND d.lang = w.lang),
+      |cand AS (SELECT d.doc_id, d.source, d.lang, w.weight, c.copy AS copy
+      |         FROM documents d
+      |         JOIN w ON d.source IS NOT DISTINCT FROM w.source
+      |               AND d.lang IS NOT DISTINCT FROM w.lang,
+      |         LATERAL unnest(range(0, CAST(floor(w.weight) AS BIGINT) + 1)) AS c(copy)),
       |g AS (SELECT *, CAST('0x' || substr(md5(coalesce(source, '') || ':' || coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS u FROM cand)
       |SELECT doc_id, source, lang, copy FROM g
       |WHERE copy < CAST(floor(weight) AS BIGINT)

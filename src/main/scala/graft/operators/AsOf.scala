@@ -70,8 +70,15 @@ object AsOf {
         lit(null).cast(payloadType).as("__p")): _*)
     // a null right ordinate can never satisfy `<=`/`<` (standard as-of /
     // SQL ASOF semantics) — without this filter it would sort NULLS FIRST
-    // and get carried onto null-ordinate left rows
-    val r = right.filter(rightOrd.isNotNull).select(
+    // and get carried onto null-ordinate left rows. Likewise a null KEY on
+    // the right can never equi-match (NULL ≠ NULL in join semantics), but
+    // Window.partitionBy groups NULLs together — unfiltered, null-key left
+    // rows would receive null-key right payloads. Dropping them here routes
+    // null-key left rows through an all-left partition → unmatched, which
+    // is exactly SQL ASOF LEFT JOIN behavior.
+    val rightKeysMatchable =
+      (rightOrd.isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _)
+    val r = right.filter(rightKeysMatchable).select(
       keys.map(col) ++ Seq(
         rightOrd.as("__ord"), lit(rightSide).as("__side"),
         struct(tieBreak.map(col): _*).as("__tie"),

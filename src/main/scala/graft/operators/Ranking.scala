@@ -120,7 +120,12 @@ object Ranking {
     val w = weights.select(strataCols.map(col) :+ col("weight"): _*)
     val strataKey = concat_ws(":",
       strataCols.map(c => coalesce(col(c), lit(""))) :+ col(idCol).cast("string"): _*)
-    docs.join(w, strataCols)
+    // null-safe join: `mixWeights` emits a weight row for a NULL stratum
+    // (groupBy groups NULLs), so a plain-equality join would silently drop
+    // every null-strata document — the two halves must agree on NULL
+    val joinCond = strataCols.map(c => docs(c) <=> w(c)).reduce(_ && _)
+    docs.join(w, joinCond)
+      .select(docs.columns.map(docs(_)) :+ w("weight"): _*)
       .withColumn("copy", explode(sequence(lit(0L), floor(col("weight")).cast("long"))))
       .withColumn("__u", pmod(hash60(strataKey), lit(1000000L)))
       // full copies always survive; the one fractional copy is hash-gated

@@ -32,6 +32,14 @@ final case class ScanSpec(
   columns: Option[Seq[String]] = None,
   keys: Option[(String, Set[String])] = None,
   distinct: Boolean = false,
+  /** Structural `col >= value` predicate (the V2 watermark pushdown).
+    * Carried as (column, value) — never serialized into a string the
+    * fetcher would have to re-parse, so values containing ">=" are safe.
+    * CONTRACT: the fetcher may apply this conservatively (return a
+    * superset); the V2 scan returns the filter as residual so Spark
+    * re-applies the exact UTF8String comparison post-scan.
+    */
+  lowerBound: Option[(String, String)] = None,
 )
 
 trait PageFetcher extends Serializable {
@@ -94,6 +102,13 @@ class FixtureFetcher(rows: Seq[Row], schema: StructType) extends PageFetcher {
       val i = idx(colName)
       out = out.filter(r => r.getString(i) >= value)
     }
+    spec.lowerBound.foreach { case (colName, value) =>
+      val i = idx(colName)
+      // UTF-8 byte order, matching Spark's UTF8String comparison — Java's
+      // UTF-16 code-unit order diverges for supplementary characters, and a
+      // pre-filter that over-drops can't be healed by a post-scan re-check
+      out = out.filter(r => !r.isNullAt(i) && utf8Gte(r.getString(i), value))
+    }
     spec.keys.foreach { case (colName, keySet) =>
       val i = idx(colName)
       out = out.filter(r => keySet.contains(String.valueOf(r.get(i))))
@@ -105,6 +120,18 @@ class FixtureFetcher(rows: Seq[Row], schema: StructType) extends PageFetcher {
       case None => out
     }
     if (spec.distinct) projected.distinct else projected
+  }
+
+  private def utf8Gte(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c > 0
+      i += 1
+    }
+    x.length >= y.length
   }
 
   override def count(spec: ScanSpec): Long = matching(spec).size.toLong

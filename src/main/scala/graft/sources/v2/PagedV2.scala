@@ -20,8 +20,9 @@ import graft.sources.{PageFetcher, ScanSpec}
   *     reference's `outFields` projection, `geocode.py:420-427`);
   *   - `SupportsPushDownFilters` → `ScanSpec.keys` for `In` (the VALUES
   *     key-batch pushdown, `pls/tables.py:424-430`) and
-  *     `ScanSpec.whereClause` for string `>=` (the watermark predicate,
-  *     `geocode.py:190-202`); everything else stays a post-scan Filter;
+  *     `ScanSpec.lowerBound` for string `>=` (the watermark predicate,
+  *     `geocode.py:190-202`), conservative + re-applied post-scan;
+  *     everything else stays a post-scan Filter;
   *   - `SupportsPushDownLimit` → caps how many pages are even planned;
   *   - one `InputPartition` per page → executor-side fetch parallelism,
   *     exactly like `PagedSource.read`'s `spark.range` formulation.
@@ -105,11 +106,17 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
       case f @ EqualTo(attr, v: String) if stringCol(attr) && spec.keys.isEmpty =>
         spec = spec.copy(keys = Some(attr -> Set(v)))
         accepted += f
-      // watermark predicate (P8): string >= literal
+      // watermark predicate (P8): string >= literal. Carried STRUCTURALLY
+      // (ScanSpec.lowerBound) — no "attr >= value" string for the fetcher to
+      // re-parse, so values containing ">=" can't break it. Returned as
+      // residual TOO: the remote side only has to be conservative (superset);
+      // Spark re-applies the exact UTF8String comparison post-scan, which
+      // also covers collation drift (Java UTF-16 vs Spark UTF-8 byte order).
       case f @ GreaterThanOrEqual(attr, v: String)
-          if fullSchema.fieldNames.contains(attr) && spec.whereClause.isEmpty =>
-        spec = spec.copy(whereClause = Some(s"$attr >= $v"))
+          if stringCol(attr) && spec.lowerBound.isEmpty =>
+        spec = spec.copy(lowerBound = Some(attr -> v))
         accepted += f
+        rejected += f
       case f => rejected += f
     }
     pushed = accepted.result().toArray

@@ -52,16 +52,51 @@ class V2SourceSpec extends SparkSpec {
       s"columns not pruned: ${f.lastCountSpec.columns}")
   }
 
-  test("string >= watermark predicate pushes as whereClause; others stay post-scan") {
+  test("string >= watermark predicate pushes as structural lowerBound; others stay post-scan") {
     val f = new RecordingFetcher(rows, schema)
     FetcherRegistry.register("rec2", f, schema)
     val out = readV2("rec2")
       .filter(col("wm") >= "2026-01-20" && col("v") % 2 === 0)
       .select("k", "wm", "v").collect()
-    assert(f.lastCountSpec.whereClause === Some("wm >= 2026-01-20"))
+    assert(f.lastCountSpec.lowerBound === Some("wm" -> "2026-01-20"))
+    assert(f.lastCountSpec.whereClause === None)
     // the numeric predicate was NOT pushable — Spark must still apply it
     val expected = rows.filter(r => r.getString(3) >= "2026-01-20" && r.getLong(2) % 2 == 0)
     assert(out.length === expected.length)
+  }
+
+  test(">= pushdown: non-ASCII boundary matches the plain DataFrame path") {
+    // supplementary characters are where Java's UTF-16 code-unit order and
+    // Spark's UTF8String byte order DISAGREE: surrogate pairs (0xD800-) sort
+    // below U+E000 in UTF-16 but above it in UTF-8. A Java-String pre-filter
+    // would over-drop these rows, and no post-scan re-check can resurrect
+    // them — the fetcher must compare in UTF-8 byte order.
+    val vals = Seq("", "￿", "𐀀", "😀", "abc")
+    val nrows = vals.zipWithIndex.map { case (s, i) => Row(s"k$i", "A", i.toLong, s) }
+    val f = new RecordingFetcher(nrows, schema)
+    FetcherRegistry.register("rec6", f, schema)
+    val bound = ""
+    val got = readV2("rec6").filter(col("wm") >= bound).select("k").collect().map(_.getString(0)).toSet
+    val plain = spark.createDataFrame(
+      spark.sparkContext.parallelize(nrows), schema)
+      .filter(col("wm") >= bound).select("k").collect().map(_.getString(0)).toSet
+    assert(got === plain)
+    assert(got === Set("k0", "k1", "k2", "k3")) // all four non-ASCII rows survive
+  }
+
+  test(">= pushdown: a value containing \">=\" round-trips structurally") {
+    val vals = Seq("a>=a", "a>=c", "z", "a")
+    val nrows = vals.zipWithIndex.map { case (s, i) => Row(s"k$i", "A", i.toLong, s) }
+    val f = new RecordingFetcher(nrows, schema)
+    FetcherRegistry.register("rec7", f, schema)
+    val bound = "a>=b"
+    val got = readV2("rec7").filter(col("wm") >= bound).select("k").collect().map(_.getString(0)).toSet
+    val plain = spark.createDataFrame(
+      spark.sparkContext.parallelize(nrows), schema)
+      .filter(col("wm") >= bound).select("k").collect().map(_.getString(0)).toSet
+    assert(f.lastCountSpec.lowerBound === Some("wm" -> "a>=b"))
+    assert(got === plain)
+    assert(got === Set("k1", "k2"))
   }
 
   /** Planned page count straight from the V2 scan node — the executor-side

@@ -39,16 +39,20 @@ def rows_of(rel):
 
 
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     for name in sorted(oracle):
+        # Fresh connection per query: a single DuckDB INTERNAL error poisons
+        # the whole database, which would cascade `err` into every query after
+        # it (this exact failure blocked 41/69 queries in rounds 4-5).
         try:
+            con = duckdb.connect()
+            for t in TABLES:
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
             got_cols, got = rows_of(
                 con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
             exp_cols, exp = rows_of(con.sql(oracle[name]))
+            con.close()
         except Exception as e:
             print(f"ERROR {name}: {str(e)[:300]}")
             continue

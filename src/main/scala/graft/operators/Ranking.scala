@@ -40,8 +40,11 @@ object Ranking {
     // (Dedup.gramsOf): an inlined tokenize would re-run per element
     // persisted: BOTH the stats aggregate and the scoring projection read
     // this frame — without the cache the corpus is scanned and re-tokenized
-    // twice (the dominant cost). Same pattern as Dedup.persistedBase;
-    // CacheManager dedups re-persists of the same canonical plan.
+    // twice (the dominant cost). Lifecycle as Dedup.persistedBase:
+    // deliberately session-lifetime — blocks evict LRU under memory
+    // pressure and recompute from lineage; CacheManager dedups
+    // re-persists of the same canonical plan, so repeated calls don't
+    // accumulate entries.
     val base = docs
       .select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
       .select(col(idCol) +: size(col("__tk")).cast("long").as("__dl") +: tf: _*)
@@ -75,62 +78,81 @@ object Ranking {
     *
     * Two aggregations: corpus → strata (map-side combined), strata →
     * one totals row broadcast back. All mass arithmetic is exact long
-    * sums; shares/weights are rounded doubles derived once from exact
-    * inputs, so the output is engine-independent.
+    * sums; shares/weights are emitted as exact BIGINT parts-per-million
+    * (`share_ppm` / `weight_ppm`) — each rounded ONCE from exact long
+    * inputs — so the output carries no float column at all and is
+    * byte-identical across engines and float-formatting conventions.
     */
   def mixWeights(docs: DataFrame, strataCols: Seq[String],
                  textCol: String = "text", maxUpsample: Double = 5.0): DataFrame = {
     val perDoc = docs.select(strataCols.map(col) :+
       size(tokens(normalizeText(col(textCol)))).cast("long").as("__dl"): _*)
     // persisted: the totals aggregate and the weight projection both read
-    // the strata frame — uncached, each re-runs the corpus tokenization
+    // the strata frame — uncached, each re-runs the corpus tokenization.
+    // Lifecycle as Dedup.persistedBase: deliberately session-lifetime —
+    // blocks evict LRU under memory pressure and recompute from lineage;
+    // CacheManager dedups re-persists of the same canonical plan, so
+    // repeated calls don't accumulate entries.
     val strata = perDoc.groupBy(strataCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum("__dl").as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = strata.agg(
       sum("n_tokens").as("__total"), count(lit(1)).as("__n_strata"))
     strata.crossJoin(broadcast(totals))
-      .withColumn("share", round(col("n_tokens").cast("double") / col("__total"), 6))
-      .withColumn("weight", round(least(
+      .withColumn("share_ppm", round(
+        col("n_tokens").cast("double") / col("__total") * lit(1000000.0), 0).cast("long"))
+      .withColumn("weight_ppm", round(least(
         lit(maxUpsample),
-        (col("__total").cast("double") / col("__n_strata")) / col("n_tokens")), 6))
-      .withColumn("sampled_tokens",
-        floor(col("weight") * col("n_tokens").cast("double")).cast("long"))
+        (col("__total").cast("double") / col("__n_strata")) / col("n_tokens")) * lit(1000000.0), 0).cast("long"))
+      // exact integral floor(weight × n_tokens): `div` keeps the product in
+      // long arithmetic (no double round-trip at large token masses)
+      .withColumn("sampled_tokens", expr("(weight_ppm * n_tokens) div 1000000"))
       .select(strataCols.map(col) ++
-        Seq(col("n_docs"), col("n_tokens"), col("share"), col("weight"), col("sampled_tokens")): _*)
+        Seq(col("n_docs"), col("n_tokens"), col("share_ppm"), col("weight_ppm"), col("sampled_tokens")): _*)
   }
 
   /** MATERIALIZE a training mix: join each document to its stratum's
-    * sampling weight (the `mixWeights` output) and apply it as
-    * deterministic hash-gated sampling — weight w < 1 keeps a w-fraction
-    * of the stratum; w ≥ 1 replicates every document ⌊w⌋ times plus one
-    * more at the fractional rate, so expected multiplicity is exactly w.
-    * `copy` (0-based replica index) rides along for sequence-packing
-    * consumers that must not collapse deliberate upsamples.
+    * sampling weight (the `mixWeights` output, `weight_ppm` micro-units;
+    * w = weight_ppm/10⁶) and apply it as deterministic hash-gated
+    * sampling — w < 1 keeps a w-fraction of the stratum; w ≥ 1 replicates
+    * every document ⌊w⌋ times plus one more at the fractional rate, so
+    * expected multiplicity is exactly w. `copy` (0-based replica index)
+    * rides along for sequence-packing consumers that must not collapse
+    * deliberate upsamples.
     *
     * The gate hash is `hash60(stratum:id)` — seedless, engine-portable,
     * stable under repartitioning, and monotone in the weight (raising a
     * stratum's weight only ADDS rows), the same mechanism as
-    * `TextAnalysis.stratifiedSample`. The weights side is |strata| rows —
-    * broadcast under AQE; the replicate-explode emits ⌊w⌋+1 candidate
-    * rows per doc, bounded by the mixWeights `maxUpsample` cap.
+    * `TextAnalysis.stratifiedSample`. With ppm weights the whole gate is
+    * integer arithmetic: ⌊w⌋ = weight_ppm div 10⁶ full copies, and the
+    * fractional copy survives iff hash-bucket < weight_ppm mod 10⁶. The
+    * weights side is |strata| rows — broadcast under AQE; the
+    * replicate-explode emits ⌊w⌋+1 candidate rows per doc, bounded by
+    * the mixWeights `maxUpsample` cap.
     */
   def applyMixWeights(docs: DataFrame, weights: DataFrame, strataCols: Seq[String],
                       idCol: String = "doc_id"): DataFrame = {
-    val w = weights.select(strataCols.map(col) :+ col("weight"): _*)
+    // `weights` is (normally) DERIVED from `docs` — grouping attributes
+    // keep their expression ids through the aggregate, so dataset-tagged
+    // `docs(c) <=> w(c)` tags the SAME attribute on both sides and
+    // DetectAmbiguousSelfJoin rejects the plan. Alias the weights side to
+    // fresh names first so the join resolves by unique NAME instead.
+    val w = weights.select(
+      strataCols.map(c => col(c).as(s"__w_$c")) :+ col("weight_ppm"): _*)
     val strataKey = concat_ws(":",
       strataCols.map(c => coalesce(col(c), lit(""))) :+ col(idCol).cast("string"): _*)
     // null-safe join: `mixWeights` emits a weight row for a NULL stratum
     // (groupBy groups NULLs), so a plain-equality join would silently drop
     // every null-strata document — the two halves must agree on NULL
-    val joinCond = strataCols.map(c => docs(c) <=> w(c)).reduce(_ && _)
+    val joinCond = strataCols.map(c => col(c) <=> col(s"__w_$c")).reduce(_ && _)
+    val whole = expr("weight_ppm div 1000000")
     docs.join(w, joinCond)
-      .select(docs.columns.map(docs(_)) :+ w("weight"): _*)
-      .withColumn("copy", explode(sequence(lit(0L), floor(col("weight")).cast("long"))))
+      .select(docs.columns.map(col) :+ col("weight_ppm"): _*)
+      .withColumn("copy", explode(sequence(lit(0L), whole)))
       .withColumn("__u", pmod(hash60(strataKey), lit(1000000L)))
       // full copies always survive; the one fractional copy is hash-gated
-      .filter(col("copy") < floor(col("weight")).cast("long") ||
-        col("__u") < floor((col("weight") - floor(col("weight"))) * lit(1e6)).cast("long"))
-      .drop("__u", "weight")
+      .filter(col("copy") < whole ||
+        col("__u") < pmod(col("weight_ppm"), lit(1000000L)))
+      .drop("__u", "weight_ppm")
   }
 }

@@ -100,7 +100,10 @@ class FixtureFetcher(rows: Seq[Row], schema: StructType) extends PageFetcher {
       // accept the ESRI literal syntax `DATE '2026-01-04'` (LayerSchema.whereClause)
       val value = rawValue.stripPrefix("DATE").trim.stripPrefix("'").stripSuffix("'")
       val i = idx(colName)
-      out = out.filter(r => r.getString(i) >= value)
+      // same comparison semantics as the structural lowerBound path below:
+      // null watermark never matches, UTF-8 byte order (Java String `>=` is
+      // UTF-16 code-unit order, which diverges for supplementary chars)
+      out = out.filter(r => !r.isNullAt(i) && utf8Gte(r.getString(i), value))
     }
     spec.lowerBound.foreach { case (colName, value) =>
       val i = idx(colName)

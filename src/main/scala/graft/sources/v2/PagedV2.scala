@@ -43,6 +43,13 @@ object FetcherRegistry {
   def register(name: String, fetcher: PageFetcher, schema: StructType): Unit =
     fetchers.put(name, (fetcher, schema))
 
+  /** Register only if `name` is absent, building the fetcher lazily —
+    * lets repeated benchmark passes skip an expensive fixture setup
+    * (the first pass pays it; steady-state passes measure the scan only).
+    */
+  def registerOnce(name: String)(build: => (PageFetcher, StructType)): Unit =
+    fetchers.computeIfAbsent(name, _ => build)
+
   private[v2] def lookup(name: String): (PageFetcher, StructType) = {
     val e = fetchers.get(name)
     require(e != null, s"no fetcher registered under '$name' — call FetcherRegistry.register first")
@@ -62,21 +69,23 @@ class PagedTableProvider extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     val name = opts.get("fetcher")
     val pageSize = Option(opts.get("pagesize")).map(_.toInt).getOrElse(2000)
-    new PagedTable(name, FetcherRegistry.lookup(name)._1, schema, pageSize)
+    val retryMaxSeconds = Option(opts.get("retrymaxseconds")).map(_.toInt).getOrElse(900)
+    new PagedTable(name, FetcherRegistry.lookup(name)._1, schema, pageSize, retryMaxSeconds)
   }
 }
 
 private[v2] class PagedTable(name: String, fetcher: PageFetcher, schema: StructType,
-                             pageSize: Int) extends Table with SupportsRead {
+                             pageSize: Int, retryMaxSeconds: Int) extends Table with SupportsRead {
   override def name(): String = s"paged($name)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(fetcher, schema, pageSize)
+    new PagedScanBuilder(fetcher, schema, pageSize, retryMaxSeconds)
 }
 
-private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType, pageSize: Int)
+private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType, pageSize: Int,
+                                   retryMaxSeconds: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -141,18 +150,25 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
     false // advisory: Spark still applies the exact limit on top
   }
 
-  override def build(): Scan = new PagedScan(fetcher, outSchema, spec, pageSize, limit)
+  override def build(): Scan =
+    new PagedScan(fetcher, outSchema, spec, pageSize, limit, retryMaxSeconds)
 }
 
 private[v2] class PagedScan(fetcher: PageFetcher, schema: StructType, spec: ScanSpec,
-                            pageSize: Int, limit: Option[Int]) extends Scan with Batch {
+                            pageSize: Int, limit: Option[Int],
+                            retryMaxSeconds: Int) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"PagedScan(spec=$spec, pageSize=$pageSize, limit=$limit)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total0 = fetcher.count(spec) // count pushdown (S6), driver-side
+    // count pushdown (S6), driver-side — retried like the page fetches: a
+    // token expiry here would otherwise fail the whole scan before any
+    // partition is even planned
+    val total0 = graft.util.Retry.withBackoff(
+      maxTimeSeconds = retryMaxSeconds,
+      onTokenExpired = () => fetcher.refreshAuth()) { fetcher.count(spec) }
     val total = limit.map(l => math.min(l.toLong, total0)).getOrElse(total0)
     (0L until total by pageSize.toLong)
       .map(off => PagePartition(off, math.min(pageSize.toLong, total - off).toInt): InputPartition)
@@ -160,17 +176,27 @@ private[v2] class PagedScan(fetcher: PageFetcher, schema: StructType, spec: Scan
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PageReaderFactory(fetcher, schema, spec)
+    new PageReaderFactory(fetcher, schema, spec, retryMaxSeconds)
 }
 
 private[v2] case class PagePartition(offset: Long, limit: Int) extends InputPartition
 
-private[v2] class PageReaderFactory(fetcher: PageFetcher, schema: StructType, spec: ScanSpec)
+private[v2] class PageReaderFactory(fetcher: PageFetcher, schema: StructType, spec: ScanSpec,
+                                    retryMaxSeconds: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
-      private val rows = fetcher.fetch(part.offset, part.limit, spec)
+      // executor-side I6 (same contract as PagedSource.read): every page
+      // fetch runs under exponential backoff, and an ESRI-498-style
+      // TokenExpired triggers refreshAuth + immediate retry. The page is
+      // materialized INSIDE the retry scope — a lazily-streamed page that
+      // throws mid-iteration must re-auth and retry, not escape the backoff.
+      private val rows = graft.util.Retry.withBackoff(
+        maxTimeSeconds = retryMaxSeconds,
+        onTokenExpired = () => fetcher.refreshAuth()) {
+        fetcher.fetch(part.offset, part.limit, spec).toVector
+      }.iterator
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) { current = toInternal(rows.next()); true } else false

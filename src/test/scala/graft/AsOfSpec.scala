@@ -84,6 +84,23 @@ class AsOfSpec extends SparkSpec {
     assert(out("b") === None)       // a null left ordinate matches nothing
   }
 
+  test("null KEYS never equi-match: null-key left rows emit unmatched, null-key right rows are invisible") {
+    // SQL ASOF LEFT JOIN semantics (NULL ≠ NULL): even though
+    // Window.partitionBy groups NULL keys together, a null-key right row
+    // must never be carried onto a null-key left row
+    val s = spark; import s.implicits._
+    val l = Seq((Some(1L), 10L, "a"), (None: Option[Long], 10L, "b"))
+      .toDF("k", "ms", "tag")
+    val r = Seq((Some(1L), 5L, 100L), (None: Option[Long], 5L, 999L))
+      .toDF("k", "rms", "rid")
+    val out = AsOf.asOfJoin(l, r, Seq("k"), col("ms"), col("rms"),
+      Seq("rid"), tieBreak = Seq("rid"))
+      .collect().map(x => (x.getString(2), Option(x.get(3)))).toMap
+    assert(out.size === 2)          // null-key left row still emitted once
+    assert(out("a") === Some(100L))
+    assert(out("b") === None)       // NOT 999 — null-key right row invisible
+  }
+
   test("asOfEnrich: streaming across micro-batches == batch == AsOf.asOfJoin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark; import s.implicits._

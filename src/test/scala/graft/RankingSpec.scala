@@ -55,14 +55,14 @@ class RankingSpec extends SparkSpec {
     val out = Ranking.mixWeights(docs.toDF("source", "lang", "text"),
       Seq("source", "lang"), maxUpsample = 5.0)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
-    val (_, bigTok, bigShare, bigW, _) = out("big")
-    val (_, tinyTok, _, tinyW, tinySampled) = out("tiny")
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (_, bigTok, bigSharePpm, bigWPpm, _) = out("big")
+    val (_, tinyTok, _, tinyWPpm, tinySampled) = out("tiny")
     assert(bigTok === 900L && tinyTok === 4L)
-    assert(math.abs(bigShare - 900.0 / 904.0) < 1e-6)
+    assert(bigSharePpm === math.round(900.0 / 904.0 * 1e6))
     // target = 452 tokens/stratum → big downsampled, tiny capped at ×5
-    assert(bigW < 1.0)
-    assert(tinyW === 5.0)
+    assert(bigWPpm < 1000000L)
+    assert(tinyWPpm === 5000000L)
     assert(tinySampled === 20L)
   }
 
@@ -74,7 +74,8 @@ class RankingSpec extends SparkSpec {
     val w = Ranking.mixWeights(docs, Seq("source", "lang"))
     val out = Ranking.applyMixWeights(docs, w, Seq("source", "lang"))
       .select("doc_id", "source", "copy").collect()
-    val wMap = w.collect().map(r => r.getString(0) -> r.getDouble(5)).toMap // weight col
+    val wMap = w.collect() // weight_ppm col, back to fractional for the asserts
+      .map(r => r.getString(0) -> r.getLong(5).toDouble / 1e6).toMap
     val byDoc = out.groupBy(_.getLong(0))
     // every replica count is floor(w) or floor(w)+1 for its stratum
     byDoc.foreach { case (id, rs) =>
@@ -91,6 +92,19 @@ class RankingSpec extends SparkSpec {
     val out2 = Ranking.applyMixWeights(docs, w, Seq("source", "lang"))
       .select("doc_id", "source", "copy").collect()
     assert(out.map(_.toSeq).toSet === out2.map(_.toSeq).toSet)
+  }
+
+  test("applyMixWeights: null-strata documents keep their weight row (null-safe join)") {
+    val s = spark; import s.implicits._
+    val docs = ((0 until 50).map(i => (i.toLong, Option("web"), "a b c d")) ++
+      (50 until 60).map(i => (i.toLong, None: Option[String], "a b")))
+      .toDF("doc_id", "source", "text")
+    val w = Ranking.mixWeights(docs, Seq("source"))
+    val out = Ranking.applyMixWeights(docs, w, Seq("source"))
+    // null stratum: 20 of 220 tokens, target 110/stratum → w = cap(5.5) = 5
+    // exactly — so every null-source doc appears exactly 5 times
+    assert(out.filter(col("source").isNull).count() === 50L)
+    assert(out.filter(col("source") === "web").count() > 0L)
   }
 
   test("sketch gates hold on fixture data and exact stats are right") {

@@ -23,6 +23,27 @@ private[graft] class RecordingFetcher(rows: Seq[Row], schema: StructType)
     inner.fetch(offset, limit, spec)
 }
 
+/** Throws an ESRI-498-style TokenExpired from every count/fetch until
+  * refreshAuth() is called on THIS instance. Each executor-side
+  * deserialized copy starts unauthenticated too, so every partition
+  * exercises the expire → re-auth → retry path independently — the
+  * assertion is output completeness, which holds regardless of where the
+  * copies live.
+  */
+private[graft] class ExpiringFetcher(rows: Seq[Row], schema: StructType)
+    extends PageFetcher {
+  private val inner = new FixtureFetcher(rows, schema)
+  @volatile private var authed = false
+  private def guard(): Unit =
+    if (!authed) throw new graft.util.Retry.TokenExpired("498: invalid token")
+  override def refreshAuth(): Unit = authed = true
+  override def count(spec: ScanSpec): Long = { guard(); inner.count(spec) }
+  override def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row] = {
+    guard()
+    inner.fetch(offset, limit, spec)
+  }
+}
+
 /** The DataSource V2 face: Catalyst must drive ScanSpec pushdown by itself. */
 class V2SourceSpec extends SparkSpec {
 
@@ -133,6 +154,15 @@ class V2SourceSpec extends SparkSpec {
     assert(out.isEmpty)
     // exactly one of the two occupies the single key slot
     assert(f.lastCountSpec.keys.exists(k => k == ("seg" -> Set("A")) || k == ("k" -> Set("k1"))))
+  }
+
+  test("498-style token expiry mid-scan: re-auth + retry returns complete, correct rows") {
+    // planning-time count AND every partition's fetch each hit an expired
+    // token first; the reader's Retry wiring must refreshAuth and retry
+    // rather than fail the scan or drop the page
+    FetcherRegistry.register("rec8", new ExpiringFetcher(rows, schema), schema)
+    val got = readV2("rec8").collect().map(_.toSeq).toSet
+    assert(got === rows.map(_.toSeq).toSet)
   }
 
   test("V2 read equals the plain DataFrame over the same rows") {

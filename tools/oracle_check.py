@@ -45,6 +45,7 @@ def main(sf_dir, out_dir):
         # Fresh connection per query: a single DuckDB INTERNAL error poisons
         # the whole database, which would cascade `err` into every query after
         # it (this exact failure blocked 41/69 queries in rounds 4-5).
+        con = None
         try:
             con = duckdb.connect()
             for t in TABLES:
@@ -52,10 +53,14 @@ def main(sf_dir, out_dir):
             got_cols, got = rows_of(
                 con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
             exp_cols, exp = rows_of(con.sql(oracle[name]))
-            con.close()
         except Exception as e:
             print(f"ERROR {name}: {str(e)[:300]}")
             continue
+        finally:
+            # close on the error path too, or each failing query leaks its
+            # connection (and parquet view handles) for the rest of the run
+            if con is not None:
+                con.close()
         if got_cols != exp_cols:
             print(f"SCHEMA-MISMATCH {name}: spark={got_cols} oracle={exp_cols}")
         elif len(got) != len(exp):

@@ -307,6 +307,40 @@ object TextQueries {
        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
 
+  // -- benchmark decontamination -------------------------------------------
+  /** Fixture benchmark: every 97th document plays the eval set, so the
+    * query is self-contained and deterministic. Benchmark documents flag
+    * themselves (full self-overlap) — the expected drop-eval-from-training
+    * semantics.
+    */
+  private val decontaminate: Q = (s, d) => {
+    val dd = docs(s, d)
+    TextAnalysis.decontaminate(dd, dd.filter(pmod(col("doc_id"), lit(97L)) === 0L))
+  }
+
+  private val decontaminateSql =
+    s"""WITH hl AS (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents),
+       |g AS (SELECT doc_id, list_distinct(${rolledGramList("hs", 3)}) AS g FROM hl),
+       |bench AS (SELECT DISTINCT unnest(g) AS gh FROM g WHERE doc_id % 97 = 0),
+       |e AS (SELECT doc_id, unnest(g) AS gh FROM g),
+       |hits AS (SELECT doc_id, count(*) AS n_hits FROM e JOIN bench USING (gh) GROUP BY 1)
+       |SELECT g.doc_id, CAST(len(g.g) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       |  coalesce(hits.n_hits, 0) > 0 AS contaminated
+       |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id""".stripMargin
+
+  // -- sequence packing ------------------------------------------------------
+  private val packSequences: Q = (s, d) =>
+    TextAnalysis.packSequences(docs(s, d), budget = 512)
+
+  private val packSequencesSql =
+    s"""WITH t AS (SELECT doc_id, source, CAST(len(${toks(norm("text"))}) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+       |        PARTITION BY source ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+       |SELECT doc_id, source, n_tokens, cb // 512 AS seq_id, cb % 512 AS seq_offset
+       |FROM c""".stripMargin
+
   // -- multimodal --------------------------------------------------------------
   private val mmResize: Q = (s, d) =>
     Multimodal.resizeMeta(Multimodal.syntheticMedia(docs(s, d)), 256)
@@ -359,6 +393,8 @@ object TextQueries {
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     ("cluster_dedup", clusterDedup, Some(clusterDedupSql)),
+    ("decontaminate", decontaminate, Some(decontaminateSql)),
+    ("pack_sequences", packSequences, Some(packSequencesSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),
     ("mm_frames", mmFrames, Some(mmFramesSql)),
     ("mm_decode", mmDecode, Some(mmDecodeSql)),

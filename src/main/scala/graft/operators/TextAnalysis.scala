@@ -205,6 +205,71 @@ object TextAnalysis {
         aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(hash60(t), lit(P)), lit(P))))
   }
 
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one token n-gram with an evaluation/benchmark corpus — the
+    * standard pre-training hygiene pass (the public GPT-3/PaLM reports
+    * describe exactly this n-gram-collision formulation). Output keeps
+    * every input document with `(n_grams, n_hits, contaminated)` so
+    * callers can either drop flagged docs or audit the hit counts.
+    *
+    * Shape at 100 TB: benchmark corpora are tiny relative to training
+    * data (millions of grams, not billions), so the benchmark's distinct
+    * gram-hash set BROADCASTS; the per-doc gram stream inner-joins against
+    * it map-side, and only the HITS (rare) shuffle into the per-doc count.
+    * The final attach of hit counts back onto the corpus is a join against
+    * that small hits frame — AQE broadcasts it. Gram hashing reuses
+    * Dedup's mod-P rolling scheme, so it is oracle-portable.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3): DataFrame = {
+    val P = 2147483647L
+    def grams(df: DataFrame, cols: Seq[Column]) = df
+      .select(cols :+ transform(tokens(normalizeText(col(textCol))),
+        t => pmod(hash60(t), lit(P))).as("__hs"): _*)
+      .select(cols :+ array_distinct(Dedup.rolledGramHashes(col("__hs"), n)).as("__g"): _*)
+    val base = grams(docs, Seq(col(idCol)))
+    val benchGrams = grams(benchmark, Nil)
+      .select(explode(col("__g")).as("__gh")).distinct()
+    val hits = base.select(col(idCol), explode(col("__g")).as("__gh"))
+      .join(broadcast(benchGrams), "__gh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    base.select(col(idCol), size(col("__g")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0L)
+  }
+
+  /** Sequence packing (concat-then-chunk): lay each stream's documents
+    * end-to-end in deterministic `idCol` order and cut the token stream
+    * into fixed-`budget` sequences — every document gets the sequence id
+    * and intra-sequence offset where its first token lands (documents may
+    * straddle a boundary, as in standard pretraining packing). All
+    * arithmetic is integral (running-sum longs, div/mod budget), so the
+    * assignment is engine-exact.
+    *
+    * Shape at 100 TB: ONE window partitioned by the stream column —
+    * streams pack in parallel, and the running sum is a single pass over
+    * each sorted partition (Spark's spillable sort). Sequential packing is
+    * inherently serial WITHIN a stream; a pathologically hot stream is
+    * range-split upstream (pack doc-id shards, carry the shard's token
+    * total into the next shard's offset), which composes with this
+    * operator unchanged.
+    */
+  def packSequences(docs: DataFrame, budget: Long, streamCol: String = "source",
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(streamCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(streamCol),
+        size(tokens(normalizeText(col(textCol)))).cast("long").as("n_tokens"))
+      .withColumn("__cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col(streamCol), col("n_tokens"),
+        expr(s"__cb div $budget").as("seq_id"),
+        pmod(col("__cb"), lit(budget)).as("seq_offset"))
+  }
+
   /** Gopher-style repetition signal: the fraction of n-gram OCCURRENCES
     * that are duplicates of an earlier occurrence in the same document
     * (`1 − distinct/total`), for each window size in `ns`. High values

@@ -116,6 +116,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getLong(3) != out(2).getLong(3))     // order matters
   }
 
+  test("decontaminate: n-gram collision with the benchmark flags docs; clean and short docs pass") {
+    val s = spark; import s.implicits._
+    val train = Seq(
+      (0L, "the quick brown fox jumps"),   // contains benchmark 3-gram
+      (1L, "totally unrelated training text here"),
+      (2L, "quick brown"),                  // shorter than n=3 → no grams
+      (3L, "brown fox jumps over it")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appeared")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))     // every input doc survives
+    assert(out(0L)._3 && out(0L)._2 === 1L)        // "quick brown fox" collides
+    assert(out(1L) === ((3L, 0L, false)))
+    assert(out(2L) === ((0L, 0L, false)))          // no grams → clean
+    assert(out(3L)._3 === false)                   // "brown fox jumps" not in bench
+  }
+
+  test("packSequences: per-stream running offsets, integral seq ids, straddling allowed") {
+    val s = spark; import s.implicits._
+    // stream A: 3+4+5 tokens at budget 6 → cum-before 0, 3, 7
+    val df = Seq(
+      (1L, "A", "a b c"), (2L, "A", "a b c d"), (3L, "A", "a b c d e"),
+      (10L, "B", "x y")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(df, budget = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((3L, 0L, 0L)))  // starts seq 0 offset 0
+    assert(out(2L) === ((4L, 0L, 3L)))  // same seq, offset 3 — straddles into seq 1
+    assert(out(3L) === ((5L, 1L, 1L)))  // cum-before 7 → seq 1, offset 1
+    assert(out(10L) === ((2L, 0L, 0L))) // stream B packs independently
+  }
+
   test("gramRepetition: duplicate n-gram fractions, short docs score zero") {
     val s = spark; import s.implicits._
     val docs = Seq(

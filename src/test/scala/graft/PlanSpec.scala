@@ -35,6 +35,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate and mix_apply broadcast their small sides") {
+    // decontaminate: the benchmark gram set must broadcast (the corpus is
+    // never shuffled on content); mix_apply: the |strata| ppm-weight frame
+    // must broadcast back over the corpus
+    for (name <- Seq("decontaminate", "mix_apply")) {
+      val plan = Queries.registry.collectFirst { case (`name`, q, _) => q }
+        .get(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name has no broadcast join:\n$plan")
+    }
+  }
+
+  test("pack_sequences shuffles once on the stream column — no global sort") {
+    val plan = Queries.registry.collectFirst { case ("pack_sequences", q, _) => q }
+      .get(spark, dir).queryExecution.executedPlan.toString
+    // exactly one exchange: hash-partition by stream for the per-stream
+    // window. A range partition (global sort) would serialize all streams.
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort in:\n$plan")
+  }
+
   test("scans prune columns: q1_agg reads only the needed lineitem columns") {
     val plan = Queries.registry.collectFirst { case ("q1_agg", q, _) => q }
       .get(spark, dir).queryExecution.executedPlan.toString

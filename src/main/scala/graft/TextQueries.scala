@@ -272,6 +272,39 @@ object TextQueries {
        |SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id""".stripMargin
   }
 
+  // -- cluster-collapse keeping the best-quality representative ------------
+  private val dedupKeepBest: Q = (s, d) => {
+    val dd = docs(s, d)
+    Dedup.collapseKeepBest(dd,
+      Dedup.minhashLsh(dd, k = 32, bands = 8, threshold = 0.3, shingleN = 3),
+      TextAnalysis.qualityScore(dd).select(col("doc_id"), col("quality_score").as("score")))
+  }
+
+  /** Same recursive reachable-set clustering as the cluster_dedup oracle,
+    * joined to the quality CTEs; the winner per cluster is row_number 1 by
+    * (score DESC, doc_id) — the total order collapseKeepBest's min_by
+    * struct encodes.
+    */
+  private val dedupKeepBestSql = {
+    val pairs = lshSql(32, 8, 3, 0.3, blockJoin = false)
+    s"""WITH RECURSIVE pairs AS (
+       |$pairs
+       |),
+       |eg AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, mlab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT eg.src, reach.mlab FROM eg JOIN reach ON eg.dst = reach.id),
+       |clusters AS (SELECT id AS doc_id, min(mlab) AS cluster_id FROM reach GROUP BY id),
+       |$qualityCtes,
+       |sel AS (SELECT c.doc_id, c.cluster_id, q.quality_score,
+       |          count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+       |          row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality_score DESC, c.doc_id) AS rn
+       |        FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+       |SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members, quality_score AS score
+       |FROM sel WHERE rn = 1""".stripMargin
+  }
+
   // -- winnowing sketch near-dup -------------------------------------------
   private val winnowDedup: Q = (s, d) =>
     Dedup.winnow(docs(s, d), shingleN = 3, w = 4, threshold = 0.3)
@@ -393,6 +426,7 @@ object TextQueries {
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     ("cluster_dedup", clusterDedup, Some(clusterDedupSql)),
+    ("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     ("decontaminate", decontaminate, Some(decontaminateSql)),
     ("pack_sequences", packSequences, Some(packSequencesSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),

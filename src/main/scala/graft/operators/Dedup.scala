@@ -355,6 +355,32 @@ object Dedup {
     * shape GraphX uses for iterative graph algorithms; for recovery under
     * executor loss swap in reliable `checkpoint`).
     */
+  /** Collapse each near-dup cluster to its BEST representative — the
+    * standard curation step after pair generation: near-duplicates are
+    * dropped, but the kept copy is the highest-`scoreCol` member (tie →
+    * lowest id), not an arbitrary one. `scores` is any (id, score) frame,
+    * e.g. `TextAnalysis.qualityScore` output; one row per cluster comes
+    * back with the winner's id/score and the cluster size.
+    *
+    * Shape: clusters from `dedupClusters` (size-gated union-find /
+    * pointer-doubling), then ONE `min_by` aggregate keyed by cluster —
+    * the shuffle carries |docs| (id, score, cluster) triples, never text.
+    * The ordering struct (−score, id) makes the winner a total order, so
+    * output is stable across engines and partitionings.
+    */
+  def collapseKeepBest(docs: DataFrame, pairs: DataFrame, scores: DataFrame,
+                       idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    val clusters = dedupClusters(docs, pairs, idCol)
+    clusters.join(scores.select(col(idCol), col(scoreCol).as("__s")), Seq(idCol))
+      .groupBy("cluster_id")
+      .agg(
+        min_by(struct(col(idCol), col("__s")),
+          struct((col("__s") * lit(-1.0)).as("n"), col(idCol))).as("__k"),
+        count(lit(1)).as("n_members"))
+      .select(col(s"__k.$idCol").as(idCol), col("cluster_id"),
+        col("n_members"), col("__k.__s").as(scoreCol))
+  }
+
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     idCol: String = "doc_id", maxIters: Int = 50,
                     maxLocalEdges: Long = 1L << 20): DataFrame = {

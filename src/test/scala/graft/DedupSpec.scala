@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("collapseKeepBest keeps the highest-score member per cluster, lowest id on ties") {
+    val s = spark; import s.implicits._
+    val ids = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    // cluster {1,2,3}: 3 wins on score; {5,6}: tie → lowest id 5; singletons keep themselves
+    val scores = Seq(1L -> 0.1, 2L -> 0.5, 3L -> 0.9, 4L -> 0.2, 5L -> 0.7, 6L -> 0.7, 7L -> 0.0)
+      .toDF("doc_id", "score")
+    val out = Dedup.collapseKeepBest(ids, pairs, scores)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, 0.9)), 4L -> ((4L, 1L, 0.2)),
+      5L -> ((5L, 2L, 0.7)), 7L -> ((7L, 1L, 0.0))))
+  }
+
   test("winnow: shared-passage docs pair up; sketch guarantee holds on a long common run") {
     val s = spark; import s.implicits._
     val common = (1 to 30).map(i => s"tok$i").mkString(" ")

@@ -340,6 +340,21 @@ object TextQueries {
        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
 
+  // -- TF-IDF top terms per document -----------------------------------------
+  private val tfidfTopTerms: Q = (s, d) =>
+    TextAnalysis.tfidfTopTerms(docs(s, d), k = 5)
+
+  private val tfidfTopTermsSql =
+    s"""WITH t AS (SELECT doc_id, unnest(${toks(norm("text"))}) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+       |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df_count FROM tf GROUP BY 1),
+       |tot AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |sc AS (SELECT doc_id, token, tf,
+       |         round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df_count AS DOUBLE)), 6) AS tfidf
+       |       FROM tf JOIN dfc USING (token), tot),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rank FROM sc)
+       |SELECT doc_id, rank, token, tf, tfidf FROM r WHERE rank <= 5""".stripMargin
+
   // -- benchmark decontamination -------------------------------------------
   /** Fixture benchmark: every 97th document plays the eval set, so the
     * query is self-contained and deterministic. Benchmark documents flag
@@ -427,6 +442,7 @@ object TextQueries {
     ("simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     ("cluster_dedup", clusterDedup, Some(clusterDedupSql)),
     ("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
+    ("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     ("decontaminate", decontaminate, Some(decontaminateSql)),
     ("pack_sequences", packSequences, Some(packSequencesSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),

@@ -113,8 +113,21 @@ object VectorQueries {
        |  round(sum(q) / count(*) / 1000000.0, 6) AS centroid
        |FROM x GROUP BY 1, 2""".stripMargin
 
+  // -- int8 affine quantization (embedding storage path) -----------------
+  private val quantize: Q = (s, d) =>
+    Similarity.quantizeInt8(Tables.embeddings(s, d))
+
+  private val quantizeSql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM v)
+      |SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+      |  list_transform(v, x -> CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(round((x - lo) * CAST(255.0 AS DOUBLE) / (hi - lo)) AS BIGINT) END) AS codes
+      |FROM mm""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("brute_force_topk", bruteForce, Some(bruteForceSql)),
+    ("quantize_int8", quantize, Some(quantizeSql)),
     ("lsh_topk", lshTopK, Some(lshTopKSql)),
     ("ivf_topk", ivfTopK, Some(ivfTopKSql)),
     ("cosine_near_dup", nearDup, Some(nearDupSql)),

@@ -181,6 +181,37 @@ object Similarity {
     * engines; the long sum is exact and associative. The final division
     * back to a rounded double mean is deterministic given identical sums.
     */
+  /** Per-vector affine int8 quantization — the embedding STORAGE primitive
+    * at 100 TB: a dim-64 float32 vector (256 B) becomes 64 byte-codes plus
+    * two float bounds (~72 B), and ANN candidate generation (LSH/IVF cell
+    * joins) runs on reconstructed `lo + code·(hi−lo)/255` values with the
+    * exact re-rank reading full vectors only for the survivors. Codes are
+    * `round((x−lo)·255/(hi−lo))` ∈ [0,255] (a constant vector maps to all
+    * zeros); `lo`/`hi` ride along for dequantization.
+    *
+    * Pure per-row projection — no shuffle, composes with scan pruning.
+    * `lo`/`hi` are materialized as OWN multi-referenced columns before the
+    * per-element lambda: inlined `array_min(v)` inside `transform` would
+    * re-scan the vector per element (the interpreted-HOF rule —
+    * Dedup.gramsOf). All arithmetic left-to-right in doubles; codes are
+    * integers, so the output hash carries no float-formatting risk beyond
+    * the two rounded bounds.
+    */
+  def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol), col("__v"),
+        array_min(col("__v")).as("__lo"), array_max(col("__v")).as("__hi"))
+      .select(
+        col(idCol),
+        round(col("__lo"), 6).as("lo"),
+        round(col("__hi"), 6).as("hi"),
+        transform(col("__v"), x =>
+          when(col("__hi") === col("__lo"), lit(0L))
+            .otherwise(round((x - col("__lo")) * lit(255.0) / (col("__hi") - col("__lo")), 0)
+              .cast("long"))).as("codes"))
+
   def classCentroids(vectors: DataFrame, classCol: String = "label",
                      vecCol: String = "embedding"): DataFrame =
     vectors

@@ -205,6 +205,37 @@ object TextAnalysis {
         aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(hash60(t), lit(P)), lit(P))))
   }
 
+  /** TF-IDF top terms per document — the sparse document representation
+    * behind keyword extraction, topic tagging, and classical retrieval
+    * (`docFrequency` is the corpus half; this joins it back per term).
+    * Scores are `tf × ln(N/df)`, rounded to 6 BEFORE ranking with a term
+    * tie-break, so the per-doc top-k is a total order.
+    *
+    * Shape at 100 TB: per-doc term counts (explode → map-side-combined
+    * count), document frequencies as a second aggregate over those
+    * (|vocab| rows), a token-keyed join to attach df (AQE broadcasts when
+    * the vocab is small), then a window PARTITIONED BY DOCUMENT — the
+    * high-cardinality partitioning where windows parallelize perfectly
+    * (each doc's term list sorts independently; no global sort exists).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 5): DataFrame = {
+    val total = docs.agg(countDistinct(col(idCol)).as("__n"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).cast("long").as("tf"))
+    val dfc = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfc, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(col("__n").cast("double") / col("df_count").cast("double")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("tfidf"))
+  }
+
   /** Benchmark decontamination: flag every training document sharing at
     * least one token n-gram with an evaluation/benchmark corpus — the
     * standard pre-training hygiene pass (the public GPT-3/PaLM reports

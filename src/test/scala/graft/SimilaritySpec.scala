@@ -55,6 +55,27 @@ class SimilaritySpec extends SparkSpec {
       ("y", 0L, 1L, 10.0), ("y", 1L, 1L, 0.0)))
   }
 
+  test("quantizeInt8: codes span [0,255], bounds ride along, dequantization error <= scale/2") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.5f, 1.0f, 0.25f)),
+      (2L, Array(-2.0f, 2.0f, 0.0f, -1.0f)),
+      (3L, Array(0.7f, 0.7f, 0.7f, 0.7f)))   // constant vector → all-zero codes
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getSeq[Long](3)))).toMap
+    assert(out(1L) === ((0.0, 1.0, Seq(0L, 128L, 255L, 64L))))  // 0.5*255=127.5 → HALF_UP 128
+    assert(out(3L) === ((0.7, 0.7, Seq(0L, 0L, 0L, 0L))))
+    val (lo, hi, codes) = out(2L)
+    assert(codes.forall(c => c >= 0L && c <= 255L))
+    val scale = (hi - lo) / 255.0
+    val orig = Seq(-2.0, 2.0, 0.0, -1.0)
+    codes.zip(orig).foreach { case (c, x) =>
+      assert(math.abs(lo + c * scale - x) <= scale / 2 + 1e-9, s"dequant err for $x")
+    }
+  }
+
   test("ivfTopK scores match brute force on the pairs it returns; k rows per query") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 4)

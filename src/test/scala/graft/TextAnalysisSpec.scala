@@ -116,6 +116,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getLong(3) != out(2).getLong(3))     // order matters
   }
 
+  test("tfidfTopTerms: tf x ln(N/df) ranking with term tie-break, k caps rows") {
+    val s = spark; import s.implicits._
+    // N=3; "rare" in 1 doc, "pair" in 2, "common" in all 3
+    val df = Seq(
+      (1L, "common rare rare"),
+      (2L, "common pair"),
+      (3L, "common pair pair pair")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    def sc(tf: Long, dfc: Long) = BigDecimal(tf * math.log(3.0 / dfc))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 1L)) === (("rare", 2L, sc(2, 1))))
+    assert(out((1L, 2L)) === (("common", 1L, 0.0)))    // ln(3/3) = 0
+    assert(out((2L, 1L)) === (("pair", 1L, sc(1, 2))))
+    assert(out((3L, 1L)) === (("pair", 3L, sc(3, 2))))
+    assert(out.size === 6)                             // k=2 per doc
+  }
+
   test("decontaminate: n-gram collision with the benchmark flags docs; clean and short docs pass") {
     val s = spark; import s.implicits._
     val train = Seq(

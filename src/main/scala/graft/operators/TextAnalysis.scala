@@ -221,9 +221,14 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 5): DataFrame = {
     val total = docs.agg(countDistinct(col(idCol)).as("__n"))
+    // persisted: both the df aggregate and the scoring join read the term
+    // counts — uncached, the corpus would be scanned and re-tokenized
+    // twice. Lifecycle as Dedup.persistedBase: session-lifetime, LRU
+    // eviction recomputes from lineage, CacheManager dedups re-persists.
     val tf = docs
       .select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).cast("long").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df_count"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token").asc)

@@ -142,6 +142,19 @@ object TextQueries {
        |WHERE ${h60("coalesce(lang, '') || ':' || doc_id")} % 1000000 <
        |      CASE WHEN lang = 'en' THEN 500000 ELSE 250000 END""".stripMargin
 
+  // -- fixed-size per-stratum sampling -----------------------------------
+  private val sampleN: Q = (s, d) =>
+    TextAnalysis.sampleNPerStratum(docs(s, d), n = 20)
+      .select("doc_id", "lang", "source", "sample_rank")
+
+  private val sampleNSql =
+    s"""SELECT doc_id, lang, source, sample_rank FROM (
+       |  SELECT doc_id, lang, source,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${h60("coalesce(lang, '') || ':' || doc_id")} % 1000000000, doc_id) AS BIGINT) AS sample_rank
+       |  FROM documents)
+       |WHERE sample_rank <= 20""".stripMargin
+
   // -- token counting ---------------------------------------------------
   private val tokenCounts: Q = (s, d) =>
     TextAnalysis.tokenCounts(docs(s, d)).select("doc_id", "n_words", "n_subwords")
@@ -434,6 +447,7 @@ object TextQueries {
     ("chunk_tokens", chunkTokens, Some(chunkTokensSql)),
     ("source_filter", sourceFilter, Some(sourceFilterSql)),
     ("stratified_sample", stratified, Some(stratifiedSql)),
+    ("sample_n_per_stratum", sampleN, Some(sampleNSql)),
     ("doc_freq", docFreq, Some(docFreqSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),

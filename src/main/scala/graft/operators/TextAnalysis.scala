@@ -127,6 +127,36 @@ object TextAnalysis {
     docs.filter(bucket < threshold)
   }
 
+  /** Deterministic fixed-SIZE per-stratum sampling (hash-order
+    * "reservoir") — exactly `n` documents per stratum (fewer if the
+    * stratum is smaller), the eval-set / holdout construction primitive
+    * complementing the rate-based `stratifiedSample`. Selection order is
+    * the seedless `hash60(stratum:id)` with an id tie-break: reproducible
+    * across engines, runs, and repartitionings, and REFERENTIALLY stable —
+    * adding documents to a stratum only displaces members whose hash ranks
+    * after the newcomer's.
+    *
+    * Shape at 100 TB: the rank-≤-n filter compiles to WindowGroupLimit —
+    * each input partition keeps only its own top-n BEFORE the shuffle, so
+    * the exchange carries ≤ n×partitions rows per stratum, never the
+    * corpus. (Same NULL discipline as stratifiedSample: a NULL stratum
+    * hashes as the empty stratum and forms its own group.)
+    */
+  def sampleNPerStratum(docs: DataFrame, n: Int, stratumCol: String = "lang",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val rk = pmod(
+      hash60(concat(coalesce(col(stratumCol), lit("")), lit(":"), col(idCol).cast("string"))),
+      lit(1000000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__rk").asc, col(idCol).asc)
+    docs
+      .withColumn("__rk", rk)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .drop("__rk")
+  }
+
   /** PII redaction: emails, IPv4 addresses, and AU-format phone numbers
     * replaced with typed placeholders — the standard scrub pass before
     * training-data release. Pure codegen'd `regexp_replace` chain (no UDF,

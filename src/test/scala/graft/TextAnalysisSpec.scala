@@ -116,6 +116,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getLong(3) != out(2).getLong(3))     // order matters
   }
 
+  test("sampleNPerStratum: exactly n per stratum, deterministic, referentially stable") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 50L).map(i => (i, "en")) ++ (51L to 53L).map(i => (i, "fr")))
+      .toDF("doc_id", "lang")
+    val out = TextAnalysis.sampleNPerStratum(df, n = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.count(_._2 == "en") === 10)
+    assert(out.count(_._2 == "fr") === 3)   // stratum smaller than n → all kept
+    assert(out.filter(_._2 == "fr").map(_._3).sorted.toSeq === Seq(1L, 2L, 3L))
+    // deterministic: identical second run
+    val out2 = TextAnalysis.sampleNPerStratum(df, n = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet === out2.toSet)
+    // referential stability: n=5 sample is a prefix of the n=10 sample
+    val small = TextAnalysis.sampleNPerStratum(df, n = 5)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(small.subsetOf(out.map(_._1).toSet))
+  }
+
   test("tfidfTopTerms: tf x ln(N/df) ranking with term tie-break, k caps rows") {
     val s = spark; import s.implicits._
     // N=3; "rare" in 1 doc, "pair" in 2, "common" in all 3

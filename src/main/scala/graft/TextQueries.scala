@@ -155,6 +155,34 @@ object TextQueries {
        |  FROM documents)
        |WHERE sample_rank <= 20""".stripMargin
 
+  // -- deterministic train/val/test split ---------------------------------
+  private val splitAssign: Q = (s, d) =>
+    TextAnalysis.splitAssign(docs(s, d))
+      .select("doc_id", "lang", "source", "split")
+
+  private val splitAssignSql =
+    s"""SELECT doc_id, lang, source,
+       |  CASE WHEN ${h60("'split:' || doc_id")} % 1000000 < 980000 THEN 'train'
+       |       WHEN ${h60("'split:' || doc_id")} % 1000000 < 990000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  // -- quality-quantile curriculum buckets --------------------------------
+  private val qualityBuckets: Q = (s, d) =>
+    TextAnalysis.qualityBuckets(docs(s, d), nBuckets = 4)
+
+  /** Rank-defined buckets over the shared quality CTEs: the prefix sum
+    * runs over the score HISTOGRAM (distinct 4-dp scores), and the bucket
+    * is pure integer arithmetic — no float cutpoint exists to drift.
+    */
+  private val qualityBucketsSql =
+    s"""WITH $qualityCtes,
+       |h AS (SELECT quality_score, count(*) AS c FROM q GROUP BY 1),
+       |cm AS (SELECT quality_score, sum(c) OVER (ORDER BY quality_score) - c AS lt FROM h),
+       |n AS (SELECT count(*) AS n FROM q)
+       |SELECT q.doc_id, q.quality_score, CAST((4 * cm.lt) // n.n AS BIGINT) AS bucket
+       |FROM q JOIN cm USING (quality_score) CROSS JOIN n""".stripMargin
+
   // -- token counting ---------------------------------------------------
   private val tokenCounts: Q = (s, d) =>
     TextAnalysis.tokenCounts(docs(s, d)).select("doc_id", "n_words", "n_subwords")
@@ -448,6 +476,8 @@ object TextQueries {
     ("source_filter", sourceFilter, Some(sourceFilterSql)),
     ("stratified_sample", stratified, Some(stratifiedSql)),
     ("sample_n_per_stratum", sampleN, Some(sampleNSql)),
+    ("split_assign", splitAssign, Some(splitAssignSql)),
+    ("quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     ("doc_freq", docFreq, Some(docFreqSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),

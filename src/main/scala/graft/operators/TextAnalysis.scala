@@ -157,6 +157,73 @@ object TextAnalysis {
       .drop("__rk")
   }
 
+  /** Deterministic train/validation/test split assignment — the dataset
+    * partitioning every training run needs before anything else. Each
+    * document's split is a pure hash decision on its id (`hash60` over a
+    * fixed `split:` domain tag, bucketed to ppm): seedless, reproducible
+    * across engines and runs, stable under repartitioning, and
+    * REFERENTIALLY stable — adding or removing documents never moves an
+    * existing document between splits (none of which holds for
+    * `randomSplit`). Fractions are converted to cumulative ppm thresholds
+    * once at plan time; the final threshold is forced to 10⁶ so rounding
+    * can never orphan a row.
+    *
+    * Shape at 100 TB: a pure per-row projection — no shuffle, composes
+    * with scan pushdown, and the same document lands in the same split on
+    * every engine that can compute an md5.
+    */
+  def splitAssign(docs: DataFrame,
+                  fractions: Seq[(String, Double)] =
+                    Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+                  idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0),
+      "fractions must be non-negative")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val cum = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 1000000.0)
+    }.tail
+    val u = pmod(hash60(concat(lit("split:"), col(idCol).cast("string"))), lit(1000000L))
+    // when-chain in declaration order; the last split is the ELSE arm, so
+    // threshold rounding drift can only shift rows between adjacent splits,
+    // never drop them
+    val assign = fractions.init.zip(cum.init).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", assign)
+  }
+
+  /** Curriculum bucketing: assign each document a quality-quantile bucket
+    * (0 = worst quartile … nBuckets−1 = best) — the ordering primitive for
+    * quality-staged training schedules. Buckets are defined by RANK, not
+    * by interpolated cutpoint values: `bucket = ⌊nBuckets · |{score' <
+    * score}| / N⌋`, so ties always share a bucket and every comparison is
+    * exact integer arithmetic — no float cutpoint can drift between
+    * engines (the `mix_weights` lesson applied ex ante).
+    *
+    * Shape at 100 TB: the corpus aggregates to a SCORE HISTOGRAM first
+    * (scores are 4-dp-rounded ratios, so the histogram is at most ~10⁴
+    * rows regardless of corpus size); the rank prefix-sum window runs over
+    * that histogram — deliberately single-partition, because the frame is
+    * tiny — and joins back to the corpus broadcast. One map-side-combined
+    * shuffle over the corpus, nothing corpus-sized ever sorts.
+    */
+  def qualityBuckets(docs: DataFrame, nBuckets: Int = 4, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val scored = qualityScore(docs, textCol).select(col(idCol), col("quality_score"))
+    val hist = scored.groupBy("quality_score").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("quality_score").asc)
+    // histogram rows are distinct scores, so the default RANGE frame's
+    // tie-inclusion cannot widen the running sum
+    val cum = hist.withColumn("__lt", sum(col("__c")).over(w) - col("__c"))
+    val total = scored.agg(count(lit(1)).as("__n"))
+    scored.join(broadcast(cum), Seq("quality_score"))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"($nBuckets * __lt) div __n"))
+      .select(col(idCol), col("quality_score"), col("bucket"))
+  }
+
   /** PII redaction: emails, IPv4 addresses, and AU-format phone numbers
     * replaced with typed placeholders — the standard scrub pass before
     * training-data release. Pure codegen'd `regexp_replace` chain (no UDF,

@@ -135,6 +135,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(small.subsetOf(out.map(_._1).toSet))
   }
 
+  test("splitAssign: total, deterministic, referentially stable, fractions roughly honored") {
+    val s = spark; import s.implicits._
+    val df = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = TextAnalysis.splitAssign(df,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(out.size === 1000)                       // every row assigned, none dropped
+    assert(out.values.toSet === Set("train", "val", "test"))
+    val train = out.values.count(_ == "train")
+    assert(train > 700 && train < 900)              // hash-uniform ≈ 800
+    // referential stability: a 100-doc subset gets identical assignments
+    val sub = TextAnalysis.splitAssign(df.filter(col("doc_id") <= 100),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(sub === out.filter(_._1 <= 100L))
+    // repartitioning cannot move a document between splits
+    val re = TextAnalysis.splitAssign(df.repartition(7),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(re === out)
+  }
+
+  test("qualityBuckets: rank-defined quartiles — monotone in score, ties share a bucket") {
+    val s = spark; import s.implicits._
+    // 8 docs with clearly distinct quality: longer, more diverse text scores higher
+    val df = (1L to 8L).map { i =>
+      (i, (1L to i * 6).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.qualityBuckets(df, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length === 8)
+    assert(out.forall(r => r._3 >= 0 && r._3 < 4))
+    // bucket is monotone in score, and exactly 2 docs land in each quartile
+    val byScore = out.sortBy(r => (r._2, r._1))
+    assert(byScore.map(_._3).toSeq === Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L))
+    // ties: duplicate documents (identical scores) must share a bucket
+    val dup = Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, "a much longer and more varied document body entirely"))
+      .toDF("doc_id", "text")
+    val db = TextAnalysis.qualityBuckets(dup, nBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(db(1L) === db(2L))
+    assert(db(3L) > db(1L))
+  }
+
   test("tfidfTopTerms: tf x ln(N/df) ranking with term tie-break, k caps rows") {
     val s = spark; import s.implicits._
     // N=3; "rare" in 1 doc, "pair" in 2, "common" in all 3

@@ -205,6 +205,25 @@ object Queries {
   private val topNSql =
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
 
+  /** Skew-salted join, oracle-proved equal to the PLAIN join — the salt
+    * is pure execution strategy (scatter a hot key over `salt` reducers)
+    * and must never change the result set. The oracle is the unsalted SQL
+    * join, so any multiplicity drift the salting could introduce
+    * (a dropped replica, a double match) breaks the hash.
+    */
+  private val saltedJoin: Q = (s, d) =>
+    RelOps.saltedJoin(
+      li(s, d).filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_suppkey"),
+      Tables.supplier(s, d).select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+      Seq("l_suppkey"), salt = 8)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+
+  private val saltedJoinSql =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE l_quantity > 45""".stripMargin
+
   // ------------------------------------------------------------------
   // Stable surrogate-key dictionary (M6)
   // ------------------------------------------------------------------
@@ -457,6 +476,7 @@ object Queries {
     ("validate", validate, Some(validateSql)),
     ("watermark_delta", watermark, Some(watermarkSql)),
     ("semi_key_batch", semiKeys, Some(semiKeysSql)),
+    ("salted_join", saltedJoin, Some(saltedJoinSql)),
     ("distinct_vals", distinctVals, Some(distinctValsSql)),
     ("top_n", topN, Some(topNSql)),
     ("id_map_extend", idMapExtend, Some(idMapExtendSql)),

@@ -101,6 +101,35 @@ object VectorQueries {
        |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2""".stripMargin
 
+  // -- Lloyd's k-means codebook refinement + assignment ---------------------
+  private val kmeans: Q = (s, d) =>
+    Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 1, dim = DIM)
+
+  /** One unrolled Lloyd round: seed (8 lowest-id vectors) → assign →
+    * exact micro-quantized means (empty cells keep their seed via the
+    * LEFT JOIN coalesce) → final assignment with (dist, cell) tie-break.
+    * Distance folds replay the engine's left-to-right accumulation.
+    */
+  private val kmeansSql = {
+    def d2(v: String, cv: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> (CAST($v[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)) * (CAST($v[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)))), (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+       |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+       |d0 AS (SELECT e.vec_id, cent0.cell, ${d2("e.v", "cent0.cv")} AS dist FROM e, cent0),
+       |a0 AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d0) WHERE rn = 1),
+       |sums AS (SELECT a0.cell, dd.dim, sum(CAST(round(e.v[dd.dim + 1] * 1000000) AS BIGINT)) AS sq, count(*) AS n
+       |         FROM e JOIN a0 USING (vec_id) CROSS JOIN (SELECT unnest(range(0, $DIM)) AS dim) dd
+       |         GROUP BY 1, 2),
+       |cent1 AS (SELECT c0.cell, list(coalesce(round(s.sq / s.n / 1000000.0, 6), c0.cv[dd.dim + 1]) ORDER BY dd.dim) AS cv
+       |          FROM cent0 c0 CROSS JOIN (SELECT unnest(range(0, $DIM)) AS dim) dd
+       |          LEFT JOIN sums s ON s.cell = c0.cell AND s.dim = dd.dim
+       |          GROUP BY c0.cell),
+       |d1 AS (SELECT e.vec_id, c.cell, ${d2("e.v", "c.cv")} AS dist FROM e, cent1 c),
+       |fin AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(dist, 6) AS dist2 FROM fin WHERE rn = 1""".stripMargin
+  }
+
   // -- mean-pooled class centroids -----------------------------------------
   private val centroids: Q = (s, d) =>
     Similarity.classCentroids(Tables.embeddings(s, d))
@@ -130,6 +159,7 @@ object VectorQueries {
     ("quantize_int8", quantize, Some(quantizeSql)),
     ("lsh_topk", lshTopK, Some(lshTopKSql)),
     ("ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    ("kmeans_assign", kmeans, Some(kmeansSql)),
     ("cosine_near_dup", nearDup, Some(nearDupSql)),
     ("class_centroids", centroids, Some(centroidsSql)),
   )

@@ -168,6 +168,67 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Lloyd's k-means over embedding vectors: refine the deterministic
+    * IVF seed codebook (`nCentroids` lowest-id vectors) with `iters`
+    * assign-then-average rounds, then emit the final per-vector cell
+    * assignment — upgrading `ivfTopK`'s "a production codebook would come
+    * from k-means" caveat into the real index-build path.
+    *
+    * Each round: (1) assign every vector to its nearest centroid — the
+    * centroids are plan LITERALS, so assignment is one embarrassingly
+    * parallel scan; (2) average each cell's members via the
+    * `classCentroids` recipe — per-dim micro-quantized exact long sums,
+    * map-side combined, k×dim partial rows on the shuffle; (3) collect the
+    * k×dim stats to the driver and rebuild the literals (the MLlib
+    * pattern — per-round driver traffic is O(k·dim), never rows). A cell
+    * that attracts no vectors keeps its previous centroid, so the codebook
+    * never shrinks.
+    *
+    * Determinism end-to-end: seeds are id-ordered, sums are exact longs,
+    * means round HALF_UP to 6 (the same arithmetic the oracle replays),
+    * distance folds run left-to-right (`Dist2Expr` == the HOF twin the
+    * SQL mirrors), and argmin ties break toward the lower cell id.
+    */
+  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int, dim: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 0, "need k > 0 and iters >= 0")
+    val corpus = vectors.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v"))
+
+    def assignStruct(cb: IndexedSeq[IndexedSeq[Double]], v: Column): Column =
+      array_min(array(cb.indices.map { i =>
+        struct(VectorOps.dist2(v, array(cb(i).map(lit): _*)).as("d"), lit(i).as("cell"))
+      }: _*))
+
+    // Spark's round() semantics for the driver-side mean: HALF_UP on the
+    // shortest-decimal BigDecimal of the double — byte-identical to what
+    // round(col, 6) would produce for the same division
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    var cb: IndexedSeq[IndexedSeq[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val stats = corpus
+        .withColumn("cell", assignStruct(cb, col("__v")).getField("cell"))
+        .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(round(col("x") * 1000000).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.toArray).toArray
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          round6(r.getLong(2).toDouble / r.getLong(3).toDouble / 1000000.0)
+      }
+      cb = next.map(_.toIndexedSeq).toIndexedSeq
+    }
+    corpus
+      .select(col(idCol), assignStruct(cb, col("__v")).as("__a"))
+      .select(col(idCol), col("__a.cell").cast("long").as("cell"),
+        round(col("__a.d"), 6).as("dist2"))
+  }
+
   /** Mean-pooled class centroids — the distributed shape for averaging
     * vectors (class prototypes, cluster centers, nearest-centroid
     * classifiers): explode to (class, dim, value) and let a plain

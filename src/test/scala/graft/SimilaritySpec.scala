@@ -19,6 +19,29 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAgg.nonEmpty && viaAgg.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("kmeansAssign: one Lloyd round separates two well-split clusters seeded inside one") {
+    val s = spark; import s.implicits._
+    // both seeds (2 lowest ids) start inside the near-origin cluster; the
+    // mean-update round must pull centroid 1 to the far cluster
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(10.0f, 10.0f)), (3L, Array(10.0f, 11.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(pts, k = 2, iters = 1, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === out(1L))
+    assert(out(2L) === out(3L))
+    assert(out(0L) !== out(2L))
+    // iters = 0 scores against the raw seeds: seed vectors sit at distance 0
+    val raw = Similarity.kmeansAssign(pts, k = 2, iters = 0, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(raw.filter(r => r._1 < 2).forall(_._3 === 0.0))
+    // deterministic: a repartitioned input gives identical assignments
+    val re = Similarity.kmeansAssign(pts.repartition(3), k = 2, iters = 1, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === out)
+  }
+
   test("lshTopK returns a subset of the exact neighbors' pairs, all within-bucket") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 4)

@@ -155,6 +155,22 @@ object TextQueries {
        |  FROM documents)
        |WHERE sample_rank <= 20""".stripMargin
 
+  // -- greedy token-budget sampling ---------------------------------------
+  private val budgetSample: Q = (s, d) =>
+    TextAnalysis.sampleToTokenBudget(docs(s, d), budgetPerStratum = 2000)
+
+  private val budgetSampleSql =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  CAST(len(${toks(norm("text"))}) AS BIGINT) AS n_tokens,
+       |  ${h60("coalesce(lang, '') || ':' || doc_id")} % 1000000000 AS rk
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rk, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before
+       |FROM c WHERE tokens_before < 2000""".stripMargin
+
   // -- deterministic train/val/test split ---------------------------------
   private val splitAssign: Q = (s, d) =>
     TextAnalysis.splitAssign(docs(s, d))
@@ -477,6 +493,7 @@ object TextQueries {
     ("stratified_sample", stratified, Some(stratifiedSql)),
     ("sample_n_per_stratum", sampleN, Some(sampleNSql)),
     ("split_assign", splitAssign, Some(splitAssignSql)),
+    ("budget_sample", budgetSample, Some(budgetSampleSql)),
     ("quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     ("doc_freq", docFreq, Some(docFreqSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),

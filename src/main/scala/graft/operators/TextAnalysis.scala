@@ -157,6 +157,43 @@ object TextAnalysis {
       .drop("__rk")
   }
 
+  /** Greedy token-budget sampling: walk each stratum in the seedless
+    * hash order (`hash60(stratum:id)`, id tie-break — the same order as
+    * `sampleNPerStratum`) and keep documents until the stratum's token
+    * budget fills; the document that CROSSES the boundary is kept, so the
+    * budget is met, never undershot. This materializes a token-count
+    * target (e.g. `mixWeights.sampled_tokens`) into an actual document
+    * set — the per-DOCUMENT dual of `sampleNPerStratum`.
+    *
+    * Keep iff the exclusive prefix-sum of tokens before this document is
+    * under budget — all-integer logic over exact long sums, so membership
+    * is engine-exact. Hash order makes the selection referentially
+    * STABLE under budget growth: raising the budget only ADDS documents.
+    *
+    * Shape at 100 TB: one shuffle on the stratum column; each stratum's
+    * prefix sum is a single pass over Spark's spillable per-partition
+    * sort (the `packSequences` posture — strata process in parallel, and
+    * a pathologically hot stratum range-splits upstream the same way).
+    */
+  def sampleToTokenBudget(docs: DataFrame, budgetPerStratum: Long,
+                          stratumCol: String = "lang", idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(budgetPerStratum > 0, "budget must be positive")
+    val rk = pmod(
+      hash60(concat(coalesce(col(stratumCol), lit("")), lit(":"), col(idCol).cast("string"))),
+      lit(1000000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__rk").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(stratumCol),
+        size(tokens(normalizeText(col(textCol)))).cast("long").as("n_tokens"))
+      .withColumn("__rk", rk)
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budgetPerStratum)
+      .drop("__rk")
+  }
+
   /** Deterministic train/validation/test split assignment — the dataset
     * partitioning every training run needs before anything else. Each
     * document's split is a pure hash decision on its id (`hash60` over a

@@ -135,6 +135,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(small.subsetOf(out.map(_._1).toSet))
   }
 
+  test("sampleToTokenBudget: greedy hash-order prefix fills the budget, crossing doc kept") {
+    val s = spark; import s.implicits._
+    // every doc is exactly 10 tokens; budget 35 → keep while tokens_before < 35:
+    // prefixes 0,10,20,30 pass, 40 fails → exactly 4 docs per stratum
+    val df = ((1L to 20L).map(i => (i, "en")) ++ (21L to 22L).map(i => (i, "fr")))
+      .map { case (i, l) => (i, l, (1 to 10).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.sampleToTokenBudget(df, budgetPerStratum = 35)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.count(_._2 == "en") === 4)
+    assert(out.count(_._2 == "fr") === 2)   // small stratum: all kept, budget unmet
+    assert(out.filter(_._2 == "en").map(_._4).sorted.toSeq === Seq(0L, 10L, 20L, 30L))
+    // referential stability: a smaller budget selects a prefix of the larger one
+    val small = TextAnalysis.sampleToTokenBudget(df, budgetPerStratum = 15)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(out.map(_._1).toSet))
+    assert(small.size === 4)                // 2 en (0,10 < 15) + 2 fr
+  }
+
   test("splitAssign: total, deterministic, referentially stable, fractions roughly honored") {
     val s = spark; import s.implicits._
     val df = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -276,6 +276,21 @@ object TextQueries {
        |             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
        |SELECT doc_id, text, lang, source, n_chars, fp, n_copies FROM w WHERE rn = 1""".stripMargin
 
+  // -- incremental dedup vs a baseline corpus ------------------------------
+  private val incrementalDedup: Q = (s, d) => {
+    val all = docs(s, d)
+    Dedup.dedupAgainstBaseline(
+      all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250))
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH f AS (SELECT *, md5(${norm("text")}) AS fp FROM documents WHERE doc_id >= 250),
+       |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
+       |             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+       |bas AS (SELECT DISTINCT md5(${norm("text")}) AS fp FROM documents WHERE doc_id < 250)
+       |SELECT doc_id, text, lang, source, n_chars, fp, n_copies FROM w
+       |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM bas)""".stripMargin
+
   // -- MinHash + LSH -------------------------------------------------------
   private def lshSql(k: Int, bands: Int, shingleN: Int, threshold: Double,
                      blockJoin: Boolean): String = {
@@ -497,6 +512,7 @@ object TextQueries {
     ("quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     ("doc_freq", docFreq, Some(docFreqSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
+    ("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("winnow_dedup", winnowDedup, Some(winnowDedupSql)),
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),

@@ -133,6 +133,27 @@ object Dedup {
         count(lit(1)).cast("long").as("n_copies"))
       .select(col("__row.*") +: Seq(col("fp"), col("n_copies")): _*)
 
+  /** Inter-run incremental dedup: exact-dedup the `incoming` batch, then
+    * drop every survivor whose content fingerprint already exists in the
+    * `baseline` corpus — the standard hygiene pass when a new crawl lands
+    * against an existing training set (dedup runs per-batch, not by
+    * re-deduping the whole corpus).
+    *
+    * Shape at 100 TB: the baseline side reduces to DISTINCT fingerprints
+    * (one narrow column, map-side combined), and the anti join shuffles
+    * both sides on `fp` — the incoming batch is typically a small
+    * fraction of the corpus, so AQE broadcasts it against the baseline
+    * fingerprint scan. Steady-state cost is one baseline fingerprint
+    * scan per batch; a production run persists the fingerprint column
+    * bucketed by `fp` (`SnapshotStore.writeBucketed`) so the anti join
+    * co-locates without any baseline shuffle at all.
+    */
+  def dedupAgainstBaseline(incoming: DataFrame, baseline: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val basFp = baseline.select(fingerprint(col(textCol)).as("fp")).distinct()
+    exact(incoming, idCol, textCol).join(basFp, Seq("fp"), "left_anti")
+  }
+
   /** MinHash signatures as one exploded scan + one map-side-combined
     * groupBy: each shingle is md5-hashed exactly ONCE, then the k affine
     * minima are plain `min` aggregates (codegen'd, partial map-side).

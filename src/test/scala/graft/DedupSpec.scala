@@ -23,6 +23,22 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == 2L && out(3L) == 1L)
   }
 
+  test("dedupAgainstBaseline: batch-internal dupes collapse, baseline collisions drop") {
+    val s = spark; import s.implicits._
+    val baseline = Seq((10L, "already in the corpus", "en")).toDF("doc_id", "text", "lang")
+    val incoming = Seq(
+      (20L, "already in the corpus", "en"),      // collides with baseline → dropped
+      (21L, "Already  in the corpus", "en"),     // same after normalize → dropped
+      (22L, "brand new document", "en"),
+      (23L, "brand new document", "en"),         // batch-internal dup → one survivor
+      (24L, "another new one", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.dedupAgainstBaseline(incoming, baseline)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_copies"))).toMap
+    assert(out.keySet === Set(22L, 24L))  // lowest id survives the internal dup
+    assert(out(22L) === 2L)               // copy count reflects the batch
+  }
+
   test("minhashLsh finds the planted near-dup pair, never compares all pairs") {
     val out = Dedup.minhashLsh(docs, threshold = 0.3, k = 32, bands = 16, shingleN = 2)
     val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

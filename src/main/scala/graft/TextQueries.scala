@@ -155,6 +155,23 @@ object TextQueries {
        |  FROM documents)
        |WHERE sample_rank <= 20""".stripMargin
 
+  // -- unigram LM quality score --------------------------------------------
+  private val unigramLp: Q = (s, d) =>
+    TextAnalysis.unigramLogProb(docs(s, d))
+
+  private val unigramLpSql =
+    s"""WITH tk AS (SELECT doc_id, unnest(${toks(norm("text"))}) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+       |c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+       |lp AS (SELECT doc_id,
+       |         sum(tf * CAST(round(ln(CAST(c AS DOUBLE) / t.t) * 1000000) AS BIGINT)) AS slp,
+       |         CAST(sum(tf) AS BIGINT) AS n
+       |       FROM tf JOIN c USING (token) CROSS JOIN t GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(lp.n, 0) AS BIGINT) AS n_tokens,
+       |  round(lp.slp / lp.n / 1000000.0, 6) AS logprob_per_token
+       |FROM documents d LEFT JOIN lp USING (doc_id)""".stripMargin
+
   // -- greedy token-budget sampling ---------------------------------------
   private val budgetSample: Q = (s, d) =>
     TextAnalysis.sampleToTokenBudget(docs(s, d), budgetPerStratum = 2000)
@@ -509,6 +526,7 @@ object TextQueries {
     ("sample_n_per_stratum", sampleN, Some(sampleNSql)),
     ("split_assign", splitAssign, Some(splitAssignSql)),
     ("budget_sample", budgetSample, Some(budgetSampleSql)),
+    ("unigram_logprob", unigramLp, Some(unigramLpSql)),
     ("quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     ("doc_freq", docFreq, Some(docFreqSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),

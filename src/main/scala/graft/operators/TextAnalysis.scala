@@ -339,6 +339,45 @@ object TextAnalysis {
         aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(hash60(t), lit(P)), lit(P))))
   }
 
+  /** Unigram language-model score: each document's mean log corpus-unigram
+    * probability per token — the classic LM-proxy quality signal (CCNet
+    * ranks documents by LM perplexity; a unigram model keeps the operator
+    * closed over the corpus itself, no external model). Rare-token-heavy
+    * documents (gibberish, boilerplate IDs) score very negative; documents
+    * of common words score near the corpus ceiling.
+    *
+    * Determinism: per-token log-probabilities are micro-quantized
+    * (`round(ln(c/T)·10⁶)` as long) BEFORE the per-document sum — a double
+    * sum is partition-order-dependent in its last bits, the quantized long
+    * sum is exact and associative (the `classCentroids` rule). Zero-token
+    * documents survive with `n_tokens = 0` and a NULL score.
+    *
+    * Shape at 100 TB: per-doc term counts are one map-side-combined
+    * aggregate (the `tfidfTopTerms` frame — persisted for the same reason:
+    * the corpus counts and the scoring join both read it); corpus counts
+    * aggregate from THAT (|vocab| rows, never a corpus re-scan); the total
+    * is one broadcast row; the score attach is a token-keyed join AQE
+    * broadcasts for small vocabularies.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).cast("long").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = tf.groupBy("token").agg(sum("tf").as("__c"))
+    val total = counts.agg(sum("__c").as("__t"))
+    val perDoc = tf.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp", round(log(col("__c").cast("double") / col("__t")) * 1000000, 0).cast("long"))
+      .groupBy(idCol)
+      .agg(sum(col("tf") * col("__lp")).as("__slp"), sum("tf").as("n_tokens"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("__slp") / col("n_tokens") / 1000000.0, 6).as("logprob_per_token"))
+  }
+
   /** TF-IDF top terms per document — the sparse document representation
     * behind keyword extraction, topic tagging, and classical retrieval
     * (`docFrequency` is the corpus half; this joins it back per term).

@@ -135,6 +135,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(small.subsetOf(out.map(_._1).toSet))
   }
 
+  test("unigramLogProb: common-word docs outscore rare-word docs; empty doc survives") {
+    val s = spark; import s.implicits._
+    // corpus: "a" appears 6 times, each rare word once (T = 9)
+    val df = Seq(
+      (1L, "a a a"), (2L, "a a a"),          // all common tokens
+      (3L, "x y z"),                          // all rare tokens
+      (4L, "")                                // zero tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toList
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.size === 4)
+    assert(byId(4L)._2 === 0L && byId(4L)._3.isEmpty)      // empty doc kept, null score
+    assert(byId(1L)._3 === byId(2L)._3)                     // identical docs score alike
+    assert(byId(1L)._3.get > byId(3L)._3.get)               // common >> rare
+    // exact value: ln(6/9) for every token of doc 1, micro-quantized
+    val lp = math.round(math.log(6.0 / 9.0) * 1000000).toDouble
+    val expected = BigDecimal(3 * lp / 3 / 1000000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byId(1L)._3.get === expected)
+  }
+
   test("sampleToTokenBudget: greedy hash-order prefix fills the budget, crossing doc kept") {
     val s = spark; import s.implicits._
     // every doc is exactly 10 tokens; budget 35 → keep while tokens_before < 35:

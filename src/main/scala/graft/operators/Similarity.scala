@@ -118,17 +118,24 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val codebook: Seq[(Int, Seq[Double])] = corpus
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(vecCol)).collect()
-      .toSeq.zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              codebook: Option[IndexedSeq[IndexedSeq[Double]]] = None): DataFrame = {
+    // default codebook: the nCentroids lowest-id vectors (deterministic,
+    // oracle-checkable); pass `kmeansCodebook(...)` for the production
+    // k-means-refined cells — same plan, better-balanced partitions
+    val cb: Seq[(Int, Seq[Double])] = codebook match {
+      case Some(c) => c.zipWithIndex.map { case (v, i) => (i, v) }
+      case None => corpus
+        .orderBy(col(idCol)).limit(nCentroids)
+        .select(col(vecCol)).collect()
+        .toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }
+    }
 
     def dist2To(v: Column, cvec: Seq[Double]): Column =
       VectorOps.dist2(v, array(cvec.map(lit): _*))
     def cellStructs(v: Column): Column =
-      array(codebook.map { case (i, cvec) =>
+      array(cb.map { case (i, cvec) =>
         struct(dist2To(v, cvec).as("d"), lit(i).as("cell"))
       }: _*)
     def cellOf(v: Column): Column = array_min(cellStructs(v)).getField("cell")
@@ -189,16 +196,20 @@ object Similarity {
     * distance folds run left-to-right (`Dist2Expr` == the HOF twin the
     * SQL mirrors), and argmin ties break toward the lower cell id.
     */
-  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int, dim: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  private def assignStruct(cb: IndexedSeq[IndexedSeq[Double]], v: Column): Column =
+    array_min(array(cb.indices.map { i =>
+      struct(VectorOps.dist2(v, array(cb(i).map(lit): _*)).as("d"), lit(i).as("cell"))
+    }: _*))
+
+  /** The refined codebook alone (see `kmeansAssign` for the algorithm) —
+    * feed it to `ivfTopK(codebook = ...)` to build the ANN index from
+    * k-means cells instead of raw seed vectors.
+    */
+  def kmeansCodebook(vectors: DataFrame, k: Int, iters: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): IndexedSeq[IndexedSeq[Double]] = {
     require(k > 0 && iters >= 0, "need k > 0 and iters >= 0")
     val corpus = vectors.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v"))
-
-    def assignStruct(cb: IndexedSeq[IndexedSeq[Double]], v: Column): Column =
-      array_min(array(cb.indices.map { i =>
-        struct(VectorOps.dist2(v, array(cb(i).map(lit): _*)).as("d"), lit(i).as("cell"))
-      }: _*))
-
     // Spark's round() semantics for the driver-side mean: HALF_UP on the
     // shortest-decimal BigDecimal of the double — byte-identical to what
     // round(col, 6) would produce for the same division
@@ -223,7 +234,13 @@ object Similarity {
       }
       cb = next.map(_.toIndexedSeq).toIndexedSeq
     }
-    corpus
+    cb
+  }
+
+  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int, dim: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = kmeansCodebook(vectors, k, iters, idCol, vecCol)
+    vectors.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v"))
       .select(col(idCol), assignStruct(cb, col("__v")).as("__a"))
       .select(col(idCol), col("__a.cell").cast("long").as("cell"),
         round(col("__a.d"), 6).as("dist2"))

@@ -42,6 +42,22 @@ class SimilaritySpec extends SparkSpec {
     assert(re === out)
   }
 
+  test("ivfTopK with a kmeans-refined codebook: exact scores, k rows per query") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 4)
+    val refined = Similarity.kmeansCodebook(emb, k = 8, iters = 2)
+    val out = Similarity.ivfTopK(emb, q, k = 5, dim = 64,
+      nCentroids = 8, nProbe = 3, codebook = Some(refined))
+    val exact = Similarity.bruteForceTopK(emb, q, Int.MaxValue)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = out.collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    rows.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(2))) === r.getDouble(3))
+    }
+  }
+
   test("lshTopK returns a subset of the exact neighbors' pairs, all within-bucket") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 4)

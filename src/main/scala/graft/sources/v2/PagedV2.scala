@@ -3,6 +3,7 @@ package graft.sources.v2
 import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In}
@@ -87,12 +88,15 @@ private[v2] class PagedTable(name: String, fetcher: PageFetcher, schema: StructT
 private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType, pageSize: Int,
                                    retryMaxSeconds: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var spec = ScanSpec()
   private var pushed = Array.empty[Filter]
   private var limit: Option[Int] = None
   private var outSchema = fullSchema
+  private var hasResidual = false
+  private var countPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def stringCol(attr: String) =
@@ -129,14 +133,44 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
       case f => rejected += f
     }
     pushed = accepted.result().toArray
+    val residual = rejected.result()
+    // a residual filter means the scan's row set is a SUPERSET of the
+    // query's — any aggregate computed remotely would overcount, so
+    // aggregate pushdown must refuse (the lowerBound case lands here too:
+    // it is deliberately conservative and echoed back as residual)
+    hasResidual = residual.nonEmpty
     // rejected filters must still run post-scan; Spark re-applies whatever
     // we return here
-    rejected.result().toArray
+    residual.toArray
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** COUNT(*) pushdown (S6): the reference's `returnCountOnly=true` call
+    * (`geocode.py:207-216`) surfaced as a Catalyst-driven aggregate
+    * pushdown — `df.count()` over this source becomes ONE remote count
+    * request, no page is ever fetched. Only the exact case pushes: no
+    * grouping, no residual filter (key-set pushdown is exact; the
+    * conservative watermark superset is not), no limit.
+    */
+  private def countOnly(agg: aggregate.Aggregation): Boolean =
+    !hasResidual && limit.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[aggregate.CountStar]
+
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    countOnly(agg)
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    if (!countOnly(agg)) return false
+    countPushed = true
+    outSchema = StructType(Seq(StructField("count(*)", LongType)))
+    true
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    if (countPushed) return // scan output is the aggregate schema already
     // Spark may ask for zero columns (count-only); keep one so rows exist
     val cols =
       if (requiredSchema.isEmpty) Seq(fullSchema.fieldNames.head)
@@ -151,7 +185,41 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
   }
 
   override def build(): Scan =
-    new PagedScan(fetcher, outSchema, spec, pageSize, limit, retryMaxSeconds)
+    if (countPushed) new CountScan(fetcher, outSchema, spec, retryMaxSeconds)
+    else new PagedScan(fetcher, outSchema, spec, pageSize, limit, retryMaxSeconds)
+}
+
+/** Completely-pushed COUNT(*): one partition, one remote count call, one
+  * row out — pages are never fetched.
+  */
+private[v2] class CountScan(fetcher: PageFetcher, schema: StructType, spec: ScanSpec,
+                            retryMaxSeconds: Int) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"PagedCountScan(spec=$spec)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PagePartition(0L, 0))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CountReaderFactory(fetcher, spec, retryMaxSeconds)
+}
+
+private[v2] class CountReaderFactory(fetcher: PageFetcher, spec: ScanSpec,
+                                     retryMaxSeconds: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean =
+        if (done) false
+        else {
+          done = true; true
+        }
+      override def get(): InternalRow = InternalRow(
+        graft.util.Retry.withBackoff(
+          maxTimeSeconds = retryMaxSeconds,
+          onTokenExpired = () => fetcher.refreshAuth()) { fetcher.count(spec) })
+      override def close(): Unit = ()
+    }
 }
 
 private[v2] class PagedScan(fetcher: PageFetcher, schema: StructType, spec: ScanSpec,

@@ -44,6 +44,17 @@ private[graft] class ExpiringFetcher(rows: Seq[Row], schema: StructType)
   }
 }
 
+/** Fails loudly on any page fetch — proves a pushed-down COUNT(*) never
+  * touches the page endpoint (the reference's returnCountOnly contract).
+  */
+private[graft] class CountOnlyFetcher(rows: Seq[Row], schema: StructType)
+    extends PageFetcher {
+  private val inner = new FixtureFetcher(rows, schema)
+  override def count(spec: ScanSpec): Long = inner.count(spec)
+  override def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row] =
+    throw new IllegalStateException("page fetch must not happen under COUNT(*) pushdown")
+}
+
 /** The DataSource V2 face: Catalyst must drive ScanSpec pushdown by itself. */
 class V2SourceSpec extends SparkSpec {
 
@@ -154,6 +165,33 @@ class V2SourceSpec extends SparkSpec {
     assert(out.isEmpty)
     // exactly one of the two occupies the single key slot
     assert(f.lastCountSpec.keys.exists(k => k == ("seg" -> Set("A")) || k == ("k" -> Set("k1"))))
+  }
+
+  test("COUNT(*) pushes completely: one remote count, pages never fetched") {
+    FetcherRegistry.register("cntonly", new CountOnlyFetcher(rows, schema), schema)
+    val df = readV2("cntonly")
+    // plain count: CountOnlyFetcher throws on any page fetch, so this
+    // passing PROVES the scan became one count call
+    assert(df.count() === 100L)
+    assert(df.groupBy().count().queryExecution.executedPlan.toString
+      .contains("PagedCountScan"))
+    // exact key-set pushdown composes: the In filter reaches ScanSpec.keys
+    // and the count stays remote
+    assert(df.filter(col("k").isin("k1", "k2", "k5")).count() === 3L)
+  }
+
+  test("COUNT(*) refuses pushdown when a residual filter would make it overcount") {
+    FetcherRegistry.register("cntres", new FixtureFetcher(rows, schema), schema)
+    val df = readV2("cntres")
+    // wm >= is pushed only CONSERVATIVELY (echoed back as residual), so the
+    // aggregate must stay in Spark and count post-filter rows exactly
+    val filtered = df.filter(col("wm") >= "2026-01-15")
+    val expected = rows.count(r => r.getString(3) >= "2026-01-15").toLong
+    assert(filtered.count() === expected)
+    assert(!filtered.groupBy().count().queryExecution.executedPlan.toString
+      .contains("PagedCountScan"))
+    // a non-pushable predicate refuses too
+    assert(df.filter(col("v") % 2 === 0).count() === 50L)
   }
 
   test("498-style token expiry mid-scan: re-auth + retry returns complete, correct rows") {

@@ -2,11 +2,11 @@ package graft.sources.v2
 
 import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -97,6 +97,7 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
   private var outSchema = fullSchema
   private var hasResidual = false
   private var countPushed = false
+  private var aggPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def stringCol(attr: String) =
@@ -107,6 +108,7 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
     // and silently drop all but the last (wrong results, not just slow)
     val accepted = Vector.newBuilder[Filter]
     val rejected = Vector.newBuilder[Filter]
+    val notNulls = Vector.newBuilder[IsNotNull]
     filters.foreach {
       // key-set pushdown (P7): only on string columns — the fixture wire
       // format carries key sets as strings, like the reference's VALUES.
@@ -130,6 +132,17 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
         spec = spec.copy(lowerBound = Some(attr -> v))
         accepted += f
         rejected += f
+      case f: IsNotNull => notNulls += f
+      case f => rejected += f
+    }
+    // IsNotNull(attr) rides along EXACTLY when a key-set or lowerBound
+    // pushdown landed on the same column — both make the fetcher drop
+    // null rows — so the inferred not-null guard Catalyst adds next to
+    // `=`/`>=` doesn't spuriously count as a residual (which would veto
+    // aggregate pushdown for every filtered COUNT/DISTINCT)
+    notNulls.result().foreach {
+      case f @ IsNotNull(attr) if spec.keys.exists(_._1 == attr) ||
+          spec.lowerBound.exists(_._1 == attr) => accepted += f
       case f => rejected += f
     }
     pushed = accepted.result().toArray
@@ -159,18 +172,45 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[aggregate.CountStar]
 
+  /** DISTINCT pushdown (A4): `SELECT cols FROM t GROUP BY cols` with no
+    * aggregate functions IS a distinct scan — the reference's
+    * `returnDistinctValues=true` call (`geocode.py:420-427`). Pushed as
+    * `ScanSpec.distinct` + the group columns; pagination still works
+    * because `PageFetcher.count`/`fetch` operate on the distinct set.
+    */
+  private def distinctGroupCols(agg: aggregate.Aggregation): Option[Seq[String]] =
+    if (hasResidual || limit.nonEmpty || agg.aggregateExpressions.nonEmpty ||
+        agg.groupByExpressions.isEmpty) None
+    else {
+      val cols = agg.groupByExpressions.map {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+            fullSchema.fieldNames.contains(f.fieldNames()(0)) => f.fieldNames()(0)
+        case _ => return None
+      }
+      Some(cols.toSeq)
+    }
+
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
-    countOnly(agg)
+    countOnly(agg) || distinctGroupCols(agg).isDefined
 
   override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
-    if (!countOnly(agg)) return false
-    countPushed = true
-    outSchema = StructType(Seq(StructField("count(*)", LongType)))
-    true
+    if (countOnly(agg)) {
+      countPushed = true
+      outSchema = StructType(Seq(StructField("count(*)", LongType)))
+      return true
+    }
+    distinctGroupCols(agg) match {
+      case Some(cols) =>
+        spec = spec.copy(columns = Some(cols), distinct = true)
+        outSchema = StructType(cols.map(fullSchema(_)))
+        aggPushed = true
+        true
+      case None => false
+    }
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    if (countPushed) return // scan output is the aggregate schema already
+    if (countPushed || aggPushed) return // scan output is the aggregate schema already
     // Spark may ask for zero columns (count-only); keep one so rows exist
     val cols =
       if (requiredSchema.isEmpty) Seq(fullSchema.fieldNames.head)

@@ -180,6 +180,27 @@ class V2SourceSpec extends SparkSpec {
     assert(df.filter(col("k").isin("k1", "k2", "k5")).count() === 3L)
   }
 
+  test("DISTINCT pushes as a group-by-only aggregate: ScanSpec.distinct reaches the scan") {
+    val rec = new RecordingFetcher(rows, schema)
+    FetcherRegistry.register("dstfx", rec, schema)
+    val df = readV2("dstfx").select("seg").distinct()
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("A", "B"))
+    // the count that plans pagination saw the DISTINCT projection
+    assert(rec.lastCountSpec.distinct === true)
+    assert(rec.lastCountSpec.columns === Some(Seq("seg")))
+    // complete pushdown: Spark must not re-aggregate the two rows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), s"re-aggregation planned:\n$plan")
+    // composes with an exact key filter; a residual filter refuses instead
+    assert(readV2("dstfx").filter(col("k") === "k3").select("seg").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("A"))
+    assert(rec.lastCountSpec.distinct === true)
+    assert(rec.lastCountSpec.keys === Some("k" -> Set("k3")))
+    val res = readV2("dstfx").filter(col("v") > 90).select("seg").distinct()
+    assert(res.collect().map(_.getString(0)).sorted.toSeq === Seq("A", "B"))
+    assert(rec.lastCountSpec.distinct === false) // residual filter → refused
+  }
+
   test("COUNT(*) refuses pushdown when a residual filter would make it overcount") {
     FetcherRegistry.register("cntres", new FixtureFetcher(rows, schema), schema)
     val df = readV2("cntres")

@@ -155,6 +155,26 @@ object TextQueries {
        |  FROM documents)
        |WHERE sample_rank <= 20""".stripMargin
 
+  // -- PMI collocations ------------------------------------------------------
+  private val collocations: Q = (s, d) =>
+    TextAnalysis.collocations(docs(s, d), minCount = 5, k = 50)
+
+  private val collocationsSql =
+    s"""WITH t AS (SELECT ${toks(norm("text"))} AS tk FROM documents),
+       |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+       |       FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+       |nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uc),
+       |bc AS (SELECT bg['w1'] AS w1, bg['w2'] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+       |       FROM (SELECT unnest([{'w1': tk[i], 'w2': tk[i + 1]} for i in range(1, len(tk))]) AS bg FROM t)
+       |       GROUP BY 1, 2 HAVING count(*) >= 5),
+       |nb AS (SELECT CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS nb FROM t),
+       |p AS (SELECT w1, w2, n_pair,
+       |        round(ln((CAST(n_pair AS DOUBLE) / nb.nb) /
+       |          ((CAST(u1.c AS DOUBLE) / nu.nu) * (CAST(u2.c AS DOUBLE) / nu.nu))), 6) AS pmi
+       |      FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+       |      CROSS JOIN nb CROSS JOIN nu)
+       |SELECT w1, w2, n_pair, pmi FROM p ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+
   // -- unigram LM quality score --------------------------------------------
   private val unigramLp: Q = (s, d) =>
     TextAnalysis.unigramLogProb(docs(s, d))
@@ -527,6 +547,7 @@ object TextQueries {
     ("split_assign", splitAssign, Some(splitAssignSql)),
     ("budget_sample", budgetSample, Some(budgetSampleSql)),
     ("unigram_logprob", unigramLp, Some(unigramLpSql)),
+    ("collocations", collocations, Some(collocationsSql)),
     ("quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     ("doc_freq", docFreq, Some(docFreqSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),

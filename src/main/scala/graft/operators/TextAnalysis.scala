@@ -339,6 +339,48 @@ object TextAnalysis {
         aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(hash60(t), lit(P)), lit(P))))
   }
 
+  /** Collocation mining: the corpus's top-k adjacent-token bigrams by
+    * pointwise mutual information, `ln(p(xy) / (p(x)p(y)))` — the classic
+    * phrase/multi-word-expression discovery pass (tokenizer vocab
+    * curation, boilerplate phrase detection). `minCount` suppresses the
+    * unstable low-frequency tail first (PMI is notoriously noisy there);
+    * PMI rounds to 6 BEFORE ranking with a (w1, w2) tie-break, so the
+    * top-k is a total order.
+    *
+    * Shape at 100 TB: bigram and unigram counts are both
+    * map-side-combined aggregates (shuffle carries |bigram vocab| and
+    * |vocab| partial counts, never the token stream); totals are one
+    * broadcast row; the unigram attach is two token-keyed joins AQE
+    * broadcasts for real vocabularies; the final top-k is TakeOrdered
+    * (per-partition partial top-k, k-row driver merge).
+    */
+  def collocations(docs: DataFrame, textCol: String = "text",
+                   minCount: Long = 5, k: Int = 50): DataFrame = {
+    val base = docs.select(tokens(normalizeText(col(textCol))).as("__tk"))
+    val uni = base.select(explode(col("__tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("__c"))
+    val nUni = uni.agg(sum("__c").as("__nu"))
+    val bi = base
+      .select(explode(when(size(col("__tk")) >= 2,
+        expr("transform(sequence(0, size(__tk) - 2), i -> named_struct('w1', __tk[i], 'w2', __tk[i + 1]))"))
+        .otherwise(expr("CAST(array() AS array<struct<w1: string, w2: string>>)"))).as("__bg"))
+      .select(col("__bg.w1"), col("__bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nBi = base.select((greatest(size(col("__tk")) - 1, lit(0))).cast("long").as("__p"))
+      .agg(sum("__p").as("__nb"))
+    bi
+      .join(uni.select(col("w").as("w1"), col("__c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("__c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .withColumn("pmi", round(log(
+        (col("n_pair").cast("double") / col("__nb")) /
+          ((col("__c1").cast("double") / col("__nu")) * (col("__c2").cast("double") / col("__nu")))), 6))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+  }
+
   /** Unigram language-model score: each document's mean log corpus-unigram
     * probability per token — the classic LM-proxy quality signal (CCNet
     * ranks documents by LM perplexity; a unigram model keeps the operator

@@ -135,6 +135,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(small.subsetOf(out.map(_._1).toSet))
   }
 
+  test("collocations: the planted phrase tops PMI; singletons below minCount vanish") {
+    val s = spark; import s.implicits._
+    // "hong kong" always co-occurs (6×); "the" pairs promiscuously
+    val df = (1L to 6L).map { i =>
+      (i, s"the visit to hong kong was the trip number $i of the year")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(df, minCount = 3, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    val top = out.head
+    assert(top._1 === ("hong", "kong") && top._2 === 6L)
+    // every returned PMI is finite and the list is rank-ordered
+    assert(out.map(_._3).toSeq === out.map(_._3).sortBy(-_).toSeq)
+    // pairs occurring under minCount never appear ("number 1" is unique per doc)
+    assert(!out.exists(p => p._1._1 == "number"))
+  }
+
   test("unigramLogProb: common-word docs outscore rare-word docs; empty doc survives") {
     val s = spark; import s.implicits._
     // corpus: "a" appears 6 times, each rare word once (T = 9)

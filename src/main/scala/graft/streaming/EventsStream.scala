@@ -75,6 +75,30 @@ object EventsStream {
                   lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming inter-run dedup: drop every arriving document whose content
+    * fingerprint already exists in the STATIC baseline corpus — the
+    * streaming twin of `Dedup.dedupAgainstBaseline`'s anti-join half, as a
+    * stream-static left-anti join (supported with the stream on the left;
+    * no state store involved, so nothing grows with stream volume).
+    * Within-stream duplicates compose via `dedupStream` upstream. The
+    * baseline side reduces to DISTINCT fingerprints once per micro-batch —
+    * at scale, point it at a bucketed fingerprint snapshot
+    * (`SnapshotStore.writeBucketed`) so each micro-batch reads
+    * pre-partitioned fingerprints instead of re-aggregating the corpus.
+    */
+  def dedupAgainstBaselineStream(docs: DataFrame, baseline: DataFrame,
+                                 textCol: String = "text"): DataFrame = {
+    val basFp = baseline
+      .select(graft.functions.GraftFunctions.fingerprint(
+        org.apache.spark.sql.functions.col(textCol)).as("__basfp")).distinct()
+    docs
+      .withColumn("__fp", graft.functions.GraftFunctions.fingerprint(
+        org.apache.spark.sql.functions.col(textCol)))
+      .join(basFp, org.apache.spark.sql.functions.col("__fp") ===
+        org.apache.spark.sql.functions.col("__basfp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Custom keyed state with MULTI-ROW emission via `flatMapGroupsWithState`
     * (the zero-or-more-outputs-per-group shape `mapGroupsWithState` cannot
     * express): per-user running spend with one alert row emitted for every

@@ -45,6 +45,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.contains(Seq("2026-01-01 10:00:00", "click", 3L, 675L)))
   }
 
+  test("dedupAgainstBaselineStream: stream-static anti join == batch dedup half") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq((10L, "already in the corpus")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "already in the corpus"),   // exact baseline collision → dropped
+      (21L, "Already  in the corpus"),  // normalize-equal collision → dropped
+      (22L, "brand new document"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(incoming: _*)
+    val q = graft.streaming.EventsStream.dedupAgainstBaselineStream(
+      mem.toDF().toDF("doc_id", "text"), baseline)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+    assert(streamed === Set(22L))
+    // identical to the batch operator over the same frames
+    val batch = graft.streaming.EventsStream.dedupAgainstBaselineStream(
+      incoming.toDF("doc_id", "text"), baseline)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch === streamed)
+  }
+
   test("sessionWindows: streaming (watermark, append mode) closed sessions == batch sessions") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

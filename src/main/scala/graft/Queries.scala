@@ -224,6 +224,33 @@ object Queries {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |WHERE l_quantity > 45""".stripMargin
 
+  /** Snapshot diff (audit/CDC): synthesize "previous" and "current" runs
+    * from the documents table — ids under 10 exist only in previous
+    * (removed), 400+ only in current (added), every seventh id carries a
+    * text edit (changed) — and classify each key through ONE full-outer
+    * join of per-side payload fingerprints.
+    */
+  private val snapshotDiff: Q = (s, d) => {
+    val all = Tables.documents(s, d).select("doc_id", "text", "lang", "source")
+    val prev = all.filter(col("doc_id") < 400)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    RelOps.diffFrames(prev, all.filter(col("doc_id") >= 10), Seq("doc_id"))
+  }
+
+  private val snapshotDiffSql =
+    """WITH o AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text,
+      |                  lang, source FROM documents WHERE doc_id < 400),
+      |n AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id >= 10),
+      |fo AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(0)), coalesce(lang, chr(0)), coalesce(source, chr(0)))) AS h FROM o),
+      |fn AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(0)), coalesce(lang, chr(0)), coalesce(source, chr(0)))) AS h FROM n),
+      |j AS (SELECT coalesce(fo.doc_id, fn.doc_id) AS doc_id,
+      |        CASE WHEN fo.doc_id IS NULL THEN 'added'
+      |             WHEN fn.doc_id IS NULL THEN 'removed'
+      |             WHEN fo.h <> fn.h THEN 'changed' END AS op
+      |      FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id)
+      |SELECT doc_id, op FROM j WHERE op IS NOT NULL""".stripMargin
+
   // ------------------------------------------------------------------
   // Stable surrogate-key dictionary (M6)
   // ------------------------------------------------------------------
@@ -477,6 +504,7 @@ object Queries {
     ("watermark_delta", watermark, Some(watermarkSql)),
     ("semi_key_batch", semiKeys, Some(semiKeysSql)),
     ("salted_join", saltedJoin, Some(saltedJoinSql)),
+    ("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     ("distinct_vals", distinctVals, Some(distinctValsSql)),
     ("top_n", topN, Some(topNSql)),
     ("id_map_extend", idMapExtend, Some(idMapExtendSql)),

@@ -168,6 +168,31 @@ object RelOps {
     saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Snapshot diff — the audit/CDC twin of the upsert/carry-forward
+    * family: classify every key as `added`, `removed`, or `changed`
+    * between two runs (unchanged keys are dropped — at 100 TB they ARE
+    * the snapshot). One full-outer join on the keys; payloads compare by
+    * an md5 fingerprint over the non-key columns computed BEFORE the join
+    * (null fields take a sentinel so `(null)` and `("")` differ), so the
+    * shuffle carries keys + one hash per side, never payloads, and the
+    * comparison has no engine-specific null-equality semantics.
+    */
+  def diffFrames(previous: DataFrame, current: DataFrame, keys: Seq[String]): DataFrame = {
+    require(previous.columns.sameElements(current.columns),
+      "diffFrames requires identical schemas")
+    val payload = previous.columns.filterNot(keys.contains).toSeq
+    def fp(df: DataFrame, as: String) = df.select(keys.map(col) :+
+      md5(concat_ws("\u0001",
+        payload.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as): _*)
+    fp(previous, "__old").join(fp(current, "__new"), keys, "full_outer")
+      .withColumn("op",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(col("__old") =!= col("__new"), lit("changed")))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) :+ col("op"): _*)
+  }
+
   /** I1 — watermark-based incremental filter (reference pushes
     * `last_edited_date >= <prev start>` to the remote layer,
     * `address_etl/geocode.py:190-202`). Here the predicate lands on the scan

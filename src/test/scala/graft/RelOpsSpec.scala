@@ -87,6 +87,18 @@ class RelOpsSpec extends SparkSpec {
     assert(bad.select("k").as[String].collect().sorted.toSeq == Seq("b", "c"))
   }
 
+  test("diffFrames classifies added/removed/changed and drops unchanged") {
+    val s = spark; import s.implicits._
+    val prev = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", null: String))
+      .toDF("id", "v", "w")
+    val curr = Seq((2L, "b", "y"), (3L, "c", ""), (4L, "d", "z"))
+      .toDF("id", "v", "w")
+    val out = RelOps.diffFrames(prev, curr, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // id 2 is unchanged and absent; null vs empty string on id 3 DIFFERS
+  }
+
   test("saltedJoin == plain join, with the hot key scattered") {
     val s = spark; import s.implicits._
     val left = (1 to 500).map(i => (if (i <= 450) "hot" else s"k$i", i)).toDF("k", "v")

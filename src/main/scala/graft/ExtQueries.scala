@@ -215,16 +215,21 @@ object ExtQueries {
   // shares/weights as exact BIGINT parts-per-million (mirrors
   // Ranking.mixWeights): no float column survives into the hashed output,
   // so the compare is immune to engine float-formatting conventions
+  // DuckDB sum(BIGINT) returns HUGEINT, which pandas materializes as
+  // float64 while Spark's parquet reads back int64 — equal values would
+  // still hash-mismatch at the driver. Every aggregate/division that
+  // reaches the final projection is CAST to BIGINT (oracle-SQL style rule;
+  // tools/oracle_check.py lints for it).
   private val mixWeightsSql =
     s"""WITH perdoc AS (SELECT source, lang, CAST(len(${toks(norm("text"))}) AS BIGINT) AS dl FROM documents),
-      |strata AS (SELECT source, lang, count(*) AS n_docs, sum(dl) AS n_tokens FROM perdoc GROUP BY 1, 2),
+      |strata AS (SELECT source, lang, count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM perdoc GROUP BY 1, 2),
       |tot AS (SELECT sum(n_tokens) AS total, count(*) AS n_strata FROM strata),
       |w AS (SELECT source, lang, n_docs, n_tokens,
       |        CAST(round(CAST(n_tokens AS DOUBLE) / total * CAST(1000000 AS DOUBLE)) AS BIGINT) AS share_ppm,
       |        CAST(round(least(CAST(5.0 AS DOUBLE), (CAST(total AS DOUBLE) / n_strata) / n_tokens) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS weight_ppm
       |      FROM strata, tot)
       |SELECT source, lang, n_docs, n_tokens, share_ppm, weight_ppm,
-      |       (weight_ppm * n_tokens) // 1000000 AS sampled_tokens
+      |       CAST((weight_ppm * n_tokens) // 1000000 AS BIGINT) AS sampled_tokens
       |FROM w""".stripMargin
 
   // ------------------------------------------------------------------

@@ -490,11 +490,14 @@ object TextQueries {
   private val packSequences: Q = (s, d) =>
     TextAnalysis.packSequences(docs(s, d), budget = 512)
 
+  // the cumulative window sum is HUGEINT in DuckDB (float64 via pandas at
+  // the driver) — CAST `cb` back to BIGINT before the // and % projections
+  // so seq_id/seq_offset materialize as int64 like the Spark side
   private val packSequencesSql =
     s"""WITH t AS (SELECT doc_id, source, CAST(len(${toks(norm("text"))}) AS BIGINT) AS n_tokens FROM documents),
-       |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+       |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
        |        PARTITION BY source ORDER BY doc_id
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM t)
        |SELECT doc_id, source, n_tokens, cb // 512 AS seq_id, cb % 512 AS seq_offset
        |FROM c""".stripMargin
 

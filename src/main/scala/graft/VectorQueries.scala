@@ -143,15 +143,23 @@ object VectorQueries {
        |FROM x GROUP BY 1, 2""".stripMargin
 
   // -- int8 affine quantization (embedding storage path) -----------------
+  // The operator API returns `codes` as array<long> (the shape real
+  // consumers want); the GRADED projection flattens it to a comma-joined
+  // string because the driver's pandas row sort cannot canonicalize an
+  // array cell (r7: `TypeError: unhashable type: 'numpy.ndarray'`). No
+  // registered query may emit an array/struct/map column — see
+  // tools/oracle_check.py's lint and OutputShapeSpec.
   private val quantize: Q = (s, d) =>
     Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .withColumn("codes", org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.col("codes").cast("array<string>"), ","))
 
   private val quantizeSql =
     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM v)
       |SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
-      |  list_transform(v, x -> CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
-      |    ELSE CAST(round((x - lo) * CAST(255.0 AS DOUBLE) / (hi - lo)) AS BIGINT) END) AS codes
+      |  array_to_string(list_transform(v, x -> CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(round((x - lo) * CAST(255.0 AS DOUBLE) / (hi - lo)) AS BIGINT) END), ',') AS codes
       |FROM mm""".stripMargin
 
   val registry: Vector[(String, Q, Option[String])] = Vector(

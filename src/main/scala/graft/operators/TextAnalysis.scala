@@ -202,8 +202,9 @@ object TextAnalysis {
     * REFERENTIALLY stable — adding or removing documents never moves an
     * existing document between splits (none of which holds for
     * `randomSplit`). Fractions are converted to cumulative ppm thresholds
-    * once at plan time; the final threshold is forced to 10⁶ so rounding
-    * can never orphan a row.
+    * once at plan time; the final threshold is never compared at all —
+    * the last split is the when-chain's ELSE arm — so per-fraction
+    * rounding can never orphan a row.
     *
     * Shape at 100 TB: a pure per-row projection — no shuffle, composes
     * with scan pushdown, and the same document lands in the same split on

@@ -30,6 +30,13 @@ import graft.util.Retry
 final case class ScanSpec(
   whereClause: Option[String] = None,
   columns: Option[Seq[String]] = None,
+  /** Key-set pushdown (P7). CONTRACT: implementations must EXCLUDE rows
+    * whose key column is SQL NULL — NULL matches no key. The V2 scan
+    * accepts Catalyst's inferred IsNotNull as fully pushed (non-residual)
+    * on key-set columns, so a fetcher that let NULL alias a string key
+    * (e.g. via `String.valueOf` → "null") would return rows Spark never
+    * re-filters.
+    */
   keys: Option[(String, Set[String])] = None,
   distinct: Boolean = false,
   /** Structural `col >= value` predicate (the V2 watermark pushdown).
@@ -114,7 +121,11 @@ class FixtureFetcher(rows: Seq[Row], schema: StructType) extends PageFetcher {
     }
     spec.keys.foreach { case (colName, keySet) =>
       val i = idx(colName)
-      out = out.filter(r => keySet.contains(String.valueOf(r.get(i))))
+      // NULL matches no key (ScanSpec.keys contract): String.valueOf alone
+      // would map a NULL cell to the string "null", which a key set
+      // containing that literal would match — and the V2 scan no longer
+      // re-filters IsNotNull on key-set columns post-scan
+      out = out.filter(r => !r.isNullAt(i) && keySet.contains(String.valueOf(r.get(i))))
     }
     val projected = spec.columns match {
       case Some(cols) =>

@@ -164,7 +164,11 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
     * pushdown — `df.count()` over this source becomes ONE remote count
     * request, no page is ever fetched. Only the exact case pushes: no
     * grouping, no residual filter (key-set pushdown is exact; the
-    * conservative watermark superset is not), no limit.
+    * conservative watermark superset is not), no limit. The `limit`
+    * guards here and in `distinctGroupCols` are belt-and-braces, not
+    * load-bearing: Spark's V2ScanRelationPushDown pushes aggregates
+    * BEFORE limits, so `limit` is always None when pushAggregation runs —
+    * they only matter if that rule ordering ever changes.
     */
   private def countOnly(agg: aggregate.Aggregation): Boolean =
     !hasResidual && limit.isEmpty &&

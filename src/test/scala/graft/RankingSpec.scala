@@ -107,6 +107,41 @@ class RankingSpec extends SparkSpec {
     assert(out.filter(col("source") === "web").count() > 0L)
   }
 
+  test("applyMixWeights: null strata in BOTH columns — multiplicity, dense copies, stable gate") {
+    val s = spark; import s.implicits._
+    // four strata incl. every null combination; the null-safe join
+    // (Ranking.scala:147) and the gate key's coalesce(…, "") (:142-143)
+    // are what keep these rows alive and deterministic
+    val docs = ((0 until 50).map(i => (i.toLong, Option("web"), Option("en"), "a b c d")) ++
+      (50 until 60).map(i => (i.toLong, None: Option[String], Option("en"), "a b")) ++
+      (60 until 70).map(i => (i.toLong, Option("web"), None: Option[String], "a b")) ++
+      (70 until 80).map(i => (i.toLong, None: Option[String], None: Option[String], "a b")))
+      .toDF("doc_id", "source", "lang", "text")
+    val w = Ranking.mixWeights(docs, Seq("source", "lang"))
+    val out = Ranking.applyMixWeights(docs, w, Seq("source", "lang"))
+      .select("doc_id", "source", "lang", "copy").collect()
+    // 260 tokens / 4 strata → target 65: each 20-token null-ish stratum has
+    // w = 3.25, so every one of its docs appears 3 or 4 times with a dense
+    // 0-based copy index; the big stratum (w = 0.325) keeps ≤1 copy per doc
+    val byDoc = out.groupBy(_.getLong(0))
+    (50L until 80L).foreach { id =>
+      val rs = byDoc.getOrElse(id, Array.empty)
+      assert(rs.length == 3 || rs.length == 4, s"doc $id multiplicity ${rs.length}")
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (0L until rs.length).toSeq, s"doc $id copies")
+    }
+    (0L until 50L).foreach { id =>
+      assert(byDoc.getOrElse(id, Array.empty).length <= 1, s"doc $id over-replicated")
+    }
+    // no stratum silently dropped by the join
+    assert(out.count(r => r.isNullAt(1) && !r.isNullAt(2)) > 0)
+    assert(out.count(r => !r.isNullAt(1) && r.isNullAt(2)) > 0)
+    assert(out.count(r => r.isNullAt(1) && r.isNullAt(2)) > 0)
+    // gate stability: identical under re-run AND under a repartitioned input
+    val out2 = Ranking.applyMixWeights(docs.repartition(7), w, Seq("source", "lang"))
+      .select("doc_id", "source", "lang", "copy").collect()
+    assert(out.map(_.toSeq).toSet === out2.map(_.toSeq).toSet)
+  }
+
   test("sketch gates hold on fixture data and exact stats are right") {
     val s = spark; import s.implicits._
     val df = (1 to 1000).map(i => (i % 3, i.toDouble, (i % 101).toLong))

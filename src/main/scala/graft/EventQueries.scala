@@ -80,11 +80,44 @@ object EventQueries {
       |SELECT user_id, CAST(unnest(generate_series(lo, hi)) * 5000 AS BIGINT) AS boundary_cents, event_id
       |FROM x""".stripMargin
 
+  /** Conversion funnel view → click → purchase (operators.Funnel): one
+    * shuffle on user_id, chained unordered window minima, no sort.
+    */
+  private val funnel: Q = (s, d) => graft.operators.Funnel.funnel(Tables.events(s, d))
+
+  /** Streaming twin (mapGroupsWithState, ≤3-long state per user) run in
+    * batch mode — same oracle as `funnel`, like `asof_stream`/`asof_join`.
+    */
+  private val funnelStream: Q = (s, d) => {
+    import s.implicits._
+    EventsStream.funnelProgress(Tables.events(s, d))
+      .toDF("user_id", "view_ms", "click_ms", "purchase_ms", "depth")
+  }
+
+  // step k's min is conditioned on step k−1's completion key, so the
+  // oracle chains one aggregation per step exactly like the operator; the
+  // key packs (ms, id mod 2²⁰) into one BIGINT in both engines
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) * 1048576 + event_id % 1048576 AS k
+      |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |t0 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN k END) AS k0 FROM e GROUP BY 1),
+      |t1 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'click' AND e.k > t0.k0 THEN e.k END) AS k1
+      |       FROM e JOIN t0 USING (user_id) GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase' AND e.k > t1.k1 THEN e.k END) AS k2
+      |       FROM e JOIN t1 USING (user_id) GROUP BY 1)
+      |SELECT t0.user_id, k0 // 1048576 AS view_ms, k1 // 1048576 AS click_ms,
+      |  k2 // 1048576 AS purchase_ms,
+      |  CAST(CASE WHEN k2 IS NOT NULL THEN 3 WHEN k1 IS NOT NULL THEN 2
+      |            WHEN k0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+      |FROM t0 JOIN t1 USING (user_id) JOIN t2 USING (user_id)""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("user_totals", userTotals, Some(userTotalsSql)),
     ("hourly_type_counts", hourly, Some(hourlySql)),
     ("sessionize", sessionize, Some(sessionizeSql)),
     ("session_windows", sessionWindows, Some(sessionWindowsSql)),
     ("spend_alerts", spendAlerts, Some(spendAlertsSql)),
+    ("funnel", funnel, Some(funnelSql)),
+    ("funnel_stream", funnelStream, Some(funnelSql)),
   )
 }

@@ -179,6 +179,19 @@ object ExtQueries {
     Sketches.percentilesWithGate(Tables.lineitem(s, d),
       Seq("l_returnflag", "l_linestatus"), "l_quantity")
 
+  /** Vocabulary head with a Count-Min heavy-hitter gate: exact top-50
+    * term frequencies; the sketch estimate stays internal (engine-
+    * specific), the oracle asserts the gate.
+    */
+  private val vocabTopK: Q = (s, d) =>
+    Sketches.vocabWithCmsGate(Tables.documents(s, d), topK = 50)
+
+  private val vocabTopKSql =
+    s"""WITH t AS (SELECT unnest(${toks(norm("text"))}) AS token FROM documents),
+      |c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
+      |r AS (SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank FROM c)
+      |SELECT rank, token, n, true AS cms_ok FROM r WHERE rank <= 50""".stripMargin
+
   private val quantilesSql =
     """SELECT l_returnflag, l_linestatus,
       |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
@@ -340,6 +353,7 @@ object ExtQueries {
     ("bm25_search", bm25Search, Some(bm25SearchSql)),
     ("hll_distinct", hllDistinct, Some(hllDistinctSql)),
     ("quantiles", quantiles, Some(quantilesSql)),
+    ("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     ("mix_weights", mixWeights, Some(mixWeightsSql)),
     ("paged_v2", pagedV2, Some(pagedV2Sql)),
     ("gram_repetition", gramRepetition, Some(gramRepetitionSql)),

@@ -36,6 +36,46 @@ object Sketches {
           lit(tol) * col("n_exact").cast("double"))
       .select(groupCols.map(col) ++ Seq(col("n_exact"), col("hll_ok")): _*)
 
+  /** Corpus vocabulary head — the top-`topK` tokens by total term
+    * frequency with a stable dense rank (count desc, token asc) — plus a
+    * gate that a Count-Min sketch over the same token stream agreed on
+    * every emitted count.
+    *
+    * The CMS is the 100 TB path for heavy hitters: a fixed
+    * `depth × width` integer grid, merged associatively map-side, never
+    * proportional to the vocabulary (billions of distinct n-grams at
+    * corpus scale — the exact groupBy this query also runs is the thing
+    * that stops scaling first). Like `distinctWithHllGate`, the sketch
+    * estimate itself is engine-specific and stays internal; the graded
+    * output is the exact count plus the deterministic `cms_ok` gate
+    * (seeded sketch + associative merge ⇒ the estimate is a pure
+    * function of the input multiset; the oracle asserts `true`).
+    *
+    * The CMS one-sided guarantee (`exact ≤ est ≤ exact + ε·N` w.p.
+    * `confidence` per query) is union-bounded over `topK` gate lookups,
+    * so the gate allows 2·⌈ε·N⌉ slack. Driver traffic is bounded: the
+    * `topK` collected rows and one sketch object.
+    */
+  def vocabWithCmsGate(docs: DataFrame, topK: Int = 50, textCol: String = "text",
+                       eps: Double = 0.0005, confidence: Double = 0.999,
+                       seed: Int = 42): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val toks = docs.select(
+      explode(tokens(normalizeText(col(textCol)))).as("token"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered: k·partitions driver merge
+      .collect()
+    val sketch = toks.stat.countMinSketch("token", eps, confidence, seed)
+    val tol = 2L * math.ceil(eps * sketch.totalCount()).toLong
+    val spark = docs.sparkSession
+    import spark.implicits._
+    top.toSeq.zipWithIndex.map { case (r, i) =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val est = sketch.estimateCount(t)
+      ((i + 1).toLong, t, n, est >= n && est <= n + tol)
+    }.toDF("rank", "token", "n", "cms_ok")
+  }
+
   /** Per-group exact percentiles (linear interpolation — the SQL
     * `percentile_cont` definition both Spark and DuckDB implement) + a gate
     * that the single-pass quantile sketch at `accuracy` agreed within `tol`

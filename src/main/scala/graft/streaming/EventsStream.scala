@@ -194,6 +194,48 @@ object EventsStream {
       }
   }
 
+  /** Streaming twin of `operators.Funnel.funnel` (3-step conversion
+    * funnel) via `mapGroupsWithState`: per-user state is the Vector of
+    * completion KEYS for the steps completed so far (≤ 3 longs — bounded
+    * by the funnel depth, not the stream volume). Each invocation folds
+    * its rows in ascending key order — `ms · 2²⁰ + id mod 2²⁰`, the batch
+    * operator's total order — and greedily takes the first event of the
+    * step currently awaited: in an in-order replay that is exactly the
+    * batch chain of `min(key) > previous` (EventsStreamSpec drives both).
+    * Out-of-order arrivals degrade conservatively: a step event arriving
+    * after a later-keyed completion of its predecessor still counts iff
+    * its key is greater, and never rewrites an existing completion.
+    * Update-mode emission: one progress row per user per invocation.
+    */
+  def funnelProgress(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     steps: Seq[String] = Seq("view", "click", "purchase"))
+      : org.apache.spark.sql.Dataset[(Long, Option[Long], Option[Long], Option[Long], Long)] = {
+    require(steps.length == 3, "funnelProgress emits a fixed 3-step row")
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import events.sparkSession.implicits._
+    val tieMod = 1L << 20
+    events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long"), col("event_type"),
+        (unix_millis(col("ts")) * tieMod + pmod(col("event_id"), lit(tieMod))).as("k"))
+      .as[(Long, String, Option[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Vector[Long], (Long, Option[Long], Option[Long], Option[Long], Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var done = state.getOption.getOrElse(Vector.empty[Long])
+          rows.toVector.flatMap(r => r._3.map(k => (k, r._2))).sortBy(_._1)
+            .foreach { case (k, tpe) =>
+              if (done.length < steps.length && tpe == steps(done.length) &&
+                  done.lastOption.forall(_ < k))
+                done :+= k
+            }
+          state.update(done)
+          def ms(i: Int): Option[Long] = done.lift(i).map(_ / tieMod)
+          (user, ms(0), ms(1), ms(2), done.length.toLong)
+      }
+  }
+
   /** Versioned state store for `upsertStream`. Each write lands in its own
     * `v-<version>` parquet dir; the COMMIT POINT is the creation of the
     * empty `commit-v-<version>` marker (file create is atomic), so a crash

@@ -142,6 +142,22 @@ class RankingSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSet === out2.map(_.toSeq).toSet)
   }
 
+  test("vocabWithCmsGate: exact head counts, count-desc/token-asc rank, gate holds") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "red red red blue blue green"),
+      (1L, "blue red amber"),
+      (2L, "green blue red")).toDF("doc_id", "text")
+    // counts: red=5, blue=4, green=2, amber=1 → tie-free head; then ties
+    // (green=2 vs a second token at 2) break by token asc
+    val out = Sketches.vocabWithCmsGate(docs, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq((1L, "red", 5L, true), (2L, "blue", 4L, true), (3L, "green", 2L, true)))
+    // tie at the cut: topK=4 must include amber deterministically
+    val out4 = Sketches.vocabWithCmsGate(docs, topK = 4).collect().map(_.getString(1))
+    assert(out4.toSeq === Seq("red", "blue", "green", "amber"))
+  }
+
   test("sketch gates hold on fixture data and exact stats are right") {
     val s = spark; import s.implicits._
     val df = (1 to 1000).map(i => (i % 3, i.toDouble, (i % 101).toLong))

@@ -75,7 +75,10 @@ object TextQueries {
   private val langId: Q = (s, d) =>
     TextAnalysis.langId(docs(s, d)).select("doc_id", "lang", "pred_lang")
 
-  private val langIdSql = {
+  /** Lang-ID CTE chain (`p`, `sc`, `b`) + the argmax CASE — shared by the
+    * lang_id oracle and the curation-pipeline oracle.
+    */
+  private val (langCtes, langCase) = {
     val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
       val cnt = ms.map(m =>
         s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)").mkString(" + ")
@@ -84,11 +87,14 @@ object TextQueries {
     val defs = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
     val best = s"greatest(${scores.map("s_" + _._1).mkString(", ")})"
     val cases = scores.map { case (l, _) => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'" }.mkString(" ")
-    s"""WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+    (s"""p AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
        |sc AS (SELECT doc_id, lang, $defs FROM p),
-       |b AS (SELECT *, $best AS best FROM sc)
-       |SELECT doc_id, lang, CASE $cases ELSE 'en' END AS pred_lang FROM b""".stripMargin
+       |b AS (SELECT *, $best AS best FROM sc)""".stripMargin,
+      s"CASE $cases ELSE 'en' END")
   }
+
+  private val langIdSql =
+    s"WITH $langCtes\nSELECT doc_id, lang, $langCase AS pred_lang FROM b"
 
   // -- quality scoring -------------------------------------------------
   private val quality: Q = (s, d) =>
@@ -312,6 +318,32 @@ object TextQueries {
        |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
        |             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
        |SELECT doc_id, text, lang, source, n_chars, fp, n_copies FROM w WHERE rn = 1""".stripMargin
+
+  // -- end-to-end curation pipeline ----------------------------------------
+  /** The composed corpus pass (pipeline.CurationPipeline): lang-ID →
+    * quality gate → exact first-wins dedup → split assignment, one fused
+    * plan. The oracle chains the SAME stage mirrors the individual
+    * queries use (`langCtes`, `qualityCtes`, the dedup window, the split
+    * CASE) — compositionality of the oracles is itself the check.
+    */
+  private val curation: Q = (s, d) =>
+    graft.pipeline.CurationPipeline.run(docs(s, d), minQuality = 0.3)
+
+  private val curationSql =
+    s"""WITH $langCtes,
+       |lid AS (SELECT doc_id, $langCase AS pred_lang FROM b),
+       |$qualityCtes,
+       |kept AS (SELECT d.doc_id, d.text, d.lang, lid.pred_lang, d.source, q.quality_score
+       |         FROM documents d JOIN q USING (doc_id) JOIN lid USING (doc_id)
+       |         WHERE q.quality_score >= CAST(0.3 AS DOUBLE)),
+       |f AS (SELECT *, md5(${norm("text")}) AS fp FROM kept),
+       |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
+       |             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+       |SELECT doc_id, lang, pred_lang, source, quality_score, n_copies,
+       |  CASE WHEN ${h60("'split:' || doc_id")} % 1000000 < 980000 THEN 'train'
+       |       WHEN ${h60("'split:' || doc_id")} % 1000000 < 990000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM w WHERE rn = 1""".stripMargin
 
   // -- incremental dedup vs a baseline corpus ------------------------------
   private val incrementalDedup: Q = (s, d) => {
@@ -554,6 +586,7 @@ object TextQueries {
     ("quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     ("doc_freq", docFreq, Some(docFreqSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
+    ("curation_pipeline", curation, Some(curationSql)),
     ("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("winnow_dedup", winnowDedup, Some(winnowDedupSql)),

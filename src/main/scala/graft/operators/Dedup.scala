@@ -521,13 +521,19 @@ object Dedup {
     * documents sharing a run of at least `w + n − 1` tokens share at least
     * one sketch hash — so the sketch is a CONTAINMENT-oriented candidate
     * key (long verbatim overlaps), complementary to MinHash's
-    * whole-document resemblance. `sh` must be a materialized column
-    * reference (HOF lambda rule — see `gramsOf`).
+    * whole-document resemblance.
+    *
+    * Computed by the native `WinnowSketchExpr` (monotonic-deque sliding
+    * minimum, O(m), dedup fused into the same pass). The equivalent HOF
+    * form — `array_distinct(transform(sequence(0, greatest(size−w, 0)),
+    * i → array_min(slice(sh, i+1, w))))` — runs interpreted at O(m·w)
+    * with an array copy per window and dominated `winnow_dedup`'s cost;
+    * FunctionsSpec asserts the two agree.
     */
   private[graft] def winnowSketch(sh: Column, w: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(sh) - w, lit(0))),
-      i => array_min(slice(sh, i + lit(1), lit(w)))))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WinnowSketchExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sh), w))
 
   /** Winnowing near-dup pairs: candidates share a sketch hash (equi join on
     * the hash — never all pairs; hot sketch hashes capped like LSH

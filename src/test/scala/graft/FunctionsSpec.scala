@@ -92,6 +92,38 @@ class FunctionsSpec extends SparkSpec {
       Seq((11.0, 11.0), (0.0, 0.0), (null, null), (null, null)))
   }
 
+  test("native WinnowSketchExpr == HOF form on random arrays and edge cases") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rnd = new scala.util.Random(11)
+    // small value range forces duplicate minima (the dedup path);
+    // lengths 0..6 cross the m<w, m==w, m>w regimes for w=4
+    val data = (0 until 300).map { _ =>
+      Seq.fill(rnd.nextInt(7))(rnd.nextInt(8).toLong)
+    } :+ Seq.empty[Long]
+    val df = data.toDF("hs")
+    for (w <- Seq(1, 3, 4)) {
+      val native = ColumnBridge.column(
+        graft.functions.WinnowSketchExpr(ColumnBridge.expression(col("hs")), w))
+      val hof = array_distinct(transform(
+        sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
+        i => array_min(slice(col("hs"), i + lit(1), lit(w)))))
+      val rows = df.select(native.as("n"), hof.as("h")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Any](0) === r.getSeq[Any](1), s"w=$w input mismatch: $r")
+      }
+    }
+    // null array → null; null elements skipped like array_min
+    val edge = Seq(Option.empty[Seq[Option[Long]]],
+      Some(Seq(Some(5L), None, Some(2L))), Some(Seq(Option.empty[Long]))).toDF("hs")
+    val nat = ColumnBridge.column(
+      graft.functions.WinnowSketchExpr(ColumnBridge.expression(col("hs")), 2))
+    val got = edge.select(nat).collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Any](0))
+    assert(got(0) === null)
+    assert(got(1) === Seq(5L, 2L))
+    assert(got(2) === Seq(null))
+  }
+
   test("scalar surface: initialism, zeroToSentinel, stripUrlSuffix, durationSeconds") {
     val s = spark; import s.implicits._
     val row = Seq(("property-centroid", "0", "https://x/api/query"))

@@ -246,6 +246,88 @@ object ExtQueries {
       |FROM w""".stripMargin
 
   // ------------------------------------------------------------------
+  // OLAP grouping breadth: rollup with grouping_id, pivot, and a
+  // sliding-frame window aggregate. All three stay hash-exact across
+  // engines by aggregating in integers (counts / decimal-exact sums /
+  // cents) and dividing once at the end.
+  // ------------------------------------------------------------------
+
+  /** ROLLUP over (returnflag, linestatus): subtotal rows carry NULL group
+    * keys plus the grouping_id bitmask (leftmost column = MSB in BOTH
+    * Spark and DuckDB). The sum aggregates in DECIMAL — exact and
+    * associative — and casts to double once.
+    */
+  private val rollupAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("n_rows"), col("gid"))
+
+  private val rollupAggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Pivot events wide: one row per user, one count column per event
+    * type (fixed value list — at scale an unbounded pivot would need a
+    * distinct-values pass first; pinning the list keeps the plan a single
+    * aggregation). Empty cells coalesce to 0 to match SQL counts.
+    */
+  private val pivotTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  private val pivotCounts: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        pivotTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+
+  private val pivotCountsSql = {
+    val cols = pivotTypes.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t").mkString(", ")
+    s"SELECT user_id, $cols FROM events GROUP BY 1"
+  }
+
+  /** Sliding-frame window aggregate: per user, the running 4-event
+    * (current + 3 preceding) spend. The frame aggregates CENTS (exact
+    * long sum — a double sliding sum is accumulation-order-dependent:
+    * Spark rescans the frame per row, DuckDB uses segment trees, and
+    * their FP orders differ) and derives the rounded average once.
+    */
+  private val movingSpend: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("event_id")).rowsBetween(-3, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("win_cents", sum(col("cents")).over(w))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("win_cents"), col("win_n"),
+        round(col("win_cents").cast("double") / col("win_n") / 100.0, 6).as("avg_spend"))
+  }
+
+  private val movingSpendSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |w AS (SELECT user_id, event_id,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents,
+      |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_n
+      |  FROM e)
+      |SELECT user_id, event_id, win_cents, win_n,
+      |  round(CAST(win_cents AS DOUBLE) / win_n / 100.0, 6) AS avg_spend
+      |FROM w""".stripMargin
+
+  // ------------------------------------------------------------------
   // DataSource V2 paged source: Catalyst-planned pushdown (key set +
   // column pruning reach the fetcher as ScanSpec, driven by the optimizer
   // rather than caller plumbing — see sources/v2/PagedV2.scala).
@@ -354,6 +436,9 @@ object ExtQueries {
     ("hll_distinct", hllDistinct, Some(hllDistinctSql)),
     ("quantiles", quantiles, Some(quantilesSql)),
     ("vocab_topk", vocabTopK, Some(vocabTopKSql)),
+    ("rollup_agg", rollupAgg, Some(rollupAggSql)),
+    ("pivot_counts", pivotCounts, Some(pivotCountsSql)),
+    ("moving_spend", movingSpend, Some(movingSpendSql)),
     ("mix_weights", mixWeights, Some(mixWeightsSql)),
     ("paged_v2", pagedV2, Some(pagedV2Sql)),
     ("gram_repetition", gramRepetition, Some(gramRepetitionSql)),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Dist2Expr, DotExpr, Hash60Expr}
+import graft.functions.{Dist2Expr, DotExpr, Hash60Expr, WinnowSketchExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so SQL users get them too (`SELECT hash60(col) ...`,
@@ -31,5 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dist2"),
       new ExpressionInfo(classOf[Dist2Expr].getName, "vec_dist2"),
       binary("vec_dist2", Dist2Expr.apply) _))
+    // winnow_sketch(hashes, w): w must be a foldable integer literal —
+    // the window width is a plan-time parameter, not a per-row value
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_sketch"),
+      new ExpressionInfo(classOf[WinnowSketchExpr].getName, "winnow_sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, w) if w.foldable =>
+          WinnowSketchExpr(arr, w.eval().asInstanceOf[Number].intValue())
+        case other => throw new IllegalArgumentException(
+          s"winnow_sketch requires (array<bigint>, literal int width), got ${other.size} args")
+      }))
   }
 }

@@ -124,6 +124,13 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2) === Seq(null))
   }
 
+  test("winnow_sketch is registered for SQL via GraftExtensions") {
+    // windows of 2: (5,3)→3 (3,4)→3 (4,9)→4 (9,8)→8, distinct in order
+    val got = spark.sql(
+      "SELECT winnow_sketch(array(5L, 3L, 4L, 9L, 8L), 2) AS s").collect()
+    assert(got.head.getSeq[Long](0) === Seq(3L, 4L, 8L))
+  }
+
   test("scalar surface: initialism, zeroToSentinel, stripUrlSuffix, durationSeconds") {
     val s = spark; import s.implicits._
     val row = Seq(("property-centroid", "0", "https://x/api/query"))

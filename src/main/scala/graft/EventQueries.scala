@@ -111,6 +111,37 @@ object EventQueries {
       |            WHEN k0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
       |FROM t0 JOIN t1 USING (user_id) JOIN t2 USING (user_id)""".stripMargin
 
+  /** Keyless range join (RelOps.rangeJoin): every purchase landing inside
+    * ANY session window of users 1–50 — point-in-interval containment
+    * with no equi key, which a naive BETWEEN join plans as a cartesian.
+    * Cell size 1 h ≈ the typical session length.
+    */
+  private val rangeJoinQ: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val sess = EventsStream.sessionize(Tables.events(s, d), 30)
+      .filter(col("user_id") <= 50)
+      .select(col("user_id").as("host_user"), col("session_no"),
+        col("start_ms"), col("end_ms"))
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        unix_millis(col("ts")).as("ms"))
+    graft.operators.RelOps.rangeJoin(purchases, sess, "ms", "start_ms", "end_ms",
+      cellSize = 3600000L)
+      .select("host_user", "session_no", "event_id", "p_user", "ms")
+  }
+
+  private val rangeJoinSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |l AS (SELECT user_id, event_id, ms, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+      |n AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS nw FROM l),
+      |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM n),
+      |sess AS (SELECT user_id AS host_user, session_no, min(ms) AS start_ms, max(ms) AS end_ms
+      |         FROM s WHERE user_id <= 50 GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id AS p_user, epoch_ms(ts) AS ms FROM events WHERE event_type = 'purchase')
+      |SELECT host_user, session_no, event_id, p_user, p.ms AS ms
+      |FROM p JOIN sess ON p.ms >= sess.start_ms AND p.ms <= sess.end_ms""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("user_totals", userTotals, Some(userTotalsSql)),
     ("hourly_type_counts", hourly, Some(hourlySql)),
@@ -119,5 +150,6 @@ object EventQueries {
     ("spend_alerts", spendAlerts, Some(spendAlertsSql)),
     ("funnel", funnel, Some(funnelSql)),
     ("funnel_stream", funnelStream, Some(funnelSql)),
+    ("range_join", rangeJoinQ, Some(rangeJoinSql)),
   )
 }

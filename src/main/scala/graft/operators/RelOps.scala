@@ -168,6 +168,36 @@ object RelOps {
     saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Keyless 1-D range join: each point row joins every interval row
+    * whose `[lo, hi]` contains its ordinate — the temporal analog of
+    * `Spatial.radiusJoin`, and the join shape Spark has no native
+    * operator for (a raw `BETWEEN` condition with no equi key plans a
+    * BroadcastNestedLoop/cartesian, which is quadratic at scale).
+    *
+    * Shape: points keep their ONE containing cell (`⌊pt/cell⌋`);
+    * intervals explode across the cells they span; the join is a plain
+    * equi join on the cell plus the exact bounds residual. Exactly-once
+    * emission needs NO dedup — a (point, interval) pair can only meet in
+    * the point's single cell. Cost: interval replication = interval
+    * length / cellSize (pick cellSize near the typical interval length;
+    * a pathologically long interval is the skew knob, same as a giant
+    * radius in the spatial join), and the equi join shuffles/broadcasts
+    * under AQE like any other.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
+                loCol: String, hiCol: String, cellSize: Long): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val pts = points.withColumn("__cell", floor(col(ptCol) / cellSize).cast("long"))
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol)) // empty/invalid intervals match nothing
+      .withColumn("__cell", explode(sequence(
+        floor(col(loCol) / cellSize).cast("long"),
+        floor(col(hiCol) / cellSize).cast("long"))))
+    pts.join(iv, Seq("__cell"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__cell")
+  }
+
   /** Snapshot diff — the audit/CDC twin of the upsert/carry-forward
     * family: classify every key as `added`, `removed`, or `changed`
     * between two runs (unchanged keys are dropped — at 100 TB they ARE

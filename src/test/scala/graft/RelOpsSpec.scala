@@ -152,4 +152,29 @@ class RelOpsSpec extends SparkSpec {
       assert(merged === full, s"cut=$cut")
     }
   }
+
+  test("rangeJoin == brute-force containment; exactly-once; no cartesian in the plan") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val points = (0 until 400).map(i => (i.toLong, rnd.nextInt(1000).toLong)).toDF("pid", "x")
+    // intervals cross cell boundaries (cell=50), include empty (lo>hi),
+    // zero-length (lo==hi), and a long multi-cell span
+    val intervals = ((0 until 60).map { i =>
+      val lo = rnd.nextInt(950).toLong; (i.toLong, lo, lo + rnd.nextInt(120).toLong)
+    } ++ Seq((100L, 500L, 400L), (101L, 77L, 77L), (102L, 0L, 999L)))
+      .toDF("iid", "lo", "hi")
+    val got = RelOps.rangeJoin(points, intervals, "x", "lo", "hi", cellSize = 50L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = for {
+      p <- points.collect().map(r => (r.getLong(0), r.getLong(1)))
+      iv <- intervals.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      if p._2 >= iv._2 && p._2 <= iv._3
+    } yield (p._1, iv._1)
+    // multiset equality: exactly-once emission means no duplicate pairs
+    assert(got.sorted === expected.toSeq.sorted)
+    val plan = RelOps.rangeJoin(points, intervals, "x", "lo", "hi", 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join must stay an equi join on the cell:\n$plan")
+  }
 }

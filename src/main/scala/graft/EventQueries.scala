@@ -142,6 +142,30 @@ object EventQueries {
       |SELECT host_user, session_no, event_id, p_user, p.ms AS ms
       |FROM p JOIN sess ON p.ms >= sess.start_ms AND p.ms <= sess.end_ms""".stripMargin
 
+  /** Cohort retention: bucket each user by first-activity week, then
+    * count distinct users active at each week offset from their cohort —
+    * the standard retention triangle. All time math is integral (`div`
+    * on epoch-ms weeks), so no float can shift a boundary. Two
+    * aggregations + one join; the first-week side is |users| rows, which
+    * AQE broadcasts back against the event stream.
+    */
+  private val retention: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(s, d)
+      .selectExpr("user_id", "unix_millis(ts) div 604800000 AS wk")
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    e.join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val retentionSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+      |SELECT cohort_wk, e.wk - f.cohort_wk AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("user_totals", userTotals, Some(userTotalsSql)),
     ("hourly_type_counts", hourly, Some(hourlySql)),
@@ -151,5 +175,6 @@ object EventQueries {
     ("funnel", funnel, Some(funnelSql)),
     ("funnel_stream", funnelStream, Some(funnelSql)),
     ("range_join", rangeJoinQ, Some(rangeJoinSql)),
+    ("retention_cohorts", retention, Some(retentionSql)),
   )
 }

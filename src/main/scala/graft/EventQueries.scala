@@ -96,9 +96,12 @@ object EventQueries {
 
   // step k's min is conditioned on step k−1's completion key, so the
   // oracle chains one aggregation per step exactly like the operator; the
-  // key packs (ms, id mod 2²⁰) into one BIGINT in both engines
+  // key packs (ms, id mod 2²⁰) into one BIGINT in both engines. The
+  // double-mod makes DuckDB's sign-following % match Spark's pmod for
+  // negative ids (latent with the fixture's non-negative ids).
   private val funnelSql =
-    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) * 1048576 + event_id % 1048576 AS k
+    """WITH e AS (SELECT user_id, event_type,
+      |             epoch_ms(ts) * 1048576 + ((event_id % 1048576) + 1048576) % 1048576 AS k
       |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
       |t0 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN k END) AS k0 FROM e GROUP BY 1),
       |t1 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'click' AND e.k > t0.k0 THEN e.k END) AS k1

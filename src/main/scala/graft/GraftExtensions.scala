@@ -37,10 +37,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("winnow_sketch"),
       new ExpressionInfo(classOf[WinnowSketchExpr].getName, "winnow_sketch"),
       (children: Seq[Expression]) => children match {
-        case Seq(arr, w) if w.foldable =>
-          WinnowSketchExpr(arr, w.eval().asInstanceOf[Number].intValue())
+        case Seq(arr, w) if w.foldable => w.eval() match {
+          case n: Number => WinnowSketchExpr(arr, n.intValue())
+          case bad => throw new IllegalArgumentException(
+            s"winnow_sketch width must be a non-null integer literal, got $bad")
+        }
+        case Seq(_, _) => throw new IllegalArgumentException(
+          "winnow_sketch width must be a foldable literal, not a per-row expression")
         case other => throw new IllegalArgumentException(
-          s"winnow_sketch requires (array<bigint>, literal int width), got ${other.size} args")
+          s"winnow_sketch requires exactly 2 arguments (array<bigint>, width), got ${other.size}")
       }))
   }
 }

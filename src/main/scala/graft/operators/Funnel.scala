@@ -66,7 +66,11 @@ object Funnel {
     df.groupBy(col(userCol))
       .agg(stepCols.head, stepCols.tail: _*)
       .select(col(userCol) +:
-        steps.indices.map(i => floor(col(s"__m$i") / TieMod).cast("long").as(s"${steps(i)}_ms")) :+
+        // `div`, not `/`: the packed key is ~2⁶⁰, far past double's 2⁵³
+        // exact range, and Column `/` is double division — a remainder
+        // near 2²⁰ would round the quotient up one ms (off-by-one vs the
+        // oracle's exact `//` and the streaming twin's Long division)
+        steps.indices.map(i => expr(s"__m$i div $TieMod").cast("long").as(s"${steps(i)}_ms")) :+
         depth.as("depth"): _*)
   }
 }

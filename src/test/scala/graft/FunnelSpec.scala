@@ -106,6 +106,24 @@ class FunnelSpec extends SparkSpec {
     assert(last === Map(9L -> 3L))
   }
 
+  test("step timestamps are exact at production id ranges (div, not double /)") {
+    // event_id mod 2^20 = 1048575 puts the packed key's remainder at the
+    // top of its range; with 2024-epoch ms the key is ~2^60, past
+    // double's 2^53 exact range (ulp 256), so Column `/` would round the
+    // quotient up one millisecond. Fixture ids (< 10^5) can't catch this.
+    val ms = 1704067798778L
+    val rows = Seq(
+      (1L, 1048575L, "view", ms),
+      (1L, 2097151L, "click", ms + 10),
+      (1L, 3145727L, "purchase", ms + 20))
+    val out = collectFunnel(Funnel.funnel(ev(rows)))
+    assert(out(1L) === (((Some(ms), Some(ms + 10), Some(ms + 20)), 3L)))
+    val s = spark; import s.implicits._
+    val twin = EventsStream.funnelProgress(ev(rows))
+      .toDF("user_id", "view_ms", "click_ms", "purchase_ms", "depth")
+    assert(collectFunnel(twin) === out)
+  }
+
   test("funnel plans one exchange: the user_id shuffle feeds windows AND the collapse") {
     val plan = Funnel.funnel(ev(Seq((1L, 1L, "view", 100L)))).queryExecution
       .executedPlan.toString

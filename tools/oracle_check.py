@@ -77,9 +77,11 @@ def dtype_check(got_df, exp_df):
         if str(g[c].dtype) != str(e[c].dtype):
             errs.append(f"{c}: spark dtype {g[c].dtype} != oracle dtype {e[c].dtype}")
         for side, s in (("spark", g[c]), ("oracle", e[c])):
+            # full-column scan, not a head() sample: an array column that
+            # is null for its first rows would slip a sample and still
+            # crash the driver's row sort
             if s.dtype == object and any(
-                    isinstance(v, (list, tuple, dict, np.ndarray))
-                    for v in s.head(50)):
+                    isinstance(v, (list, tuple, dict, np.ndarray)) for v in s):
                 errs.append(f"{c}: {side} column holds unhashable cells "
                             f"(list/ndarray) — driver row sort would crash")
     return errs
@@ -100,10 +102,14 @@ def main(sf_dir, out_dir):
             spark_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
             got_cols, got = rows_of(con.sql(spark_sql))
             exp_rel = con.sql(oracle[name])
+            # type_lint reads relation metadata only (no execution); the
+            # same relation then executes ONCE for rows_of
             lint = type_lint(exp_rel)
-            exp_cols, exp = rows_of(con.sql(oracle[name]))
-            dt_errs = dtype_check(con.sql(spark_sql).df(),
-                                  con.sql(oracle[name]).df())
+            exp_cols, exp = rows_of(exp_rel)
+            # the dtype pass re-executes both sides via .df(); only worth
+            # it once the value compare is going to pass
+            dt_errs = [] if (lint or got_cols != exp_cols or got != exp) else \
+                dtype_check(con.sql(spark_sql).df(), con.sql(oracle[name]).df())
         except Exception as e:
             print(f"ERROR {name}: {str(e)[:300]}")
             continue

@@ -187,6 +187,12 @@ object RelOps {
   def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
                 loCol: String, hiCol: String, cellSize: Long): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
+    // `/` here is double division, which is inexact past 2^53 — but the
+    // cell id never needs to be exact, only MONOTONE (long→double and
+    // x↦⌊x/c⌋ both are): lo ≤ x ≤ hi always lands the point's cell
+    // inside the interval's exploded span, the bounds residual below is
+    // exact integer comparison, and no oracle computes cells. Contrast
+    // Funnel, where the divided value IS the output and must use `div`.
     val pts = points.withColumn("__cell", floor(col(ptCol) / cellSize).cast("long"))
     val iv = intervals
       .filter(col(loCol) <= col(hiCol)) // empty/invalid intervals match nothing

@@ -105,17 +105,19 @@ object VectorQueries {
   private val kmeans: Q = (s, d) =>
     Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 1, dim = DIM)
 
-  /** One unrolled Lloyd round: seed (8 lowest-id vectors) → assign →
-    * exact micro-quantized means (empty cells keep their seed via the
-    * LEFT JOIN coalesce) → final assignment with (dist, cell) tie-break.
-    * Distance folds replay the engine's left-to-right accumulation.
+  /** One unrolled Lloyd round as a CTE chain (`e` … `fin`): seed (the k
+    * lowest-id vectors) → assign → exact micro-quantized means (empty
+    * cells keep their seed via the LEFT JOIN coalesce) → final
+    * assignment with (dist, cell) tie-break. Distance folds replay the
+    * engine's left-to-right accumulation. Shared by the kmeans_assign
+    * and semantic_dedup oracles (parameterized by k).
     */
-  private val kmeansSql = {
+  private def kmeansCtes(k: Int): String = {
     def d2(v: String, cv: String): String =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> (CAST($v[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)) * (CAST($v[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)))), (acc, x) -> acc + x)"
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-       |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+       |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k)),
        |d0 AS (SELECT e.vec_id, cent0.cell, ${d2("e.v", "cent0.cv")} AS dist FROM e, cent0),
        |a0 AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d0) WHERE rn = 1),
        |sums AS (SELECT a0.cell, dd.dim, sum(CAST(round(e.v[dd.dim + 1] * 1000000) AS BIGINT)) AS sq, count(*) AS n
@@ -126,9 +128,36 @@ object VectorQueries {
        |          LEFT JOIN sums s ON s.cell = c0.cell AND s.dim = dd.dim
        |          GROUP BY c0.cell),
        |d1 AS (SELECT e.vec_id, c.cell, ${d2("e.v", "c.cv")} AS dist FROM e, cent1 c),
-       |fin AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1)
-       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(dist, 6) AS dist2 FROM fin WHERE rn = 1""".stripMargin
+       |fin AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1)""".stripMargin
   }
+
+  private val kmeansSql =
+    s"""WITH ${kmeansCtes(8)}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(dist, 6) AS dist2 FROM fin WHERE rn = 1""".stripMargin
+
+  // -- SemDeDup-style semantic dedup ---------------------------------------
+  private val semantic: Q = (s, d) =>
+    Similarity.semanticDedup(Tables.embeddings(s, d), k = 16, iters = 1,
+      dim = DIM, threshold = 0.2)
+
+  /** k-means cells (k=16, one Lloyd round — the same CTE chain as the
+    * kmeans oracle), within-cell cosine pairs at ≥ 0.2, then recursive
+    * min-reachable clustering (the cluster_dedup oracle pattern).
+    */
+  private val semanticSql =
+    s"""WITH RECURSIVE ${kmeansCtes(16)},
+       |asg AS (SELECT vec_id, cell FROM fin WHERE rn = 1),
+       |p AS (SELECT aa.vec_id AS id_a, bb.vec_id AS id_b, ${cosineSql("va.v", "vb.v")} AS cosine
+       |      FROM asg aa JOIN asg bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+       |      JOIN e va ON va.vec_id = aa.vec_id
+       |      JOIN e vb ON vb.vec_id = bb.vec_id),
+       |pr AS (SELECT id_a, id_b FROM p WHERE cosine >= CAST(0.2 AS DOUBLE)),
+       |eg AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+       |r(id, m) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT eg.src, r.m FROM eg JOIN r ON eg.dst = r.id)
+       |SELECT id AS vec_id, min(m) AS cluster_id, id = min(m) AS keep FROM r GROUP BY id""".stripMargin
 
   // -- mean-pooled class centroids -----------------------------------------
   private val centroids: Q = (s, d) =>
@@ -169,6 +198,7 @@ object VectorQueries {
     ("ivf_topk", ivfTopK, Some(ivfTopKSql)),
     ("kmeans_assign", kmeans, Some(kmeansSql)),
     ("cosine_near_dup", nearDup, Some(nearDupSql)),
+    ("semantic_dedup", semantic, Some(semanticSql)),
     ("class_centroids", centroids, Some(centroidsSql)),
   )
 }

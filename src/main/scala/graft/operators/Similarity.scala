@@ -246,6 +246,43 @@ object Similarity {
         round(col("__a.d"), 6).as("dist2"))
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the embedding space
+    * with k-means, generate cosine-similar pairs only WITHIN a cell
+    * (never all-pairs — the cell equi join is the blocking step, exactly
+    * the published SemDeDup recipe), and collapse the pair graph to
+    * connected components keeping the minimum-id representative. Output:
+    * one row per vector with its component label and a `keep` flag.
+    *
+    * Shape at 100 TB: the codebook build is `kmeansCodebook` (O(k·dim)
+    * driver traffic per round); pair generation is one equi join on the
+    * cell with pair volume Σ|cell|²/2 — k is the knob (SemDeDup uses
+    * k ≈ N/1000, keeping expected cell size constant as the corpus
+    * grows); the collapse is the size-gated union-find / pointer-doubling
+    * of `Dedup.dedupClusters`. Recall < 1 by construction: only
+    * same-cell pairs are candidates.
+    */
+  def semanticDedup(vectors: DataFrame, k: Int, iters: Int, dim: Int,
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assign = kmeansAssign(vectors, k, iters, dim, idCol, vecCol)
+      .select(col(idCol), col("cell"))
+    val v = vectors.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v"))
+      .join(assign, Seq(idCol))
+    val a = v.select(col("cell"), col(idCol).as("id_a"), col("__v").as("__va"))
+      .withColumn("__na", VectorOps.norm(col("__va")))
+    val b = v.select(col("cell"), col(idCol).as("id_b"), col("__v").as("__vb"))
+      .withColumn("__nb", VectorOps.norm(col("__vb")))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+    Dedup.dedupClusters(vectors.select(col(idCol)), pairs, idCol)
+      .select(col(idCol), col("cluster_id"),
+        (col(idCol) === col("cluster_id")).as("keep"))
+  }
+
   /** Mean-pooled class centroids — the distributed shape for averaging
     * vectors (class prototypes, cluster centers, nearest-centroid
     * classifiers): explode to (class, dim, value) and let a plain

@@ -124,6 +124,42 @@ class FunnelSpec extends SparkSpec {
     assert(collectFunnel(twin) === out)
   }
 
+  test("funnelProgress out-of-order arrivals degrade conservatively, never rewrite") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long)]
+    val streamDf = mem.toDF().toDF("user_id", "event_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val q = EventsStream.funnelProgress(streamDf)
+      .toDF("user_id", "view_ms", "click_ms", "purchase_ms", "depth")
+      .writeStream.format("memory").queryName("funnel_ooo").outputMode("update").start()
+    def lastDepth(): Map[Long, Long] = spark.table("funnel_ooo").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._2).max }
+    try {
+      mem.addData((1L, 1L, "view", 100L))
+      q.processAllAvailable()
+      // purchase arrives while click is still awaited: must NOT count
+      mem.addData((1L, 2L, "purchase", 300L))
+      q.processAllAvailable()
+      assert(lastDepth() === Map(1L -> 1L))
+      // the click arrives LATE but with a key after the view completion:
+      // still counts (conservative degradation, not a rewind)
+      mem.addData((1L, 3L, "click", 200L))
+      q.processAllAvailable()
+      assert(lastDepth() === Map(1L -> 2L))
+      // a click whose key precedes the recorded view completion is
+      // ignored — completions never rewrite
+      mem.addData((1L, 4L, "click", 50L))
+      q.processAllAvailable()
+      assert(lastDepth() === Map(1L -> 2L))
+      // a fresh purchase after the click completion finishes the funnel
+      mem.addData((1L, 5L, "purchase", 400L))
+      q.processAllAvailable()
+      assert(lastDepth() === Map(1L -> 3L))
+    } finally q.stop()
+  }
+
   test("funnel plans one exchange: the user_id shuffle feeds windows AND the collapse") {
     val plan = Funnel.funnel(ev(Seq((1L, 1L, "view", 100L)))).queryExecution
       .executedPlan.toString

@@ -132,6 +132,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("semanticDedup: same-cell near-dups collapse to the min id; distinct vectors keep") {
+    val s = spark; import s.implicits._
+    // two tight groups far apart: ids 0-2 identical-ish (cosine ~1),
+    // ids 3-4 a second duplicate pair, id 5 orthogonal to its cellmates
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 5.0f, 5.0f)), (4L, Array(0.0f, 5.0f, 5.0f)),
+      (5L, Array(0.0f, -5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(pts, k = 2, iters = 1, dim = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(0L) === ((0L, true)))
+    assert(byId(1L) === ((0L, false)))
+    assert(byId(2L) === ((0L, false)))
+    assert(byId(3L)._1 === byId(4L)._1)
+    assert(byId(3L) === ((3L, true)) && byId(4L) === ((3L, false)))
+    // orthogonal to everything above threshold: its own singleton cluster
+    assert(byId(5L) === ((5L, true)))
+    // exactly one keeper per cluster
+    val keepers = out.filter(_._3).map(_._2).toSet
+    assert(keepers === out.map(_._2).toSet)
+  }
+
   test("cosineNearDup emits only within-bucket pairs above threshold, no cartesian") {
     val emb = Tables.embeddings(spark, dir)
     val out = Similarity.cosineNearDup(emb, threshold = 0.0, dim = 64, nPlanes = 6)

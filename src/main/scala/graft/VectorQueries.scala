@@ -135,6 +135,38 @@ object VectorQueries {
     s"""WITH ${kmeansCtes(8)}
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(dist, 6) AS dist2 FROM fin WHERE rn = 1""".stripMargin
 
+  // -- quantized-scan ANN (int8 codes + exact rerank) ----------------------
+  private val quantizedTopK: Q = (s, d) =>
+    Similarity.quantizedTopK(
+      Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      k = 5, rerank = 32)
+
+  /** Mirrors both stages: dequantized approx scores (codes built with the
+    * UNROUNDED bounds, dequantized with the ROUNDED emitted bounds —
+    * exactly what a consumer of the stored codes has) → 32-deep
+    * shortlist → exact cosine rerank to top-5.
+    */
+  private val quantizedTopKSql =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM v),
+       |q8 AS (SELECT vec_id, round(lo, 6) AS rlo, round(hi, 6) AS rhi,
+       |         list_transform(v, x -> CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(round((x - lo) * CAST(255.0 AS DOUBLE) / (hi - lo)) AS BIGINT) END) AS codes
+       |       FROM mm),
+       |dq AS (SELECT vec_id, rlo, rhi, (rhi - rlo) / CAST(255.0 AS DOUBLE) AS sc, codes FROM q8),
+       |dv AS (SELECT vec_id, list_transform(codes, c -> rlo + c * sc) AS dv FROM dq),
+       |qd AS (SELECT vec_id AS query_id, dv AS qdv FROM dv WHERE vec_id < 8),
+       |ap AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosineSql("qdv", "c.dv")} AS ac
+       |       FROM dv c, qd WHERE c.vec_id <> query_id),
+       |sl AS (SELECT query_id, neighbor_id FROM
+       |         (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ac DESC, neighbor_id) AS rn FROM ap)
+       |       WHERE rn <= 32),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id, ${cosineSql("qv.v", "cv.v")} AS cosine
+       |       FROM sl JOIN v qv ON qv.vec_id = sl.query_id JOIN v cv ON cv.vec_id = sl.neighbor_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM ex)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+
   // -- SemDeDup-style semantic dedup ---------------------------------------
   private val semantic: Q = (s, d) =>
     Similarity.semanticDedup(Tables.embeddings(s, d), k = 16, iters = 1,
@@ -199,6 +231,7 @@ object VectorQueries {
     ("kmeans_assign", kmeans, Some(kmeansSql)),
     ("cosine_near_dup", nearDup, Some(nearDupSql)),
     ("semantic_dedup", semantic, Some(semanticSql)),
+    ("quantized_topk", quantizedTopK, Some(quantizedTopKSql)),
     ("class_centroids", centroids, Some(centroidsSql)),
   )
 }

@@ -246,6 +246,46 @@ object Similarity {
         round(col("__a.d"), 6).as("dist2"))
   }
 
+  /** Quantized-scan ANN — the search path `quantizeInt8` exists for. At
+    * 100 TB the index stores the int8 codes + two bounds (~4× less scan
+    * bandwidth than float32); stage 1 brute-force-scores the DEQUANTIZED
+    * codes (`lo + code·(hi−lo)/255`) through the bounded `TopKAgg` to a
+    * `rerank`-deep shortlist per query, and stage 2 reads full-precision
+    * vectors ONLY for the shortlist (rerank × |queries| rows — the only
+    * rows that ever touch float32) and ranks the final top-k.
+    *
+    * Determinism: both stages rank on round(cosine, 6) with id
+    * tie-breaks; the dequantization scale is materialized once per
+    * vector before the per-element lambda (the HOF rule), and the
+    * rounded `lo`/`hi` that `quantizeInt8` EMITS are what dequantization
+    * reads — exactly what a consumer of the stored codes would have.
+    * Recall < 1 by construction: a true neighbor can fall off the
+    * quantized shortlist; `rerank` is the knob.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int, rerank: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, "rerank depth must be >= k")
+    def dequant(vectors: DataFrame): DataFrame =
+      quantizeInt8(vectors, idCol, vecCol)
+        .select(col(idCol), col("lo"), col("codes"),
+          ((col("hi") - col("lo")) / lit(255.0)).as("__scale"))
+        .select(col(idCol),
+          transform(col("codes"),
+            c => col("lo") + c.cast("double") * col("__scale")).as(vecCol))
+    val shortlist = rankTopK(
+      scored(dequant(corpus), dequant(queries), idCol, vecCol), rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", VectorOps.norm(col("c_vec")))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", VectorOps.norm(col("q_vec"))))
+    val exact = shortlist.join(cand, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+      .select("query_id", "neighbor_id", "cosine")
+    rankTopK(exact, k)
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the embedding space
     * with k-means, generate cosine-similar pairs only WITHIN a cell
     * (never all-pairs — the cell equi join is the blocking step, exactly

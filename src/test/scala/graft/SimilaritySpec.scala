@@ -132,6 +132,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("quantizedTopK: full-depth rerank == exact brute force; shallow rerank ranks exactly") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 4)
+    val n = emb.count().toInt
+    // rerank = corpus: the quantized stage cannot drop a true neighbor,
+    // so the exact-rerank output must equal brute force row-for-row
+    val full = Similarity.quantizedTopK(emb, q, k = 5, rerank = n)
+      .collect().map(_.toSeq).toSet
+    val exact = Similarity.bruteForceTopKAgg(emb, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(full === exact)
+    // shallow rerank: every returned cosine is an EXACT cosine (stage 2
+    // re-scores), ranks are dense 1..5 per query
+    val shallow = Similarity.quantizedTopK(emb, q, k = 5, rerank = 16).collect()
+    assert(shallow.length === 4 * 5)
+    val exactAll = Similarity.bruteForceTopK(emb, q, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    shallow.foreach { r =>
+      assert(r.getDouble(3) === exactAll((r.getLong(0), r.getLong(2))), s"not an exact score: $r")
+    }
+    shallow.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 5L))
+    }
+  }
+
   test("semanticDedup: same-cell near-dups collapse to the min id; distinct vectors keep") {
     val s = spark; import s.implicits._
     // two tight groups far apart: ids 0-2 identical-ish (cosine ~1),

@@ -108,8 +108,10 @@ object EventQueries {
       |       FROM e JOIN t0 USING (user_id) GROUP BY 1),
       |t2 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase' AND e.k > t1.k1 THEN e.k END) AS k2
       |       FROM e JOIN t1 USING (user_id) GROUP BY 1)
-      |SELECT t0.user_id, k0 // 1048576 AS view_ms, k1 // 1048576 AS click_ms,
-      |  k2 // 1048576 AS purchase_ms,
+      |SELECT t0.user_id,
+      |  (k0 - ((k0 % 1048576) + 1048576) % 1048576) // 1048576 AS view_ms,
+      |  (k1 - ((k1 % 1048576) + 1048576) % 1048576) // 1048576 AS click_ms,
+      |  (k2 - ((k2 % 1048576) + 1048576) % 1048576) // 1048576 AS purchase_ms,
       |  CAST(CASE WHEN k2 IS NOT NULL THEN 3 WHEN k1 IS NOT NULL THEN 2
       |            WHEN k0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
       |FROM t0 JOIN t1 USING (user_id) JOIN t2 USING (user_id)""".stripMargin

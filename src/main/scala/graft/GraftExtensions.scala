@@ -38,9 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowSketchExpr].getName, "winnow_sketch"),
       (children: Seq[Expression]) => children match {
         case Seq(arr, w) if w.foldable => w.eval() match {
-          case n: Number => WinnowSketchExpr(arr, n.intValue())
+          // range-check before narrowing: intValue() on a BIGINT literal
+          // silently wraps (width 2^32+1 would become 1)
+          case n: Number if n.longValue() >= 1 && n.longValue() <= Int.MaxValue =>
+            WinnowSketchExpr(arr, n.intValue())
           case bad => throw new IllegalArgumentException(
-            s"winnow_sketch width must be a non-null integer literal, got $bad")
+            s"winnow_sketch width must be an integer literal in [1, ${Int.MaxValue}], got $bad")
         }
         case Seq(_, _) => throw new IllegalArgumentException(
           "winnow_sketch width must be a foldable literal, not a per-row expression")

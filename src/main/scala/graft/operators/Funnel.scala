@@ -66,11 +66,17 @@ object Funnel {
     df.groupBy(col(userCol))
       .agg(stepCols.head, stepCols.tail: _*)
       .select(col(userCol) +:
-        // `div`, not `/`: the packed key is ~2⁶⁰, far past double's 2⁵³
-        // exact range, and Column `/` is double division — a remainder
-        // near 2²⁰ would round the quotient up one ms (off-by-one vs the
-        // oracle's exact `//` and the streaming twin's Long division)
-        steps.indices.map(i => expr(s"__m$i div $TieMod").cast("long").as(s"${steps(i)}_ms")) :+
+        // exact FLOOR division, in integers end to end: `/` is double
+        // division (the packed key is ~2⁶⁰, past double's 2⁵³ exact
+        // range — a remainder near 2²⁰ rounds the quotient up one ms),
+        // and bare `div` truncates toward zero, which is one too high
+        // for pre-1970 (negative) timestamps. Subtracting the pmod
+        // remainder first makes the key an exact multiple, so `div` IS
+        // floor — mirrored verbatim in the oracle.
+        steps.indices.map { i =>
+          expr(s"(__m$i - pmod(__m$i, ${TieMod}L)) div ${TieMod}L")
+            .cast("long").as(s"${steps(i)}_ms")
+        } :+
         depth.as("depth"): _*)
   }
 }

@@ -72,6 +72,9 @@ object Sketches {
       .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered: k·partitions driver merge
       .collect()
     val sketch = toks.stat.countMinSketch("token", eps, confidence, seed)
+    // both actions are done — nothing re-reads the cache after this call
+    // (unlike persistedBase, whose returned LAZY plans keep reading it)
+    toks.unpersist(false)
     val tol = 2L * math.ceil(eps * sketch.totalCount()).toLong
     val spark = docs.sparkSession
     import spark.implicits._

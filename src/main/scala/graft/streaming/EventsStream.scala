@@ -231,7 +231,9 @@ object EventsStream {
                 done :+= k
             }
           state.update(done)
-          def ms(i: Int): Option[Long] = done.lift(i).map(_ / tieMod)
+          // floorDiv, not `/`: truncation decodes pre-1970 (negative)
+          // timestamps one ms too high — matches the batch operator
+          def ms(i: Int): Option[Long] = done.lift(i).map(Math.floorDiv(_, tieMod))
           (user, ms(0), ms(1), ms(2), done.length.toLong)
       }
   }

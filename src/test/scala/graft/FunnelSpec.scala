@@ -124,6 +124,18 @@ class FunnelSpec extends SparkSpec {
     assert(collectFunnel(twin) === out)
   }
 
+  test("pre-1970 timestamps decode exactly (floor division, not truncation)") {
+    // negative epoch-ms: truncating division decodes one ms too high
+    val rows = Seq(
+      (1L, 1L, "view", -5000L), (1L, 2L, "click", -1L), (1L, 3L, "purchase", 100L))
+    val out = collectFunnel(Funnel.funnel(ev(rows)))
+    assert(out(1L) === (((Some(-5000L), Some(-1L), Some(100L)), 3L)))
+    val s = spark; import s.implicits._
+    val twin = EventsStream.funnelProgress(ev(rows))
+      .toDF("user_id", "view_ms", "click_ms", "purchase_ms", "depth")
+    assert(collectFunnel(twin) === out)
+  }
+
   test("funnelProgress out-of-order arrivals degrade conservatively, never rewrite") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

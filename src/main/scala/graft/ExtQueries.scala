@@ -246,6 +246,33 @@ object ExtQueries {
       |FROM w""".stripMargin
 
   // ------------------------------------------------------------------
+  // Table profile: one-pass per-column data-quality stats.
+  // ------------------------------------------------------------------
+
+  private val profileCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+
+  private val tableProfile: Q = (s, d) =>
+    RelOps.profile(Tables.orders(s, d), profileCols)
+
+  private val tableProfileSql = profileCols.map { c =>
+    val (minn, maxn, mins, maxs) = c match {
+      case "o_orderstatus" =>
+        ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"min($c)", s"max($c)")
+      case "o_orderdate" =>
+        (s"CAST(min(epoch_ms($c)) AS DOUBLE)", s"CAST(max(epoch_ms($c)) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      case _ =>
+        (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+    }
+    s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+       |  $minn AS min_num, $maxn AS max_num, $mins AS min_str, $maxs AS max_str
+       |FROM orders""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  // ------------------------------------------------------------------
   // OLAP grouping breadth: rollup with grouping_id, pivot, and a
   // sliding-frame window aggregate. All three stay hash-exact across
   // engines by aggregating in integers (counts / decimal-exact sums /
@@ -436,6 +463,7 @@ object ExtQueries {
     ("hll_distinct", hllDistinct, Some(hllDistinctSql)),
     ("quantiles", quantiles, Some(quantilesSql)),
     ("vocab_topk", vocabTopK, Some(vocabTopKSql)),
+    ("table_profile", tableProfile, Some(tableProfileSql)),
     ("rollup_agg", rollupAgg, Some(rollupAggSql)),
     ("pivot_counts", pivotCounts, Some(pivotCountsSql)),
     ("moving_spend", movingSpend, Some(movingSpendSql)),

@@ -168,6 +168,49 @@ object RelOps {
     saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Single-pass table profile — the data-quality summary every ingest
+    * wants before trusting a source: per column, null count, exact
+    * distinct count, and extrema. ONE wide aggregation over one scan
+    * (every per-column statistic is an aggregate in the same groupBy-less
+    * agg, map-side combined), then a driver-free unpivot via
+    * explode(array(struct…)).
+    *
+    * Engine-portable output: numeric/timestamp extrema land in
+    * `min_num`/`max_num` as doubles (min/max SELECT an input value —
+    * no accumulation, so no FP-order hazard; timestamps as epoch ms),
+    * string extrema in `min_str`/`max_str` — never a double formatted
+    * THROUGH a string, where Spark and DuckDB render differently.
+    * At 100 TB swap the exact `countDistinct` (a per-column expand) for
+    * `approx_count_distinct` + the `Sketches` gate pattern.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def isStr(c: String) = types(c) == org.apache.spark.sql.types.StringType
+    def numOf(c: String): Column = types(c) match {
+      case org.apache.spark.sql.types.TimestampType => unix_millis(col(c)).cast("double")
+      case org.apache.spark.sql.types.StringType => lit(null).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(numOf(c)).as(s"__minn_$c"), max(numOf(c)).as(s"__maxn_$c"),
+        min(if (isStr(c)) col(c) else lit(null).cast("string")).as(s"__mins_$c"),
+        max(if (isStr(c)) col(c) else lit(null).cast("string")).as(s"__maxs_$c"))
+    }
+    val entries = cols.map { c =>
+      struct(lit(c).as("column_name"), col("__n").as("n_rows"),
+        col(s"__null_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__minn_$c").as("min_num"), col(s"__maxn_$c").as("max_num"),
+        col(s"__mins_$c").as("min_str"), col(s"__maxs_$c").as("max_str"))
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.*"))
+  }
+
   /** Keyless 1-D range join: each point row joins every interval row
     * whose `[lo, hi]` contains its ordinate — the temporal analog of
     * `Spatial.radiusJoin`, and the join shape Spark has no native

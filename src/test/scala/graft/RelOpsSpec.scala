@@ -153,6 +153,33 @@ class RelOpsSpec extends SparkSpec {
     }
   }
 
+  test("profile: one row per column with exact null/distinct/extrema stats") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Some("b"), Some(2.5), Some(100L)),
+      (2L, None: Option[String], Some(-1.0), Some(200L)),
+      (3L, Some("a"), None: Option[Double], Some(100L)),
+      (3L, Some("a"), Some(2.5), None: Option[Long]))
+      .toDF("k", "s", "v", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val out = RelOps.profile(df, Seq("k", "s", "v", "ts")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("k", "s", "v", "ts"))
+    val k = out("k")
+    assert(k.getLong(1) === 4L && k.getLong(2) === 0L && k.getLong(3) === 3L)
+    assert(k.getDouble(4) === 1.0 && k.getDouble(5) === 3.0)
+    assert(k.isNullAt(6) && k.isNullAt(7)) // numeric col: no string extrema
+    val str = out("s")
+    assert(str.getLong(2) === 1L && str.getLong(3) === 2L)
+    assert(str.isNullAt(4) && str.getString(6) === "a" && str.getString(7) === "b")
+    val v = out("v")
+    assert(v.getLong(2) === 1L && v.getLong(3) === 2L)
+    assert(v.getDouble(4) === -1.0 && v.getDouble(5) === 2.5)
+    val ts = out("ts")
+    assert(ts.getLong(2) === 1L && ts.getLong(3) === 2L)
+    assert(ts.getDouble(4) === 100.0 && ts.getDouble(5) === 200.0) // epoch ms
+  }
+
   test("rangeJoin == brute-force containment; exactly-once; no cartesian in the plan") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(3)

@@ -189,12 +189,16 @@ object RelOps {
     def isStr(c: String) = types(c) == org.apache.spark.sql.types.StringType
     def numOf(c: String): Column = types(c) match {
       case org.apache.spark.sql.types.TimestampType => unix_millis(col(c)).cast("double")
+      // dates surface as epoch DAYS — Spark forbids a direct date→numeric cast
+      case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
       case org.apache.spark.sql.types.StringType => lit(null).cast("double")
       case _ => col(c).cast("double")
     }
     val aggs = cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        // count−count, not sum(when): a zero-row input must profile as
+        // n_nulls = 0 (a sum over no rows is NULL), matching the oracle
+        (count(lit(1)) - count(col(c))).as(s"__null_$c"),
         countDistinct(col(c)).as(s"__nd_$c"),
         min(numOf(c)).as(s"__minn_$c"), max(numOf(c)).as(s"__maxn_$c"),
         min(if (isStr(c)) col(c) else lit(null).cast("string")).as(s"__mins_$c"),

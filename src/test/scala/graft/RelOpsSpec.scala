@@ -178,6 +178,15 @@ class RelOpsSpec extends SparkSpec {
     val ts = out("ts")
     assert(ts.getLong(2) === 1L && ts.getLong(3) === 2L)
     assert(ts.getDouble(4) === 100.0 && ts.getDouble(5) === 200.0) // epoch ms
+    // date columns profile as epoch days (a direct date→double cast is
+    // illegal); zero-row inputs profile with n_nulls = 0, not NULL
+    val dd = df.withColumn("d", to_date(lit("1970-01-03")))
+    val dRow = RelOps.profile(dd, Seq("d")).collect().head
+    assert(dRow.getDouble(4) === 2.0 && dRow.getDouble(5) === 2.0)
+    val empty = RelOps.profile(df.filter(lit(false)), Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(empty("k").getLong(1) === 0L && empty("k").getLong(2) === 0L)
+    assert(empty("s").getLong(2) === 0L && empty("s").isNullAt(6))
   }
 
   test("rangeJoin == brute-force containment; exactly-once; no cartesian in the plan") {

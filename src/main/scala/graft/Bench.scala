@@ -34,13 +34,22 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal fixed-point (0.1 ms — below run-to-run noise): full double
+    // precision made the line ~5 KB, which overflowed the harness's tail
+    // capture and truncated the JSON mid-line; plain %f also avoids the
+    // exponent notation some strict parsers reject
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedField =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
+    // stop BEFORE printing so executor/context shutdown logging cannot land
+    // after (or interleave into) the JSON — it must be the LAST line out
     spark.stop()
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
+    println(line)
+    Console.out.flush()
   }
 }

@@ -63,6 +63,9 @@ object EventQueries {
     * alert row per 5000-cent boundary the per-user running total crosses,
     * folding events in (ms, event_id) order. The oracle mirrors it with a
     * cumulative-sum window + generate_series over the crossed boundaries.
+    * Division audit: both sides FLOOR (Math.floorDiv in EventsStream vs
+    * floor(double) here — exact while |cum| < 2^53), so a refund-driven
+    * negative running total cannot split the engines.
     */
   private val spendAlerts: Q = (s, d) => {
     import s.implicits._
@@ -149,15 +152,20 @@ object EventQueries {
 
   /** Cohort retention: bucket each user by first-activity week, then
     * count distinct users active at each week offset from their cohort —
-    * the standard retention triangle. All time math is integral (`div`
-    * on epoch-ms weeks), so no float can shift a boundary. Two
-    * aggregations + one join; the first-week side is |users| rows, which
-    * AQE broadcasts back against the event stream.
+    * the standard retention triangle. All time math is integral, so no
+    * float can shift a boundary, and the week bucket uses the exact-floor
+    * idiom from `Funnel` (subtract the pmod remainder, THEN divide: the
+    * operand becomes an exact multiple, so truncating and flooring
+    * division agree on both engines) — a bare `div`/`//` truncates toward
+    * zero and would merge pre-1970 timestamps in (−week, 0) into week 0.
+    * Mirrored verbatim in the oracle. Two aggregations + one join; the
+    * first-week side is |users| rows, which AQE broadcasts back against
+    * the event stream.
     */
   private val retention: Q = (s, d) => {
     import org.apache.spark.sql.functions._
-    val e = Tables.events(s, d)
-      .selectExpr("user_id", "unix_millis(ts) div 604800000 AS wk")
+    val e = Tables.events(s, d).selectExpr("user_id",
+      "(unix_millis(ts) - pmod(unix_millis(ts), 604800000L)) div 604800000 AS wk")
     val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     e.join(first, Seq("user_id"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
@@ -165,7 +173,7 @@ object EventQueries {
   }
 
   private val retentionSql =
-    """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+    """WITH e AS (SELECT user_id, (epoch_ms(ts) - ((epoch_ms(ts) % 604800000 + 604800000) % 604800000)) // 604800000 AS wk FROM events),
       |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
       |SELECT cohort_wk, e.wk - f.cohort_wk AS week_offset,
       |  count(DISTINCT e.user_id) AS n_users

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Dist2Expr, DotExpr, Hash60Expr, WinnowSketchExpr}
+import graft.functions.{Dist2Expr, DotExpr, Hash60Expr, NgramHashExpr, WinnowSketchExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so SQL users get them too (`SELECT hash60(col) ...`,
@@ -31,24 +31,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dist2"),
       new ExpressionInfo(classOf[Dist2Expr].getName, "vec_dist2"),
       binary("vec_dist2", Dist2Expr.apply) _))
-    // winnow_sketch(hashes, w): w must be a foldable integer literal —
-    // the window width is a plan-time parameter, not a per-row value
+    // (array, width)-shaped functions where the width is a plan-time
+    // parameter, not a per-row value: demand a foldable INTEGRAL literal.
+    def arrayWithWidth(name: String, mk: (Expression, Int) => Expression)
+        (children: Seq[Expression]): Expression = children match {
+      case Seq(arr, w) if w.foldable => w.eval() match {
+        // range-check before narrowing: intValue() on a BIGINT literal
+        // silently wraps (width 2^32+1 would become 1); fractional
+        // literals (2.5) must error, not silently truncate to 2
+        case n: Number if n.doubleValue() == n.longValue() &&
+            n.longValue() >= 1 && n.longValue() <= Int.MaxValue =>
+          mk(arr, n.intValue())
+        case bad => throw new IllegalArgumentException(
+          s"$name width must be an integral literal in [1, ${Int.MaxValue}], got $bad")
+      }
+      case Seq(_, _) => throw new IllegalArgumentException(
+        s"$name width must be a foldable literal, not a per-row expression")
+      case other => throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments (array<bigint>, width), got ${other.size}")
+    }
     ext.injectFunction((
       new FunctionIdentifier("winnow_sketch"),
       new ExpressionInfo(classOf[WinnowSketchExpr].getName, "winnow_sketch"),
-      (children: Seq[Expression]) => children match {
-        case Seq(arr, w) if w.foldable => w.eval() match {
-          // range-check before narrowing: intValue() on a BIGINT literal
-          // silently wraps (width 2^32+1 would become 1)
-          case n: Number if n.longValue() >= 1 && n.longValue() <= Int.MaxValue =>
-            WinnowSketchExpr(arr, n.intValue())
-          case bad => throw new IllegalArgumentException(
-            s"winnow_sketch width must be an integer literal in [1, ${Int.MaxValue}], got $bad")
-        }
-        case Seq(_, _) => throw new IllegalArgumentException(
-          "winnow_sketch width must be a foldable literal, not a per-row expression")
-        case other => throw new IllegalArgumentException(
-          s"winnow_sketch requires exactly 2 arguments (array<bigint>, width), got ${other.size}")
-      }))
+      arrayWithWidth("winnow_sketch", WinnowSketchExpr.apply) _))
+    // shingle_hashes = distilled (distinct, short-doc-padded) gram hashes;
+    // gram_hashes = positional per-occurrence form (empty below n tokens)
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[NgramHashExpr].getName, "shingle_hashes"),
+      arrayWithWidth("shingle_hashes", NgramHashExpr(_, _, distilled = true)) _))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[NgramHashExpr].getName, "gram_hashes"),
+      arrayWithWidth("gram_hashes", NgramHashExpr(_, _, distilled = false)) _))
   }
 }

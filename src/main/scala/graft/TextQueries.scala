@@ -534,15 +534,19 @@ object TextQueries {
        |FROM c""".stripMargin
 
   // -- multimodal --------------------------------------------------------------
+  // real-PNG image dims: width = 8 + len(text) % 16, height = 8 + 7·doc_id % 16
+  // (Multimodal.syntheticImages) — small enough that encoding ~every doc a
+  // genuine PNG stays cheap, big enough that maxSide=16 exercises both
+  // resize branches
   private val mmResize: Q = (s, d) =>
-    Multimodal.resizeMeta(Multimodal.syntheticMedia(docs(s, d)), 256)
+    Multimodal.resizeMeta(Multimodal.syntheticImages(docs(s, d)), 16)
       .select(col("doc_id"), col("meta.format").as("format"),
         col("meta.width").as("width"), col("meta.height").as("height"))
 
   private val mmResizeSql =
-    """WITH m AS (SELECT doc_id, 64 + (length(text) % 512) AS w, 64 + ((doc_id * 7) % 512) AS h FROM documents),
-      |s AS (SELECT doc_id, w, h, CASE WHEN greatest(w, h) > 256 THEN 256.0 / greatest(w, h) ELSE 1.0 END AS sc FROM m)
-      |SELECT doc_id, 'fake/rgb8' AS format, CAST(round(w * sc) AS INTEGER) AS width, CAST(round(h * sc) AS INTEGER) AS height FROM s""".stripMargin
+    """WITH m AS (SELECT doc_id, 8 + (length(text) % 16) AS w, 8 + ((doc_id * 7) % 16) AS h FROM documents),
+      |s AS (SELECT doc_id, w, h, CASE WHEN greatest(w, h) > 16 THEN CAST(16.0 AS DOUBLE) / greatest(w, h) ELSE CAST(1.0 AS DOUBLE) END AS sc FROM m)
+      |SELECT doc_id, 'image/png' AS format, CAST(round(w * sc) AS INTEGER) AS width, CAST(round(h * sc) AS INTEGER) AS height FROM s""".stripMargin
 
   private val mmFrames: Q = (s, d) =>
     Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, d)), 4, 2)
@@ -553,20 +557,20 @@ object TextQueries {
       |SELECT doc_id, t.i AS frame_no, base64(unhex(substr(hx, CAST(t.i * 16 + 1 AS INTEGER), 8))) AS frame
       |FROM m, (SELECT unnest(range(0, 2)) AS i) t""".stripMargin
 
-  /** Decode plumbing (declared stub). The stub's byte math IS oracle-
-    * checkable: mean over the 16 md5 bytes parsed from hex; mean*10000 is
-    * an exact integer (sum*625 < 2^53), so `rint` is the identity in both
-    * engines.
+  /** REAL decode: `syntheticImages` writes genuine PNG bytes (pixel
+    * (x, y) = (doc_id + x + y) mod 256) and `Multimodal.decode` reads the
+    * raster back out with JDK ImageIO — so width/height/mean_px are
+    * DECODED pixel facts the oracle recomputes arithmetically. The sum is
+    * an exact integer (≤ 23·23·255 ≪ 2^53) and `mean_px` is one IEEE
+    * double division on both engines.
     */
   private val mmDecode: Q = (s, d) =>
-    Multimodal.decodeStub(Multimodal.syntheticMedia(docs(s, d)))
+    Multimodal.decode(Multimodal.syntheticImages(docs(s, d)))
 
   private val mmDecodeSql =
-    """WITH m AS (SELECT doc_id, md5(text) AS hx, length(text) AS lt FROM documents)
-      |SELECT doc_id, CAST(16 AS INTEGER) AS byte_len,
-      |  CAST(64 + (lt % 512) AS INTEGER) AS width,
-      |  CAST(64 + ((doc_id * 7) % 512) AS INTEGER) AS height,
-      |  CAST(list_sum([('0x' || substr(hx, 2*i - 1, 2))::BIGINT for i in range(1, 17)]) * 625 AS DOUBLE) / 10000 AS mean_byte
+    """WITH m AS (SELECT doc_id, 8 + (length(text) % 16) AS w, 8 + ((doc_id * 7) % 16) AS h FROM documents)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(list_sum([(doc_id + (i % w) + (i // w)) % 256 for i in range(0, w * h)]) AS DOUBLE) / (w * h) AS mean_px
       |FROM m""".stripMargin
 
   val registry: Vector[(String, Q, Option[String])] = Vector(

@@ -24,7 +24,9 @@ import graft.functions.GraftFunctions._
   */
 object Dedup {
 
-  private[graft] val P = 2147483647L // 2^31-1, prime; keeps a*h+b inside a Long
+  // 2^31-1, prime; keeps a*h+b inside a Long. Shared with the native
+  // gram-hash kernel — a forked constant would silently split the hash space.
+  private[graft] val P = graft.functions.NgramHashExpr.P
 
   /** Deterministic affine hash constants (fixed, engine-version stable). */
   private[graft] def hashParams(k: Int): Seq[(Long, Long)] =
@@ -53,7 +55,8 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     gramsOf(tokens(normalizeText(text)), n)
 
-  private val B = 1000003L // rolling-combine base; acc*B stays < 2^52
+  // rolling-combine base; acc*B stays < 2^52. Shared with NgramHashExpr.
+  private val B = graft.functions.NgramHashExpr.B
 
   /** Shingle HASHES: token hashes combined with a mod-P rolling fold —
     * `((h0*B + h1) % P * B + h2) % P` for n=3. Equivalent to hashing the
@@ -72,20 +75,35 @@ object Dedup {
     * Documents shorter than n tokens produce one shingle padded with
     * zero-hashes (the whole-text fallback of `gramsOf`).
     */
-  /** The shared mod-P rolling fold: rolling[i] after step j covers
+  /** The mod-P rolling fold, HOF form: rolling[i] after step j covers
     * h[i..i+j]; `zip_with` pads the shorter shifted slice with nulls, which
-    * coalesce turns into zero padding. Single source of truth — the fold is
-    * mirrored character-for-character in the oracle SQL
+    * coalesce turns into zero padding. KEPT ONLY as the executable spec the
+    * native [[graft.functions.NgramHashExpr]] is equivalence-tested against
+    * (FunctionsSpec) — production paths use the native expression. The fold
+    * is mirrored character-for-character in the oracle SQL
     * (OracleSql.shingleHashList / rolledGramList), so it must not fork.
     */
-  private def rollingFold(hs: Column, n: Int): Column =
+  private[graft] def hofRollingFold(hs: Column, n: Int): Column =
     (1 until n).foldLeft(hs) { (acc, j) =>
       zip_with(acc, slice(hs, lit(j + 1), size(hs)),
         (a, h) => pmod(a * lit(B) + coalesce(h, lit(0L)), lit(P)))
     }
 
+  private[graft] def hofShingleHashes(hs: Column, n: Int): Column =
+    array_distinct(slice(hofRollingFold(hs, n), lit(1), greatest(size(hs) - (n - 1), lit(1))))
+
+  private[graft] def hofRolledGramHashes(hs: Column, n: Int): Column =
+    when(size(hs) >= n, slice(hofRollingFold(hs, n), lit(1), size(hs) - (n - 1)))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Distilled (distinct, short-doc-padded) gram hashes — native one-pass
+    * [[graft.functions.NgramHashExpr]]; the HOF form above ran n−1
+    * interpreted `zip_with` passes each materializing a shifted array copy.
+    */
   private def shingleHashes(hs: Column, n: Int): Column =
-    array_distinct(slice(rollingFold(hs, n), lit(1), greatest(size(hs) - (n - 1), lit(1))))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.NgramHashExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hs), n, distilled = true))
 
   /** Gram hashes WITHOUT dedup or short-doc padding: one entry per n-gram
     * occurrence, empty for documents shorter than n tokens. The raw
@@ -93,8 +111,9 @@ object Dedup {
     * occurrence counts (repetition metrics) use this form.
     */
   private[graft] def rolledGramHashes(hs: Column, n: Int): Column =
-    when(size(hs) >= n, slice(rollingFold(hs, n), lit(1), size(hs) - (n - 1)))
-      .otherwise(array().cast("array<bigint>"))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.NgramHashExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hs), n, distilled = false))
 
   /** (id [, blockCols...], sh: array<long>) — tokenization, token hashing,
     * and gram combination each materialized in their OWN projection, so

@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side shape is real (schema, partitioning, batch iteration);
-  * the codec itself is a clearly-marked STUB — the container has no
-  * image/audio libraries, so `decodeStub` derives deterministic fake
-  * features from the bytes. A production deployment swaps `decodeStub`'s
-  * body for the real decoder without touching the plumbing.
+  * The image path is REAL end to end: `syntheticImages` encodes actual PNG
+  * payloads (JDK `ImageIO` — no external codecs needed) and `decode` reads
+  * pixels back out of the bytes, so width/height/mean-pixel are decoded
+  * facts, not metadata echoes. `syntheticMedia` keeps a separate opaque
+  * byte payload for the byte-window plumbing (`sampleFrames`), whose
+  * semantics are codec-independent by design. A production deployment
+  * swaps the decode loop's `ImageIO` call for its own codec (JPEG video
+  * keyframes, audio PCM, …) without touching the partition-batch plumbing.
   */
 object Multimodal {
 
@@ -25,8 +28,10 @@ object Multimodal {
     )), nullable = false),
   ))
 
-  /** Synthesize a deterministic binary payload + metadata from the documents
-    * table (stands in for reading real image bytes from object storage).
+  /** Synthesize a deterministic OPAQUE byte payload + metadata from the
+    * documents table — the stand-in for raw clip/audio byte streams feeding
+    * the codec-independent byte-window operators (`sampleFrames`). For real
+    * decodable image payloads use `syntheticImages`.
     */
   def syntheticMedia(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
@@ -38,34 +43,86 @@ object Multimodal {
         (lit(64) + pmod(col(idCol) * 7, lit(512))).cast("int").as("height"),
       ).as("meta"))
 
-  /** Batch "decode + feature-extract": iterates each partition once (the
-    * batch shape a vectorized decode needs), emitting per-item features.
-    * STUB: features are deterministic functions of the bytes; a real
-    * implementation would decode pixels here.
+  /** Synthesize REAL grayscale PNG payloads from the documents table
+    * (stands in for reading image bytes from object storage). Pixel (x, y)
+    * of doc `d` is `(d + x + y) mod 256` and the dimensions are small
+    * deterministic functions of the row — so the DECODED features are
+    * oracle-computable in plain SQL while the bytes themselves are genuine
+    * PNG (signature, zlib-compressed scanlines, CRCs) that any standards-
+    * compliant decoder reads back. JDK `ImageIO` encodes with zero
+    * external dependencies; grayscale raster access is lossless and
+    * color-management-free both ways.
     */
-  def decodeStub(media: DataFrame): DataFrame = {
+  def syntheticImages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs
+      .select(col(idCol).cast("long").as("doc_id"), length(col(textCol)).as("__tl"))
+      .filter(col("doc_id").isNotNull && col("__tl").isNotNull)
+      .rdd.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory streams; no temp files
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + r.getInt(1) % 16
+          val h = 8 + ((id * 7) % 16).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, ((id + x + y) % 256).toInt); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(256)
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray, Row("image/png", w, h))
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Batch decode + feature-extract: iterates each partition once (the
+    * batch shape a vectorized decoder needs), REALLY decoding each PNG
+    * payload with JDK `ImageIO` and emitting decoded facts — width, height,
+    * and mean pixel value come from the pixel raster, not the metadata
+    * struct. `mean_px` is one IEEE division of an exact integer sum by the
+    * pixel count, mirrored operation-for-operation in the oracle SQL.
+    * Undecodable or empty payloads yield a (0, 0, 0.0) feature row rather
+    * than an executor exception — corrupt bytes are data, not bugs.
+    */
+  def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("byte_len", IntegerType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
-      StructField("mean_byte", DoubleType, nullable = false),
+      StructField("mean_px", DoubleType, nullable = false),
     ))
-    val rdd = media.select("doc_id", "media", "meta.width", "meta.height")
+    val rdd = media.select("doc_id", "media")
       .filter(col("doc_id").isNotNull) // unkeyable row: nothing to attach features to
       .rdd.mapPartitions { it =>
-      // one pass per partition == one decode batch
-      it.map { r =>
-        // schema claims media non-null, but a null payload (e.g. upstream
-        // md5(null)) must yield empty features, not an executor NPE
-        val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
-        // STUB decode: a real codec call goes here (e.g. JPEG -> pixels).
-        val mean = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-        Row(r.getAs[Long]("doc_id"), bytes.length, r.getAs[Int]("width"), r.getAs[Int]("height"),
-          math.rint(mean * 10000) / 10000)
+        // one pass per partition == one decode batch
+        it.map { r =>
+          val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
+          val img =
+            if (bytes.isEmpty) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) Row(r.getAs[Long]("doc_id"), 0, 0, 0.0)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster // raster samples: no color-space remap
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Row(r.getAs[Long]("doc_id"), w, h, sum.toDouble / (w.toLong * h))
+          }
+        }
       }
-    }
     spark.createDataFrame(rdd, outSchema)
   }
 

@@ -105,7 +105,9 @@ object Ranking {
         lit(maxUpsample),
         (col("__total").cast("double") / col("__n_strata")) / col("n_tokens")) * lit(1000000.0), 0).cast("long"))
       // exact integral floor(weight × n_tokens): `div` keeps the product in
-      // long arithmetic (no double round-trip at large token masses)
+      // long arithmetic (no double round-trip at large token masses);
+      // division audit: both factors are ≥ 0, so truncation is floor
+      // on both engines
       .withColumn("sampled_tokens", expr("(weight_ppm * n_tokens) div 1000000"))
       .select(strataCols.map(col) ++
         Seq(col("n_docs"), col("n_tokens"), col("share_ppm"), col("weight_ppm"), col("sampled_tokens")): _*)

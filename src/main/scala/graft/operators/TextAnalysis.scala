@@ -258,6 +258,8 @@ object TextAnalysis {
     val total = scored.agg(count(lit(1)).as("__n"))
     scored.join(broadcast(cum), Seq("quality_score"))
       .crossJoin(broadcast(total))
+      // division audit: __lt/__n are counts (≥ 0), so truncating `div`
+      // and the oracle's `//` are both floor here
       .withColumn("bucket", expr(s"($nBuckets * __lt) div __n"))
       .select(col(idCol), col("quality_score"), col("bucket"))
   }
@@ -518,6 +520,8 @@ object TextAnalysis {
         size(tokens(normalizeText(col(textCol)))).cast("long").as("n_tokens"))
       .withColumn("__cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol), col(streamCol), col("n_tokens"),
+        // division audit: __cb is a cumulative token count (≥ 0), so
+        // truncating `div` and the oracle's `//` are both floor here
         expr(s"__cb div $budget").as("seq_id"),
         pmod(col("__cb"), lit(budget)).as("seq_offset"))
   }

@@ -124,6 +124,69 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2) === Seq(null))
   }
 
+  test("native NgramHashExpr == HOF rolling-fold forms on random arrays and edge cases") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(17)
+    // domain values in [0, P); small lengths cross m==0, m<n, m==n, m>n;
+    // duplicate-heavy values exercise the fused distinct
+    val data = (0 until 300).map { _ =>
+      Seq.fill(rnd.nextInt(9))(
+        if (rnd.nextBoolean()) rnd.nextInt(5).toLong else rnd.nextLong(2147483647L))
+    } :+ Seq.empty[Long]
+    val df = data.toDF("hs")
+    for (n <- Seq(1, 2, 3, 5)) {
+      def native(distilled: Boolean) = ColumnBridge.column(
+        graft.functions.NgramHashExpr(ColumnBridge.expression(col("hs")), n, distilled))
+      val rows = df.select(
+        native(distilled = true).as("nd"), Dedup.hofShingleHashes(col("hs"), n).as("hd"),
+        native(distilled = false).as("nr"), Dedup.hofRolledGramHashes(col("hs"), n).as("hr"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Any](0) === r.getSeq[Any](1), s"n=$n distilled mismatch: $r")
+        assert(r.getSeq[Any](2) === r.getSeq[Any](3), s"n=$n raw mismatch: $r")
+      }
+    }
+    // null array → null; null LEADING hash → null gram (kept once by the
+    // distilled form, positionally by the raw form); null TRAILING hash
+    // coalesces to 0 exactly like the short-document zero padding
+    val edge = Seq(Option.empty[Seq[Option[Long]]],
+      Some(Seq(Some(5L), None, Some(2L), Some(5L))),
+      Some(Seq(None, None)), Some(Seq(Some(7L)))).toDF("hs")
+    for (distilled <- Seq(true, false)) {
+      val nat = ColumnBridge.column(
+        graft.functions.NgramHashExpr(ColumnBridge.expression(col("hs")), 2, distilled))
+      val hof = if (distilled) Dedup.hofShingleHashes(col("hs"), 2)
+                else Dedup.hofRolledGramHashes(col("hs"), 2)
+      val got = edge.select(nat.as("n"), hof.as("h")).collect()
+      got.foreach { r =>
+        val nv = if (r.isNullAt(0)) null else r.getSeq[Any](0)
+        val hv = if (r.isNullAt(1)) null else r.getSeq[Any](1)
+        assert(nv === hv, s"distilled=$distilled edge mismatch: $r")
+      }
+      // null array: distilled → null (distinct(slice(null)) is null);
+      // raw → [] (when(size(null) >= n) takes the otherwise branch)
+      assert(got(0).isNullAt(0) == distilled)
+    }
+  }
+
+  test("shingle_hashes / gram_hashes are registered for SQL; widths validated") {
+    // tokens [9, 4, 7]: grams of 2 = [(9*B+4)%P, (4*B+7)%P]
+    val b = 1000003L; val p = 2147483647L
+    val g0 = (9 * b + 4) % p; val g1 = (4 * b + 7) % p
+    val got = spark.sql(
+      "SELECT shingle_hashes(array(9L, 4L, 7L), 2) AS s, gram_hashes(array(9L), 2) AS g").collect()
+    assert(got.head.getSeq[Long](0) === Seq(g0, g1))
+    assert(got.head.getSeq[Long](1) === Seq.empty)
+    // fractional width must ERROR, not silently truncate (winnow too)
+    for (q <- Seq("SELECT shingle_hashes(array(1L), 2.5)",
+                  "SELECT winnow_sketch(array(1L), 2.5)")) {
+      val e = intercept[Exception](spark.sql(q).collect())
+      assert(e.getMessage.contains("integral literal"), s"$q: ${e.getMessage}")
+    }
+  }
+
   test("winnow_sketch is registered for SQL via GraftExtensions") {
     // windows of 2: (5,3)→3 (3,4)→3 (4,9)→4 (9,8)→8, distinct in order
     val got = spark.sql(

@@ -22,13 +22,34 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getInt(2) == 64 + 7) // height = 64 + (1*7) % 512
   }
 
-  test("decodeStub: per-partition batch decode, mean byte matches hand computation") {
-    val out = Multimodal.decodeStub(Multimodal.syntheticMedia(docs))
+  test("syntheticImages emits genuine PNG bytes; decode reads pixels back out") {
+    val media = Multimodal.syntheticImages(docs).orderBy("doc_id").collect()
+    // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    media.foreach { r =>
+      assert(r.getAs[Array[Byte]]("media").take(8).toSeq == sig.toSeq)
+      assert(r.getStruct(2).getString(0) == "image/png")
+    }
+    val out = Multimodal.decode(Multimodal.syntheticImages(docs))
       .orderBy("doc_id").collect()
-    val md = java.security.MessageDigest.getInstance("MD5").digest("abc".getBytes)
-    val expectedMean = math.rint(md.map(b => (b & 0xff).toDouble).sum / 16 * 10000) / 10000
-    assert(out(0).getAs[Int]("byte_len") == 16)
-    assert(out(0).getAs[Double]("mean_byte") == expectedMean)
+    // doc 1, "abc": w = 8 + 3 = 11, h = 8 + 7 = 15; pixel = (1 + x + y) % 256
+    // — dims must come from the DECODED image, mean from the raster
+    assert(out(0).getAs[Int]("width") == 11)
+    assert(out(0).getAs[Int]("height") == 15)
+    val expected = (for (y <- 0 until 15; x <- 0 until 11) yield (1 + x + y) % 256)
+      .sum.toDouble / (11 * 15)
+    assert(out(0).getAs[Double]("mean_px") == expected)
+  }
+
+  test("decode: undecodable or empty payloads yield a zero feature row, not a crash") {
+    val s = spark; import s.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.emptyByteArray))
+      .toDF("doc_id", "media")
+    val out = Multimodal.decode(junk).orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("width") == 0 && r.getAs[Int]("height") == 0
+        && r.getAs[Double]("mean_px") == 0.0)
+    }
   }
 
   test("resizeMeta: scales the long side to maxSide, preserves aspect") {

@@ -181,9 +181,27 @@ object RelOps {
     * string extrema in `min_str`/`max_str` — never a double formatted
     * THROUGH a string, where Spark and DuckDB render differently.
     * At 100 TB swap the exact `countDistinct` (a per-column expand) for
-    * `approx_count_distinct` + the `Sketches` gate pattern.
+    * [[profileApprox]] below — same schema, HLL distinct counts, no Expand.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** The 100 TB twin of [[profile]] the scaladoc above promises: identical
+    * output schema, but `n_distinct` is `approx_count_distinct` (HLL++,
+    * default 5% rsd). The difference in the plan is structural, not a
+    * constant factor: exact multi-column `countDistinct` plans an Expand
+    * that replicates EVERY input row once per profiled column before the
+    * shuffle (k columns → k× scan output), while the sketch version is one
+    * ordinary partial-agg pass — k fixed-size HLL accumulators per
+    * partition, merged on the driver side of a single-row shuffle
+    * (RelOpsSpec plan-asserts Expand's absence). Extrema and null counts
+    * stay exact — only distinct counting trades accuracy for the pass.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     def isStr(c: String) = types(c) == org.apache.spark.sql.types.StringType
@@ -199,7 +217,7 @@ object RelOps {
         // count−count, not sum(when): a zero-row input must profile as
         // n_nulls = 0 (a sum over no rows is NULL), matching the oracle
         (count(lit(1)) - count(col(c))).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        distinctAgg(c).as(s"__nd_$c"),
         min(numOf(c)).as(s"__minn_$c"), max(numOf(c)).as(s"__maxn_$c"),
         min(if (isStr(c)) col(c) else lit(null).cast("string")).as(s"__mins_$c"),
         max(if (isStr(c)) col(c) else lit(null).cast("string")).as(s"__maxs_$c"))
@@ -234,6 +252,14 @@ object RelOps {
   def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
                 loCol: String, hiCol: String, cellSize: Long): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
+    // the result keeps every column from both sides, so a shared name
+    // (both carrying user_id, say) would surface as an ambiguous duplicate
+    // the caller only hits downstream; fail here with the offenders named
+    val shared = points.columns.toSeq.intersect(intervals.columns.toSeq)
+    require(shared.isEmpty,
+      s"rangeJoin requires disjoint column names; rename on one side: ${shared.mkString(", ")}")
+    require(!(points.columns ++ intervals.columns).contains("__cell"),
+      "rangeJoin reserves the __cell column name")
     // `/` here is double division, which is inexact past 2^53 — but the
     // cell id never needs to be exact, only MONOTONE (long→double and
     // x↦⌊x/c⌋ both are): lo ≤ x ≤ hi always lands the point's cell

@@ -206,6 +206,16 @@ object EventsStream {
     * after a later-keyed completion of its predecessor still counts iff
     * its key is greater, and never rewrites an existing completion.
     * Update-mode emission: one progress row per user per invocation.
+    *
+    * Memory: the ≤3-long bound is the STATE-STORE size. Per invocation,
+    * events that can no longer matter — steps already completed, keys at
+    * or below the last completion (re-deliveries, stale history) — drop
+    * before buffering, and nothing is buffered once the funnel is full;
+    * what remains is sorted in place, so the per-invocation footprint is
+    * O(still-advanceable step events of that user in that micro-batch).
+    * In streaming that is one micro-batch's slice; only the batch-mode
+    * twin (whole history in one invocation) can see a heavy user's full
+    * funnel-step backlog at once.
     */
   def funnelProgress(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                      steps: Seq[String] = Seq("view", "click", "purchase"))
@@ -224,12 +234,25 @@ object EventsStream {
         GroupStateTimeout.NoTimeout) {
         case (user, rows, state) =>
           var done = state.getOption.getOrElse(Vector.empty[Long])
-          rows.toVector.flatMap(r => r._3.map(k => (k, r._2))).sortBy(_._1)
-            .foreach { case (k, tpe) =>
-              if (done.length < steps.length && tpe == steps(done.length) &&
+          if (done.length < steps.length) {
+            // drop-before-buffer: an event of an already-completed step, or
+            // keyed at/below the last completion, can never extend the
+            // chain (done only grows, keys must strictly increase) — so
+            // only still-advanceable events reach the sort buffer
+            val floor = done.lastOption.getOrElse(Long.MinValue)
+            val entryLen = done.length
+            val idxOf = steps.zipWithIndex.toMap
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+            rows.foreach(r => r._3.foreach { k =>
+              val i = idxOf(r._2)
+              if (i >= entryLen && k > floor) buf += ((k, i))
+            })
+            buf.sortInPlaceBy(_._1).foreach { case (k, i) =>
+              if (done.length < steps.length && i == done.length &&
                   done.lastOption.forall(_ < k))
                 done :+= k
             }
+          }
           state.update(done)
           // floorDiv, not `/`: truncation decodes pre-1970 (negative)
           // timestamps one ms too high — matches the batch operator

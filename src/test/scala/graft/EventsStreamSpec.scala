@@ -45,6 +45,44 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.contains(Seq("2026-01-01 10:00:00", "click", 3L, 675L)))
   }
 
+  test("watermark drops a late row: an event older than the watermark never reaches its window") {
+    // the one behavior the MemoryStream==batch twins CANNOT mirror: batch
+    // has no lateness, so this drives withWatermark's dropping semantics
+    // directly — append mode, 1 h watermark on hourlyTypeCountsStreaming
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val q = EventsStream.hourlyTypeCountsStreaming(streamDf)
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      // batch 1: one on-time click in the 10:00 window
+      mem.addData((1L, "2026-01-01 10:05:00", 7L, "click", 1.00))
+      q.processAllAvailable()
+      // batch 2: advance event time to 12:30 → after this batch the
+      // watermark is 11:30, PAST the 10:00 window's end
+      mem.addData((2L, "2026-01-01 12:30:00", 7L, "click", 1.00))
+      q.processAllAvailable()
+      // batch 3: a LATE click into the now-closed 10:00 window — older
+      // than the 11:30 watermark, so the engine must drop it entirely
+      mem.addData((3L, "2026-01-01 10:10:00", 7L, "click", 99.00))
+      q.processAllAvailable()
+      // batch 4: push the watermark past 12:00 so that window emits too
+      mem.addData((4L, "2026-01-01 14:00:00", 9L, "tick", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_out").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // the 10:00 window holds exactly the ONE on-time click — had the late
+    // 99.00 row leaked in, n would be 2 and cents 10000
+    assert(rows(("2026-01-01 10:00:00", "click")) === ((1L, 100L)),
+      s"late row leaked into a closed window: $rows")
+    assert(rows(("2026-01-01 12:00:00", "click")) === ((1L, 100L)))
+    assert(!rows.valuesIterator.contains((2L, 10000L)))
+  }
+
   test("dedupAgainstBaselineStream: stream-static anti join == batch dedup half") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

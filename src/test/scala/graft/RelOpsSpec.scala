@@ -189,6 +189,26 @@ class RelOpsSpec extends SparkSpec {
     assert(empty("s").getLong(2) === 0L && empty("s").isNullAt(6))
   }
 
+  test("profileApprox: same schema + exact stats except HLL distinct; NO Expand in the plan") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some("b")), (2L, None: Option[String]), (3L, Some("a")), (3L, Some("a")))
+      .toDF("k", "s")
+    val exact = RelOps.profile(df, Seq("k", "s"))
+    val approx = RelOps.profileApprox(df, Seq("k", "s"))
+    assert(approx.schema === exact.schema)
+    val out = approx.collect().map(r => r.getString(0) -> r).toMap
+    // at 3 / 2 distinct values HLL at 5% rsd is exact; nulls/extrema always are
+    assert(out("k").getLong(2) === 0L && out("k").getLong(3) === 3L)
+    assert(out("s").getLong(2) === 1L && out("s").getLong(3) === 2L)
+    assert(out("k").getDouble(4) === 1.0 && out("s").getString(7) === "b")
+    // the structural claim: exact countDistinct plans an Expand (k× row
+    // replication before the shuffle); the sketch path must not
+    val exactPlan = exact.queryExecution.executedPlan.toString
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), s"baseline assumption broke:\n$exactPlan")
+    assert(!approxPlan.contains("Expand"), s"profileApprox must not Expand:\n$approxPlan")
+  }
+
   test("rangeJoin == brute-force containment; exactly-once; no cartesian in the plan") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(3)
@@ -212,5 +232,17 @@ class RelOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"range join must stay an equi join on the cell:\n$plan")
+  }
+
+  test("rangeJoin rejects shared column names and a reserved __cell up front") {
+    val s = spark; import s.implicits._
+    val points = Seq((1L, 10L)).toDF("user_id", "x")
+    val intervals = Seq((2L, 0L, 20L)).toDF("user_id", "lo", "hi")
+    val e = intercept[IllegalArgumentException](
+      RelOps.rangeJoin(points, intervals, "x", "lo", "hi", 50L))
+    assert(e.getMessage.contains("user_id"))
+    val withCell = Seq((1L, 10L)).toDF("__cell", "x")
+    intercept[IllegalArgumentException](
+      RelOps.rangeJoin(withCell, Seq((0L, 20L)).toDF("lo", "hi"), "x", "lo", "hi", 50L))
   }
 }

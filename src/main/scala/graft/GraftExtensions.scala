@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Dist2Expr, DotExpr, Hash60Expr, NgramHashExpr, WinnowSketchExpr}
+import graft.functions.{Dist2Expr, DotExpr, Hash60Expr, NgramHashExpr, TokenHashExpr, WinnowSketchExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so SQL users get them too (`SELECT hash60(col) ...`,
@@ -64,5 +64,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("gram_hashes"),
       new ExpressionInfo(classOf[NgramHashExpr].getName, "gram_hashes"),
       arrayWithWidth("gram_hashes", NgramHashExpr(_, _, distilled = false)) _))
+    // token_hashes = per-element pmod(hash60, P); token_fold_hash = the
+    // Rabin-Karp rolling fold of the same hashes (one long per array)
+    def unary(name: String, mk: Expression => Expression)
+        (children: Seq[Expression]): Expression = children match {
+      case Seq(c) => mk(c)
+      case other => throw new IllegalArgumentException(
+        s"$name requires exactly 1 argument (array<string>), got ${other.size}")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(classOf[TokenHashExpr].getName, "token_hashes"),
+      unary("token_hashes", TokenHashExpr(_, fold = false)) _))
+    ext.injectFunction((
+      new FunctionIdentifier("token_fold_hash"),
+      new ExpressionInfo(classOf[TokenHashExpr].getName, "token_fold_hash"),
+      unary("token_fold_hash", TokenHashExpr(_, fold = true)) _))
   }
 }

@@ -107,6 +107,26 @@ object GraftFunctions {
   def hash60Portable(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** `pmod(hash60(t), P)` over every element of an `array<string>` in one
+    * native pass — the fused form of
+    * `transform(tk, t => pmod(hash60(t), lit(P)))`, which pays an
+    * interpreted frame per token (TokenHashExpr's scaladoc). Feeds every
+    * shingle pipeline; equivalence with the HOF form is FunctionsSpec-locked.
+    */
+  def tokenHashes(tk: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TokenHashExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tk), fold = false))
+
+  /** Rabin-Karp rolling fold `acc ← (acc·B + pmod(hash60(t), P)) mod P`
+    * over an `array<string>`, fused the same way (replaces the interpreted
+    * `aggregate` HOF in `TextAnalysis.fingerprints`). 0 for empty input.
+    */
+  def tokenFoldHash(tk: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TokenHashExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tk), fold = true))
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace, trim. */
   def normalizeText(text: Column): Column = trim(regexp_replace(lower(text), "\\s+", " "))
 

@@ -125,7 +125,7 @@ object Dedup {
     val keep = col(idCol) +: blockCols.map { case (name, c) => c.as(name) }
     val named = col(idCol) +: blockCols.map(b => col(b._1))
     docs.select(keep :+ tokens(normalizeText(col(textCol))).as("__tk"): _*)
-      .select(named :+ transform(col("__tk"), t => pmod(hash60(t), lit(P))).as("__hs"): _*)
+      .select(named :+ tokenHashes(col("__tk")).as("__hs"): _*)
       .select(named :+ shingleHashes(col("__hs"), n).as("sh"): _*)
   }
 

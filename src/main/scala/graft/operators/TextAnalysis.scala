@@ -334,12 +334,10 @@ object TextAnalysis {
     * silently; SQL engines raise), keeping the fold oracle-portable.
     */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val P = 2147483647L
     val toks = tokens(normalizeText(col(textCol)))
     docs
       .withColumn("fp_md5", fingerprint(col(textCol)))
-      .withColumn("fp_roll",
-        aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(1000003L) + pmod(hash60(t), lit(P)), lit(P))))
+      .withColumn("fp_roll", tokenFoldHash(toks))
   }
 
   /** Collocation mining: the corpus's top-k adjacent-token bigrams by
@@ -476,10 +474,8 @@ object TextAnalysis {
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 3): DataFrame = {
-    val P = 2147483647L
     def grams(df: DataFrame, cols: Seq[Column]) = df
-      .select(cols :+ transform(tokens(normalizeText(col(textCol))),
-        t => pmod(hash60(t), lit(P))).as("__hs"): _*)
+      .select(cols :+ tokenHashes(tokens(normalizeText(col(textCol)))).as("__hs"): _*)
       .select(cols :+ array_distinct(Dedup.rolledGramHashes(col("__hs"), n)).as("__g"): _*)
     val base = grams(docs, Seq(col(idCol)))
     val benchGrams = grams(benchmark, Nil)
@@ -537,10 +533,9 @@ object TextAnalysis {
     */
   def gramRepetition(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", ns: Seq[Int] = Seq(2, 3)): DataFrame = {
-    val P = 2147483647L
     val base = docs
       .select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
-      .select(col(idCol), transform(col("__tk"), t => pmod(hash60(t), lit(P))).as("__hs"))
+      .select(col(idCol), tokenHashes(col("__tk")).as("__hs"))
     val withGrams = ns.foldLeft(base) { (df, n) =>
       df.withColumn(s"__g$n", Dedup.rolledGramHashes(col("__hs"), n))
     }

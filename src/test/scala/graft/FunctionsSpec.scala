@@ -171,6 +171,35 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native TokenHashExpr == HOF transform/aggregate forms, incl. null tokens") {
+    val s = spark; import s.implicits._
+    import graft.functions.GraftFunctions.{hash60, tokenFoldHash, tokenHashes}
+    val P = 2147483647L
+    val data = Seq(
+      Some(Seq(Some("the"), Some("quick"), Some("brown"), Some("fox"))),
+      Some(Seq(Some("a"))),
+      Some(Seq.empty[Option[String]]),
+      Some(Seq(Some("x"), None, Some("y"))), // null token mid-array
+      Option.empty[Seq[Option[String]]])     // null array
+    val df = data.toDF("tk")
+    val hofElem = transform(col("tk"), t => pmod(hash60(t), lit(P)))
+    val hofFold = aggregate(col("tk"), lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(hash60(t), lit(P)), lit(P)))
+    df.select(tokenHashes(col("tk")).as("n"), hofElem.as("h"),
+        tokenFoldHash(col("tk")).as("nf"), hofFold.as("hf"))
+      .collect().foreach { r =>
+        def v(i: Int): Any = if (r.isNullAt(i)) null else r.get(i)
+        assert(v(0) === v(1), s"elementwise mismatch: $r")
+        assert(v(2) === v(3), s"fold mismatch: $r")
+      }
+    // SQL registration: token_fold_hash(['the','a']) folds the two hashes
+    val got = spark.sql(
+      "SELECT token_hashes(array('the', 'a')) AS th, token_fold_hash(array('the', 'a')) AS tf")
+      .collect().head
+    val Seq(h0, h1) = got.getSeq[Long](0)
+    assert(got.getLong(1) === ((h0 * 1000003L + h1) % P))
+  }
+
   test("shingle_hashes / gram_hashes are registered for SQL; widths validated") {
     // tokens [9, 4, 7]: grams of 2 = [(9*B+4)%P, (4*B+7)%P]
     val b = 1000003L; val p = 2147483647L

@@ -352,6 +352,17 @@ object TextQueries {
       all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250))
   }
 
+  /** Bloom-gated twin: SAME oracle as `incremental_dedup` — the gate is a
+    * pre-filter with no false negatives, so the output is bit-identical;
+    * only the join's input volume differs (Dedup.dedupAgainstBaselineBloom).
+    */
+  private val incrementalDedupBloom: Q = (s, d) => {
+    val all = docs(s, d)
+    Dedup.dedupAgainstBaselineBloom(
+      all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
+      expectedItems = 1000L)
+  }
+
   private val incrementalDedupSql =
     s"""WITH f AS (SELECT *, md5(${norm("text")}) AS fp FROM documents WHERE doc_id >= 250),
        |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
@@ -592,6 +603,7 @@ object TextQueries {
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
     ("curation_pipeline", curation, Some(curationSql)),
     ("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    ("incremental_dedup_bloom", incrementalDedupBloom, Some(incrementalDedupSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("winnow_dedup", winnowDedup, Some(winnowDedupSql)),
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),

@@ -173,6 +173,43 @@ object Dedup {
     exact(incoming, idCol, textCol).join(basFp, Seq("fp"), "left_anti")
   }
 
+  /** Bloom-gated twin of [[dedupAgainstBaseline]] — IDENTICAL output (the
+    * Bloom filter is a pre-filter, never a decision: no false negatives,
+    * and its false positives are settled by the same exact anti join), but
+    * the big side of that join collapses before it ever shuffles.
+    *
+    * Shape: one pass over the deduped incoming batch builds a Bloom filter
+    * of its fingerprints (per-partition sketches, driver-merged —
+    * `n·ln(1/fpp)·1.44` bits, ~1.2 MB at a million docs / 1% fpp); the
+    * BASELINE fingerprint scan then drops every fp the filter rejects
+    * map-side — a definitive "not in this batch" — so the anti join's
+    * baseline side shrinks from |corpus| to ~|true dups| + fpp·|corpus|,
+    * which AQE broadcasts, and the corpus never shuffles at all. This is
+    * the semi-join-reduction idiom Spark's own runtime filters apply to
+    * equi joins, applied where the optimizer can't see it (the fingerprint
+    * is computed, not a stored column). At 100 TB the `fpp` knob trades
+    * filter size against the surviving-baseline row count.
+    *
+    * Like `Sketches.vocabWithCmsGate`, the gate is EAGER by design (the
+    * filter must exist before the plan is built — one action over the
+    * incoming batch, which is persisted since the final join reuses it);
+    * deliberately excluded from PlanDump for that reason.
+    */
+  def dedupAgainstBaselineBloom(incoming: DataFrame, baseline: DataFrame,
+                                idCol: String = "doc_id", textCol: String = "text",
+                                expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val deduped = exact(incoming, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = deduped.stat.bloomFilter("fp", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val gate = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.BloomMightContainExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("fp")), bos.toByteArray))
+    val basFp = baseline.select(fingerprint(col(textCol)).as("fp")).filter(gate).distinct()
+    deduped.join(basFp, Seq("fp"), "left_anti")
+  }
+
   /** MinHash signatures as one exploded scan + one map-side-combined
     * groupBy: each shingle is md5-hashed exactly ONCE, then the k affine
     * minima are plain `min` aggregates (codegen'd, partial map-side).

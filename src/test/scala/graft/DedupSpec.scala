@@ -39,6 +39,28 @@ class DedupSpec extends SparkSpec {
     assert(out(22L) === 2L)               // copy count reflects the batch
   }
 
+  test("dedupAgainstBaselineBloom == dedupAgainstBaseline on randomized batches") {
+    val s = spark; import s.implicits._
+    // overlapping content pools force baseline collisions, batch-internal
+    // dups, and plenty of definite-new docs the bloom gate must not drop
+    val rnd = new scala.util.Random(41)
+    val pool = (0 until 120).map(i => s"document body number ${rnd.nextInt(80)} variant $i")
+    val baseline = (0 until 150).map(i => (i.toLong, pool(rnd.nextInt(pool.size)))).toDF("doc_id", "text")
+    val incoming = (200 until 400).map(i => (i.toLong, pool(rnd.nextInt(pool.size)))).toDF("doc_id", "text")
+    val plain = Dedup.dedupAgainstBaseline(incoming, baseline)
+      .collect().map(_.toSeq).toSet
+    val gated = Dedup.dedupAgainstBaselineBloom(incoming, baseline, expectedItems = 1000L)
+      .collect().map(_.toSeq).toSet
+    assert(gated === plain)
+    // the gate must sit on the baseline side as a native probe. Analyzed
+    // plan, not executed: over these LOCAL fixtures ConvertToLocalRelation
+    // folds the (deterministic) probe away at optimization time — against
+    // a file source it survives as a map-side Filter above the scan
+    val plan = Dedup.dedupAgainstBaselineBloom(incoming, baseline, expectedItems = 1000L)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("bloom_might_contain"), s"bloom gate missing from plan:\n$plan")
+  }
+
   test("minhashLsh finds the planted near-dup pair, never compares all pairs") {
     val out = Dedup.minhashLsh(docs, threshold = 0.3, k = 32, bands = 16, shingleN = 2)
     val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -397,6 +397,41 @@ object TextQueries {
 
   private val minhashLshSql = lshSql(32, 8, 3, 0.3, blockJoin = false)
 
+  /** Incremental near-dup: LSH pairs between the incoming half and the
+    * baseline half ONLY (Dedup.minhashLshAgainstBaseline) — same split as
+    * incremental_dedup. The oracle mirrors the cross-side candidate join
+    * and the union-side bucket cap; band keys embed the band index, so
+    * joining on `bk` alone is the Spark join on (band, bk).
+    */
+  private val incrementalLsh: Q = (s, d) => {
+    val all = docs(s, d)
+    Dedup.minhashLshAgainstBaseline(
+      all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
+      k = 32, bands = 8, threshold = 0.3, shingleN = 3)
+  }
+
+  private val incrementalLshSql: String = {
+    val (k, bands, shingleN, threshold) = (32, 8, 3, 0.3)
+    val rowsPer = k / bands
+    val bandItems = (0 until bands).map(b => s"${bandKey(b, rowsPer)} AS bk$b").mkString(", ")
+    val bkList = (0 until bands).map(i => s"bk$i").mkString(", ")
+    def side(tag: String, pred: String) =
+      s"""h$tag AS (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents WHERE $pred),
+         |b$tag AS (SELECT doc_id, ${shingleHashList("hs", shingleN)} AS sh FROM h$tag),
+         |s$tag AS (SELECT doc_id, sh, ${sigItems("sh", k)} FROM b$tag),
+         |k$tag AS (SELECT doc_id, $bandItems FROM s$tag),
+         |u$tag AS (SELECT doc_id, unnest([$bkList]) AS bk FROM k$tag)""".stripMargin
+    s"""WITH ${side("i", "doc_id >= 250")},
+       |${side("b", "doc_id < 250")},
+       |u AS (SELECT doc_id, 'i' AS side, bk FROM ui UNION ALL SELECT doc_id, 'b' AS side, bk FROM ub),
+       |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY bk) AS bc FROM u) WHERE bc <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_in, b.doc_id AS id_bas
+       |         FROM capped a JOIN capped b ON a.bk = b.bk AND a.side = 'i' AND b.side = 'b'),
+       |v AS (SELECT id_in, id_bas, ${jaccard("sha.sh", "shb.sh")} AS jaccard
+       |      FROM cand JOIN bi sha ON cand.id_in = sha.doc_id JOIN bb shb ON cand.id_bas = shb.doc_id)
+       |SELECT id_in, id_bas, jaccard FROM v WHERE jaccard >= $threshold""".stripMargin
+  }
+
   private val ngramJaccard: Q = (s, d) =>
     Dedup.ngramJaccard(docs(s, d), shingleN = 2, k = 32, bands = 16, threshold = 0.3)
 
@@ -604,6 +639,7 @@ object TextQueries {
     ("curation_pipeline", curation, Some(curationSql)),
     ("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     ("incremental_dedup_bloom", incrementalDedupBloom, Some(incrementalDedupSql)),
+    ("incremental_lsh", incrementalLsh, Some(incrementalLshSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("winnow_dedup", winnowDedup, Some(winnowDedupSql)),
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),

@@ -287,10 +287,20 @@ object Dedup {
     * is simply gone.
     */
   private[graft] def verifyJaccard(cand: DataFrame, base: DataFrame, idCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double): DataFrame =
+    verifyJaccardTwoSided(cand, base, base, idCol, "id_a", "id_b", threshold)
+
+  /** Same verification with DISTINCT shingle tables per pair side — the
+    * incremental (batch-vs-baseline) form, where `id_a` resolves in the
+    * incoming base and `id_b` in the baseline base. `verifyJaccard` is the
+    * self-dedup special case (both sides the same table).
+    */
+  private[graft] def verifyJaccardTwoSided(cand: DataFrame, baseA: DataFrame,
+                            baseB: DataFrame, idCol: String, aName: String,
+                            bName: String, threshold: Double): DataFrame = {
     cand
-      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(baseA.select(col(idCol).as(aName), col("sh").as("sh_a")), Seq(aName))
+      .join(baseB.select(col(idCol).as(bName), col("sh").as("sh_b")), Seq(bName))
       // size-ratio prune: jaccard ≤ min/max (intersection ≤ the smaller
       // set, union ≥ the larger), so pairs failing min ≥ t·max can never
       // verify — dropped BEFORE the per-pair set intersection. The 1e-9
@@ -305,7 +315,7 @@ object Dedup {
       .withColumn("jaccard", round(
         col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")), 6))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(aName, bName, "jaccard")
   }
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
@@ -321,6 +331,47 @@ object Dedup {
     val base = persistedBase(docs, idCol, textCol, Nil, shingleN)
     val cand = lshCandidates(base, idCol, Nil, k, bands, maxBucket)
     verifyJaccard(cand, base, idCol, threshold)
+  }
+
+  /** Incremental NEAR-dup detection — the LSH analog of
+    * [[dedupAgainstBaseline]]: near-duplicate pairs BETWEEN an incoming
+    * batch and the baseline corpus, never within either side. Re-running
+    * full-corpus LSH per crawl re-pairs the baseline against itself —
+    * O(corpus) band-join work for pairs that were already adjudicated;
+    * here the band join's left side is only the batch's banded rows, so
+    * steady-state cost tracks the batch (the baseline contributes its
+    * banded rows to the shuffle but generates no intra-baseline pairs,
+    * and a production run persists its banded table bucketed by band key
+    * the same way the fingerprint baseline is bucketed for exact dedup).
+    *
+    * Hot-bucket capping applies to the UNION of both sides' rows — a
+    * degenerate band key (boilerplate) is degenerate regardless of which
+    * side its members came from, and capping per side would let
+    * |inc|·|bas| pairs through a bucket that self-LSH would have dropped.
+    * Output: (id_in, id_bas, jaccard) — exact-verified like `minhashLsh`,
+    * with each side's shingles resolved from its own (persisted) base.
+    */
+  def minhashLshAgainstBaseline(incoming: DataFrame, baseline: DataFrame,
+                                idCol: String = "doc_id", textCol: String = "text",
+                                k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+                                shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPer = k / bands
+    val bInc = persistedBase(incoming, idCol, textCol, Nil, shingleN)
+    val bBas = persistedBase(baseline, idCol, textCol, Nil, shingleN)
+    def banded(base: DataFrame, side: String) = signatures(base, idCol, Nil, k)
+      .select(col(idCol) +: Seq(posexplode(array(bandKeyCols(bands, rowsPer): _*))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+      .withColumn("__side", lit(side))
+    val capped = capBuckets(
+      banded(bInc, "i").unionByName(banded(bBas, "b")), Seq("band", "bk"), maxBucket)
+    val l = capped.filter(col("__side") === "i")
+      .select(col("band"), col("bk"), col(idCol).as("id_in"))
+    val r = capped.filter(col("__side") === "b")
+      .select(col("band"), col("bk"), col(idCol).as("id_bas"))
+    val cand = l.join(r, Seq("band", "bk"))
+      .select("id_in", "id_bas").dropDuplicates("id_in", "id_bas")
+    verifyJaccardTwoSided(cand, bInc, bBas, idCol, "id_in", "id_bas", threshold)
   }
 
   /** The shingle table has TWO consumers — candidate generation and exact

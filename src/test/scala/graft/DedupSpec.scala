@@ -61,6 +61,38 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("bloom_might_contain"), s"bloom gate missing from plan:\n$plan")
   }
 
+  test("minhashLshAgainstBaseline == full-corpus LSH restricted to cross-side pairs") {
+    val s = spark; import s.implicits._
+    // near-dup families spanning the id split at 100, plus unrelated docs
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    def doc(family: Int, mutate: Int) = (0 until 30).map { i =>
+      if (i == mutate) "MUT" + i else words((family * 3 + i) % words.size) + (i % 5)
+    }.mkString(" ")
+    val all = (0 until 40).map { i =>
+      val fam = i % 8
+      (i.toLong, if (i < 20) doc(fam, -1) else doc(fam, rnd.nextInt(30)))
+    }.toDF("doc_id", "text")
+    val baseline = all.filter($"doc_id" < 20)
+    val incoming = all.filter($"doc_id" >= 20)
+    val cross = Dedup.minhashLshAgainstBaseline(incoming, baseline,
+        k = 32, bands = 16, threshold = 0.3, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cross.nonEmpty)
+    // orientation: id_in is always from the incoming side, id_bas baseline
+    cross.foreach { case (in, bas, _) => assert(in >= 20 && bas < 20) }
+    // identical params + capping unreached → exactly the straddling subset
+    // of full-corpus LSH (which orders pairs id_a < id_b = (baseline, inc))
+    val full = Dedup.minhashLsh(all, k = 32, bands = 16, threshold = 0.3, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 20 && b >= 20 }
+      .map { case (a, b, j) => (b, a, j) }.toSet
+    assert(cross === full)
+    val plan = Dedup.minhashLshAgainstBaseline(incoming, baseline)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
+  }
+
   test("minhashLsh finds the planted near-dup pair, never compares all pairs") {
     val out = Dedup.minhashLsh(docs, threshold = 0.3, k = 32, bands = 16, shingleN = 2)
     val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -454,8 +454,25 @@ object ExtQueries {
       |WHERE copy < weight_ppm // 1000000
       |   OR u < weight_ppm % 1000000""".stripMargin
 
+  // -- join-key skew profile ------------------------------------------
+  // (user_id, event_type) composite key over events: exercises the
+  // multi-column concat and a realistic "who stalls my join" question
+  private val keySkewQ: Q = (s, d) =>
+    RelOps.keySkew(Tables.events(s, d), Seq("user_id", "event_type"), topN = 10)
+
+  private val keySkewSql =
+    """WITH k AS (SELECT coalesce(CAST(user_id AS VARCHAR), '<null>') || '|' ||
+      |                  coalesce(CAST(event_type AS VARCHAR), '<null>') AS key,
+      |            count(*) AS n_rows FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows, count(*) AS n_keys FROM k),
+      |top AS (SELECT key, n_rows FROM k ORDER BY n_rows DESC, key LIMIT 10)
+      |SELECT key, CAST(n_rows AS BIGINT) AS n_rows, total_rows, n_keys,
+      |  CAST((n_rows * 1000 * n_keys) // total_rows AS BIGINT) AS skew_x1000
+      |FROM top, t""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("asof_join", asofJoin, Some(asofJoinSql)),
+    ("key_skew", keySkewQ, Some(keySkewSql)),
     ("asof_stream", asofStream, Some(asofJoinSql)),
     ("spatial_radius", spatialRadius, Some(spatialRadiusSql)),
     ("spatial_nearest", spatialNearest, Some(spatialNearestSql)),

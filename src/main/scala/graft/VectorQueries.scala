@@ -101,6 +101,23 @@ object VectorQueries {
        |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2""".stripMargin
 
+  /** Incremental cosine near-dup: incoming half (vec_id >= 250) vs
+    * baseline half only (Similarity.cosineNearDupAgainstBaseline).
+    */
+  private val incrementalCosine: Q = (s, d) => {
+    import org.apache.spark.sql.functions.col
+    val all = Tables.embeddings(s, d)
+    Similarity.cosineNearDupAgainstBaseline(
+      all.filter(col("vec_id") >= 250), all.filter(col("vec_id") < 250),
+      threshold = 0.2, dim = DIM, nPlanes = 8)
+  }
+
+  private val incrementalCosineSql =
+    s"""WITH e AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_in, b.vec_id AS id_bas, ${cosineSql("a.v", "b.v")} AS cosine
+       |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id >= 250 AND b.vec_id < 250)
+       |SELECT id_in, id_bas, cosine FROM p WHERE cosine >= 0.2""".stripMargin
+
   // -- Lloyd's k-means codebook refinement + assignment ---------------------
   private val kmeans: Q = (s, d) =>
     Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 1, dim = DIM)
@@ -230,6 +247,7 @@ object VectorQueries {
     ("ivf_topk", ivfTopK, Some(ivfTopKSql)),
     ("kmeans_assign", kmeans, Some(kmeansSql)),
     ("cosine_near_dup", nearDup, Some(nearDupSql)),
+    ("incremental_cosine", incrementalCosine, Some(incrementalCosineSql)),
     ("semantic_dedup", semantic, Some(semanticSql)),
     ("quantized_topk", quantizedTopK, Some(quantizedTopKSql)),
     ("class_centroids", centroids, Some(centroidsSql)),

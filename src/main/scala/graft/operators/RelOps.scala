@@ -233,6 +233,35 @@ object RelOps {
       .select(col("e.*"))
   }
 
+  /** Join-key skew profile — the diagnostic that picks the [[saltedJoin]]
+    * salt and flags AQE-skew candidates BEFORE a 100 TB join runs: the
+    * `topN` heaviest key values with their share of the table and their
+    * skew factor (key count ÷ mean key count, ×1000 integral — a key at
+    * 1000 is average; 50000 is a 50× hot key that will stall its reducer).
+    *
+    * One map-side-combined groupBy (shuffle ≈ |distinct keys|), a TakeOrdered
+    * for the top-N (no global sort materialization), and a single-row
+    * totals broadcast. NULL key components take a sentinel so an all-null
+    * key row is profiled, not dropped. `(n_rows desc, key asc)` is a total
+    * order, so the boundary of the top-N is deterministic cross-engine.
+    * Division audit: all operands are non-negative counts — truncating
+    * `div` and the oracle's `//` are both floor here.
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String], topN: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty && topN > 0, "keySkew needs key columns and topN > 0")
+    val keyed = df
+      .select(concat_ws("|",
+        keyCols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_rows"))
+    val totals = keyed.agg(
+      sum("n_rows").cast("long").as("total_rows"), count(lit(1)).as("n_keys"))
+    keyed
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topN)
+      .crossJoin(broadcast(totals))
+      .withColumn("skew_x1000", expr("(n_rows * 1000 * n_keys) div total_rows"))
+  }
+
   /** Keyless 1-D range join: each point row joins every interval row
     * whose `[lo, hi]` contains its ordinate — the temporal analog of
     * `Spatial.radiusJoin`, and the join shape Spark has no native

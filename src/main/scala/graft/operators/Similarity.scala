@@ -160,6 +160,30 @@ object Similarity {
     * same bucket with probability (1 - θ/π)^nPlanes; lower `nPlanes` for
     * higher recall, raise it for tighter buckets.
     */
+  /** Incremental embedding near-dup — the vector-space analog of
+    * `Dedup.minhashLshAgainstBaseline`: cosine-near pairs BETWEEN an
+    * incoming batch and the baseline only, never within either side. Each
+    * vector keeps its ONE hyperplane-signature bucket (same plan-time
+    * planes both sides — signatures are comparable by construction), so
+    * the bucket equi join generates each cross pair at most once and the
+    * per-crawl candidate volume tracks the batch, not the corpus.
+    * Output: (id_in, id_bas, cosine ≥ threshold).
+    */
+  def cosineNearDupAgainstBaseline(incoming: DataFrame, baseline: DataFrame,
+                                   threshold: Double, dim: Int, nPlanes: Int = 8,
+                                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucket = VectorOps.lshBucket(col(vecCol), dim, nPlanes)
+    val l = incoming.select(col(idCol).as("id_in"), col(vecCol).as("v_a"), bucket.as("bucket"))
+      .withColumn("n_a", VectorOps.norm(col("v_a")))
+    val r = baseline.select(col(idCol).as("id_bas"), col(vecCol).as("v_b"), bucket.as("bucket"))
+      .withColumn("n_b", VectorOps.norm(col("v_b")))
+    l.join(r, Seq("bucket"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_in"), col("id_bas"), col("cosine"))
+  }
+
   def cosineNearDup(vectors: DataFrame, threshold: Double, dim: Int, nPlanes: Int = 8,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucket = VectorOps.lshBucket(col(vecCol), dim, nPlanes)

@@ -234,6 +234,19 @@ class RelOpsSpec extends SparkSpec {
       s"range join must stay an equi join on the cell:\n$plan")
   }
 
+  test("keySkew: top-N hot keys with exact shares; null keys profiled, ties deterministic") {
+    val s = spark; import s.implicits._
+    // key "a": 6 rows, "b": 3, null: 2, "c": 1 → 4 keys, 12 rows, mean 3
+    val df = (Seq.fill(6)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
+      Seq.fill(2)(None: Option[String]) :+ Some("c")).toDF("k")
+    val out = RelOps.keySkew(df, Seq("k"), topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // order: n_rows desc, key asc; "c" (1 row) falls off the top-3
+    assert(out.map(_._1).toSeq === Seq("a", "b", "<null>"))
+    assert(out.head === (("a", 6L, 12L, 4L, 2000L)))  // 6 = 2.0x the mean of 3
+    assert(out(2) === (("<null>", 2L, 12L, 4L, 666L))) // floor(2*1000*4/12)
+  }
+
   test("rangeJoin rejects shared column names and a reserved __cell up front") {
     val s = spark; import s.implicits._
     val points = Seq((1L, 10L)).toDF("user_id", "x")

@@ -189,4 +189,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
     out.collect().foreach(r => assert(r.getDouble(2) >= 0.0))
   }
+
+  test("cosineNearDupAgainstBaseline == full cosineNearDup restricted to cross-side pairs") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(s, dir)
+    val split = 30L
+    val cross = Similarity.cosineNearDupAgainstBaseline(
+        emb.filter(col("vec_id") >= split), emb.filter(col("vec_id") < split),
+        threshold = 0.1, dim = 64, nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    cross.foreach { case (in, bas, _) => assert(in >= split && bas < split) }
+    // same planes both sides → identical buckets → exactly the straddling
+    // subset of the self-join (which orders id_a < id_b = (baseline, inc))
+    val full = Similarity.cosineNearDup(emb, threshold = 0.1, dim = 64, nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < split && b >= split }
+      .map { case (a, b, c) => (b, a, c) }.toSet
+    assert(cross === full)
+    assert(cross.nonEmpty, "fixture must produce straddling pairs")
+  }
 }

@@ -233,31 +233,110 @@ object EventsStream {
       .mapGroupsWithState[Vector[Long], (Long, Option[Long], Option[Long], Option[Long], Long)](
         GroupStateTimeout.NoTimeout) {
         case (user, rows, state) =>
-          var done = state.getOption.getOrElse(Vector.empty[Long])
-          if (done.length < steps.length) {
-            // drop-before-buffer: an event of an already-completed step, or
-            // keyed at/below the last completion, can never extend the
-            // chain (done only grows, keys must strictly increase) — so
-            // only still-advanceable events reach the sort buffer
-            val floor = done.lastOption.getOrElse(Long.MinValue)
-            val entryLen = done.length
-            val idxOf = steps.zipWithIndex.toMap
-            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-            rows.foreach(r => r._3.foreach { k =>
-              val i = idxOf(r._2)
-              if (i >= entryLen && k > floor) buf += ((k, i))
-            })
-            buf.sortInPlaceBy(_._1).foreach { case (k, i) =>
-              if (done.length < steps.length && i == done.length &&
-                  done.lastOption.forall(_ < k))
-                done :+= k
-            }
-          }
+          val done = advanceFunnel(
+            state.getOption.getOrElse(Vector.empty[Long]), rows, steps)
           state.update(done)
           // floorDiv, not `/`: truncation decodes pre-1970 (negative)
           // timestamps one ms too high — matches the batch operator
           def ms(i: Int): Option[Long] = done.lift(i).map(Math.floorDiv(_, tieMod))
           (user, ms(0), ms(1), ms(2), done.length.toLong)
+      }
+  }
+
+  /** The shared funnel fold: advance `done0` with this invocation's
+    * events, greedily taking the first event of the awaited step in
+    * ascending key order. Drop-before-buffer: an event of an already-
+    * completed step, or keyed at/below the last completion, can never
+    * extend the chain (done only grows, keys must strictly increase) —
+    * so only still-advanceable events reach the sort buffer.
+    */
+  private def advanceFunnel(done0: Vector[Long],
+                            rows: Iterator[(Long, String, Option[Long])],
+                            steps: Seq[String]): Vector[Long] = {
+    var done = done0
+    if (done.length < steps.length) {
+      val floor = done.lastOption.getOrElse(Long.MinValue)
+      val entryLen = done.length
+      val idxOf = steps.zipWithIndex.toMap
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      rows.foreach(r => r._3.foreach { k =>
+        val i = idxOf(r._2)
+        if (i >= entryLen && k > floor) buf += ((k, i))
+      })
+      buf.sortInPlaceBy(_._1).foreach { case (k, i) =>
+        if (done.length < steps.length && i == done.length &&
+            done.lastOption.forall(_ < k))
+          done :+= k
+      }
+    }
+    done
+  }
+
+  /** Streaming funnel with ABANDONMENT detection — the `EventTimeTimeout`
+    * counterpart of [[funnelProgress]], and the state-EVICTION semantics a
+    * `NoTimeout` operator cannot express: the store holds only in-flight
+    * funnels. Each user emits at most one append-mode row per funnel run:
+    *
+    *   - `(user, 3, "converted")` in the micro-batch whose events complete
+    *     the final step (state removed immediately);
+    *   - `(user, depth, "abandoned")` when the WATERMARK moves `gapMinutes`
+    *     of event time past their last completed step with the funnel still
+    *     open — fired by the state-store timeout, so no per-user scan.
+    *
+    * The abandonment clock is the GLOBAL watermark, which advances with
+    * observed STEP traffic: the optimizer pushes the step filter below
+    * the watermark node (the predicate doesn't reference `ts`), so
+    * non-step events never reach the clock — irrelevant on a busy stream
+    * where other users' step events keep it moving, but a test must
+    * advance time with step events. The timeout timestamp is clamped above
+    * the current watermark (`setTimeoutTimestamp` rejects past-due
+    * stamps); users whose state was evicted re-enter a FRESH funnel if
+    * step events arrive later — by then their row was already emitted,
+    * the same at-most-once-per-run contract a completed user has.
+    * Progress folds via [[funnelProgress]]'s exact `advanceFunnel`.
+    */
+  def funnelWithAbandonment(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                            steps: Seq[String] = Seq("view", "click", "purchase"),
+                            gapMinutes: Int = 60, lateness: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(Long, Long, String)] = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val tieMod = 1L << 20
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", lateness)
+      .filter(col("event_type").isin(steps: _*))
+      // ts rides along unused: the event-time-timeout checker requires the
+      // WATERMARKED attribute to still exist in the stateful operator's
+      // input — projecting it away severs the watermark association
+      .select(col("user_id").cast("long"), col("event_type"),
+        (unix_millis(col("ts")) * tieMod + pmod(col("event_id"), lit(tieMod))).as("k"),
+        col("ts"))
+      .as[(Long, String, Option[Long], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[Long], (Long, Long, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val depth = state.getOption.map(_.length.toLong).getOrElse(0L)
+            state.remove()
+            Iterator.single((user, depth, "abandoned"))
+          } else {
+            val done = advanceFunnel(
+              state.getOption.getOrElse(Vector.empty[Long]),
+              rows.map(r => (r._1, r._2, r._3)), steps)
+            if (done.length == steps.length) {
+              if (state.exists) state.remove()
+              Iterator.single((user, done.length.toLong, "converted"))
+            } else if (done.nonEmpty) {
+              state.update(done)
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(done.last, tieMod) + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            } else Iterator.empty // no progress yet: nothing to abandon
+          }
       }
   }
 

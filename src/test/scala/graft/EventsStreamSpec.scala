@@ -83,6 +83,43 @@ class EventsStreamSpec extends SparkSpec {
     assert(!rows.valuesIterator.contains((2L, 10000L)))
   }
 
+  test("funnelWithAbandonment: converts emit once, stalled funnels time out via event time, state evicts") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val q = graft.streaming.EventsStream
+      .funnelWithAbandonment(streamDf, gapMinutes = 60, lateness = "10 minutes")
+      .toDF("user_id", "depth", "status")
+      .writeStream.format("memory").queryName("fab_out").outputMode("append").start()
+    try {
+      // u1 stalls at depth 2; u2 converts in one batch; u3 never progresses
+      // (click before any view — not a first step, so no state is stored)
+      mem.addData(
+        (1L, "2026-01-01 10:00:00", 1L, "view", 0.0),
+        (2L, "2026-01-01 10:01:00", 1L, "click", 0.0),
+        (3L, "2026-01-01 10:00:00", 2L, "view", 0.0),
+        (4L, "2026-01-01 10:01:00", 2L, "click", 0.0),
+        (5L, "2026-01-01 10:02:00", 2L, "purchase", 0.0),
+        (6L, "2026-01-01 10:00:00", 3L, "click", 0.0))
+      q.processAllAvailable()
+      // STEP traffic from another user advances the watermark past u1's
+      // last progress (10:01) + 60 min gap (+10 min lateness) → timeout
+      // fires; u9's own fresh funnel (view@11:30) stays in flight: its
+      // timeout (12:30) is past the final watermark (11:50)
+      mem.addData((7L, "2026-01-01 11:30:00", 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData((8L, "2026-01-01 12:00:00", 9L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("fab_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set((2L, 3L, "converted"), (1L, 2L, "abandoned")),
+      s"got $out")
+  }
+
   test("dedupAgainstBaselineStream: stream-static anti join == batch dedup half") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -358,9 +358,12 @@ object TextQueries {
     */
   private val incrementalDedupBloom: Q = (s, d) => {
     val all = docs(s, d)
+    // expectedItems is an UPPER bound across graded sfs (sf0.1 has ~5k
+    // docs): an undersized filter only degrades fpp — output stays exact —
+    // but the gate stops paying for itself; 100k costs ~120 KB
     Dedup.dedupAgainstBaselineBloom(
       all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
-      expectedItems = 1000L)
+      expectedItems = 100000L)
   }
 
   private val incrementalDedupSql =

@@ -467,7 +467,7 @@ object ExtQueries {
       |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows, count(*) AS n_keys FROM k),
       |top AS (SELECT key, n_rows FROM k ORDER BY n_rows DESC, key LIMIT 10)
       |SELECT key, CAST(n_rows AS BIGINT) AS n_rows, total_rows, n_keys,
-      |  CAST((n_rows * 1000 * n_keys) // total_rows AS BIGINT) AS skew_x1000
+      |  CAST((n_rows * 1000) // (total_rows // n_keys) AS BIGINT) AS skew_x1000
       |FROM top, t""".stripMargin
 
   val registry: Vector[(String, Q, Option[String])] = Vector(

@@ -16,11 +16,13 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * The serialized filter travels to executors inside the expression (the
   * same closure-shipping a broadcast variable would do for this size); it
-  * deserializes once per task via the transient lazy val, and the probe is
-  * two xxhash64 passes over the UTF-8 bytes — no per-row allocation.
-  * Built on the public `org.apache.spark.util.sketch.BloomFilter`, whose
-  * `putString`/`mightContainString` pair is what `DataFrameStat-
-  * Functions.bloomFilter` builds with — same item-hash path both sides.
+  * deserializes once per task via the transient lazy val, and each probe
+  * is one String materialization plus the filter's item hash. Built on
+  * the public `org.apache.spark.util.sketch.BloomFilter`:
+  * `mightContainString` is the read path consistent with whatever
+  * `DataFrameStatFunctions.bloomFilter` inserted for a string column —
+  * the pairing (zero false negatives included) is locked by DedupSpec's
+  * randomized equivalence test, not assumed.
   */
 case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression with CodegenFallback {

@@ -33,6 +33,15 @@ case class TokenHashExpr(child: Expression, fold: Boolean)
 
   override def dataType: DataType =
     if (fold) LongType else ArrayType(LongType, containsNull = true)
+  // the fold goes null on a null ELEMENT too, so a non-nullable array of
+  // nullable strings can still produce null — element nullability must
+  // flow into ours or downstream null-elision optimizes wrongly
+  override def nullable: Boolean =
+    if (fold) child.nullable || (child.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
+    else child.nullable
   override def prettyName: String = if (fold) "token_fold_hash" else "token_hashes"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

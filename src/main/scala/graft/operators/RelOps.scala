@@ -245,7 +245,11 @@ object RelOps {
     * key row is profiled, not dropped. `(n_rows desc, key asc)` is a total
     * order, so the boundary of the top-N is deterministic cross-engine.
     * Division audit: all operands are non-negative counts — truncating
-    * `div` and the oracle's `//` are both floor here.
+    * `div` and the oracle's `//` are both floor here. The factor divides
+    * by the FLOORED mean (never 0: every key has ≥ 1 row) rather than
+    * computing `n_rows·1000·n_keys`, whose product overflows a long at
+    * realistic 100 TB counts (10¹² rows × 10⁹ keys); `n_rows·1000` is
+    * safe to ~9·10¹⁵ rows per key.
     */
   def keySkew(df: DataFrame, keyCols: Seq[String], topN: Int = 10): DataFrame = {
     require(keyCols.nonEmpty && topN > 0, "keySkew needs key columns and topN > 0")
@@ -259,7 +263,7 @@ object RelOps {
       .orderBy(col("n_rows").desc, col("key"))
       .limit(topN)
       .crossJoin(broadcast(totals))
-      .withColumn("skew_x1000", expr("(n_rows * 1000 * n_keys) div total_rows"))
+      .withColumn("skew_x1000", expr("(n_rows * 1000) div (total_rows div n_keys)"))
   }
 
   /** Keyless 1-D range join: each point row joins every interval row

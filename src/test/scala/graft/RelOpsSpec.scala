@@ -244,7 +244,12 @@ class RelOpsSpec extends SparkSpec {
     // order: n_rows desc, key asc; "c" (1 row) falls off the top-3
     assert(out.map(_._1).toSeq === Seq("a", "b", "<null>"))
     assert(out.head === (("a", 6L, 12L, 4L, 2000L)))  // 6 = 2.0x the mean of 3
-    assert(out(2) === (("<null>", 2L, 12L, 4L, 666L))) // floor(2*1000*4/12)
+    assert(out(2) === (("<null>", 2L, 12L, 4L, 666L))) // floor(2000/3)
+    // non-integral mean: 13 rows / 5 keys → floored mean 2 (overflow-safe
+    // formula divides by the floored mean, not n_rows*1000*n_keys/total)
+    val out2 = RelOps.keySkew(df.unionByName(Seq(Some("d")).toDF("k")), Seq("k"), topN = 1)
+      .collect().head
+    assert(out2.getLong(4) === 3000L) // a: 6*1000 div 2
   }
 
   test("rangeJoin rejects shared column names and a reserved __cell up front") {

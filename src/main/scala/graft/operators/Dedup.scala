@@ -298,9 +298,14 @@ object Dedup {
   private[graft] def verifyJaccardTwoSided(cand: DataFrame, baseA: DataFrame,
                             baseB: DataFrame, idCol: String, aName: String,
                             bName: String, threshold: Double): DataFrame = {
+    // array_sort on the per-DOC side of each join, not per pair: the
+    // sorted copies feed the allocation-free merge intersect below, and
+    // |docs| ≪ |candidate pairs|. Set semantics (sizes, intersection
+    // cardinality) are order-independent, so outputs are bit-identical to
+    // the array_intersect form the oracle mirrors.
     cand
-      .join(baseA.select(col(idCol).as(aName), col("sh").as("sh_a")), Seq(aName))
-      .join(baseB.select(col(idCol).as(bName), col("sh").as("sh_b")), Seq(bName))
+      .join(baseA.select(col(idCol).as(aName), array_sort(col("sh")).as("sh_a")), Seq(aName))
+      .join(baseB.select(col(idCol).as(bName), array_sort(col("sh")).as("sh_b")), Seq(bName))
       // size-ratio prune: jaccard ≤ min/max (intersection ≤ the smaller
       // set, union ≥ the larger), so pairs failing min ≥ t·max can never
       // verify — dropped BEFORE the per-pair set intersection. The 1e-9
@@ -311,7 +316,10 @@ object Dedup {
       // |a ∪ b| = |a| + |b| − |a ∩ b| (shingle arrays are distinct), so the
       // union array is never materialized — identical values, half the
       // set-operation work on the |candidates| hot path
-      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("__i", org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.SortedIntersectSizeExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh_a")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh_b")))).cast("double"))
       .withColumn("jaccard", round(
         col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")), 6))
       .filter(col("jaccard") >= threshold)

@@ -200,6 +200,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got.getLong(1) === ((h0 * 1000003L + h1) % P))
   }
 
+  test("SortedIntersectSizeExpr == size(array_intersect) on random sorted arrays with dups") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rnd = new scala.util.Random(23)
+    // small domain forces collisions and duplicates; include empties
+    val data = (0 until 400).map { _ =>
+      (Seq.fill(rnd.nextInt(12))(rnd.nextInt(15).toLong),
+       Seq.fill(rnd.nextInt(12))(rnd.nextInt(15).toLong))
+    }
+    val df = data.toDF("a", "b")
+      .select(array_sort(col("a")).as("a"), array_sort(col("b")).as("b"))
+    val native = ColumnBridge.column(graft.functions.SortedIntersectSizeExpr(
+      ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))
+    df.select(native.as("n"), size(array_intersect(col("a"), col("b"))).as("h"))
+      .collect().foreach(r => assert(r.getInt(0) === r.getInt(1), r))
+    // null array propagates to null, like size(array_intersect(...))
+    val withNull = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(withNull.select(ColumnBridge.column(graft.functions.SortedIntersectSizeExpr(
+      ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")))))
+      .collect().head.isNullAt(0))
+  }
+
   test("shingle_hashes / gram_hashes are registered for SQL; widths validated") {
     // tokens [9, 4, 7]: grams of 2 = [(9*B+4)%P, (4*B+7)%P]
     val b = 1000003L; val p = 2147483647L

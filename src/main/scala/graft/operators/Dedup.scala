@@ -398,12 +398,29 @@ object Dedup {
     shingleBase(docs, idCol, textCol, blockCols, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** 60-bit SimHash per document over token unigrams (count-weighted).
-    * Computed with one explode + one groupBy (a single shuffle keyed by the
-    * document id, which is already the table's natural partitioning).
-    * Documents with zero tokens are excluded (no bits to vote).
+  /** 60-bit SimHash per document over token unigrams (count-weighted) —
+    * one native pass per row ([[graft.functions.SimHash60Expr]]), a PURE
+    * PROJECTION: the previous explode→groupBy tally shuffled N×tokens
+    * rows just to bring each document's votes back together; with the
+    * tokens in hand as an array there is nothing to regroup, and the only
+    * shuffle left in `simhashPairs` is the band join's. Documents with
+    * zero tokens are excluded (no bits to vote — the expression returns
+    * null and the filter drops it, as the aggregate form's absent group
+    * did).
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.SimHash60Expr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            tokens(normalizeText(col(textCol)))))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The aggregate (explode→groupBy packed-lane vote) form — KEPT ONLY as
+    * the executable spec [[graft.functions.SimHash60Expr]] is equivalence-
+    * tested against (DedupSpec); production paths use the projection.
+    */
+  private[graft] def hofSimhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
       .select(col(idCol), explode(col("__tk")).as("tok"))
       .withColumn("h", hash60(col("tok")))

@@ -104,6 +104,23 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
   }
 
+  test("native SimHash60Expr projection == explode/groupBy aggregate form") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Seq("red", "blue", "green", "up", "down", "x1", "y2", "z3")
+    val texts = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(20))(words(rnd.nextInt(words.size))).mkString(" "))
+    } :+ ((98L, "")) :+ ((99L, "   "))  // zero-token docs: excluded by both
+    val df = texts.toDF("doc_id", "text")
+    val native = Dedup.simhash(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val agg = Dedup.hofSimhash(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native === agg)
+    assert(!native.contains(98L) && !native.contains(99L))
+    // the projection form plans no aggregate before banding
+    val plan = Dedup.simhash(df).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), s"simhash must be a pure projection:\n$plan")
+  }
+
   test("simhash pairs respect the hamming bound and the 4x15-bit banding") {
     val out = Dedup.simhashPairs(docs, maxHamming = 3)
     out.collect().foreach(r => assert(r.getAs[Long]("hamming") <= 3))

@@ -210,19 +210,35 @@ object Dedup {
     deduped.join(basFp, Seq("fp"), "left_anti")
   }
 
-  /** MinHash signatures as one exploded scan + one map-side-combined
-    * groupBy: each shingle is md5-hashed exactly ONCE, then the k affine
-    * minima are plain `min` aggregates (codegen'd, partial map-side).
-    *
-    * This is deliberately NOT k `array_min(transform(...))` expressions over
-    * a per-row signature array: those re-evaluate the md5 transform k times —
-    * higher-order functions run interpreted, outside codegen's
-    * common-subexpression elimination, so the array form costs k× the
-    * hashing (measured 30s vs 3s at sf0.1). The mod-P reduction happens
-    * upstream in shingleBase (h*a with a 60-bit h would overflow a long —
-    * silent wrap here, an error in SQL engines).
+  /** MinHash signatures as a PURE PROJECTION — one native pass computing
+    * all k affine minima per row ([[graft.functions.MinHashSigExpr]]).
+    * Two prior shapes both lost: k `array_min(transform(...))` HOFs
+    * re-evaluate the md5 transform k times (measured 30s vs 3s at sf0.1),
+    * and the explode→groupBy-min tally md5-hashes once but pays an
+    * N×shingles EXCHANGE purely to regroup each document's rows — the
+    * native kernel hashes once AND shuffles nothing, so the only exchange
+    * left in every LSH plan is the band join's. The mod-P reduction
+    * happens upstream in shingleBase (h·a with a 60-bit h would overflow
+    * a long — silent wrap here, an error in SQL engines). Documents with
+    * no shingles yield a null signature and are filtered, exactly as the
+    * aggregate form's absent group was.
     */
   private[graft] def signatures(base: DataFrame, idCol: String, blockCols: Seq[String],
+                         k: Int): DataFrame = {
+    val gcols = (idCol +: blockCols).map(col)
+    val sig = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MinHashSigExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh")), hashParams(k)))
+    base.select(gcols :+ sig.as("__sig"): _*)
+      .filter(col("__sig").isNotNull)
+      .select(gcols ++ (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"__sig$i")): _*)
+  }
+
+  /** The exploded map-side-combined aggregate form — KEPT ONLY as the
+    * executable spec [[graft.functions.MinHashSigExpr]] is equivalence-
+    * tested against (DedupSpec); production paths use the projection.
+    */
+  private[graft] def hofSignatures(base: DataFrame, idCol: String, blockCols: Seq[String],
                          k: Int): DataFrame = {
     val gcols = (idCol +: blockCols).map(col)
     val ex = base.select(gcols :+ explode(col("sh")).as("__h"): _*)

@@ -104,6 +104,25 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
   }
 
+  test("native MinHashSigExpr projection == explode/groupBy-min aggregate form") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val texts = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(25))("w" + rnd.nextInt(40)).mkString(" "))) :+
+      ((99L, ""))  // zero-shingle doc: dropped by both forms
+    val df = texts.toDF("doc_id", "text")
+    val base = Dedup.shingleBase(df, "doc_id", "text", Nil, 3)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toSeq).toMap
+    val native = rows(Dedup.signatures(base, "doc_id", Nil, 16))
+    val agg = rows(Dedup.hofSignatures(base, "doc_id", Nil, 16))
+    assert(native === agg)
+    // projection form: no Aggregate in the signature stage's plan
+    val plan = Dedup.signatures(base, "doc_id", Nil, 16)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), s"signatures must be a pure projection:\n$plan")
+  }
+
   test("native SimHash60Expr projection == explode/groupBy aggregate form") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)

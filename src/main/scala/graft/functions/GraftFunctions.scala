@@ -127,6 +127,15 @@ object GraftFunctions {
       graft.functions.TokenHashExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(tk), fold = true))
 
+  /** Per-document `array<struct<token, tf>>` term counts in one native
+    * pass — `explode(termCounts(tk))` replaces the
+    * `explode(tk) → groupBy(doc, term).count()` shuffle (TermCountsExpr).
+    */
+  def termCounts(tk: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TermCountsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tk)))
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace, trim. */
   def normalizeText(text: Column): Column = trim(regexp_replace(lower(text), "\\s+", " "))
 

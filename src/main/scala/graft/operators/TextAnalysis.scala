@@ -405,8 +405,10 @@ object TextAnalysis {
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val tf = docs
-      .select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).cast("long").as("tf"))
+      // native per-doc term counts (TermCountsExpr): identical rows to
+      // explode→groupBy(doc, term).count, zero shuffle
+      .select(col(idCol), explode(termCounts(tokens(normalizeText(col(textCol))))).as("__tc"))
+      .select(col(idCol), col("__tc.token").as("token"), col("__tc.tf").as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = tf.groupBy("token").agg(sum("tf").as("__c"))
     val total = counts.agg(sum("__c").as("__t"))
@@ -427,8 +429,10 @@ object TextAnalysis {
     * Scores are `tf × ln(N/df)`, rounded to 6 BEFORE ranking with a term
     * tie-break, so the per-doc top-k is a total order.
     *
-    * Shape at 100 TB: per-doc term counts (explode → map-side-combined
-    * count), document frequencies as a second aggregate over those
+    * Shape at 100 TB: per-doc term counts as a PURE PROJECTION
+    * (`TermCountsExpr` — the explode→groupBy(doc, term) tally paid an
+    * N×tokens exchange just to regroup rows born in the same document),
+    * document frequencies as an aggregate over those
     * (|vocab| rows), a token-keyed join to attach df (AQE broadcasts when
     * the vocab is small), then a window PARTITIONED BY DOCUMENT — the
     * high-cardinality partitioning where windows parallelize perfectly
@@ -442,8 +446,9 @@ object TextAnalysis {
     // twice. Lifecycle as Dedup.persistedBase: session-lifetime, LRU
     // eviction recomputes from lineage, CacheManager dedups re-persists.
     val tf = docs
-      .select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).cast("long").as("tf"))
+      // native per-doc term counts — see unigramLogProb; same zero-shuffle shape
+      .select(col(idCol), explode(termCounts(tokens(normalizeText(col(textCol))))).as("__tc"))
+      .select(col(idCol), col("__tc.token").as("token"), col("__tc.tf").as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df_count"))
     val w = org.apache.spark.sql.expressions.Window

@@ -200,6 +200,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got.getLong(1) === ((h0 * 1000003L + h1) % P))
   }
 
+  test("TermCountsExpr explode == explode/groupBy-count rows, incl. dups and null tokens") {
+    val s = spark; import s.implicits._
+    import graft.functions.GraftFunctions.termCounts
+    val rnd = new scala.util.Random(31)
+    val data = (0 until 120).map { i =>
+      (i.toLong, Some(Seq.tabulate(rnd.nextInt(15))(j =>
+        if (rnd.nextInt(20) == 0) None else Some("t" + rnd.nextInt(6))).flatten
+        .map(Option(_)) ++ (if (rnd.nextInt(10) == 0) Seq(None) else Nil)))
+    } :+ ((998L, Some(Seq.empty[Option[String]]))) :+ ((999L, Option.empty[Seq[Option[String]]]))
+    val df = data.toDF("id", "tk")
+    val native = df.select(col("id"), explode(termCounts(col("tk"))).as("tc"))
+      .select(col("id"), col("tc.token"), col("tc.tf"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+      .toSet
+    val agg = df.select(col("id"), explode(col("tk")).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).cast("long").as("tf"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+      .toSet
+    assert(native === agg)
+  }
+
   test("SortedIntersectSizeExpr == size(array_intersect) on random sorted arrays with dups") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge

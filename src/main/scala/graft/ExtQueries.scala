@@ -470,9 +470,26 @@ object ExtQueries {
       |  CAST((n_rows * 1000) // (total_rows // n_keys) AS BIGINT) AS skew_x1000
       |FROM top, t""".stripMargin
 
+  // -- exact integral histogram ---------------------------------------
+  // order totals in cents (the moving_spend cents idiom), 0..60M cents
+  // in 20 bins: covers the TPC-H total-price range with integral edges
+  private val histogramQ: Q = (s, d) =>
+    RelOps.histogram(Tables.orders(s, d),
+      round(col("o_totalprice") * 100).cast("long"), lo = 0L, hi = 60000000L, nBins = 20)
+
+  private val histogramSql =
+    """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |f AS (SELECT c FROM v WHERE c >= 0 AND c <= 60000000),
+      |b AS (SELECT least((c * 20) // 60000000, 19) AS bin FROM f)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST((bin * 60000000) // 20 AS BIGINT) AS lo_edge,
+      |  CAST(((bin + 1) * 60000000) // 20 AS BIGINT) AS hi_edge
+      |FROM b GROUP BY bin""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("asof_join", asofJoin, Some(asofJoinSql)),
     ("key_skew", keySkewQ, Some(keySkewSql)),
+    ("histogram", histogramQ, Some(histogramSql)),
     ("asof_stream", asofStream, Some(asofJoinSql)),
     ("spatial_radius", spatialRadius, Some(spatialRadiusSql)),
     ("spatial_nearest", spatialNearest, Some(spatialNearestSql)),

@@ -266,6 +266,33 @@ object RelOps {
       .withColumn("skew_x1000", expr("(n_rows * 1000) div (total_rows div n_keys)"))
   }
 
+  /** Exact fixed-bin histogram over an INTEGRAL column (cents, epoch-ms,
+    * ids — the engine's money/time idiom) — the distribution profile that
+    * complements `profile`'s extrema and `Sketches.quantiles`: one
+    * map-side-combined groupBy on the bin id, ≤ `nBins` rows out.
+    *
+    * All binning is long arithmetic — `bin = ((v−lo)·nBins) div (hi−lo)`
+    * — so no floating-point boundary can place a value differently across
+    * engines (a double-width histogram puts edge values wherever the FP
+    * rounding of `(hi-lo)/n` happens to fall). `v == hi` lands in the
+    * last bin (the closed top edge every histogram reader expects);
+    * out-of-range and null rows drop — callers take [lo, hi] from
+    * `profile`'s exact extrema. Edges are the integral floors
+    * `lo + (bin·(hi−lo)) div nBins`; empty bins emit no row. The
+    * overflow guard keeps `(hi−lo)·nBins` inside a long.
+    */
+  def histogram(df: DataFrame, valueCol: Column, lo: Long, hi: Long, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "histogram needs nBins > 0 and hi > lo")
+    require(hi - lo <= Long.MaxValue / nBins, "(hi - lo) * nBins overflows")
+    val range = hi - lo
+    df.select(valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") >= lo && col("__v") <= hi)
+      .withColumn("bin", least(expr(s"((__v - $lo) * $nBins) div $range"), lit(nBins - 1L)))
+      .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+      .withColumn("lo_edge", expr(s"$lo + (bin * $range) div $nBins"))
+      .withColumn("hi_edge", expr(s"$lo + ((bin + 1) * $range) div $nBins"))
+  }
+
   /** Keyless 1-D range join: each point row joins every interval row
     * whose `[lo, hi]` contains its ordinate — the temporal analog of
     * `Spatial.radiusJoin`, and the join shape Spark has no native

@@ -252,6 +252,20 @@ class RelOpsSpec extends SparkSpec {
     assert(out2.getLong(4) === 3000L) // a: 6*1000 div 2
   }
 
+  test("histogram: exact integral bins, hi lands in the last bin, out-of-range drops") {
+    val s = spark; import s.implicits._
+    // [0, 100) in 4 bins of 25; values at edges and out of range
+    val df = Seq(0L, 24L, 25L, 99L, 100L, -1L, 101L).toDF("v")
+    val out = RelOps.histogram(df, col("v"), lo = 0L, hi = 100L, nBins = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // -1 and 101 dropped; 100 (== hi) clamps into bin 3
+    assert(out === Map(
+      0L -> ((2L, 0L, 25L)),   // 0, 24
+      1L -> ((1L, 25L, 50L)),  // 25
+      3L -> ((2L, 75L, 100L)))) // 99, 100
+    intercept[IllegalArgumentException](RelOps.histogram(df, col("v"), 10L, 10L, 4))
+  }
+
   test("rangeJoin rejects shared column names and a reserved __cell up front") {
     val s = spark; import s.implicits._
     val points = Seq((1L, 10L)).toDF("user_id", "x")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Dist2Expr, DotExpr, Hash60Expr, NgramHashExpr, TokenHashExpr, WinnowSketchExpr}
+import graft.functions.{Dist2Expr, DotExpr, Hash60Expr, NgramHashExpr, SimHash60Expr, TokenHashExpr, WinnowSketchExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so SQL users get them too (`SELECT hash60(col) ...`,
@@ -80,5 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_fold_hash"),
       new ExpressionInfo(classOf[TokenHashExpr].getName, "token_fold_hash"),
       unary("token_fold_hash", TokenHashExpr(_, fold = true)) _))
+    // simhash60(tokens): the one-pass count-weighted 60-bit signature
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
+      unary("simhash60", SimHash60Expr.apply) _))
   }
 }

@@ -198,6 +198,10 @@ class FunctionsSpec extends SparkSpec {
       .collect().head
     val Seq(h0, h1) = got.getSeq[Long](0)
     assert(got.getLong(1) === ((h0 * 1000003L + h1) % P))
+    // simhash60 of a single token: bits = that token's hash60 bits
+    // (1 vote of 1 ⇒ every set bit wins); low 60 bits of hash60 match
+    val sim = spark.sql("SELECT simhash60(array('the')) AS s, hash60('the') AS h").collect().head
+    assert(sim.getLong(0) === (sim.getLong(1) & ((1L << 60) - 1)))
   }
 
   test("TermCountsExpr explode == explode/groupBy-count rows, incl. dups and null tokens") {

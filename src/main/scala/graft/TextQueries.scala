@@ -622,6 +622,21 @@ object TextQueries {
       |  CAST(list_sum([(doc_id + (i % w) + (i // w)) % 256 for i in range(0, w * h)]) AS DOUBLE) / (w * h) AS mean_px
       |FROM m""".stripMargin
 
+  /** REAL audio decode: `syntheticAudio` writes genuine RIFF/WAV PCM
+    * (sample i = ((doc_id·31 + i·7) mod 65536) − 32768, n = 100 +
+    * len(text) % 50) and `Multimodal.decodeAudio` parses it back with
+    * JDK javax.sound — so rate/frames/mean are decoded facts the oracle
+    * recomputes in pure integer arithmetic (one IEEE division at the end).
+    */
+  private val mmAudio: Q = (s, d) =>
+    Multimodal.decodeAudio(Multimodal.syntheticAudio(docs(s, d)))
+
+  private val mmAudioSql =
+    """WITH m AS (SELECT doc_id, 100 + (length(text) % 50) AS n FROM documents)
+      |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate, CAST(n AS INTEGER) AS n_samples,
+      |  CAST(list_sum([((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(0, n)]) AS DOUBLE) / n AS mean_sample
+      |FROM m""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("lang_id", langId, Some(langIdSql)),
     ("quality_score", quality, Some(qualitySql)),
@@ -655,5 +670,6 @@ object TextQueries {
     ("mm_resize", mmResize, Some(mmResizeSql)),
     ("mm_frames", mmFrames, Some(mmFramesSql)),
     ("mm_decode", mmDecode, Some(mmDecodeSql)),
+    ("mm_audio", mmAudio, Some(mmAudioSql)),
   )
 }

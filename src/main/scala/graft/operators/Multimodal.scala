@@ -7,14 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The image path is REAL end to end: `syntheticImages` encodes actual PNG
-  * payloads (JDK `ImageIO` — no external codecs needed) and `decode` reads
-  * pixels back out of the bytes, so width/height/mean-pixel are decoded
-  * facts, not metadata echoes. `syntheticMedia` keeps a separate opaque
-  * byte payload for the byte-window plumbing (`sampleFrames`), whose
-  * semantics are codec-independent by design. A production deployment
-  * swaps the decode loop's `ImageIO` call for its own codec (JPEG video
-  * keyframes, audio PCM, …) without touching the partition-batch plumbing.
+  * The image AND audio paths are REAL end to end: `syntheticImages`
+  * encodes actual PNG payloads (JDK `ImageIO`) and `decode` reads pixels
+  * back out of the bytes; `syntheticAudio` writes genuine RIFF/WAV PCM
+  * and `decodeAudio` parses it back with JDK `javax.sound.sampled`
+  * (WAV/PCM is a built-in reader — no external codecs, no audio device
+  * needed) — so dimensions, sample rates, and means are decoded facts,
+  * not metadata echoes. `syntheticMedia` keeps a separate opaque byte
+  * payload for the byte-window plumbing (`sampleFrames`), whose semantics
+  * are codec-independent by design. A production deployment swaps the
+  * decode loops' JDK calls for its own codecs (JPEG video keyframes,
+  * compressed audio, …) without touching the partition-batch plumbing.
   */
 object Multimodal {
 
@@ -120,6 +123,101 @@ object Multimodal {
               y += 1
             }
             Row(r.getAs[Long]("doc_id"), w, h, sum.toDouble / (w.toLong * h))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthesize REAL 16-bit mono PCM WAV payloads from the documents
+    * table. Sample `i` of doc `d` is the deterministic INTEGER pattern
+    * `((d·31 + i·7) mod 65536) − 32768` and the sample count is a small
+    * function of the row — so the decoded facts (sample rate, frame
+    * count, mean sample) are oracle-computable in pure integer SQL while
+    * the bytes are a genuine RIFF/WAVE/fmt/data file any compliant
+    * reader parses. 44-byte canonical header, little-endian samples.
+    */
+  def syntheticAudio(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs
+      .select(col(idCol).cast("long").as("doc_id"), length(col(textCol)).as("__tl"))
+      .filter(col("doc_id").isNotNull && col("__tl").isNotNull)
+      .rdd.map { r =>
+        val id = r.getLong(0)
+        val n = 100 + r.getInt(1) % 50
+        val dataLen = n * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1) // PCM
+          .putShort(1) // mono
+          .putInt(sampleRate)
+          .putInt(sampleRate * 2) // byte rate
+          .putShort(2)            // block align
+          .putShort(16)           // bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < n) {
+          buf.putShort((((id * 31 + i * 7) % 65536) - 32768).toShort)
+          i += 1
+        }
+        Row(id, buf.array(), Row("audio/wav", n, 1))
+      }
+    spark.createDataFrame(rdd, mediaSchema) // meta: width = frames, height = channels
+  }
+
+  /** Batch audio decode: parses each WAV payload with JDK
+    * `javax.sound.sampled.AudioSystem` (format header) and sums the
+    * 16-bit little-endian samples from the decoded stream — sample rate,
+    * frame count, and mean are DECODED facts. The mean is one IEEE
+    * division of an exact integer sum (|sum| ≤ n·2¹⁵ ≪ 2⁵³), mirrored
+    * operation-for-operation in the oracle. Undecodable or empty
+    * payloads yield a (0, 0, 0.0) row — corrupt bytes are data, not bugs.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("mean_sample", DoubleType, nullable = false),
+    ))
+    val rdd = media.select("doc_id", "media")
+      .filter(col("doc_id").isNotNull)
+      .rdd.mapPartitions { it =>
+        // one pass per partition == one decode batch
+        it.map { r =>
+          val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
+          val parsed =
+            if (bytes.isEmpty) None
+            else try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val data = ais.readAllBytes()
+              ais.close()
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+              else {
+                var sum = 0L
+                var i = 0
+                while (i + 1 < data.length) {
+                  sum += (((data(i + 1) & 0xff) << 8) | (data(i) & 0xff)).toShort.toLong
+                  i += 2
+                }
+                val n = data.length / 2
+                Some((fmt.getSampleRate.toInt, n,
+                  if (n == 0) 0.0 else sum.toDouble / n))
+              }
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+          parsed match {
+            case Some((rate, n, mean)) => Row(r.getAs[Long]("doc_id"), rate, n, mean)
+            case None => Row(r.getAs[Long]("doc_id"), 0, 0, 0.0)
           }
         }
       }

@@ -41,6 +41,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Double]("mean_px") == expected)
   }
 
+  test("syntheticAudio emits genuine RIFF/WAV bytes; decodeAudio reads samples back out") {
+    val media = Multimodal.syntheticAudio(docs).orderBy("doc_id").collect()
+    media.foreach { r =>
+      val b = r.getAs[Array[Byte]]("media")
+      assert(new String(b.take(4), "US-ASCII") == "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+      assert(r.getStruct(2).getString(0) == "audio/wav")
+    }
+    val out = Multimodal.decodeAudio(Multimodal.syntheticAudio(docs))
+      .orderBy("doc_id").collect()
+    // doc 1, "abc": n = 100 + 3 = 103 samples at 8000 Hz; the mean must
+    // come from the DECODED sample stream, not the header
+    assert(out(0).getAs[Int]("sample_rate") == 8000)
+    assert(out(0).getAs[Int]("n_samples") == 103)
+    val expected = (0 until 103).map(i => ((1L * 31 + i * 7) % 65536) - 32768)
+      .sum.toDouble / 103
+    assert(out(0).getAs[Double]("mean_sample") == expected)
+  }
+
+  test("decodeAudio: undecodable payloads yield a zero feature row, not a crash") {
+    val s = spark; import s.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.emptyByteArray))
+      .toDF("doc_id", "media")
+    val out = Multimodal.decodeAudio(junk).orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("sample_rate") == 0 && r.getAs[Int]("n_samples") == 0
+        && r.getAs[Double]("mean_sample") == 0.0)
+    }
+  }
+
   test("decode: undecodable or empty payloads yield a zero feature row, not a crash") {
     val s = spark; import s.implicits._
     val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.emptyByteArray))

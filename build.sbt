@@ -14,6 +14,11 @@ run / fork := true
 // Forked `run` output goes straight to stdout (no `[info] ` logger prefix) —
 // Bench's one-line JSON must be machine-parseable from the sbt output.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The harness captures only the last ~2000 bytes of sbt output; sbt's
+// "[success] Total time: ..." epilogue would eat ~74 of them and truncate
+// the head of Bench's JSON line. Suppress it — exit code still signals
+// success/failure.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

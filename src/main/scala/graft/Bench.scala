@@ -34,21 +34,34 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    // 4-decimal fixed-point (0.1 ms — below run-to-run noise): full double
-    // precision made the line ~5 KB, which overflowed the harness's tail
-    // capture and truncated the JSON mid-line; plain %f also avoids the
-    // exponent notation some strict parsers reject
+    // The harness tail window is exactly 2000 bytes. The 104-query map's
+    // NAMES alone cost ~1330 bytes, so even integer milliseconds
+    // (~2090 bytes with framing) cannot fit — integer CENTISECONDS is the
+    // coarsest self-describing unit that does (~1985 bytes). 10 ms
+    // quantization is far below the ±20% run-to-run noise and below the
+    // 0.2 s floor round-over-round comparisons already use. Full-precision
+    // seconds additionally go to bench_full.json next to the repo for
+    // anyone who wants the exact numbers.
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+    def cs(v: Double): String = math.max(1L, math.round(v * 100)).toString
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val qsCs = results.map { case (k, v) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedField =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val sfShort = new java.io.File(sfDir).getName.stripPrefix("sf")
+    try {
+      val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qsFull$failedField,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort artifact; never fail the run
     // stop BEFORE printing so executor/context shutdown logging cannot land
     // after (or interleave into) the JSON — it must be the LAST line out
     spark.stop()
-    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
+    val line = s"""{"unit":"cs","queries":$qsCs$failedField,"sf":"$sfShort"}"""
     println(line)
     Console.out.flush()
   }

@@ -19,6 +19,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // the head of Bench's JSON line. Suppress it — exit code still signals
 // success/failure.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command layer, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorOps
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+import graft.functions.{NearestCellExpr, NearestCellsExpr, VectorOps}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -132,20 +133,18 @@ object Similarity {
         .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }
     }
 
-    def dist2To(v: Column, cvec: Seq[Double]): Column =
-      VectorOps.dist2(v, array(cvec.map(lit): _*))
-    def cellStructs(v: Column): Column =
-      array(cb.map { case (i, cvec) =>
-        struct(dist2To(v, cvec).as("d"), lit(i).as("cell"))
-      }: _*)
-    def cellOf(v: Column): Column = array_min(cellStructs(v)).getField("cell")
+    // both sides assign through the native codebook kernel — one k×dim
+    // loop per row instead of k Dist2Expr calls + struct-array plumbing
+    val cbRows: Seq[Seq[Double]] = cb.sortBy(_._1).map(_._2)
+    def cellOf(v: Column): Column =
+      toCol(NearestCellExpr(toExpr(v), cbRows)).getField("cell")
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", cellOf(col("c_vec")))
       .withColumn("c_norm", VectorOps.norm(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(transform(
-        slice(array_sort(cellStructs(col("q_vec"))), 1, nProbe), s => s.getField("cell"))))
+      .withColumn("cell", explode(toCol(
+        NearestCellsExpr(toExpr(col("q_vec")), cbRows, nProbe))))
       .withColumn("q_norm", VectorOps.norm(col("q_vec")))
     val sc = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -221,9 +220,7 @@ object Similarity {
     * SQL mirrors), and argmin ties break toward the lower cell id.
     */
   private def assignStruct(cb: IndexedSeq[IndexedSeq[Double]], v: Column): Column =
-    array_min(array(cb.indices.map { i =>
-      struct(VectorOps.dist2(v, array(cb(i).map(lit): _*)).as("d"), lit(i).as("cell"))
-    }: _*))
+    toCol(NearestCellExpr(toExpr(v), cb))
 
   /** The refined codebook alone (see `kmeansAssign` for the algorithm) —
     * feed it to `ivfTopK(codebook = ...)` to build the ANN index from

@@ -291,4 +291,39 @@ class FunctionsSpec extends SparkSpec {
       .select(GraftFunctions.initialism(col("s"))).head().getString(0)
     assert(init4 == "WMLE")
   }
+
+  test("native codebook kernels == struct/array_min formulation, bit-for-bit") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.{NearestCellExpr, NearestCellsExpr, VectorOps}
+    val rnd = new scala.util.Random(7)
+    val cb: IndexedSeq[IndexedSeq[Double]] =
+      IndexedSeq.fill(5)(IndexedSeq.fill(8)(rnd.nextDouble() * 2 - 1))
+    // the pre-kernel formulation this replaced (Similarity.assignStruct r9)
+    def oldStructs(v: org.apache.spark.sql.Column) =
+      array(cb.indices.map { i =>
+        struct(VectorOps.dist2(v, array(cb(i).map(lit): _*)).as("d"), lit(i).as("cell"))
+      }: _*)
+    // real float vectors, duplicated rows (forces argmin ties through
+    // identical distances), plus a malformed short vector
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.slice(col("embedding"), 1, 8).as("v")).limit(32)
+    val withDup = emb.union(emb.limit(3))
+      .union(spark.sql("SELECT array(CAST(1.0 AS FLOAT)) AS v"))
+    val rows = withDup.select(
+      toCol(NearestCellExpr(toExpr(col("v")), cb)).as("n"),
+      array_min(oldStructs(col("v"))).as("o"),
+      toCol(NearestCellsExpr(toExpr(col("v")), cb, 3)).as("nn"),
+      transform(slice(array_sort(oldStructs(col("v"))), 1, 3),
+        s => s.getField("cell")).as("oo")).collect()
+    assert(rows.length == 36)
+    rows.foreach { r =>
+      val (n, o) = (r.getStruct(0), r.getStruct(1))
+      assert(n.isNullAt(0) == o.isNullAt(0), s"d nullability: $r")
+      if (!n.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(n.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(o.getDouble(0)), s"d bits: $r")
+      assert(n.getInt(1) == o.getInt(1), s"cell: $r")
+      assert(r.getSeq[Int](2) == r.getSeq[Int](3), s"probe list: $r")
+    }
+  }
 }

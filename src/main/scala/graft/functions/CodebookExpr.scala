@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -28,9 +28,24 @@ import org.apache.spark.sql.types._
   * distance — so `(null, 0)` here, `[0..n-1]` for the n-nearest variant.
   * A null vector is null out.
   */
-abstract class CodebookExprBase extends UnaryExpression with CodegenFallback {
+abstract class CodebookExprBase extends UnaryExpression {
   def child: Expression
   def codebook: Seq[Seq[Double]]
+
+  /** Public entry for generated code: the whole argmin scan runs as ONE
+    * precompiled JVM call per row (the `addReferenceObj` + method-call
+    * codegen idiom), so the projection stays inside whole-stage codegen —
+    * no CodegenFallback InternalRow materialization, and the k×dim loop
+    * is regular compiled bytecode rather than a giant inlined Java string
+    * (which for k·dim in the thousands would blow the JIT method limit).
+    */
+  final def evalVec(v: ArrayData): Any = nullSafeEval(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebookExpr", this, classOf[CodebookExprBase].getName)
+    val jt = CodeGenerator.javaType(dataType)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = ($jt) $ref.evalVec($v);")
+  }
 
   // NOTHING here may touch `codebook`/`n` eagerly: the constructor chain of
   // a Catalyst Expression's non-serializable ancestors re-runs during Java

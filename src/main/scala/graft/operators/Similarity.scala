@@ -325,10 +325,13 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, k: Int, iters: Int, dim: Int,
                     threshold: Double, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val assign = kmeansAssign(vectors, k, iters, dim, idCol, vecCol)
-      .select(col(idCol), col("cell"))
+    // cell assignment is a pure projection given the codebook — computing it
+    // inline (instead of joining `kmeansAssign` back by id, as earlier
+    // rounds did) removes an N-row shuffle join whose only payload was the
+    // cell id
+    val cb = kmeansCodebook(vectors, k, iters, idCol, vecCol)
     val v = vectors.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v"))
-      .join(assign, Seq(idCol))
+      .withColumn("cell", assignStruct(cb, col("__v")).getField("cell"))
     val a = v.select(col("cell"), col(idCol).as("id_a"), col("__v").as("__va"))
       .withColumn("__na", VectorOps.norm(col("__va")))
     val b = v.select(col("cell"), col(idCol).as("id_b"), col("__v").as("__vb"))

@@ -262,6 +262,15 @@ object Queries {
     """SELECT p_name AS key, CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS id
       |FROM (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)""".stripMargin
 
+  /** M6 cold-start path: `extendBulk` (distributed sort + zipWithIndex,
+    * no single-partition window) must assign the SAME ids as `extend`'s
+    * row_number — so it shares `idMapExtendSql` verbatim, and the 100 TB
+    * first-run bulk path is driver-graded, not just equality-tested in
+    * IdMapSpec.
+    */
+  private val idMapBulk: Q = (s, d) =>
+    IdMap.extendBulk(IdMap.empty(s), Tables.part(s, d), "p_name")
+
   private val idMapEncode: Q = (s, d) => {
     val p = Tables.part(s, d)
     val map = IdMap.extend(IdMap.empty(s), p, "p_name")
@@ -508,6 +517,7 @@ object Queries {
     ("distinct_vals", distinctVals, Some(distinctValsSql)),
     ("top_n", topN, Some(topNSql)),
     ("id_map_extend", idMapExtend, Some(idMapExtendSql)),
+    ("id_map_bulk", idMapBulk, Some(idMapExtendSql)),
     ("id_map_encode", idMapEncode, Some(idMapEncodeSql)),
     ("scalar_funcs_text", scalarText, Some(scalarTextSql)),
     ("scalar_funcs_time", scalarTime, Some(scalarTimeSql)),

@@ -435,6 +435,16 @@ object TextQueries {
        |SELECT id_in, id_bas, jaccard FROM v WHERE jaccard >= $threshold""".stripMargin
   }
 
+  /** Bloom-gated twin of incremental_lsh — graded against the SAME oracle
+    * (the gate is a pre-filter, never a decision).
+    */
+  private val incrementalLshBloom: Q = (s, d) => {
+    val all = docs(s, d)
+    Dedup.minhashLshAgainstBaselineBloom(
+      all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
+      k = 32, bands = 8, threshold = 0.3, shingleN = 3)
+  }
+
   private val ngramJaccard: Q = (s, d) =>
     Dedup.ngramJaccard(docs(s, d), shingleN = 2, k = 32, bands = 16, threshold = 0.3)
 
@@ -658,6 +668,7 @@ object TextQueries {
     ("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     ("incremental_dedup_bloom", incrementalDedupBloom, Some(incrementalDedupSql)),
     ("incremental_lsh", incrementalLsh, Some(incrementalLshSql)),
+    ("incremental_lsh_bloom", incrementalLshBloom, Some(incrementalLshSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("winnow_dedup", winnowDedup, Some(winnowDedupSql)),
     ("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),

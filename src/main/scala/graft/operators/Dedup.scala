@@ -398,6 +398,62 @@ object Dedup {
     verifyJaccardTwoSided(cand, bInc, bBas, idCol, "id_in", "id_bas", threshold)
   }
 
+  /** Bloom-gated twin of [[minhashLshAgainstBaseline]] — IDENTICAL output,
+    * same argument as [[dedupAgainstBaselineBloom]]: a Bloom filter built
+    * over the BATCH's band keys drops baseline banded rows map-side before
+    * they reach the bucket-cap/join shuffle. Zero false negatives means
+    * every baseline row sharing a band key with ANY batch row survives, so
+    * buckets that can produce a cross-side pair keep exactly the rows the
+    * ungated path had (the cap decision included); buckets the gate empties
+    * held no batch row and could never emit a pair. False positives only
+    * let dead rows through to die in the join.
+    *
+    * Why this matters at 100 TB: the ungated plan shuffles the ENTIRE
+    * baseline's bands·|corpus| banded rows per crawl just to discover that
+    * most share no key with the batch. The gate reduces the baseline's
+    * shuffle contribution to ~|key-collisions| + fpp·bands·|corpus| rows —
+    * the same semi-join reduction Spark's runtime filters apply where the
+    * optimizer can see the join key as a stored column (these keys are
+    * computed, so it can't). Eager by design like the exact-dedup twin
+    * (the filter must exist before the baseline plan is built; the batch
+    * side is persisted since the union reuses it); excluded from PlanDump
+    * for that reason.
+    */
+  def minhashLshAgainstBaselineBloom(incoming: DataFrame, baseline: DataFrame,
+                                     idCol: String = "doc_id", textCol: String = "text",
+                                     k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+                                     shingleN: Int = 3, maxBucket: Int = 1000,
+                                     expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPer = k / bands
+    val bInc = persistedBase(incoming, idCol, textCol, Nil, shingleN)
+    val bBas = persistedBase(baseline, idCol, textCol, Nil, shingleN)
+    def banded(base: DataFrame) = signatures(base, idCol, Nil, k)
+      .select(col(idCol) +: Seq(posexplode(array(bandKeyCols(bands, rowsPer): _*))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+    // the batch's banded table has two consumers (the filter build and the
+    // union below) — persist it like the shingle bases
+    val bandedInc = banded(bInc).withColumn("__side", lit("i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `bk` embeds the band index in its md5 preimage (bandKeyCols), so the
+    // key is unique across bands and the Bloom needs no (band, bk) composite
+    val bloom = bandedInc.select(col("bk")).stat.bloomFilter("bk", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val gate = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.BloomMightContainExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("bk")), bos.toByteArray))
+    val bandedBas = banded(bBas).filter(gate).withColumn("__side", lit("b"))
+    val capped = capBuckets(bandedInc.unionByName(bandedBas), Seq("band", "bk"), maxBucket)
+    val l = capped.filter(col("__side") === "i")
+      .select(col("band"), col("bk"), col(idCol).as("id_in"))
+    val r = capped.filter(col("__side") === "b")
+      .select(col("band"), col("bk"), col(idCol).as("id_bas"))
+    val cand = l.join(r, Seq("band", "bk"))
+      .select("id_in", "id_bas").dropDuplicates("id_in", "id_bas")
+    verifyJaccardTwoSided(cand, bInc, bBas, idCol, "id_in", "id_bas", threshold)
+  }
+
   /** The shingle table has TWO consumers — candidate generation and exact
     * verification — so it is persisted (spilling to disk at scale) rather
     * than recomputed: without it the verify pass re-runs the full

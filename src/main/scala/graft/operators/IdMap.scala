@@ -112,9 +112,21 @@ object IdMap {
     map.select(KEY, ID).unionByName(assigned)
   }
 
-  /** extend + encode in one step; returns (encoded entity, new map). */
+  /** extend + encode in one step; returns (encoded entity, new map).
+    *
+    * The entity frame has THREE consumers in the fused plan — `extend`'s
+    * distinct-key scan, `encode`'s probe side, and the map side again via
+    * the fresh assignments — so it is persisted here (spill-to-disk at
+    * scale) rather than recomputed: for a pipeline output like the PLS
+    * addresses, each consumer would otherwise re-run the entire upstream
+    * join DAG. Spark's CacheManager dedups re-persists of the same plan,
+    * and the reference materializes every entity to a SQLite table before
+    * encoding (`pls/tables.py:934-938`) — this is the same staging, minus
+    * the disk round-trip when it fits in memory.
+    */
   def extendAndEncode(map: DataFrame, df: DataFrame, keyCol: String): (DataFrame, DataFrame) = {
-    val m2 = extend(map, df, keyCol)
-    (encode(df, m2, keyCol), m2)
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m2 = extend(map, cached, keyCol)
+    (encode(cached, m2, keyCol), m2)
   }
 }

@@ -93,6 +93,37 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
   }
 
+  test("minhashLshAgainstBaselineBloom == ungated twin, gate in the baseline plan") {
+    val s = spark; import s.implicits._
+    // same family construction as the ungated test: cross-side near-dups
+    // the gate must keep, and unrelated baseline docs it should drop
+    val rnd = new scala.util.Random(13)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    def doc(family: Int, mutate: Int) = (0 until 30).map { i =>
+      if (i == mutate) "MUT" + i else words((family * 3 + i) % words.size) + (i % 5)
+    }.mkString(" ")
+    val all = (0 until 40).map { i =>
+      val fam = i % 8
+      (i.toLong, if (i < 20) doc(fam, -1) else doc(fam, rnd.nextInt(30)))
+    }.toDF("doc_id", "text")
+    val baseline = all.filter($"doc_id" < 20)
+    val incoming = all.filter($"doc_id" >= 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = rows(Dedup.minhashLshAgainstBaseline(incoming, baseline,
+      k = 32, bands = 16, threshold = 0.3, shingleN = 2))
+    val gated = rows(Dedup.minhashLshAgainstBaselineBloom(incoming, baseline,
+      k = 32, bands = 16, threshold = 0.3, shingleN = 2, expectedItems = 1000L))
+    assert(plain.nonEmpty)
+    assert(gated === plain)
+    // analyzed plan (ConvertToLocalRelation folds the deterministic probe
+    // over local fixtures, same caveat as the exact-dedup twin)
+    val plan = Dedup.minhashLshAgainstBaselineBloom(incoming, baseline,
+      k = 32, bands = 16, threshold = 0.3, shingleN = 2, expectedItems = 1000L)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("bloom_might_contain"), s"bloom gate missing from plan:\n$plan")
+  }
+
   test("minhashLsh finds the planted near-dup pair, never compares all pairs") {
     val out = Dedup.minhashLsh(docs, threshold = 0.3, k = 32, bands = 16, shingleN = 2)
     val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -35,6 +35,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("topk_per_key aggregates with the bounded TopKAgg — no whole-partition Window sort") {
+    // groupBy + udaf keeps per-key state bounded at k rows and combines
+    // map-side; a row_number Window would shuffle-sort EVERY lineitem row
+    // within its key partition — the shuffle carries |rows|, not |keys|·k
+    val plan = Queries.registry.collectFirst { case ("topk_per_key", q, _) => q }
+      .get(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"topk_per_key plans a Window sort:\n$plan")
+    assert(plan.contains("Aggregate"), s"topk_per_key lost its aggregate:\n$plan")
+    assert(plan.contains("partial_topkagg"), s"no map-side partial TopKAgg in:\n$plan")
+  }
+
   test("decontaminate and mix_apply broadcast their small sides") {
     // decontaminate: the benchmark gram set must broadcast (the corpus is
     // never shuffled on content); mix_apply: the |strata| ppm-weight frame

@@ -34,17 +34,19 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    // The harness tail window is exactly 2000 bytes; the parse fails
-    // unless the WHOLE line sits inside it. The 104-query map's NAMES
-    // alone cost ~1330 bytes, so integer milliseconds can never fit, and
-    // integer CENTISECONDS measured 1993 bytes — inside the window but
-    // with no headroom (a load spike pushing a few queries past 1 s adds
-    // a digit each and overflows). So the unit is chosen adaptively: the
-    // finest of cs → ds → s whose line stays ≤ 1950 bytes, self-described
-    // by the "unit" field. 0.1 s quantization sits below the 0.2 s noise
-    // floor round-over-round comparisons already use; full-precision
-    // seconds additionally go to bench_full.json next to the repo for
-    // anyone who wants the exact numbers.
+    // The harness tail window is exactly 2000 bytes of stdout, and sbt
+    // prints "[success] Total time: ..." (~75 bytes) AFTER this line
+    // (visible at the end of BENCH_r09.json's tail) — so the line itself
+    // must stay ≤ ~1920 bytes or its HEAD gets cut and the parse fails.
+    // The 104-query map's NAMES alone cost ~1330 bytes: integer
+    // milliseconds can never fit and integer CENTISECONDS measured 1993
+    // bytes, so the unit is chosen adaptively — the finest of cs → ds → s
+    // whose line stays ≤ 1915 bytes, self-described by the "unit" field
+    // ("q" = the per-query map; the sf suffix is dropped — the driver
+    // records sf in its own capture metadata). 0.1 s quantization sits
+    // below the 0.2 s noise floor round-over-round comparisons already
+    // use; full-precision seconds additionally go to bench_full.json
+    // next to the repo for anyone who wants the exact numbers.
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def quant(v: Double, perSec: Long): String =
       math.max(1L, math.round(v * perSec)).toString
@@ -54,7 +56,6 @@ object Bench {
     val failedField =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val sfShort = new java.io.File(sfDir).getName.stripPrefix("sf")
     try {
       val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qsFull$failedField,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
@@ -66,11 +67,11 @@ object Bench {
     def lineFor(unit: String, perSec: Long): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + quant(v, perSec) }
         .mkString("{", ",", "}")
-      s"""{"unit":"$unit","queries":$qs$failedField,"sf":"$sfShort"}"""
+      s"""{"unit":"$unit","q":$qs$failedField}"""
     }
     val line = Seq("cs" -> 100L, "ds" -> 10L, "s" -> 1L)
       .map { case (u, p) => lineFor(u, p) }
-      .find(_.getBytes("UTF-8").length <= 1950)
+      .find(_.getBytes("UTF-8").length <= 1915)
       .getOrElse(lineFor("s", 1L))
     println(line)
     Console.out.flush()

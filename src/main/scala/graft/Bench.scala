@@ -39,20 +39,31 @@ object Bench {
     // (visible at the end of BENCH_r09.json's tail) — so the line itself
     // must stay ≤ ~1920 bytes or its HEAD gets cut and the parse fails.
     // The 104-query map's NAMES alone cost ~1330 bytes: integer
-    // milliseconds can never fit and integer CENTISECONDS measured 1993
-    // bytes, so the unit is chosen adaptively — the finest of cs → ds → s
-    // whose line stays ≤ 1915 bytes, self-described by the "unit" field
-    // ("q" = the per-query map; the sf suffix is dropped — the driver
-    // records sf in its own capture metadata). 0.1 s quantization sits
-    // below the 0.2 s noise floor round-over-round comparisons already
-    // use; full-precision seconds additionally go to bench_full.json
-    // next to the repo for anyone who wants the exact numbers.
+    // milliseconds can never fit, so the unit is chosen adaptively — the
+    // finest of cs → ds → s whose line stays ≤ 1915 bytes, self-described
+    // by the "unit" field ("q" = the per-query map; the sf suffix is
+    // dropped — the driver records sf in its own capture metadata).
+    // Three fidelity rules on the compact line:
+    //   - "total" carries the EXACT suite seconds (%.2f, ~16 bytes), so
+    //     cross-round comparisons never depend on the quantized entries or
+    //     on two rounds having picked the same unit;
+    //   - quantization rounds to NEAREST with no floor — a 1 ms query
+    //     prints as 0, and the unit field carries the scale (the old
+    //     max(1, …) floor overstated sub-half-unit queries up to 100×);
+    //   - a FAILED query's entry is null (its elapsed-until-crash time is
+    //     meaningless as a timing and must never read as a fast success);
+    //     the "failed" list names the casualties, and null rows are
+    //     excluded from "total".
+    // Full-precision seconds additionally go to bench_full.json, plus a
+    // round-stamped bench_full_r{N}.json (N inferred from the BENCH_r*.json
+    // already committed) so per-round history survives the overwrite.
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    def quant(v: Double, perSec: Long): String =
-      math.max(1L, math.round(v * perSec)).toString
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def quant(v: Double, perSec: Long): String = math.round(v * perSec).toString
+    def entry(k: String, render: Double => String, v: Double): String =
+      "\"" + k + "\":" + (if (failed.contains(k)) "null" else render(v))
+    val qsFull = results.map { case (k, v) => entry(k, sec, v) }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    val totalStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
     val failedField =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
@@ -60,14 +71,23 @@ object Bench {
       val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qsFull$failedField,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
+      // BENCH_r{N}.json for round N is captured by the driver AFTER this
+      // run, so the next round number is max(existing) + 1
+      val re = "BENCH_r0*(\\d+)\\.json".r
+      val rounds = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => re.unapplySeq(f.getName).flatMap(_.headOption)).map(_.toInt)
+      if (rounds.nonEmpty)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"bench_full_r${rounds.max + 1}.json"),
+          (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort artifact; never fail the run
     // stop BEFORE printing so executor/context shutdown logging cannot land
     // after (or interleave into) the JSON — it must be the LAST line out
     spark.stop()
     def lineFor(unit: String, perSec: Long): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + quant(v, perSec) }
+      val qs = results.map { case (k, v) => entry(k, quant(_, perSec), v) }
         .mkString("{", ",", "}")
-      s"""{"unit":"$unit","q":$qs$failedField}"""
+      s"""{"unit":"$unit","total":$totalStr,"q":$qs$failedField}"""
     }
     val line = Seq("cs" -> 100L, "ds" -> 10L, "s" -> 1L)
       .map { case (u, p) => lineFor(u, p) }

@@ -198,8 +198,7 @@ object Dedup {
   def dedupAgainstBaselineBloom(incoming: DataFrame, baseline: DataFrame,
                                 idCol: String = "doc_id", textCol: String = "text",
                                 expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val deduped = exact(incoming, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deduped = graft.util.Caching.ensurePersisted(exact(incoming, idCol, textCol))
     val bloom = deduped.stat.bloomFilter("fp", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
@@ -432,9 +431,11 @@ object Dedup {
       .select(col(idCol) +: Seq(posexplode(array(bandKeyCols(bands, rowsPer): _*))): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
     // the batch's banded table has two consumers (the filter build and the
-    // union below) — persist it like the shingle bases
-    val bandedInc = banded(bInc).withColumn("__side", lit("i"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // union below) — persisted like the shingle bases, guarded so repeated
+    // per-crawl invocations over an equal plan reuse one cache entry
+    // (LRU-evicted under pressure) instead of stacking registrations
+    val bandedInc = graft.util.Caching.ensurePersisted(
+      banded(bInc).withColumn("__side", lit("i")))
     // `bk` embeds the band index in its md5 preimage (bandKeyCols), so the
     // key is unique across bands and the Bloom needs no (band, bk) composite
     val bloom = bandedInc.select(col("bk")).stat.bloomFilter("bk", expectedItems, fpp)
@@ -458,17 +459,18 @@ object Dedup {
     * verification — so it is persisted (spilling to disk at scale) rather
     * than recomputed: without it the verify pass re-runs the full
     * normalize→tokenize→hash scan of the corpus, the single most expensive
-    * map stage of the pipeline. Repeated calls over the same input do NOT
-    * stack copies — Spark's CacheManager registers cache entries by
-    * canonicalized plan and ignores re-persists of an already-cached plan —
-    * and cache blocks evict LRU with recompute-on-eviction as the fallback
-    * (the lineage stays valid). Same pattern as MLlib's MinHashLSH, which
-    * warns when its input is uncached.
+    * map stage of the pipeline. The persist is GUARDED
+    * (`Caching.ensurePersisted`): operators sharing a corpus — minhashLsh
+    * feeding cluster_dedup AND dedup_keep_best, winnow over the same
+    * shingle width — hit ONE cache entry instead of re-registering the
+    * plan per call, and cache blocks evict LRU with recompute-on-eviction
+    * as the fallback (the lineage stays valid). Same pattern as MLlib's
+    * MinHashLSH, which warns when its input is uncached.
     */
   private def persistedBase(docs: DataFrame, idCol: String, textCol: String,
                             blockCols: Seq[(String, Column)], n: Int): DataFrame =
-    shingleBase(docs, idCol, textCol, blockCols, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Caching.ensurePersisted(
+      shingleBase(docs, idCol, textCol, blockCols, n))
 
   /** 60-bit SimHash per document over token unigrams (count-weighted) —
     * one native pass per row ([[graft.functions.SimHash60Expr]]), a PURE

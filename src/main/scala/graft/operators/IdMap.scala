@@ -119,13 +119,23 @@ object IdMap {
     * the fresh assignments — so it is persisted here (spill-to-disk at
     * scale) rather than recomputed: for a pipeline output like the PLS
     * addresses, each consumer would otherwise re-run the entire upstream
-    * join DAG. Spark's CacheManager dedups re-persists of the same plan,
-    * and the reference materializes every entity to a SQLite table before
-    * encoding (`pls/tables.py:934-938`) — this is the same staging, minus
-    * the disk round-trip when it fits in memory.
+    * join DAG. The reference materializes every entity to a SQLite table
+    * before encoding (`pls/tables.py:934-938`) — this is the same staging,
+    * minus the disk round-trip when it fits in memory.
+    *
+    * The persist is GUARDED (`Caching.ensurePersisted`): re-invoking over
+    * an equal plan — repeated incremental runs, an entity chain whose
+    * frames share upstream plans, a bench's warm-up + timed passes —
+    * reuses the existing cache entry instead of re-registering it (the
+    * `CacheManager: Asked to cache already cached data` churn this
+    * replaced). Cache ownership stays with the CALLER: the entry is left
+    * for LRU eviction (recompute-on-eviction keeps it correct), and a
+    * caller that wants deterministic release calls `df.unpersist()` after
+    * materializing both returned frames — never before, since both read
+    * through the cached plan.
     */
   def extendAndEncode(map: DataFrame, df: DataFrame, keyCol: String): (DataFrame, DataFrame) = {
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = graft.util.Caching.ensurePersisted(df)
     val m2 = extend(map, cached, keyCol)
     (encode(cached, m2, keyCol), m2)
   }

@@ -45,10 +45,9 @@ object Ranking {
     // pressure and recompute from lineage; CacheManager dedups
     // re-persists of the same canonical plan, so repeated calls don't
     // accumulate entries.
-    val base = docs
+    val base = graft.util.Caching.ensurePersisted(docs
       .select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
-      .select(col(idCol) +: size(col("__tk")).cast("long").as("__dl") +: tf: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol) +: size(col("__tk")).cast("long").as("__dl") +: tf: _*))
     val statAggs = sum(col("__dl")).as("__sumdl") +:
       terms.indices.map(i => sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
     val stats = base.agg(count(lit(1)).as("__n"), statAggs: _*)
@@ -93,9 +92,9 @@ object Ranking {
     // blocks evict LRU under memory pressure and recompute from lineage;
     // CacheManager dedups re-persists of the same canonical plan, so
     // repeated calls don't accumulate entries.
-    val strata = perDoc.groupBy(strataCols.map(col): _*)
-      .agg(count(lit(1)).as("n_docs"), sum("__dl").as("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val strata = graft.util.Caching.ensurePersisted(
+      perDoc.groupBy(strataCols.map(col): _*)
+        .agg(count(lit(1)).as("n_docs"), sum("__dl").as("n_tokens")))
     val totals = strata.agg(
       sum("n_tokens").as("__total"), count(lit(1)).as("__n_strata"))
     strata.crossJoin(broadcast(totals))

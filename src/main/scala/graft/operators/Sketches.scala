@@ -60,14 +60,14 @@ object Sketches {
                        eps: Double = 0.0005, confidence: Double = 0.999,
                        seed: Int = 42): DataFrame = {
     import graft.functions.GraftFunctions._
-    // persisted: the exact top-K job and the sketch job both read the
-    // tokenized stream — uncached, the corpus tokenizes twice (lifecycle
-    // as Dedup.persistedBase: session-lifetime, CacheManager-deduped).
-    // NOTE this operator is EAGER (two actions at call time) — the
-    // returned frame is the driver-local gate result, not a lazy plan.
-    val toks = docs.select(
-      explode(tokens(normalizeText(col(textCol)))).as("token"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (guarded): the exact top-K job and the sketch job both
+    // read the tokenized stream — uncached, the corpus tokenizes twice
+    // (lifecycle as Dedup.persistedBase: session-lifetime, one entry per
+    // plan, LRU-evicted). NOTE this operator is EAGER (two actions at
+    // call time) — the returned frame is the driver-local gate result,
+    // not a lazy plan.
+    val toks = graft.util.Caching.ensurePersisted(docs.select(
+      explode(tokens(normalizeText(col(textCol)))).as("token")))
     val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered: k·partitions driver merge
       .collect()

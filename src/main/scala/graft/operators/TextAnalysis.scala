@@ -49,27 +49,49 @@ object TextAnalysis {
   /** Quality signals: token count, mean token length, distinct-token ratio,
     * punctuation ratio, stopword ratio, plus a composite [0,1] score.
     * Mirrors the public C4/Gopher-style filters (length + repetition +
-    * symbol + stopword ratios).
+    * symbol + stopword ratios). (No n-gram repetition signal lives here —
+    * that is `gramRepetition`'s own operator, already a native
+    * `NgramHashExpr` pass.)
+    *
+    * Plan shape: ONE projection touches the text column — the native
+    * [[graft.functions.QualitySignalsExpr]] computes all three
+    * token-derived counts in a single pass over one tokenization, and the
+    * two regex character counts ride the same projection (they stay put
+    * because CollapseProject won't merge a projection whose non-cheap
+    * `__sig` is referenced downstream more than once). A second, pure-
+    * arithmetic projection derives the ratios. The previous shape ran
+    * FOUR stacked projections, two outside whole-stage codegen
+    * (interpreted higher-order filter/array_distinct), and tokenized the
+    * text three times per row.
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    val stopArr = array(stopwords.map(lit): _*)
+    // raw split, not tokens(): the kernel skips empties itself, and the
+    // codegen-fallback HOF filter inside tokens() would drop the whole
+    // projection out of whole-stage codegen
+    val sig = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.QualitySignalsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(split(t, "\\s+")), stopwords))
     docs
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("n_stopwords",
-        size(filter(tokens(lower(t)), tk => array_contains(stopArr, tk))).cast("long"))
+      .select(docs.columns.map(col) ++ Seq(
+        sig.as("__sig"),
+        length(regexp_replace(t, "\\s+", "")).as("__nws"),
+        (length(t) - length(regexp_replace(t, "[^\\w\\s]", ""))).as("__npunct"),
+        length(t).as("__len")): _*)
+      .withColumn("n_tokens", col("__sig.n_tokens"))
+      .withColumn("n_stopwords", col("__sig.n_stopwords"))
       .withColumn("stopword_ratio",
         round(when(col("n_tokens") > 0, col("n_stopwords").cast("double") / col("n_tokens")).otherwise(lit(0.0d)), 4))
-      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_distinct_tokens", col("__sig.n_distinct_tokens"))
       .withColumn("mean_token_len",
-        round(when(col("n_tokens") > 0, length(regexp_replace(t, "\\s+", "")).cast("double") / col("n_tokens")).otherwise(lit(0.0d)), 4))
+        round(when(col("n_tokens") > 0, col("__nws").cast("double") / col("n_tokens")).otherwise(lit(0.0d)), 4))
       .withColumn("distinct_ratio",
         round(when(col("n_tokens") > 0, col("n_distinct_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0d)), 4))
       .withColumn("punct_ratio",
-        round(when(length(t) > 0, (length(t) - length(regexp_replace(t, "[^\\w\\s]", ""))).cast("double") / length(t)).otherwise(lit(0.0d)), 4))
+        round(when(col("__len") > 0, col("__npunct").cast("double") / col("__len")).otherwise(lit(0.0d)), 4))
       .withColumn("quality_score",
         round(least(lit(1.0d), col("n_tokens").cast("double") / lit(50.0d)) * col("distinct_ratio") * (lit(1.0d) - col("punct_ratio")), 4))
+      .drop("__sig", "__nws", "__npunct", "__len")
   }
 
   /** Token budget estimate: whitespace words + BPE-ish subword count. */
@@ -404,12 +426,14 @@ object TextAnalysis {
     */
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val tf = docs
+    // guarded persist: this projection chain is PLAN-IDENTICAL to
+    // tfidfTopTerms' term frame over the same docs, so whichever query
+    // runs first materializes one shared cache entry
+    val tf = graft.util.Caching.ensurePersisted(docs
       // native per-doc term counts (TermCountsExpr): identical rows to
       // explode→groupBy(doc, term).count, zero shuffle
       .select(col(idCol), explode(termCounts(tokens(normalizeText(col(textCol))))).as("__tc"))
-      .select(col(idCol), col("__tc.token").as("token"), col("__tc.tf").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), col("__tc.token").as("token"), col("__tc.tf").as("tf")))
     val counts = tf.groupBy("token").agg(sum("tf").as("__c"))
     val total = counts.agg(sum("__c").as("__t"))
     val perDoc = tf.join(counts, "token")
@@ -445,11 +469,12 @@ object TextAnalysis {
     // counts — uncached, the corpus would be scanned and re-tokenized
     // twice. Lifecycle as Dedup.persistedBase: session-lifetime, LRU
     // eviction recomputes from lineage, CacheManager dedups re-persists.
-    val tf = docs
-      // native per-doc term counts — see unigramLogProb; same zero-shuffle shape
+    val tf = graft.util.Caching.ensurePersisted(docs
+      // native per-doc term counts — see unigramLogProb; same zero-shuffle
+      // shape AND the same canonical plan, so the two queries share one
+      // cache entry under the guarded persist
       .select(col(idCol), explode(termCounts(tokens(normalizeText(col(textCol))))).as("__tc"))
-      .select(col(idCol), col("__tc.token").as("token"), col("__tc.tf").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), col("__tc.token").as("token"), col("__tc.tf").as("tf")))
     val dfc = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df_count"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token").asc)

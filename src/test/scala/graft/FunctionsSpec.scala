@@ -326,4 +326,35 @@ class FunctionsSpec extends SparkSpec {
       assert(r.getSeq[Int](2) == r.getSeq[Int](3), s"probe list: $r")
     }
   }
+
+  test("codebook kernels: NULL vector is null out (row drops from cell joins); malformed vector is (null, 0) / [0..n-1]") {
+    // The documented contract (CodebookExpr scaladoc): a null INPUT VECTOR
+    // yields null — so a null-embedding row joins nothing in
+    // ivfTopK/semanticDedup/kmeansAssign (no cosine or cell is definable
+    // for it), which is intended; a MALFORMED vector (wrong length / null
+    // element) reproduces the old struct/array_min path's (null, cell 0)
+    // and [0..n-1]. Locked here so the difference stays deliberate.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.{NearestCellExpr, NearestCellsExpr}
+    val cb: IndexedSeq[IndexedSeq[Double]] = IndexedSeq(IndexedSeq(0.0, 0.0), IndexedSeq(1.0, 1.0))
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('null_vec',  CAST(NULL AS ARRAY<DOUBLE>)),
+        |  ('short_vec', array(CAST(9.0 AS DOUBLE))),
+        |  ('null_elem', array(CAST(NULL AS DOUBLE), CAST(2.0 AS DOUBLE))),
+        |  ('good',      array(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS t(tag, v)""".stripMargin)
+      .select(col("tag"),
+        toCol(NearestCellExpr(toExpr(col("v")), cb)).as("n"),
+        toCol(NearestCellsExpr(toExpr(col("v")), cb, 2)).as("nn"))
+    val byTag = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byTag("null_vec").isNullAt(1) && byTag("null_vec").isNullAt(2))
+    for (tag <- Seq("short_vec", "null_elem")) {
+      val s = byTag(tag).getStruct(1)
+      assert(s.isNullAt(0) && s.getInt(1) == 0, s"$tag struct: $s")
+      assert(byTag(tag).getSeq[Int](2) == Seq(0, 1), s"$tag probe list")
+    }
+    val good = byTag("good").getStruct(1)
+    assert(!good.isNullAt(0) && good.getInt(1) == 1)
+    assert(byTag("good").getSeq[Int](2) == Seq(1, 0))
+  }
 }

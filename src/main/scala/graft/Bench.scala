@@ -89,9 +89,14 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"unit":"$unit","total":$totalStr,"q":$qs$failedField}"""
     }
+    // Budget: BENCH_r10.json's captured tail ends at the JSON line + "\n"
+    // (no sbt suffix), but BENCH_r09's tail DID include sbt's ~76-byte
+    // "[success] Total time" line after it — 1920 is safe under both
+    // capture modes (1920 + 77 + newline <= 2000, so the line's head
+    // survives the tail cut either way).
     val line = Seq("cs" -> 100L, "ds" -> 10L, "s" -> 1L)
       .map { case (u, p) => lineFor(u, p) }
-      .find(_.getBytes("UTF-8").length <= 1915)
+      .find(_.getBytes("UTF-8").length <= 1920)
       .getOrElse(lineFor("s", 1L))
     println(line)
     Console.out.flush()

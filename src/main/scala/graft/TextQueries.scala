@@ -716,7 +716,10 @@ object TextQueries {
     ("curation_pipeline", curation, Some(curationSql)),
     ("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     ("incremental_dedup_bloom", incrementalDedupBloom, Some(incrementalDedupSql)),
-    ("incremental_dedup_stream", incrementalDedupStream, Some(incrementalDedupSql)),
+    // short registry name: every name rides the bench's 2 KB tail line,
+    // and this one decides whether the whole map fits at decisecond
+    // resolution
+    ("inc_dedup_stream", incrementalDedupStream, Some(incrementalDedupSql)),
     ("incremental_lsh", incrementalLsh, Some(incrementalLshSql)),
     ("incremental_lsh_bloom", incrementalLshBloom, Some(incrementalLshSql)),
     ("minhash_lsh", minhashLsh, Some(minhashLshSql)),

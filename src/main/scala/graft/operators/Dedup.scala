@@ -197,7 +197,21 @@ object Dedup {
     */
   def dedupAgainstBaselineBloom(incoming: DataFrame, baseline: DataFrame,
                                 idCol: String = "doc_id", textCol: String = "text",
-                                expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+                                expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    dedupAgainstBaselineBloomManaged(incoming, baseline, idCol, textCol, expectedItems, fpp)._1
+
+  /** Cleanup-handle variant of [[dedupAgainstBaselineBloom]] for long-lived
+    * sessions running many crawls: each crawl's batch is a DIFFERENT plan,
+    * so the guarded persist still adds one cache entry per crawl. The
+    * returned release() unpersists this invocation's internal cache once
+    * the caller has MATERIALIZED the result frame — calling it earlier is
+    * safe (lineage stays valid) but recomputes the deduped batch for any
+    * remaining consumer.
+    */
+  def dedupAgainstBaselineBloomManaged(incoming: DataFrame, baseline: DataFrame,
+                                       idCol: String = "doc_id", textCol: String = "text",
+                                       expectedItems: Long = 1000000L, fpp: Double = 0.01)
+      : (DataFrame, () => Unit) = {
     val deduped = graft.util.Caching.ensurePersisted(exact(incoming, idCol, textCol))
     val bloom = deduped.stat.bloomFilter("fp", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
@@ -206,7 +220,7 @@ object Dedup {
       graft.functions.BloomMightContainExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("fp")), bos.toByteArray))
     val basFp = baseline.select(fingerprint(col(textCol)).as("fp")).filter(gate).distinct()
-    deduped.join(basFp, Seq("fp"), "left_anti")
+    (deduped.join(basFp, Seq("fp"), "left_anti"), () => { deduped.unpersist(); () })
   }
 
   /** MinHash signatures as a PURE PROJECTION — one native pass computing
@@ -422,7 +436,22 @@ object Dedup {
                                      idCol: String = "doc_id", textCol: String = "text",
                                      k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
                                      shingleN: Int = 3, maxBucket: Int = 1000,
-                                     expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+                                     expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    minhashLshAgainstBaselineBloomManaged(incoming, baseline, idCol, textCol,
+      k, bands, threshold, shingleN, maxBucket, expectedItems, fpp)._1
+
+  /** Cleanup-handle variant of [[minhashLshAgainstBaselineBloom]] — same
+    * rationale as [[dedupAgainstBaselineBloomManaged]]: per-crawl plans
+    * differ, so a recurring pipeline should release each crawl's internal
+    * caches (the batch's banded table and both shingle bases) after
+    * materializing its pair frame.
+    */
+  def minhashLshAgainstBaselineBloomManaged(incoming: DataFrame, baseline: DataFrame,
+                                     idCol: String = "doc_id", textCol: String = "text",
+                                     k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+                                     shingleN: Int = 3, maxBucket: Int = 1000,
+                                     expectedItems: Long = 1000000L, fpp: Double = 0.01)
+      : (DataFrame, () => Unit) = {
     require(k % bands == 0, "bands must divide k")
     val rowsPer = k / bands
     val bInc = persistedBase(incoming, idCol, textCol, Nil, shingleN)
@@ -452,7 +481,8 @@ object Dedup {
       .select(col("band"), col("bk"), col(idCol).as("id_bas"))
     val cand = l.join(r, Seq("band", "bk"))
       .select("id_in", "id_bas").dropDuplicates("id_in", "id_bas")
-    verifyJaccardTwoSided(cand, bInc, bBas, idCol, "id_in", "id_bas", threshold)
+    val result = verifyJaccardTwoSided(cand, bInc, bBas, idCol, "id_in", "id_bas", threshold)
+    (result, () => { bandedInc.unpersist(); bInc.unpersist(); bBas.unpersist(); () })
   }
 
   /** The shingle table has TWO consumers — candidate generation and exact

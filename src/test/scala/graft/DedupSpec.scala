@@ -124,6 +124,33 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("bloom_might_contain"), s"bloom gate missing from plan:\n$plan")
   }
 
+  test("managed Bloom variants: release() drops the internal caches, results stay valid") {
+    // Per-crawl plans differ, so a recurring pipeline accumulates one cache
+    // entry per crawl unless it releases them; the managed variants hand
+    // back that release. Contract: same rows as the unmanaged twin, release
+    // runs cleanly after materialization, and the result frame still
+    // evaluates identically AFTERWARD (lineage intact — cache-independence).
+    val s = spark; import s.implicits._
+    val baseline = Seq((10L, "already in the corpus"), (11L, "shared body text here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((20L, "already in the corpus"), (21L, "brand new document"),
+      (22L, "shared body text here"), (23L, "another fresh one"))
+      .toDF("doc_id", "text")
+    val (exactDf, exactRelease) =
+      Dedup.dedupAgainstBaselineBloomManaged(incoming, baseline, expectedItems = 100L)
+    val before = exactDf.collect().map(_.toSeq).toSet
+    assert(exactDf.collect().map(_.getAs[Long]("doc_id")).toSet === Set(21L, 23L))
+    exactRelease()
+    assert(exactDf.collect().map(_.toSeq).toSet === before)
+
+    val (lshDf, lshRelease) = Dedup.minhashLshAgainstBaselineBloomManaged(
+      incoming, baseline, k = 32, bands = 16, threshold = 0.3, shingleN = 2,
+      expectedItems = 100L)
+    val lshBefore = lshDf.collect().map(_.toSeq).toSet
+    lshRelease()
+    assert(lshDf.collect().map(_.toSeq).toSet === lshBefore)
+  }
+
   test("minhashLsh finds the planted near-dup pair, never compares all pairs") {
     val out = Dedup.minhashLsh(docs, threshold = 0.3, k = 32, bands = 16, shingleN = 2)
     val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

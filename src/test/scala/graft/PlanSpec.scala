@@ -74,4 +74,42 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_shipdate"),
       s"column pruning failed: $readSchema")
   }
+
+  test("quality_score stays one whole-stage-codegen span — no interpreted projection") {
+    // The signal stage is the native QualitySignalsExpr (one pass over one
+    // split) plus codegen'd regex counts; a CodegenFallback expression
+    // sneaking back in (e.g. a higher-order filter) re-splits the
+    // interpreted/compiled boundary and re-tokenizes per signal. Assert no
+    // ProjectExec executes outside WholeStageCodegen.
+    import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec, SparkPlan}
+    val exec = operators.TextAnalysis.qualityScore(sources.Tables.documents(spark, dir))
+      .queryExecution.executedPlan
+    def bare(p: SparkPlan, inCodegen: Boolean): Seq[ProjectExec] = p match {
+      case w: WholeStageCodegenExec => w.children.flatMap(bare(_, inCodegen = true))
+      case pr: ProjectExec if !inCodegen => pr +: pr.children.flatMap(bare(_, inCodegen = false))
+      case other => other.children.flatMap(bare(_, inCodegen))
+    }
+    val offenders = bare(exec, inCodegen = false)
+    assert(offenders.isEmpty, s"interpreted projections:\n${offenders.mkString("\n")}\nplan:\n$exec")
+  }
+
+  test("the minhash pair graph is persisted once and equal rebuilds hit the cache") {
+    // minhash_lsh, cluster_dedup and dedup_keep_best all derive their pair
+    // frame from one guarded-persist construction (sharedLshPairs). The
+    // clustering queries consume it EAGERLY (localCheckpoint + size-gated
+    // union-find at build time), so the reuse can't be read off their final
+    // plans — assert the mechanism instead: after one materialization, a
+    // freshly REBUILT equal plan must resolve to the cached InMemoryRelation
+    // (CacheManager substitution by canonicalized plan), which is exactly
+    // what the other two queries' constructions trigger.
+    val pairs = Queries.registry.collectFirst { case ("minhash_lsh", q, _) => q }
+      .get(spark, dir)
+    pairs.count() // materialize the shared cache entry
+    try {
+      val rebuilt = Queries.registry.collectFirst { case ("minhash_lsh", q, _) => q }
+        .get(spark, dir)
+      assert(rebuilt.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+        s"rebuilt pair plan not substituted from cache:\n${rebuilt.queryExecution.withCachedData}")
+    } finally pairs.unpersist()
+  }
 }

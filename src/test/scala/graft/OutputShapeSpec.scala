@@ -12,9 +12,11 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType, BinaryType}
   * visible at plan time, so this spec locks it: every registered query's
   * output must be flat scalar columns.
   *
-  * Schema resolution is lazy for all but one query (no job runs), so
-  * the lint costs analysis only — the exception is `vocab_topk`, whose
-  * operator is eager by design (its sketch gate needs two actions).
+  * Schema resolution is lazy for all but two queries (no job runs), so
+  * the lint costs analysis only — the exceptions are `vocab_topk`, whose
+  * operator is eager by design (its sketch gate needs two actions), and
+  * `inc_dedup_stream`, which runs its MemoryStream to completion when
+  * invoked.
   */
 class OutputShapeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"

@@ -84,6 +84,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
-      unary("simhash60", SimHash60Expr.apply) _))
+      unary("simhash60", SimHash60Expr(_: Expression)) _))
   }
 }

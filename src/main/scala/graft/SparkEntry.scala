@@ -17,4 +17,12 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+  /** Deterministically drop every shared frame the engine's guarded
+    * persists registered (shingle/token-hash bases, the LSH pair graph,
+    * id-map deltas, term-count frames) — for long-lived sessions embedding
+    * the engine that want the memory back without waiting for LRU
+    * eviction. Queries issued afterwards recompute (and re-cache) what
+    * they need; results are unaffected.
+    */
+  def releaseSharedCaches(): Unit = graft.util.Caching.releaseAll()
 }

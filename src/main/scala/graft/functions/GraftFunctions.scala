@@ -118,6 +118,19 @@ object GraftFunctions {
       graft.functions.TokenHashExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(tk), fold = false))
 
+  /** FULL 60-bit `hash60` per element — no mod-P reduction. The shared
+    * token-hash layer (`Dedup.fullHashBase`) persists this once per
+    * corpus: gram folds reduce it mod P as they consume it
+    * (`NgramHashExpr.reduceInputs`) and SimHash votes on its bits
+    * directly (`SimHash60Expr.preHashed`), so one md5 pass serves every
+    * shingle/winnow/simhash pipeline over the same documents.
+    */
+  def tokenHashesFull(tk: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TokenHashExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tk),
+        fold = false, reduceModP = false))
+
   /** Rabin-Karp rolling fold `acc ← (acc·B + pmod(hash60(t), P)) mod P`
     * over an `array<string>`, fused the same way (replaces the interpreted
     * `aggregate` HOF in `TextAnalysis.fingerprints`). 0 for empty input.

@@ -38,8 +38,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * null gram (null propagates through `a * B + …`); a null TRAILING hash
   * inside a window coalesces to 0, which is also how short-document
   * padding falls out of `zip_with`'s null padding.
+  *
+  * `reduceInputs = true` accepts FULL 60-bit token hashes (the shared
+  * `Dedup.fullHashBase` layer) and applies `pmod(h, P)` per element as it
+  * reads — bit-identical to consuming a pre-reduced array (the fold is
+  * only defined for h < P: `acc·B + h` with a 60-bit h would overflow),
+  * without materializing the reduced copy.
   */
-case class NgramHashExpr(child: Expression, n: Int, distilled: Boolean)
+case class NgramHashExpr(child: Expression, n: Int, distilled: Boolean,
+                         reduceInputs: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "gram width must be >= 1")
 
@@ -65,6 +72,11 @@ case class NgramHashExpr(child: Expression, n: Int, distilled: Boolean)
       s"$prettyName requires array<bigint>, got ${t.catalogString}")
   }
 
+  // non-null element read, reduced into the mod-P fold domain when the
+  // child carries full 60-bit hashes
+  @inline private def read(a: ArrayData, i: Int): Long =
+    if (reduceInputs) Math.floorMod(a.getLong(i), P) else a.getLong(i)
+
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val m = a.numElements()
@@ -80,12 +92,12 @@ case class NgramHashExpr(child: Expression, n: Int, distilled: Boolean)
         if (!distilled) out.add(null)
         else if (!sawNull) { sawNull = true; out.add(null) }
       } else {
-        var acc = a.getLong(i)
+        var acc = read(a, i)
         var j = 1
         while (j < n) {
           val idx = i + j
           // trailing null / past-end (short-doc padding) both coalesce to 0
-          val hv = if (idx < m && !a.isNullAt(idx)) a.getLong(idx) else 0L
+          val hv = if (idx < m && !a.isNullAt(idx)) read(a, idx) else 0L
           acc = Math.floorMod(acc * B + hv, P) // pmod: result in [0, P)
           j += 1
         }

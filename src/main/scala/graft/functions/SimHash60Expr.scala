@@ -21,18 +21,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * the exploded row with a null hash did (skipped by `sum`, counted by
   * `count`). Returns null for a null or EMPTY array — the aggregate form
   * had no group to emit, and callers filter the null out the same way.
+  *
+  * `preHashed = true` accepts `array<long>` of FULL 60-bit `hash60`
+  * values instead of the token strings — the shared `Dedup.fullHashBase`
+  * layer, where the md5 pass already ran once for the gram pipelines.
+  * Votes land on the same bits by construction (`hash60` is exactly what
+  * this expression computes from a string), so the two input modes are
+  * value-identical over the same tokens (FunctionsSpec asserts it).
   */
-case class SimHash60Expr(child: Expression)
+case class SimHash60Expr(child: Expression, preHashed: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash60"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got ${t.catalogString}")
+  override def checkInputDataTypes(): TypeCheckResult = (child.dataType, preHashed) match {
+    case (ArrayType(StringType, _), false) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, _), true) => TypeCheckResult.TypeCheckSuccess
+    case (t, pre) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ${if (pre) "array<bigint>" else "array<string>"}, got ${t.catalogString}")
   }
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -43,7 +51,7 @@ case class SimHash60Expr(child: Expression)
     var i = 0
     while (i < m) {
       if (!a.isNullAt(i)) {
-        var h = Hash60.hash(a.getUTF8String(i).getBytes)
+        var h = if (preHashed) a.getLong(i) else Hash60.hash(a.getUTF8String(i).getBytes)
         while (h != 0L) { // iterate set bits only (~30 per 60-bit hash)
           ones(java.lang.Long.numberOfTrailingZeros(h)) += 1
           h &= h - 1

@@ -18,16 +18,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * around it — the same treatment [[WinnowSketchExpr]] and
   * [[NgramHashExpr]] gave the downstream folds.
   *
+  * `reduceModP = false` keeps the FULL 60-bit hash per token (no mod-P
+  * reduction) — the shared token-hash layer `Dedup.fullHashBase` persists
+  * once per corpus: gram folds reduce it mod P as they consume it
+  * (`NgramHashExpr.reduceInputs`), and SimHash votes on its bits directly
+  * (`SimHash60Expr.preHashed`), so ONE md5 pass serves both families.
+  * `pmod(fullHash, P)` equals the reduced form exactly, which is what
+  * keeps the layered plans oracle-identical (FunctionsSpec asserts it).
+  *
   * `fold = true` is the Rabin-Karp variant (`TextAnalysis.fingerprints`):
   * instead of the hash ARRAY, return the single rolling fold
   * `acc ← (acc·B + h) mod P` over the token hashes (LongType, 0 for an
-  * empty array). Null semantics mirror the HOF forms exactly (asserted in
-  * FunctionsSpec): a null array yields null; a null ELEMENT yields a null
-  * hash slot elementwise, and poisons the fold to null from that step on
-  * (null propagates through `acc·B + h` to the end).
+  * empty array). The fold requires the mod-P domain (an unreduced 60-bit
+  * h would overflow `acc·B + h`), so `fold` forces `reduceModP`. Null
+  * semantics mirror the HOF forms exactly (asserted in FunctionsSpec): a
+  * null array yields null; a null ELEMENT yields a null hash slot
+  * elementwise, and poisons the fold to null from that step on (null
+  * propagates through `acc·B + h` to the end).
   */
-case class TokenHashExpr(child: Expression, fold: Boolean)
+case class TokenHashExpr(child: Expression, fold: Boolean, reduceModP: Boolean = true)
     extends UnaryExpression with CodegenFallback {
+  require(!fold || reduceModP, "the rolling fold is only defined in the mod-P domain")
 
   import NgramHashExpr.{B, P}
 
@@ -42,7 +53,10 @@ case class TokenHashExpr(child: Expression, fold: Boolean)
       case _ => true
     })
     else child.nullable
-  override def prettyName: String = if (fold) "token_fold_hash" else "token_hashes"
+  override def prettyName: String =
+    if (fold) "token_fold_hash"
+    else if (reduceModP) "token_hashes"
+    else "token_hashes_full"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -67,8 +81,10 @@ case class TokenHashExpr(child: Expression, fold: Boolean)
       val out = new Array[Any](m)
       var i = 0
       while (i < m) {
-        if (!a.isNullAt(i))
-          out(i) = Math.floorMod(Hash60.hash(a.getUTF8String(i).getBytes), P)
+        if (!a.isNullAt(i)) {
+          val h = Hash60.hash(a.getUTF8String(i).getBytes)
+          out(i) = if (reduceModP) Math.floorMod(h, P) else h
+        }
         i += 1
       }
       new GenericArrayData(out)

@@ -99,34 +99,78 @@ object Dedup {
   /** Distilled (distinct, short-doc-padded) gram hashes — native one-pass
     * [[graft.functions.NgramHashExpr]]; the HOF form above ran n−1
     * interpreted `zip_with` passes each materializing a shifted array copy.
+    * `reduceInputs = true` consumes the FULL-60-bit shared layer, folding
+    * `pmod(h, P)` into the same pass.
     */
-  private def shingleHashes(hs: Column, n: Int): Column =
+  private def shingleHashes(hs: Column, n: Int, reduceInputs: Boolean = false): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.NgramHashExpr(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hs), n, distilled = true))
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hs), n,
+        distilled = true, reduceInputs = reduceInputs))
 
   /** Gram hashes WITHOUT dedup or short-doc padding: one entry per n-gram
     * occurrence, empty for documents shorter than n tokens. The raw
     * positional stream `shingleHashes` distils — callers that need
     * occurrence counts (repetition metrics) use this form.
     */
-  private[graft] def rolledGramHashes(hs: Column, n: Int): Column =
+  private[graft] def rolledGramHashes(hs: Column, n: Int,
+                                      reduceInputs: Boolean = false): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.NgramHashExpr(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hs), n, distilled = false))
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hs), n,
+        distilled = false, reduceInputs = reduceInputs))
 
-  /** (id [, blockCols...], sh: array<long>) — tokenization, token hashing,
-    * and gram combination each materialized in their OWN projection, so
-    * every lambda references a bound column (interpreted higher-order
-    * functions re-evaluate inlined child expressions per element).
+  /** The SHARED token-hash layer: `(id, __fh: array<long>)` — one
+    * normalize→tokenize→md5 pass over the corpus, FULL 60-bit hashes so
+    * every family derives from it: gram pipelines reduce mod P as they
+    * fold (`NgramHashExpr.reduceInputs`), SimHash votes on the bits
+    * directly (`SimHash60Expr.preHashed`). This pass is the single most
+    * expensive map stage of every text-dedup pipeline (an md5 per token),
+    * and before this layer existed winnow / n-gram-Jaccard / SimHash each
+    * re-ran it over the same `documents` scan the MinHash base had
+    * already hashed.
+    */
+  private[graft] def fullHashFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
+      .select(col(idCol), tokenHashesFull(col("__tk")).as("__fh"))
+
+  /** Guarded-persisted [[fullHashFrame]] with an ownership-scoped release
+    * handle (`Caching.acquire`): the first operator over a corpus
+    * materializes it, every later operator over an EQUAL docs plan —
+    * different shingle widths, different block columns, SimHash — reads
+    * the one cache entry (CacheManager substitution by canonicalized
+    * plan). Within a single operator the layer has one consumer, so the
+    * persist is purely for this cross-operator reuse; entries evict LRU
+    * with recompute-on-eviction as the fallback, and
+    * `SparkEntry.releaseSharedCaches` drops them deterministically.
+    */
+  private[graft] def acquireFullHashBase(docs: DataFrame, idCol: String,
+                                         textCol: String): (DataFrame, () => Unit) =
+    graft.util.Caching.acquire(fullHashFrame(docs, idCol, textCol))
+
+  private[graft] def fullHashBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    acquireFullHashBase(docs, idCol, textCol)._1
+
+  /** (id [, blockCols...], sh: array<long>) — derived from the SHARED
+    * full-hash layer: the gram fold reduces the 60-bit hashes mod P as it
+    * rolls, so no intermediate reduced array materializes. Block columns
+    * (scoping LSH collisions, e.g. language) join back from a narrow
+    * `(id, blocks)` scan of the docs — a column-pruned second scan plus an
+    * id-equi join AQE broadcasts at small scale and co-partitions at
+    * corpus scale, which is far cheaper than what it buys: without it the
+    * blocked pipeline would re-tokenize and re-md5 the corpus just to
+    * carry one extra column.
     */
   private[graft] def shingleBase(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[(String, Column)], n: Int): DataFrame = {
-    val keep = col(idCol) +: blockCols.map { case (name, c) => c.as(name) }
-    val named = col(idCol) +: blockCols.map(b => col(b._1))
-    docs.select(keep :+ tokens(normalizeText(col(textCol))).as("__tk"): _*)
-      .select(named :+ tokenHashes(col("__tk")).as("__hs"): _*)
-      .select(named :+ shingleHashes(col("__hs"), n).as("sh"): _*)
+    val sh = fullHashBase(docs, idCol, textCol)
+      .select(col(idCol), shingleHashes(col("__fh"), n, reduceInputs = true).as("sh"))
+    if (blockCols.isEmpty) sh
+    else {
+      val blocks = docs.select(col(idCol) +: blockCols.map { case (name, c) => c.as(name) }: _*)
+      sh.join(blocks, Seq(idCol))
+        .select(col(idCol) +: blockCols.map(b => col(b._1)) :+ col("sh"): _*)
+    }
   }
 
   /** Exact dedup: fingerprint the normalized text, keep the lowest-id row per
@@ -203,16 +247,20 @@ object Dedup {
   /** Cleanup-handle variant of [[dedupAgainstBaselineBloom]] for long-lived
     * sessions running many crawls: each crawl's batch is a DIFFERENT plan,
     * so the guarded persist still adds one cache entry per crawl. The
-    * returned release() unpersists this invocation's internal cache once
-    * the caller has MATERIALIZED the result frame — calling it earlier is
-    * safe (lineage stays valid) but recomputes the deduped batch for any
-    * remaining consumer.
+    * returned release() unpersists the cache entries THIS invocation
+    * registered, once the caller has MATERIALIZED the result frame —
+    * calling it earlier is safe (lineage stays valid) but recomputes the
+    * deduped batch for any remaining consumer. If an equal plan was
+    * already cached by another consumer (a retried identical batch, a
+    * sibling operator over the same corpus), release() no-ops for that
+    * entry (`Caching.acquire` ownership) — it never strands someone
+    * else's cache.
     */
   def dedupAgainstBaselineBloomManaged(incoming: DataFrame, baseline: DataFrame,
                                        idCol: String = "doc_id", textCol: String = "text",
                                        expectedItems: Long = 1000000L, fpp: Double = 0.01)
       : (DataFrame, () => Unit) = {
-    val deduped = graft.util.Caching.ensurePersisted(exact(incoming, idCol, textCol))
+    val (deduped, release) = graft.util.Caching.acquire(exact(incoming, idCol, textCol))
     val bloom = deduped.stat.bloomFilter("fp", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
@@ -220,7 +268,7 @@ object Dedup {
       graft.functions.BloomMightContainExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("fp")), bos.toByteArray))
     val basFp = baseline.select(fingerprint(col(textCol)).as("fp")).filter(gate).distinct()
-    (deduped.join(basFp, Seq("fp"), "left_anti"), () => { deduped.unpersist(); () })
+    (deduped.join(basFp, Seq("fp"), "left_anti"), release)
   }
 
   /** MinHash signatures as a PURE PROJECTION — one native pass computing
@@ -443,8 +491,10 @@ object Dedup {
   /** Cleanup-handle variant of [[minhashLshAgainstBaselineBloom]] — same
     * rationale as [[dedupAgainstBaselineBloomManaged]]: per-crawl plans
     * differ, so a recurring pipeline should release each crawl's internal
-    * caches (the batch's banded table and both shingle bases) after
-    * materializing its pair frame.
+    * caches (the batch's banded table, both shingle bases, and the shared
+    * token-hash layers beneath them) after materializing its pair frame.
+    * Each layer's release no-ops if another consumer registered the equal
+    * plan first (`Caching.acquire` ownership).
     */
   def minhashLshAgainstBaselineBloomManaged(incoming: DataFrame, baseline: DataFrame,
                                      idCol: String = "doc_id", textCol: String = "text",
@@ -454,8 +504,8 @@ object Dedup {
       : (DataFrame, () => Unit) = {
     require(k % bands == 0, "bands must divide k")
     val rowsPer = k / bands
-    val bInc = persistedBase(incoming, idCol, textCol, Nil, shingleN)
-    val bBas = persistedBase(baseline, idCol, textCol, Nil, shingleN)
+    val (bInc, relInc) = acquireBase(incoming, idCol, textCol, Nil, shingleN)
+    val (bBas, relBas) = acquireBase(baseline, idCol, textCol, Nil, shingleN)
     def banded(base: DataFrame) = signatures(base, idCol, Nil, k)
       .select(col(idCol) +: Seq(posexplode(array(bandKeyCols(bands, rowsPer): _*))): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
@@ -463,7 +513,7 @@ object Dedup {
     // union below) — persisted like the shingle bases, guarded so repeated
     // per-crawl invocations over an equal plan reuse one cache entry
     // (LRU-evicted under pressure) instead of stacking registrations
-    val bandedInc = graft.util.Caching.ensurePersisted(
+    val (bandedInc, relBanded) = graft.util.Caching.acquire(
       banded(bInc).withColumn("__side", lit("i")))
     // `bk` embeds the band index in its md5 preimage (bandKeyCols), so the
     // key is unique across bands and the Bloom needs no (band, bk) composite
@@ -482,42 +532,55 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bk"))
       .select("id_in", "id_bas").dropDuplicates("id_in", "id_bas")
     val result = verifyJaccardTwoSided(cand, bInc, bBas, idCol, "id_in", "id_bas", threshold)
-    (result, () => { bandedInc.unpersist(); bInc.unpersist(); bBas.unpersist(); () })
+    (result, () => { relBanded(); relInc(); relBas() })
   }
 
   /** The shingle table has TWO consumers — candidate generation and exact
     * verification — so it is persisted (spilling to disk at scale) rather
-    * than recomputed: without it the verify pass re-runs the full
-    * normalize→tokenize→hash scan of the corpus, the single most expensive
-    * map stage of the pipeline. The persist is GUARDED
-    * (`Caching.ensurePersisted`): operators sharing a corpus — minhashLsh
-    * feeding cluster_dedup AND dedup_keep_best, winnow over the same
-    * shingle width — hit ONE cache entry instead of re-registering the
-    * plan per call, and cache blocks evict LRU with recompute-on-eviction
-    * as the fallback (the lineage stays valid). Same pattern as MLlib's
-    * MinHashLSH, which warns when its input is uncached.
+    * than recomputed: without it the verify pass re-runs the gram fold
+    * over the corpus. The persist is GUARDED (`Caching.acquire`):
+    * operators sharing a corpus — minhashLsh feeding cluster_dedup AND
+    * dedup_keep_best, winnow over the same shingle width — hit ONE cache
+    * entry instead of re-registering the plan per call, and cache blocks
+    * evict LRU with recompute-on-eviction as the fallback (the lineage
+    * stays valid). Same pattern as MLlib's MinHashLSH, which warns when
+    * its input is uncached. The returned release handle covers BOTH
+    * layers (the shingle frame and the shared full-hash layer beneath it)
+    * and no-ops per layer when another consumer registered the entry
+    * first — releasing never strands a sibling operator's cache.
     */
+  private def acquireBase(docs: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[(String, Column)], n: Int): (DataFrame, () => Unit) = {
+    val (_, relFh) = acquireFullHashBase(docs, idCol, textCol)
+    val (sh, relSh) = graft.util.Caching.acquire(
+      shingleBase(docs, idCol, textCol, blockCols, n))
+    (sh, () => { relSh(); relFh() })
+  }
+
   private def persistedBase(docs: DataFrame, idCol: String, textCol: String,
                             blockCols: Seq[(String, Column)], n: Int): DataFrame =
-    graft.util.Caching.ensurePersisted(
-      shingleBase(docs, idCol, textCol, blockCols, n))
+    acquireBase(docs, idCol, textCol, blockCols, n)._1
 
   /** 60-bit SimHash per document over token unigrams (count-weighted) —
     * one native pass per row ([[graft.functions.SimHash60Expr]]), a PURE
     * PROJECTION: the previous explode→groupBy tally shuffled N×tokens
     * rows just to bring each document's votes back together; with the
     * tokens in hand as an array there is nothing to regroup, and the only
-    * shuffle left in `simhashPairs` is the band join's. Documents with
-    * zero tokens are excluded (no bits to vote — the expression returns
-    * null and the filter drops it, as the aggregate form's absent group
-    * did).
+    * shuffle left in `simhashPairs` is the band join's. Votes come from
+    * the SHARED full-hash layer (`preHashed` mode — `hash60(token)` is
+    * exactly what the expression would compute from the string), so a
+    * corpus whose gram pipelines already ran pays no second md5 pass.
+    * Documents with zero tokens are excluded (no bits to vote — the
+    * expression returns null and the filter drops it, as the aggregate
+    * form's absent group did).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
-      org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.functions.SimHash60Expr(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-            tokens(normalizeText(col(textCol)))))).as("simhash"))
+    fullHashBase(docs, idCol, textCol)
+      .select(col(idCol),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.SimHash60Expr(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__fh")),
+            preHashed = true)).as("simhash"))
       .filter(col("simhash").isNotNull)
 
   /** The aggregate (explode→groupBy packed-lane vote) form — KEPT ONLY as

@@ -504,11 +504,18 @@ object TextAnalysis {
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 3): DataFrame = {
-    def grams(df: DataFrame, cols: Seq[Column]) = df
-      .select(cols :+ tokenHashes(tokens(normalizeText(col(textCol)))).as("__hs"): _*)
-      .select(cols :+ array_distinct(Dedup.rolledGramHashes(col("__hs"), n)).as("__g"): _*)
-    val base = grams(docs, Seq(col(idCol)))
-    val benchGrams = grams(benchmark, Nil)
+    // corpus side reads the SHARED full-hash layer (Dedup.fullHashBase) —
+    // a corpus whose dedup pipelines already ran pays no second tokenize+
+    // md5 scan; the gram fold reduces mod P as it rolls, so values are
+    // identical to the direct tokenHashes chain. The benchmark side stays
+    // a direct single-consumer chain: it is tiny and usually a FILTERED
+    // plan that would only add a dead cache entry.
+    val base = Dedup.fullHashBase(docs, idCol, textCol)
+      .select(col(idCol),
+        array_distinct(Dedup.rolledGramHashes(col("__fh"), n, reduceInputs = true)).as("__g"))
+    val benchGrams = benchmark
+      .select(tokenHashes(tokens(normalizeText(col(textCol)))).as("__hs"))
+      .select(array_distinct(Dedup.rolledGramHashes(col("__hs"), n)).as("__g"))
       .select(explode(col("__g")).as("__gh")).distinct()
     val hits = base.select(col(idCol), explode(col("__g")).as("__gh"))
       .join(broadcast(benchGrams), "__gh")
@@ -563,11 +570,12 @@ object TextAnalysis {
     */
   def gramRepetition(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", ns: Seq[Int] = Seq(2, 3)): DataFrame = {
-    val base = docs
-      .select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
-      .select(col(idCol), tokenHashes(col("__tk")).as("__hs"))
+    // reads the SHARED full-hash layer: each n's gram fold reduces mod P
+    // as it rolls — same values as the direct tokenHashes chain, one
+    // tokenize+md5 pass per CORPUS instead of per operator
+    val base = Dedup.fullHashBase(docs, idCol, textCol)
     val withGrams = ns.foldLeft(base) { (df, n) =>
-      df.withColumn(s"__g$n", Dedup.rolledGramHashes(col("__hs"), n))
+      df.withColumn(s"__g$n", Dedup.rolledGramHashes(col("__fh"), n, reduceInputs = true))
     }
     val out = ns.foldLeft(withGrams) { (df, n) =>
       df.withColumn(s"n_grams_$n", size(col(s"__g$n")).cast("long"))

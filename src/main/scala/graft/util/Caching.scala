@@ -19,14 +19,61 @@ import org.apache.spark.storage.StorageLevel
   * Spark's LRU to manage — blocks evict under memory pressure with
   * recompute-on-eviction as the fallback (the lineage stays valid), so a
   * long-lived session holds at most one entry per distinct operator plan,
-  * not one per invocation. A caller that wants deterministic release
-  * (e.g. a pipeline that is done with an entity frame) calls
-  * `df.unpersist()` itself once its downstream results are materialized —
-  * unpersisting earlier would silently recompute the whole upstream DAG
-  * per remaining consumer.
+  * not one per invocation. For deterministic release there are two levels:
+  *
+  *   - [[acquire]] returns a release handle that unpersists ONLY when this
+  *     call was the one that registered the entry. When the guard found an
+  *     existing equal-plan entry, the handle is a no-op — another
+  *     consumer's cache is never pulled out from under it (correctness
+  *     would survive via lineage recompute, but its cache would silently
+  *     vanish).
+  *   - [[releaseAll]] drops every entry the guard registered in this
+  *     process — the session-teardown hook for a long-lived application
+  *     embedding the engine (`SparkEntry.releaseSharedCaches`).
   */
 object Caching {
+
+  // identity set of the exact Dataset objects THIS guard persisted —
+  // ownership for release()'s no-op-on-foreign-entry contract and for
+  // releaseAll(); strong refs are fine (a handful of plan wrappers per
+  // session, removed on release)
+  private val owned = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()))
+
   def ensurePersisted(df: DataFrame,
                       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    if (df.storageLevel == StorageLevel.NONE) df.persist(level) else df
+    acquire(df, level)._1
+
+  /** Guarded persist WITH an ownership-scoped release handle. The handle
+    * unpersists iff this invocation registered the entry; if an equal plan
+    * was already cached (by another operator, a prior invocation, or the
+    * caller itself), the handle no-ops and cache lifetime stays with the
+    * original owner / LRU.
+    */
+  def acquire(df: DataFrame,
+              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) =
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(level)
+      owned.add(df)
+      (df, () => release(df))
+    } else (df, () => ())
+
+  private def release(df: DataFrame): Unit =
+    if (owned.remove(df)) { df.unpersist(); () }
+
+  /** Unpersist every entry this guard registered (and still owns) — the
+    * deterministic drop for a long-lived session done with the engine's
+    * shared frames (shingle bases, the LSH pair graph, id-map deltas).
+    * Safe to call at any time: lineage stays valid, so later queries
+    * recompute (and re-register) what they need.
+    */
+  def releaseAll(): Unit = {
+    val snapshot = new java.util.ArrayList[DataFrame]()
+    owned.synchronized { snapshot.addAll(owned); owned.clear() }
+    snapshot.forEach { df =>
+      try df.unpersist()
+      catch { case _: Throwable => () } // session may already be stopped
+    }
+  }
 }

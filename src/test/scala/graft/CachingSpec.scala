@@ -27,4 +27,40 @@ class CachingSpec extends SparkSpec {
     } finally a.unpersist()
     assert(build().storageLevel == StorageLevel.NONE)
   }
+
+  test("acquire: release is ownership-scoped — foreign equal-plan entries survive") {
+    import org.apache.spark.sql.functions.col
+    val build = () => sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source")).filter(col("doc_id") % 89 === 0)
+    val (a, releaseA) = graft.util.Caching.acquire(build())
+    try {
+      assert(a.storageLevel == StorageLevel.MEMORY_AND_DISK)
+      // a second acquire over an equal plan did NOT register the entry, so
+      // its release must be a no-op — the first consumer keeps its cache
+      val (b, releaseB) = graft.util.Caching.acquire(build())
+      releaseB()
+      assert(b.storageLevel == StorageLevel.MEMORY_AND_DISK,
+        "non-owner release() evicted the owner's cache entry")
+      // the owner's release drops it
+      releaseA()
+      assert(build().storageLevel == StorageLevel.NONE)
+      // and a second owner-release is harmlessly idempotent
+      releaseA()
+    } finally a.unpersist()
+  }
+
+  test("releaseAll drops every guard-registered entry still owned") {
+    import org.apache.spark.sql.functions.col
+    val b1 = () => sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id")).filter(col("doc_id") % 83 === 0)
+    val b2 = () => sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id")).filter(col("doc_id") % 79 === 0)
+    graft.util.Caching.ensurePersisted(b1())
+    graft.util.Caching.ensurePersisted(b2())
+    assert(b1().storageLevel == StorageLevel.MEMORY_AND_DISK)
+    assert(b2().storageLevel == StorageLevel.MEMORY_AND_DISK)
+    SparkEntry.releaseSharedCaches() // the public handle delegates here
+    assert(b1().storageLevel == StorageLevel.NONE)
+    assert(b2().storageLevel == StorageLevel.NONE)
+  }
 }

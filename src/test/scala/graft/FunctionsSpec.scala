@@ -204,6 +204,52 @@ class FunctionsSpec extends SparkSpec {
     assert(sim.getLong(0) === (sim.getLong(1) & ((1L << 60) - 1)))
   }
 
+  test("the shared full-hash layer derives every reduced form exactly") {
+    // fullHashBase persists ONE unreduced md5 pass; gram folds reduce mod P
+    // as they read (NgramHashExpr.reduceInputs) and SimHash votes on the
+    // bits directly (SimHash60Expr.preHashed). Each derivation must equal
+    // the direct single-operator chain bit-for-bit — that equivalence is
+    // what lets winnow/ngramJaccard/simhash share the layer without
+    // touching their oracles.
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.GraftFunctions.{tokenHashes, tokenHashesFull}
+    val P = 2147483647L
+    val data = Seq(
+      Some(Seq(Some("the"), Some("quick"), Some("brown"), Some("fox"), Some("the"))),
+      Some(Seq(Some("a"))),
+      Some(Seq.empty[Option[String]]),
+      Some(Seq(Some("x"), None, Some("y"))), // null token mid-array
+      Option.empty[Seq[Option[String]]])     // null array
+    val df = data.toDF("tk")
+      .select(col("tk"), tokenHashes(col("tk")).as("hs"), tokenHashesFull(col("tk")).as("fh"))
+    // pmod(full, P) == reduced
+    df.select(col("hs"), transform(col("fh"), h => pmod(h, lit(P))).as("fh_red"))
+      .collect().foreach { r =>
+        def v(i: Int): Any = if (r.isNullAt(i)) null else r.getSeq[Any](i)
+        assert(v(0) === v(1), s"mod-P reduction mismatch: $r")
+      }
+    // gram folds over the full layer == folds over the reduced layer
+    for (distilled <- Seq(true, false); n <- Seq(2, 3)) {
+      def gram(c: String, reduce: Boolean) = ColumnBridge.column(
+        graft.functions.NgramHashExpr(ColumnBridge.expression(col(c)), n,
+          distilled = distilled, reduceInputs = reduce))
+      df.select(gram("hs", reduce = false).as("a"), gram("fh", reduce = true).as("b"))
+        .collect().foreach { r =>
+          def v(i: Int): Any = if (r.isNullAt(i)) null else r.getSeq[Any](i)
+          assert(v(0) === v(1), s"distilled=$distilled n=$n gram mismatch: $r")
+        }
+    }
+    // simhash over the full layer == simhash over the token strings
+    def sim(c: String, pre: Boolean) = ColumnBridge.column(
+      graft.functions.SimHash60Expr(ColumnBridge.expression(col(c)), preHashed = pre))
+    df.select(sim("tk", pre = false).as("a"), sim("fh", pre = true).as("b"))
+      .collect().foreach { r =>
+        def v(i: Int): Any = if (r.isNullAt(i)) null else r.get(i)
+        assert(v(0) === v(1), s"simhash preHashed mismatch: $r")
+      }
+  }
+
   test("TermCountsExpr explode == explode/groupBy-count rows, incl. dups and null tokens") {
     val s = spark; import s.implicits._
     import graft.functions.GraftFunctions.termCounts

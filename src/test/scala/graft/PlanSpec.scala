@@ -93,6 +93,30 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"interpreted projections:\n${offenders.mkString("\n")}\nplan:\n$exec")
   }
 
+  test("the shared token-hash layer is substituted into every dedup family's plan") {
+    // winnow / ngram_jaccard / simhash all derive from ONE guarded-persisted
+    // (id, __fh) frame (Dedup.fullHashBase) — the round-12 extension of the
+    // sharedLshPairs idiom down to the tokenize+md5 layer. Materialize the
+    // layer once, then assert a freshly built plan from each family
+    // resolves it from cache (CacheManager substitution by canonicalized
+    // plan) instead of re-scanning and re-hashing the corpus.
+    val fh = operators.Dedup.fullHashBase(
+      sources.Tables.documents(spark, dir), "doc_id", "text")
+    fh.count() // materialize the shared layer
+    try {
+      val plans = Seq(
+        "simhash" -> operators.Dedup.simhash(sources.Tables.documents(spark, dir)),
+        "ngram_jaccard" -> operators.Dedup.ngramJaccard(
+          sources.Tables.documents(spark, dir), shingleN = 2, k = 32, bands = 16, threshold = 0.3),
+        "winnow" -> operators.Dedup.winnow(sources.Tables.documents(spark, dir)),
+        "gram_repetition" -> operators.TextAnalysis.gramRepetition(
+          sources.Tables.documents(spark, dir)))
+      for ((name, df) <- plans)
+        assert(df.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+          s"$name did not substitute the shared token-hash layer:\n${df.queryExecution.withCachedData}")
+    } finally fh.unpersist()
+  }
+
   test("the minhash pair graph is persisted once and equal rebuilds hit the cache") {
     // minhash_lsh, cluster_dedup and dedup_keep_best all derive their pair
     // frame from one guarded-persist construction (sharedLshPairs). The

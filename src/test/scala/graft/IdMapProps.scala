@@ -51,4 +51,19 @@ object IdMapProps extends Properties("IdMap") {
       val (encoded, map) = IdMap.extendAndEncode(IdMap.empty(spark), df(batch), "pk")
       IdMap.extend(map, encoded, "pk").count() == map.count()
     }
+
+  property("gate-invariance: driver-local and sorted assignment agree on either side of the gate") =
+    // extend's size gate (BulkGate) must be invisible in the output: force
+    // the same delta down BOTH strategies (gate below/above the delta) over
+    // a non-empty base map and require identical (key, id) assignments —
+    // including supplementary-plane keys, where a UTF-16 sort would diverge
+    // from Spark's UTF-8 binary order
+    forAllNoShrink(keyGen, keyGen) { (batch1, batch2) =>
+      val base = IdMap.extend(IdMap.empty(spark), df(batch1), "pk")
+      val delta = df(batch2 :+ "iri/𐀀" :+ "iri/�")
+      def rows(m: org.apache.spark.sql.DataFrame) =
+        m.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      rows(IdMap.extend(base, delta, "pk", bulkGate = Long.MaxValue)) ==
+        rows(IdMap.extend(base, delta, "pk", bulkGate = 0L))
+    }
 }

@@ -238,6 +238,46 @@ class SinksSpec extends SparkSpec {
       now = () => wallNow + 200, sleep = _ => ())
     l.acquire(); l.release()
   }
+
+  test("applyEdits write-back: page-bounded batches, add/update split, stringified attrs, geometry") {
+    import graft.sinks.FeatureService
+    val s = spark; import s.implicits._
+    // 3 adds (null objectid) + 6 updates, pageSize 4 → 3 batches in row order
+    val rows = Seq(
+      (null.asInstanceOf[String], "g1", 1.5, 10.0), ("101", "g2", 2.5, 20.0),
+      ("102", "g3", 3.5, 30.0), (null.asInstanceOf[String], "g4", 4.5, 40.0),
+      ("103", "g5", 5.5, 50.0), ("104", "g6", 6.5, 60.0),
+      (null.asInstanceOf[String], "g7", 7.5, 70.0), ("105", "g8", 8.5, 80.0),
+      ("106", "g9", 9.5, 90.0))
+    val df = rows.toDF("objectid", "geocode_id", "x", "y").coalesce(1)
+    val editor = new FeatureService.RecordingEditor()
+    val res = FeatureService.writeBack(df, editor, "https://layer/0",
+      xCol = Some("x"), yCol = Some("y"), pageSize = 4)
+    assert(res == FeatureService.WriteBackResult(nAdds = 3, nUpdates = 6, nBatches = 3))
+    assert(editor.batches.map { case (_, a, u) => (a.size, u.size) }.toSeq ==
+      Seq((2, 2), (1, 3), (0, 1)))
+    assert(editor.batches.forall(_._1 == "https://layer/0"))
+    // geometry rides outside the attribute map; attributes are strings
+    val firstAdd = editor.batches.head._2.head
+    assert(firstAdd.geometry.contains((1.5, 10.0)))
+    assert(firstAdd.attributes == Map("objectid" -> null, "geocode_id" -> "g1"))
+    val firstUpd = editor.batches.head._3.head
+    assert(firstUpd.attributes("objectid") == "101")
+  }
+
+  test("applyEdits write-back: a per-feature error raises with batch context, prior batches stand") {
+    import graft.sinks.FeatureService
+    val s = spark; import s.implicits._
+    val df = (1 to 10).map(i => (i.toString, s"g$i")).toDF("objectid", "geocode_id").coalesce(1)
+    val editor = new FeatureService.RecordingEditor(failValues = Set("g7"))
+    val e = intercept[FeatureService.ApplyEditsException] {
+      FeatureService.writeBack(df, editor, "https://layer/0", pageSize = 3)
+    }
+    assert(e.getMessage.contains("batch 3") && e.getMessage.contains("injected failure"))
+    // batches 1-2 were applied before the failing batch raised (at-least-
+    // once posture: updates are idempotent per objectId, a retry converges)
+    assert(editor.batches.size == 3)
+  }
 }
 
 /** Executor-visible auth state for the lazy-iterator retry test (local mode:

@@ -23,24 +23,36 @@ object Bench {
     // machine-load spikes (this box is shared) filtered out — the same
     // reasoning as the JIT warm-up pass above
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def timedPass(): Seq[(String, Double)] = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        // a crashing query must not read as a near-zero-time perf win
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        failed += name
-      }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def timedPass(names: Option[Set[String]] = None): Seq[(String, Double)] =
+      selected.toSeq.sortBy(_._1)
+        .filter { case (name, _) => names.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+            // a crashing query must not read as a near-zero-time perf win
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
     val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val twoPass = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // third timed pass for the SLOWEST queries only: the ±12% ambient
+    // variance this shared box shows (docs/SCALE.md) is decisecond-scale
+    // on the 1 s-class rows — exactly where cross-round regressions
+    // matter — so min-of-3 there bounds the noise at the top for ~8 s of
+    // added wall time, while the sub-second tail stays at min-of-2
+    val slowest = twoPass.filterNot(t => failed.contains(t._1))
+      .sortBy(-_._2).take(8).map(_._1).toSet
+    val p3 = timedPass(Some(slowest)).toMap
+    val results = twoPass.map { case (n, v) => n -> math.min(v, p3.getOrElse(n, v)) }
     // The harness tail window is exactly 2000 bytes of stdout, and sbt
     // prints "[success] Total time: ..." (~75 bytes) AFTER this line
     // (visible at the end of BENCH_r09.json's tail) — so the line itself
     // must stay ≤ ~1920 bytes or its HEAD gets cut and the parse fails.
     // The 104-query map's NAMES alone cost ~1330 bytes: integer
     // milliseconds can never fit, so the unit is chosen adaptively — the
-    // finest of cs → ds → s whose line stays ≤ 1915 bytes, self-described
+    // finest of cs → ds → s whose line stays ≤ 1920 bytes, self-described
     // by the "unit" field ("q" = the per-query map; the sf suffix is
     // dropped — the driver records sf in its own capture metadata).
     // Three fidelity rules on the compact line:

@@ -392,15 +392,24 @@ object TextQueries {
       .select("doc_id", "text", "lang", "source", "n_chars", "fp", "n_copies")
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, String, String, Long, String, Long)]
-    mem.addData(deduped.collect().toSeq.map(r => (r.getLong(0), r.getString(1),
-      r.getString(2), r.getString(3), r.getLong(4), r.getString(5), r.getLong(6))))
+    // getAs, not getLong: null-tolerant (unboxes to 0) should the fixture's
+    // nullability ever change — a raw getLong would NPE the whole query
+    mem.addData(deduped.collect().toSeq.map(r => (r.getAs[Long](0), r.getString(1),
+      r.getString(2), r.getString(3), r.getAs[Long](4), r.getString(5), r.getAs[Long](6))))
     val sink = s"inc_dedup_stream_${streamSinkId.incrementAndGet()}"
     val q = graft.streaming.EventsStream.dedupAgainstBaselineStream(
       mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars", "fp", "n_copies"),
       all.filter(col("doc_id") < 250))
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    s.table(sink)
+    // detach the (bounded — deduped-batch-sized) rows from the memory sink
+    // and drop its table: the sink registration would otherwise pin one
+    // result set in driver memory per invocation for the session's lifetime
+    val out = s.table(sink)
+    val rows = out.collect().toIndexedSeq
+    s.catalog.dropTempView(sink)
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), out.schema)
   }
 
   private val incrementalDedupSql =

@@ -23,12 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * elements itself, so signals over `split` are identical to signals over
   * `tokens` (either child works; `split` keeps the projection codegen).
   *
-  * Semantics preserved exactly (locked by TextAnalysisSpec and the
-  * quality_score oracle):
-  *   - n_tokens counts every non-empty element, null elements included
-  *     (`size(tokens(t))`'s behavior);
-  *   - n_distinct_tokens counts distinct non-empty elements with nulls
-  *     collapsing to one bucket (`array_distinct` keeps a single null);
+  * Semantics preserved exactly over any SPLIT-produced child (locked by
+  * TextAnalysisSpec, QualitySignalsProps and the quality_score oracle):
+  *   - n_tokens counts every non-empty element. A null ELEMENT also
+  *     counts — note this is NOT `size(tokens(t))`'s rule: the
+  *     higher-order filter inside `tokens` drops elements whose predicate
+  *     is null, so it would EXCLUDE them. The divergence is unreachable
+  *     from the actual child (`split` never yields null elements) but
+  *     latent for any other array<string> input;
+  *   - n_distinct_tokens counts distinct non-empty elements, with null
+  *     elements collapsing to one extra bucket (`array_distinct`'s rule —
+  *     the same null-inclusion caveat as n_tokens applies vs `tokens()`);
   *   - n_stopwords counts elements whose LOWERCASED form is a stopword —
   *     equivalent to the old `tokens(lower(text))` membership because
   *     lowercasing never creates or destroys whitespace (token boundaries

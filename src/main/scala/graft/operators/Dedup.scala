@@ -338,13 +338,21 @@ object Dedup {
     * language) groups its nulls into one bucket like the window's
     * PARTITION BY and the oracle's `PARTITION BY` both do — a plain
     * equi join would let an oversized null-key bucket through.
+    *
+    * The banded stream is guard-persisted: it has THREE consumers here —
+    * the hot-key aggregate and both sides of the caller's candidate
+    * self-join — and for MinHash-family callers every recompute re-runs
+    * the per-row band-key md5s. The cache holds what the window form
+    * shuffled anyway (the full banded stream), with LRU eviction +
+    * lineage recompute as the fallback.
     */
   private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val hot = banded.groupBy(keys.map(col): _*)
+    val bandedC = graft.util.Caching.ensurePersisted(banded)
+    val hot = bandedC.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bc"))
       .filter(col("__bc") > maxBucket)
       .select(keys.map(k => col(k).as(s"__hot_$k")): _*)
-    banded.join(hot, keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _), "left_anti")
+    bandedC.join(hot, keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _), "left_anti")
   }
 
   private[graft] def lshCandidates(base: DataFrame, idCol: String, blockCols: Seq[String],

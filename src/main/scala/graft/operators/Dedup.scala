@@ -7,6 +7,10 @@ import graft.functions.GraftFunctions._
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard. Designed scale-first:
   *
+  *   - every hash-based family derives from ONE shared guarded-persisted
+  *     token-hash layer per corpus ([[fullHashBase]]) — the tokenize+md5
+  *     pass runs once, and gram folds / SimHash votes consume it without
+  *     re-hashing;
   *   - exact dedup is one hash-shuffle on the fingerprint;
   *   - MinHash/LSH never compares all pairs: signatures are computed in a
   *     single scan (map-side); candidates come from an equi self-join on

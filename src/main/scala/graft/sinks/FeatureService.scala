@@ -101,8 +101,13 @@ object FeatureService {
         val i = row.fieldIndex(c)
         c -> (if (row.isNullAt(i)) null else String.valueOf(row.get(i)))
       }.toMap
-      val geom = for (x <- xCol; y <- yCol) yield
-        (row.getAs[Number](x).doubleValue(), row.getAs[Number](y).doubleValue())
+      // a null coordinate (an attributes-only row in a point layer) maps to
+      // geometry=None — an NPE here would fail mid-stream AFTER earlier
+      // batches were already applied, with no batch context in the error
+      val geom = for {
+        x <- xCol; y <- yCol
+        if !row.isNullAt(row.fieldIndex(x)) && !row.isNullAt(row.fieldIndex(y))
+      } yield (row.getAs[Number](x).doubleValue(), row.getAs[Number](y).doubleValue())
       val edit = FeatureEdit(attrs, geom)
       if (attrs(objectIdCol) == null) adds += edit else updates += edit
       if (adds.size + updates.size >= pageSize) flush()

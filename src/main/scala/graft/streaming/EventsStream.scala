@@ -81,16 +81,21 @@ object EventsStream {
     * stream-static left-anti join (supported with the stream on the left;
     * no state store involved, so nothing grows with stream volume).
     * Within-stream duplicates compose via `dedupStream` upstream. The
-    * baseline side reduces to DISTINCT fingerprints once per micro-batch —
-    * at scale, point it at a bucketed fingerprint snapshot
-    * (`SnapshotStore.writeBucketed`) so each micro-batch reads
+    * baseline side reduces to DISTINCT fingerprints and is GUARD-PERSISTED:
+    * a stream-static join re-executes the static subplan on EVERY
+    * micro-batch, so an uncached baseline would re-fingerprint and
+    * re-aggregate the whole corpus per batch for the stream's lifetime —
+    * the cache bounds that to one pass (entry left to LRU;
+    * recompute-on-eviction keeps it correct). At even larger baselines,
+    * point it at a bucketed fingerprint snapshot
+    * (`SnapshotStore.writeBucketed`) so the cache fill itself reads
     * pre-partitioned fingerprints instead of re-aggregating the corpus.
     */
   def dedupAgainstBaselineStream(docs: DataFrame, baseline: DataFrame,
                                  textCol: String = "text"): DataFrame = {
-    val basFp = baseline
+    val basFp = graft.util.Caching.ensurePersisted(baseline
       .select(graft.functions.GraftFunctions.fingerprint(
-        org.apache.spark.sql.functions.col(textCol)).as("__basfp")).distinct()
+        org.apache.spark.sql.functions.col(textCol)).as("__basfp")).distinct())
     docs
       .withColumn("__fp", graft.functions.GraftFunctions.fingerprint(
         org.apache.spark.sql.functions.col(textCol)))

@@ -30,16 +30,26 @@ import org.apache.spark.storage.StorageLevel
   *   - [[releaseAll]] drops every entry the guard registered in this
   *     process — the session-teardown hook for a long-lived application
   *     embedding the engine (`SparkEntry.releaseSharedCaches`).
+  *
+  * Ownership is tracked WEAKLY: `ensurePersisted` callers that never
+  * release (per-crawl unions, id-map deltas left to LRU by design) must
+  * not have this registry pin their Dataset wrappers — and the plan
+  * trees inside them, including large embedded literals like Bloom
+  * bytes — for the session's lifetime. Once a wrapper is unreachable it
+  * drops out of the registry and its cache entry falls back to Spark's
+  * own LRU (blocks evict under pressure; the CacheManager registration
+  * is Spark-managed). The trade: `releaseAll` can only unpersist entries
+  * whose wrapper is still reachable — exactly the ones a caller could
+  * still resubmit work through.
   */
 object Caching {
 
-  // identity set of the exact Dataset objects THIS guard persisted —
+  // weak identity map of the exact Dataset objects THIS guard persisted —
   // ownership for release()'s no-op-on-foreign-entry contract and for
-  // releaseAll(); strong refs are fine (a handful of plan wrappers per
-  // session, removed on release)
-  private val owned = java.util.Collections.synchronizedSet(
-    java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()))
+  // releaseAll(). Dataset does not override equals/hashCode, so
+  // WeakHashMap's equals-based keying IS identity keying here.
+  private val owned = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
 
   def ensurePersisted(df: DataFrame,
                       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
@@ -55,22 +65,24 @@ object Caching {
               level: StorageLevel = StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) =
     if (df.storageLevel == StorageLevel.NONE) {
       df.persist(level)
-      owned.add(df)
+      owned.put(df, java.lang.Boolean.TRUE)
+      // the handle holds df strongly — an acquire()d entry stays
+      // releaseAll-reachable for as long as its handle is
       (df, () => release(df))
     } else (df, () => ())
 
   private def release(df: DataFrame): Unit =
-    if (owned.remove(df)) { df.unpersist(); () }
+    if (owned.remove(df) != null) { df.unpersist(); () }
 
-  /** Unpersist every entry this guard registered (and still owns) — the
-    * deterministic drop for a long-lived session done with the engine's
-    * shared frames (shingle bases, the LSH pair graph, id-map deltas).
-    * Safe to call at any time: lineage stays valid, so later queries
-    * recompute (and re-register) what they need.
+  /** Unpersist every entry this guard registered (and still owns — see the
+    * weak-ownership note above) — the deterministic drop for a long-lived
+    * session done with the engine's shared frames (shingle bases, the LSH
+    * pair graph, id-map deltas). Safe to call at any time: lineage stays
+    * valid, so later queries recompute (and re-register) what they need.
     */
   def releaseAll(): Unit = {
     val snapshot = new java.util.ArrayList[DataFrame]()
-    owned.synchronized { snapshot.addAll(owned); owned.clear() }
+    owned.synchronized { snapshot.addAll(owned.keySet()); owned.clear() }
     snapshot.forEach { df =>
       try df.unpersist()
       catch { case _: Throwable => () } // session may already be stopped

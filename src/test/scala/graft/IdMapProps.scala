@@ -52,18 +52,19 @@ object IdMapProps extends Properties("IdMap") {
       IdMap.extend(map, encoded, "pk").count() == map.count()
     }
 
-  property("gate-invariance: driver-local and sorted assignment agree on either side of the gate") =
-    // extend's size gate (BulkGate) must be invisible in the output: force
-    // the same delta down BOTH strategies (gate below/above the delta) over
-    // a non-empty base map and require identical (key, id) assignments —
-    // including supplementary-plane keys, where a UTF-16 sort would diverge
-    // from Spark's UTF-8 binary order
+  property("path-invariance: lazy ranked and zipWithIndex assignment agree") =
+    // the two independent implementations of the global key rank — extend's
+    // lazy range-partition + monotonically_increasing_id layout and
+    // extendBulk's RDD sort + zipWithIndex — must produce identical
+    // (key, id) assignments over a non-empty base map, including
+    // supplementary-plane keys, where a UTF-16 sort would diverge from
+    // Spark's UTF-8 binary order
     forAllNoShrink(keyGen, keyGen) { (batch1, batch2) =>
       val base = IdMap.extend(IdMap.empty(spark), df(batch1), "pk")
       val delta = df(batch2 :+ "iri/𐀀" :+ "iri/�")
       def rows(m: org.apache.spark.sql.DataFrame) =
         m.collect().map(r => (r.getString(0), r.getLong(1))).toSet
-      rows(IdMap.extend(base, delta, "pk", bulkGate = Long.MaxValue)) ==
-        rows(IdMap.extend(base, delta, "pk", bulkGate = 0L))
+      rows(IdMap.extend(base, delta, "pk")) ==
+        rows(IdMap.extendBulk(base, delta, "pk"))
     }
 }

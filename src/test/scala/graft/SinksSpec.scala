@@ -265,6 +265,58 @@ class SinksSpec extends SparkSpec {
     assert(firstUpd.attributes("objectid") == "101")
   }
 
+  test("EtlRun write-back (K5): strictly after snapshot -> upload -> publish; add/update split applied") {
+    import graft.sinks.FeatureService
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("etlrun-wb").toString
+    val store = new SnapshotStore(root)
+    val events = scala.collection.mutable.ArrayBuffer[String]()
+    val artifacts = new Sinks.ArtifactStore {
+      private val inner = new Sinks.FakeArtifactStore
+      override def upload(localPath: String, bucket: String, key: String,
+                          expirySeconds: Int): String = {
+        events += "upload"; inner.upload(localPath, bucket, key, expirySeconds)
+      }
+    }
+    val notifier = new Sinks.Notifier {
+      private val inner = new Sinks.CollectingNotifier()
+      override def publish(topic: String, value: String, headers: Map[String, String]): Unit = {
+        events += "publish"; inner.publish(topic, value, headers)
+      }
+    }
+    val recording = new FeatureService.RecordingEditor()
+    val editor = new FeatureService.FeatureEditor {
+      override def applyEdits(layerUrl: String, adds: Seq[FeatureService.FeatureEdit],
+                              updates: Seq[FeatureService.FeatureEdit]): Seq[FeatureService.EditResult] = {
+        events += "applyEdits"; recording.applyEdits(layerUrl, adds, updates)
+      }
+    }
+    val lock = new FileRunLock("wb-etl", Files.createTempDirectory("lock-wb"))
+    // 1 add (null objectid, null geometry) + 2 updates with point geometry
+    val geocodes = Seq(
+      (null.asInstanceOf[String], "g1", null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double]),
+      ("201", "g2", java.lang.Double.valueOf(1.5), java.lang.Double.valueOf(2.5)),
+      ("202", "g3", java.lang.Double.valueOf(3.5), java.lang.Double.valueOf(4.5)))
+      .toDF("objectid", "geocode_id", "x", "y").coalesce(1)
+    val times = Iterator.continually(t0)
+    val result = EtlRun.run(spark, EtlRun.Config("pls", "bkt", "pls-etl/", "geocodes"),
+      lock, store, artifacts, notifier, "topic-1",
+      () => Map("geocodes" -> geocodes),
+      now = () => times.next(),
+      writeBack = Some(EtlRun.WriteBack(editor, "https://layer/0", "geocodes",
+        xCol = Some("x"), yCol = Some("y"))))
+    // the analogue of the reference's main_pls orchestration-order test
+    // (tests/test_main_pls_kafka.py:36-118), extended with the K5 stage
+    assert(events.toSeq == Seq("upload", "publish", "applyEdits"))
+    assert(result.writeBack.contains(FeatureService.WriteBackResult(1, 2, 1)))
+    val (layer, adds, updates) = recording.batches.head
+    assert(layer == "https://layer/0" && adds.size == 1 && updates.size == 2)
+    assert(adds.head.geometry.isEmpty) // null coords -> attributes-only feature, no NPE
+    assert(updates.map(_.geometry).toSet == Set(Some((1.5, 2.5)), Some((3.5, 4.5))))
+    // a run WITHOUT the stage still returns no write-back summary
+    assert(result.runId.nonEmpty)
+  }
+
   test("applyEdits write-back: a per-feature error raises with batch context, prior batches stand") {
     import graft.sinks.FeatureService
     val s = spark; import s.implicits._

@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 
-/** Local-iteration probe (not part of the engine): per-query job/stage
+/** Local-iteration probe (dev tool, test scope): per-query job/stage
   * accounting for the bench rows under the knife this round.
+  * Run with `sbt "Test/runMain graft.Scratch"`; SCRATCH_ONLY selects
+  * queries, SCRATCH_VERBOSE prints per-stage timings.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {

@@ -117,6 +117,34 @@ class PlanSpec extends SparkSpec {
     } finally fh.unpersist()
   }
 
+  test("id-map plans canonicalize stably across invocations — empty() and the entity cache") {
+    // The r13 one-pass extend rests on cross-invocation cache reuse, which
+    // rests on canonical plan stability. IdMap.empty is the foundation: an
+    // emptyRDD-backed frame canonicalizes by RDD IDENTITY, making every
+    // invocation plan-distinct and silently defeating reuse for every plan
+    // the map participates in (the r12 regression's root cause). Pin both
+    // layers: (1) two empty() calls canonical-match; (2) after one
+    // extendAndEncode, a REBUILT equal entity plan resolves to the cached
+    // entry — Dataset.storageLevel consults the CacheManager by
+    // canonicalized plan, so this fails if either layer regresses.
+    assert(
+      operators.IdMap.empty(spark).queryExecution.analyzed.canonicalized ==
+        operators.IdMap.empty(spark).queryExecution.analyzed.canonicalized,
+      "IdMap.empty must produce canonically equal plans across invocations")
+    import org.apache.spark.sql.functions.col
+    val entity = () => sources.Tables.part(spark, dir)
+      .select(col("p_name").as("k")).filter(col("k").isNotNull)
+    val (enc, map) = operators.IdMap.extendAndEncode(
+      operators.IdMap.empty(spark), entity(), "k")
+    map.count(); enc.count()
+    try {
+      assert(entity().storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "a rebuilt equal entity plan did not resolve to the cached entry")
+      assert(enc.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+        s"encode does not read the entity through its cache:\n${enc.queryExecution.withCachedData}")
+    } finally SparkEntry.releaseSharedCaches() // entity + delta entries
+  }
+
   test("the minhash pair graph is persisted once and equal rebuilds hit the cache") {
     // minhash_lsh, cluster_dedup and dedup_keep_best all derive their pair
     // frame from one guarded-persist construction (sharedLshPairs). The

@@ -262,10 +262,10 @@ object Queries {
     """SELECT p_name AS key, CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS id
       |FROM (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)""".stripMargin
 
-  /** M6 cold-start path: `extendBulk` (distributed sort + zipWithIndex,
-    * nothing staged in the cache) must assign the SAME ids as `extend`'s
-    * lazy ranked assignment — so it shares `idMapExtendSql` verbatim, and
-    * the 100 TB first-run bulk path is driver-graded, not just
+  /** M6 cold-start path: `extendBulk` (the same sort + zipWithIndex
+    * assignment with nothing staged in the cache) must assign the SAME
+    * ids as `extend` — so it shares `idMapExtendSql` verbatim, and the
+    * 100 TB first-run bulk path is driver-graded, not just
     * equality-tested in IdMapSpec.
     */
   private val idMapBulk: Q = (s, d) =>

@@ -28,12 +28,16 @@ import org.apache.spark.sql.functions._
   *     of re-running the upstream DAG (the r12 shape ran a separate gate
   *     probe over the full DAG before the encode job — a second
   *     materialization that nearly doubled `pls_encoded`);
-  *   - repeated invocations over equal plans (incremental runs, a bench's
-  *     warm-up + timed passes) canonical-match the SAME entries — this is
-  *     why [[empty]] builds from `spark.range(0)` rather than an
-  *     `emptyRDD` (a fresh RDD gives every invocation a distinct
-  *     `LogicalRDD`, which silently defeats cross-run cache reuse for
-  *     every plan the map participates in);
+  *   - repeated invocations over equal plans (a bench's warm-up + timed
+  *     passes; re-running a pipeline over the same inputs) canonical-match
+  *     the SAME entries — this is why [[empty]] builds from
+  *     `spark.range(0)` rather than an `emptyRDD` (a fresh RDD gives
+  *     every invocation a distinct `LogicalRDD`, which silently defeats
+  *     cross-run cache reuse for every plan the map participates in).
+  *     The stability holds for maps built from [[empty]] or read back
+  *     from storage; a map RETURNED by [[extend]] embeds that run's
+  *     assignment RDD and is plan-distinct — in-memory chains release
+  *     per-run deltas via [[extendManaged]] (see its scaladoc);
   *   - ids are the rank in the key-sorted order — Spark sorts strings by
   *     UTF-8 binary bytes (UTF8String ordering), which is also the order
   *     [[extendBulk]] and the DuckDB oracle's `row_number() OVER (ORDER
@@ -92,10 +96,33 @@ object IdMap {
     * guard-persisted (object scaladoc) and left to LRU like
     * `extendAndEncode`'s entity frame; an empty delta unions nothing and
     * the result equals `map` (idempotence).
+    *
+    * Plan identity: the returned map embeds the assignment RDD, which
+    * canonicalizes by IDENTITY — so a map CHAINED through repeated extends
+    * in one session is plan-distinct per run, and each run's delta cache
+    * entry is reusable only within that run. That is the intended shape
+    * for one-shot and repeated-equal-input calls (the map input itself —
+    * [[empty]] or a map read back from storage — is canonically stable);
+    * a long-lived loop that chains maps in memory should use
+    * [[extendManaged]] and release each run's delta after materializing
+    * the new map, or drop everything at once via
+    * `SparkEntry.releaseSharedCaches()`.
     */
-  def extend(map: DataFrame, df: DataFrame, keyCol: String): DataFrame = {
-    val fresh = graft.util.Caching.ensurePersisted(freshKeys(map, df, keyCol))
-    map.select(KEY, ID).unionByName(assignSorted(map, fresh))
+  def extend(map: DataFrame, df: DataFrame, keyCol: String): DataFrame =
+    extendManaged(map, df, keyCol)._1
+
+  /** [[extend]] with the delta cache's release handle exposed (the same
+    * managed idiom as `Dedup.capBucketsManaged`): steady-state incremental
+    * loops — `map = extend(map, batch, k)` per run — register one delta
+    * entry per run that no later run can reuse (the map's plan is
+    * RDD-distinct per run, see [[extend]]), so the loop releases it after
+    * materializing the new map. Release BEFORE materialization is still
+    * correct — the assignment jobs already ran at call time; later actions
+    * just recompute the delta through lineage instead of reading cache.
+    */
+  def extendManaged(map: DataFrame, df: DataFrame, keyCol: String): (DataFrame, () => Unit) = {
+    val (fresh, release) = graft.util.Caching.acquire(freshKeys(map, df, keyCol))
+    (map.select(KEY, ID).unionByName(assignSorted(map, fresh)), release)
   }
 
   /** Rewrite `df(keyCol)` text keys to their integer ids using (an already
@@ -161,8 +188,20 @@ object IdMap {
     * through the cached plan.
     */
   def extendAndEncode(map: DataFrame, df: DataFrame, keyCol: String): (DataFrame, DataFrame) = {
-    val cached = graft.util.Caching.ensurePersisted(df)
-    val m2 = extend(map, cached, keyCol)
-    (encode(cached, m2, keyCol), m2)
+    val (enc, m2, _) = extendAndEncodeManaged(map, df, keyCol)
+    (enc, m2)
+  }
+
+  /** [[extendAndEncode]] with a composed release handle over BOTH cache
+    * layers it registers (the entity frame and the extend delta) — the
+    * loop-shape variant, mirroring [[extendManaged]]. Release after
+    * materializing the encoded frame and the new map; each layer's handle
+    * no-ops if another consumer registered the entry first.
+    */
+  def extendAndEncodeManaged(map: DataFrame, df: DataFrame, keyCol: String)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val (cached, relEntity) = graft.util.Caching.acquire(df)
+    val (m2, relDelta) = extendManaged(map, cached, keyCol)
+    (encode(cached, m2, keyCol), m2, () => { relDelta(); relEntity() })
   }
 }

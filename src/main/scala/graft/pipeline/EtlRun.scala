@@ -60,6 +60,13 @@ object EtlRun {
       val startStr = Sinks.brisbaneTimestamp(startedAt)
 
       val frames = stages()
+      // fail a misconfigured write-back HERE, not after the snapshot is
+      // written, the artifact uploaded and consumers notified — an unknown
+      // table name is checkable the moment the stage map exists
+      writeBack.foreach { wb =>
+        require(frames.contains(wb.table),
+          s"write-back table '${wb.table}' is not a run stage (stages: ${frames.keys.toSeq.sorted.mkString(", ")})")
+      }
 
       val finishedAt = now()
       val endStr = Sinks.brisbaneTimestamp(finishedAt)
@@ -85,7 +92,7 @@ object EtlRun {
         presignedUrlExpirySeconds = config.presignedUrlExpirySeconds)
       notifier.publish(topic, presigned, headers)
       // K5 (extension) — write-back only after the artifact is durable and
-      // announced; `frames(wb.table)` raises on an unknown table up front
+      // announced (the table name was validated before the first side effect)
       val wbResult = writeBack.map { wb =>
         graft.sinks.FeatureService.writeBack(frames(wb.table), wb.editor, wb.layerUrl,
           wb.objectIdCol, wb.xCol, wb.yCol, wb.pageSize)

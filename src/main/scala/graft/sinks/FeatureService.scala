@@ -70,6 +70,8 @@ object FeatureService {
                 xCol: Option[String] = None, yCol: Option[String] = None,
                 pageSize: Int = 2000): WriteBackResult = {
     require(pageSize > 0, "pageSize must be positive")
+    require(xCol.isDefined == yCol.isDefined,
+      "xCol and yCol must be supplied together (or both omitted)")
     val cols = df.columns
     require(cols.contains(objectIdCol), s"missing objectId column $objectIdCol")
     val attrCols = cols.filterNot(c => xCol.contains(c) || yCol.contains(c))
@@ -101,13 +103,23 @@ object FeatureService {
         val i = row.fieldIndex(c)
         c -> (if (row.isNullAt(i)) null else String.valueOf(row.get(i)))
       }.toMap
-      // a null coordinate (an attributes-only row in a point layer) maps to
-      // geometry=None — an NPE here would fail mid-stream AFTER earlier
-      // batches were already applied, with no batch context in the error
-      val geom = for {
-        x <- xCol; y <- yCol
-        if !row.isNullAt(row.fieldIndex(x)) && !row.isNullAt(row.fieldIndex(y))
-      } yield (row.getAs[Number](x).doubleValue(), row.getAs[Number](y).doubleValue())
+      // BOTH coordinates null = an attributes-only row in a point layer →
+      // geometry=None (an NPE here would fail mid-stream AFTER earlier
+      // batches were already applied, with no batch context in the error).
+      // Exactly ONE null is half-specified geometry — corrupt input, not a
+      // valid shape — and silently keeping the layer's stale point while
+      // attributes change would mask it: raise, naming the row.
+      val geom = (xCol, yCol) match {
+        case (Some(x), Some(y)) =>
+          val xNull = row.isNullAt(row.fieldIndex(x))
+          val yNull = row.isNullAt(row.fieldIndex(y))
+          if (xNull != yNull) throw new ApplyEditsException(
+            s"half-specified geometry (one of $x/$y is null) for " +
+              s"$objectIdCol=${attrs.getOrElse(objectIdCol, null)}")
+          if (xNull) None
+          else Some((row.getAs[Number](x).doubleValue(), row.getAs[Number](y).doubleValue()))
+        case _ => None
+      }
       val edit = FeatureEdit(attrs, geom)
       if (attrs(objectIdCol) == null) adds += edit else updates += edit
       if (adds.size + updates.size >= pageSize) flush()

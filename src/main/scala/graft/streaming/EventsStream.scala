@@ -86,8 +86,14 @@ object EventsStream {
     * micro-batch, so an uncached baseline would re-fingerprint and
     * re-aggregate the whole corpus per batch for the stream's lifetime —
     * the cache bounds that to one pass (entry left to LRU;
-    * recompute-on-eviction keeps it correct). At even larger baselines,
-    * point it at a bucketed fingerprint snapshot
+    * recompute-on-eviction keeps it correct). PRECONDITION: the baseline
+    * must be immutable for the stream's lifetime — the engine's snapshot
+    * model (each run writes a NEW versioned snapshot dir, never appends)
+    * guarantees this, and the cache then has no semantic effect. A
+    * mutable baseline source would make batch output depend on WHEN cache
+    * blocks evict (frozen-until-eviction, then silently refreshed) — to
+    * pick up a newer baseline, restart the query against the new snapshot.
+    * At even larger baselines, point it at a bucketed fingerprint snapshot
     * (`SnapshotStore.writeBucketed`) so the cache fill itself reads
     * pre-partitioned fingerprints instead of re-aggregating the corpus.
     */

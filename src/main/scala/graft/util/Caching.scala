@@ -31,25 +31,24 @@ import org.apache.spark.storage.StorageLevel
   *     process — the session-teardown hook for a long-lived application
   *     embedding the engine (`SparkEntry.releaseSharedCaches`).
   *
-  * Ownership is tracked WEAKLY: `ensurePersisted` callers that never
-  * release (per-crawl unions, id-map deltas left to LRU by design) must
-  * not have this registry pin their Dataset wrappers — and the plan
-  * trees inside them, including large embedded literals like Bloom
-  * bytes — for the session's lifetime. Once a wrapper is unreachable it
-  * drops out of the registry and its cache entry falls back to Spark's
-  * own LRU (blocks evict under pressure; the CacheManager registration
-  * is Spark-managed). The trade: `releaseAll` can only unpersist entries
-  * whose wrapper is still reachable — exactly the ones a caller could
-  * still resubmit work through.
+  * Ownership refs are STRONG, held until release: Spark's own CacheManager
+  * already holds every registered plan tree strongly until unpersist (a
+  * weak registry here would unpin nothing — it would only let wrapper GC
+  * silently disown entries, leaving them unreleasable by [[releaseAll]]
+  * for the session's lifetime). So the registry's footprint tracks the
+  * set of LIVE cache registrations — exactly what the CacheManager pins
+  * anyway — and [[releaseAll]] can always drop all of it. Entries a
+  * caller unpersists directly (not through their handle) are swept lazily:
+  * each registration prunes refs whose cache registration is gone, so an
+  * externally-released entry's wrapper is not pinned forever.
   */
 object Caching {
 
-  // weak identity map of the exact Dataset objects THIS guard persisted —
+  // identity set of the exact Dataset objects THIS guard persisted —
   // ownership for release()'s no-op-on-foreign-entry contract and for
-  // releaseAll(). Dataset does not override equals/hashCode, so
-  // WeakHashMap's equals-based keying IS identity keying here.
+  // releaseAll(). Strong refs by design (see scaladoc).
   private val owned = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
+    new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
 
   def ensurePersisted(df: DataFrame,
                       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
@@ -64,21 +63,34 @@ object Caching {
   def acquire(df: DataFrame,
               level: StorageLevel = StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) =
     if (df.storageLevel == StorageLevel.NONE) {
+      prune()
       df.persist(level)
       owned.put(df, java.lang.Boolean.TRUE)
-      // the handle holds df strongly — an acquire()d entry stays
-      // releaseAll-reachable for as long as its handle is
       (df, () => release(df))
     } else (df, () => ())
 
   private def release(df: DataFrame): Unit =
     if (owned.remove(df) != null) { df.unpersist(); () }
 
-  /** Unpersist every entry this guard registered (and still owns — see the
-    * weak-ownership note above) — the deterministic drop for a long-lived
-    * session done with the engine's shared frames (shingle bases, the LSH
-    * pair graph, id-map deltas). Safe to call at any time: lineage stays
-    * valid, so later queries recompute (and re-register) what they need.
+  // sweep owned refs whose CacheManager registration is gone (the caller
+  // unpersisted directly instead of through the handle) — storageLevel is
+  // the same by-canonical-plan lookup the guard itself uses. Bounded work:
+  // only runs on registration, over refs that are stale by definition.
+  private def prune(): Unit = {
+    val stale = new java.util.ArrayList[DataFrame]()
+    owned.synchronized {
+      owned.keySet().forEach { df =>
+        if (df.storageLevel == StorageLevel.NONE) stale.add(df)
+      }
+      stale.forEach { df => owned.remove(df); () }
+    }
+  }
+
+  /** Unpersist every entry this guard registered — the deterministic drop
+    * for a long-lived session done with the engine's shared frames
+    * (shingle bases, the LSH pair graph, id-map deltas). Safe to call at
+    * any time: lineage stays valid, so later queries recompute (and
+    * re-register) what they need.
     */
   def releaseAll(): Unit = {
     val snapshot = new java.util.ArrayList[DataFrame]()

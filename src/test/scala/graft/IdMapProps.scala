@@ -52,13 +52,11 @@ object IdMapProps extends Properties("IdMap") {
       IdMap.extend(map, encoded, "pk").count() == map.count()
     }
 
-  property("path-invariance: lazy ranked and zipWithIndex assignment agree") =
-    // the two independent implementations of the global key rank — extend's
-    // lazy range-partition + monotonically_increasing_id layout and
-    // extendBulk's RDD sort + zipWithIndex — must produce identical
-    // (key, id) assignments over a non-empty base map, including
-    // supplementary-plane keys, where a UTF-16 sort would diverge from
-    // Spark's UTF-8 binary order
+  property("path-invariance: cached and no-cache assignment agree") =
+    // extend (guard-persisted delta) and extendBulk (nothing staged) share
+    // the sort+zipWithIndex assignment but stage the delta differently —
+    // the caching difference must never fork the (key, id) assignments
+    // over a non-empty base map
     forAllNoShrink(keyGen, keyGen) { (batch1, batch2) =>
       val base = IdMap.extend(IdMap.empty(spark), df(batch1), "pk")
       val delta = df(batch2 :+ "iri/𐀀" :+ "iri/�")
@@ -66,5 +64,30 @@ object IdMapProps extends Properties("IdMap") {
         m.collect().map(r => (r.getString(0), r.getLong(1))).toSet
       rows(IdMap.extend(base, delta, "pk")) ==
         rows(IdMap.extendBulk(base, delta, "pk"))
+    }
+
+  property("assignment matches an independent driver-side UTF-8 byte-order oracle") =
+    // the engine-independent statement of the ordering contract: new keys
+    // get maxId+1.. in UTF-8 BINARY byte order, recomputed here with
+    // java.util.Arrays.compareUnsigned over getBytes("UTF-8") — no Spark
+    // sort involved, so an ordering bug in assignSorted cannot cancel out
+    // (DuckDB's row_number oracle grades this too, but only over ASCII
+    // fixture keys). The appended keys force the divergence case: U+10000
+    // sorts BEFORE U+FFFF in Java's UTF-16 compareTo but AFTER it in
+    // UTF-8 bytes (F0 90 80 80 vs EF BF BF), so a UTF-16-ordered engine
+    // sort — or a UTF-16 oracle — fails here.
+    forAllNoShrink(keyGen, keyGen) { (batch1, batch2) =>
+      val base = IdMap.extend(IdMap.empty(spark), df(batch1), "pk")
+      val baseRows = base.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val delta = batch2 :+ "iri/𐀀" :+ "iri/￿" // U+10000, U+FFFF
+      val fresh = delta.distinct.filterNot(baseRows.keySet)
+        .sortWith((a, b) => java.util.Arrays.compareUnsigned(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0)
+      val maxId = if (baseRows.isEmpty) 0L else baseRows.values.max
+      val expected = baseRows ++
+        fresh.zipWithIndex.map { case (k, i) => k -> (maxId + 1 + i) }
+      val actual = IdMap.extend(base, df(delta), "pk")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      actual == expected
     }
 }

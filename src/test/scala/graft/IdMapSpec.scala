@@ -111,4 +111,24 @@ class IdMapSpec extends SparkSpec {
     val encoded = IdMap.encode(entity, map, "pk")
     assert(encoded.count() == 2) // null row rejected up front
   }
+
+  test("extendManaged: the per-run delta cache releases; results survive release") {
+    // the steady-state loop shape — map = extend(map, batch) per run —
+    // registers one delta entry per run that no later run's plan can reuse
+    // (the map embeds that run's assignment RDD); the managed handle is how
+    // a loop drops each run's entry instead of accumulating registrations
+    val (m1, rel1) = IdMap.extendManaged(IdMap.empty(spark), keysDf(Seq("iri/a", "iri/b")), "pk")
+    val (m2, rel2) = IdMap.extendManaged(m1, keysDf(Seq("iri/b", "iri/c")), "pk")
+    val before = m2.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    rel1(); rel2()
+    // post-release, actions recompute through lineage — same assignments
+    assert(m2.collect().map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    assert(before.map(_._1) == Set("iri/a", "iri/b", "iri/c"))
+
+    val (enc, map, relAll) = IdMap.extendAndEncodeManaged(
+      IdMap.empty(spark), keysDf(Seq("iri/x", "iri/y")), "pk")
+    val encRows = enc.collect().map(_.getLong(0)).toSet
+    relAll()
+    assert(map.count() == 2 && encRows == Set(1L, 2L))
+  }
 }

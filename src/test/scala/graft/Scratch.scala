@@ -31,8 +31,10 @@ object Scratch {
     })
     val names = sys.env.getOrElse("SCRATCH_ONLY", "pls_run,pls_encoded,id_map_extend").split(",")
     val qs = SparkEntry.queries
-    // warm-up
-    names.foreach(n => qs(n)(spark, "/root/testdata/sf0.001").count())
+    // warm-up (skipped when the small fixture is absent)
+    val warmDir = sys.env.getOrElse("SCRATCH_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).exists() && warmDir != sfDir)
+      names.foreach(n => qs(n)(spark, warmDir).count())
     Thread.sleep(500)
     names.foreach { n =>
       (1 to 3).foreach { i =>

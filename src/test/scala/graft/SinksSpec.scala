@@ -330,6 +330,50 @@ class SinksSpec extends SparkSpec {
     // once posture: updates are idempotent per objectId, a retry converges)
     assert(editor.batches.size == 3)
   }
+
+  test("applyEdits write-back: half-specified geometry raises instead of silently degrading") {
+    import graft.sinks.FeatureService
+    val s = spark; import s.implicits._
+    // x set, y null (a partially-failed geocode): keeping the layer's stale
+    // point while attributes change would mask the corruption — it must
+    // raise, naming the row. Both-null stays the attributes-only path.
+    val df = Seq(("301", "g1", java.lang.Double.valueOf(153.02), null.asInstanceOf[java.lang.Double]))
+      .toDF("objectid", "geocode_id", "x", "y").coalesce(1)
+    val e = intercept[FeatureService.ApplyEditsException] {
+      FeatureService.writeBack(df, new FeatureService.RecordingEditor(), "https://layer/0",
+        xCol = Some("x"), yCol = Some("y"))
+    }
+    assert(e.getMessage.contains("half-specified") && e.getMessage.contains("301"))
+    // supplying only one coordinate column is a config error, up front
+    intercept[IllegalArgumentException] {
+      FeatureService.writeBack(df, new FeatureService.RecordingEditor(), "https://layer/0",
+        xCol = Some("x"))
+    }
+  }
+
+  test("EtlRun: an unknown write-back table fails BEFORE any side effect") {
+    import graft.sinks.FeatureService
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("etlrun-wb-bad").toString
+    val store = new SnapshotStore(root)
+    val artifacts = new Sinks.FakeArtifactStore
+    val notifier = new Sinks.CollectingNotifier()
+    val lock = new FileRunLock("wb-bad", Files.createTempDirectory("lock-wb-bad"))
+    val geocodes = Seq(("1", "g1")).toDF("objectid", "geocode_id")
+    val e = intercept[IllegalArgumentException] {
+      EtlRun.run(spark, EtlRun.Config("pls", "bkt", "pls-etl/", "geocodes"),
+        lock, store, artifacts, notifier, "topic-1",
+        () => Map("geocodes" -> geocodes),
+        writeBack = Some(EtlRun.WriteBack(new FeatureService.RecordingEditor(),
+          "https://layer/0", "geocode"))) // typo'd table name
+    }
+    assert(e.getMessage.contains("geocode") && e.getMessage.contains("geocodes"))
+    // nothing was written, uploaded, or published — and the lock is free
+    assert(new java.io.File(root).listFiles() == null ||
+      new java.io.File(root).listFiles().isEmpty)
+    assert(artifacts.uploads.isEmpty && notifier.records.isEmpty)
+    lock.acquire(); lock.release() // re-acquirable = released by the failed run
+  }
 }
 
 /** Executor-visible auth state for the lazy-iterator retry test (local mode:

@@ -176,16 +176,16 @@ object IdMap {
     * before encoding (`pls/tables.py:934-938`) — this is the same
     * staging, minus the disk round-trip when it fits in memory.
     *
-    * The persist is GUARDED (`Caching.ensurePersisted`): re-invoking over
-    * an equal plan — repeated incremental runs, an entity chain whose
-    * frames share upstream plans, a bench's warm-up + timed passes —
-    * reuses the existing cache entry instead of re-registering it (the
-    * `CacheManager: Asked to cache already cached data` churn this
-    * replaced). Cache ownership stays with the CALLER: the entry is left
-    * for LRU eviction (recompute-on-eviction keeps it correct), and a
-    * caller that wants deterministic release calls `df.unpersist()` after
-    * materializing both returned frames — never before, since both read
-    * through the cached plan.
+    * The persist is GUARDED (`Caching.acquire`): re-invoking over an
+    * equal plan — an entity chain whose frames share upstream plans, a
+    * bench's warm-up + timed passes — reuses the existing cache entry
+    * instead of re-registering it (the `CacheManager: Asked to cache
+    * already cached data` churn this replaced). Entries are left for LRU
+    * eviction (recompute-on-eviction keeps it correct); a caller that
+    * wants deterministic release uses [[extendAndEncodeManaged]], whose
+    * handle releases BOTH layers through the ownership registry — never
+    * a direct `df.unpersist()`, which would bypass ownership and leave a
+    * stale registry ref.
     */
   def extendAndEncode(map: DataFrame, df: DataFrame, keyCol: String): (DataFrame, DataFrame) = {
     val (enc, m2, _) = extendAndEncodeManaged(map, df, keyCol)

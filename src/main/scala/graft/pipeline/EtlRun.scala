@@ -61,11 +61,15 @@ object EtlRun {
 
       val frames = stages()
       // fail a misconfigured write-back HERE, not after the snapshot is
-      // written, the artifact uploaded and consumers notified — an unknown
-      // table name is checkable the moment the stage map exists
+      // written, the artifact uploaded and consumers notified — the table
+      // name and EVERY schema-level writeBack check (objectId/coordinate
+      // columns, pairing, page size) are checkable the moment the stage
+      // map exists, with zero Spark jobs
       writeBack.foreach { wb =>
         require(frames.contains(wb.table),
           s"write-back table '${wb.table}' is not a run stage (stages: ${frames.keys.toSeq.sorted.mkString(", ")})")
+        graft.sinks.FeatureService.validateWriteBack(
+          frames(wb.table), wb.objectIdCol, wb.xCol, wb.yCol, wb.pageSize)
       }
 
       val finishedAt = now()

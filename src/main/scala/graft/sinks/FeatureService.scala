@@ -47,6 +47,23 @@ object FeatureService {
 
   final class ApplyEditsException(msg: String) extends RuntimeException(msg)
 
+  /** Every plan-time config check [[writeBack]] performs, factored out so
+    * an orchestrator ([[graft.pipeline.EtlRun]]) can run the FULL set
+    * before its first durable side effect — not just the checks writeBack
+    * happens to hit first. Zero Spark jobs: schema-only.
+    */
+  def validateWriteBack(df: DataFrame, objectIdCol: String,
+                        xCol: Option[String], yCol: Option[String],
+                        pageSize: Int): Unit = {
+    require(pageSize > 0, "pageSize must be positive")
+    require(xCol.isDefined == yCol.isDefined,
+      "xCol and yCol must be supplied together (or both omitted)")
+    val cols = df.columns
+    require(cols.contains(objectIdCol), s"missing objectId column $objectIdCol")
+    for (c <- xCol ++ yCol)
+      require(cols.contains(c), s"missing coordinate column $c (columns: ${cols.mkString(", ")})")
+  }
+
   /** Push a DataFrame's rows to a feature layer in page-size-bounded
     * applyEdits batches. Rows with a non-null `objectIdCol` become
     * UPDATES (keyed by that attribute); null-objectId rows become ADDS.
@@ -69,13 +86,22 @@ object FeatureService {
                 objectIdCol: String = "objectid",
                 xCol: Option[String] = None, yCol: Option[String] = None,
                 pageSize: Int = 2000): WriteBackResult = {
-    require(pageSize > 0, "pageSize must be positive")
-    require(xCol.isDefined == yCol.isDefined,
-      "xCol and yCol must be supplied together (or both omitted)")
+    validateWriteBack(df, objectIdCol, xCol, yCol, pageSize)
     val cols = df.columns
-    require(cols.contains(objectIdCol), s"missing objectId column $objectIdCol")
     val attrCols = cols.filterNot(c => xCol.contains(c) || yCol.contains(c))
-    // eager string cast for every attribute, geometry kept numeric
+    // data-quality gate BEFORE the first edit is applied: adds are not
+    // idempotent (a re-run would duplicate features already added by
+    // batches that succeeded before a mid-stream abort), so a
+    // half-specified-geometry row must fail the run while the layer is
+    // still untouched — one distributed pre-scan, not a driver loop
+    for (x <- xCol; y <- yCol) {
+      import org.apache.spark.sql.functions.col
+      val bad = df.filter(col(x).isNull =!= col(y).isNull)
+        .select(col(objectIdCol).cast("string")).take(1)
+      if (bad.nonEmpty) throw new ApplyEditsException(
+        s"half-specified geometry (exactly one of $x/$y is null) for " +
+          s"$objectIdCol=${bad.head.getString(0)}; no edits applied")
+    }
     val it = df.toLocalIterator()
     var nAdds = 0L; var nUpdates = 0L; var nBatches = 0L
     val adds = scala.collection.mutable.ArrayBuffer[FeatureEdit]()

@@ -62,20 +62,36 @@ object Caching {
     */
   def acquire(df: DataFrame,
               level: StorageLevel = StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) =
-    if (df.storageLevel == StorageLevel.NONE) {
-      prune()
-      df.persist(level)
-      owned.put(df, java.lang.Boolean.TRUE)
-      (df, () => release(df))
-    } else (df, () => ())
+    // check-then-persist is atomic w.r.t. other acquire calls: without the
+    // monitor, two threads acquiring equal-canonical-plan frames could both
+    // see NONE, both register ownership, and either handle's release would
+    // then unpersist the shared entry out from under the other's live
+    // consumers — the exact scenario the ownership contract rules out.
+    // (persist() takes the CacheManager's own lock inside this monitor;
+    // safe — Spark never calls back into this object.)
+    acquireMonitor.synchronized {
+      if (df.storageLevel == StorageLevel.NONE) {
+        if (owned.size() >= PruneThreshold) prune()
+        df.persist(level)
+        owned.put(df, java.lang.Boolean.TRUE)
+        (df, () => release(df))
+      } else (df, () => ())
+    }
+
+  private val acquireMonitor = new Object
 
   private def release(df: DataFrame): Unit =
     if (owned.remove(df) != null) { df.unpersist(); () }
 
-  // sweep owned refs whose CacheManager registration is gone (the caller
+  // Sweep owned refs whose CacheManager registration is gone (the caller
   // unpersisted directly instead of through the handle) — storageLevel is
-  // the same by-canonical-plan lookup the guard itself uses. Bounded work:
-  // only runs on registration, over refs that are stale by definition.
+  // the same by-canonical-plan lookup the guard itself uses. The sweep
+  // walks ALL live refs (each an O(#cached) CacheManager lookup), so it is
+  // gated behind a registry-size threshold instead of running on every
+  // registration: below the threshold stale wrappers are a handful of
+  // pinned objects, above it the sweep amortizes to rare.
+  private val PruneThreshold = 64
+
   private def prune(): Unit = {
     val stale = new java.util.ArrayList[DataFrame]()
     owned.synchronized {

@@ -31,7 +31,8 @@ object Scratch {
     })
     val names = sys.env.getOrElse("SCRATCH_ONLY", "pls_run,pls_encoded,id_map_extend").split(",")
     val qs = SparkEntry.queries
-    // warm-up (skipped when the small fixture is absent)
+    // warm-up (skipped when the small fixture is absent, or when it IS the
+    // timed dir — then pass1 deliberately measures cold start)
     val warmDir = sys.env.getOrElse("SCRATCH_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).exists() && warmDir != sfDir)
       names.foreach(n => qs(n)(spark, warmDir).count())

@@ -337,17 +337,29 @@ class SinksSpec extends SparkSpec {
     // x set, y null (a partially-failed geocode): keeping the layer's stale
     // point while attributes change would mask the corruption — it must
     // raise, naming the row. Both-null stays the attributes-only path.
-    val df = Seq(("301", "g1", java.lang.Double.valueOf(153.02), null.asInstanceOf[java.lang.Double]))
-      .toDF("objectid", "geocode_id", "x", "y").coalesce(1)
+    // The check is a distributed PRE-SCAN: adds are not idempotent, so the
+    // run must fail while the layer is still untouched, even when the bad
+    // row sits beyond the first flushed batch.
+    val good = (1 to 5).map(i => (null.asInstanceOf[String], s"g$i",
+      java.lang.Double.valueOf(i.toDouble), java.lang.Double.valueOf(i * 10.0)))
+    val rows = good :+ (("301", "gbad", java.lang.Double.valueOf(153.02),
+      null.asInstanceOf[java.lang.Double]))
+    val df = rows.toDF("objectid", "geocode_id", "x", "y").coalesce(1)
+    val editor = new FeatureService.RecordingEditor()
     val e = intercept[FeatureService.ApplyEditsException] {
-      FeatureService.writeBack(df, new FeatureService.RecordingEditor(), "https://layer/0",
-        xCol = Some("x"), yCol = Some("y"))
+      FeatureService.writeBack(df, editor, "https://layer/0",
+        xCol = Some("x"), yCol = Some("y"), pageSize = 2)
     }
     assert(e.getMessage.contains("half-specified") && e.getMessage.contains("301"))
-    // supplying only one coordinate column is a config error, up front
+    assert(editor.batches.isEmpty, "edits were applied before the geometry gate")
+    // config errors are up front too: a lone coordinate column, a typo'd one
     intercept[IllegalArgumentException] {
       FeatureService.writeBack(df, new FeatureService.RecordingEditor(), "https://layer/0",
         xCol = Some("x"))
+    }
+    intercept[IllegalArgumentException] {
+      FeatureService.writeBack(df, new FeatureService.RecordingEditor(), "https://layer/0",
+        xCol = Some("lng"), yCol = Some("lat"))
     }
   }
 
@@ -368,6 +380,15 @@ class SinksSpec extends SparkSpec {
           "https://layer/0", "geocode"))) // typo'd table name
     }
     assert(e.getMessage.contains("geocode") && e.getMessage.contains("geocodes"))
+    // EVERY schema-level writeBack misconfiguration fails up front, not
+    // just the table name — a typo'd coordinate column here
+    intercept[IllegalArgumentException] {
+      EtlRun.run(spark, EtlRun.Config("pls", "bkt", "pls-etl/", "geocodes"),
+        lock, store, artifacts, notifier, "topic-1",
+        () => Map("geocodes" -> geocodes),
+        writeBack = Some(EtlRun.WriteBack(new FeatureService.RecordingEditor(),
+          "https://layer/0", "geocodes", xCol = Some("lng"), yCol = Some("lat"))))
+    }
     // nothing was written, uploaded, or published — and the lock is free
     assert(new java.io.File(root).listFiles() == null ||
       new java.io.File(root).listFiles().isEmpty)

@@ -78,4 +78,44 @@ object RelOpsProps extends Properties("RelOps") {
       }
       out == want
     }
+
+  property("rangeJoin == all-pairs interval-containment filter") =
+    // negative points/bounds pin floor (not truncation) cell ids; inverted
+    // intervals must match nothing; a point meets each interval in exactly
+    // one cell (its own), so no pair can duplicate across the explode
+    forAllNoShrink(
+      Gen.listOfN(15, Gen.choose(-20L, 20L)),
+      Gen.listOfN(15, Gen.zip(Gen.choose(-20L, 20L), Gen.choose(-20L, 20L))),
+      Gen.oneOf(1L, 3L, 7L)) { (ps, ivs, cellSize) =>
+      val s = spark; import s.implicits._
+      val points = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+      val intervals = ivs.zipWithIndex.map { case ((lo, hi), j) => (j.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = RelOps.rangeJoin(points, intervals, "p", "lo", "hi", cellSize)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = for {
+        (p, i) <- ps.zipWithIndex
+        ((lo, hi), j) <- ivs.zipWithIndex
+        if lo <= hi && lo <= p && p <= hi
+      } yield (i.toLong, j.toLong)
+      got.length == expected.length && got.toSet == expected.toSet
+    }
+
+  property("topKPerKey == per-key sort by (score desc, id asc) take k") =
+    forAllNoShrink(
+      Gen.listOfN(30, Gen.zip(Gen.choose(1, 5), Gen.choose(0, 9))),
+      Gen.choose(1, 4)) { (rows0, k) =>
+      val s = spark; import s.implicits._
+      import org.apache.spark.sql.functions.col
+      // unique ids; scores collide freely so the id tie-break is exercised
+      val rows = rows0.zipWithIndex.map { case ((key, sc), i) => (key, sc.toDouble, i.toLong) }
+      val out = RelOps.topKPerKey(rows.toDF("k", "score", "id"), Seq("k"),
+          col("score"), col("id"), k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (key, g) =>
+        g.sortBy { case (_, sc, id) => (-sc, id) }.take(k).zipWithIndex
+          .map { case ((_, sc, id), r) => (key, (r + 1).toLong, id, sc) }
+      }
+      out.toSet == want.toSet && out.length == want.length
+    }
 }

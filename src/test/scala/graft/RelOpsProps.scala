@@ -118,4 +118,42 @@ object RelOpsProps extends Properties("RelOps") {
       }
       out.toSet == want.toSet && out.length == want.length
     }
+
+  property("mergeAggState(agg(prev), agg(delta)) == agg(prev ∪ delta)") =
+    // the operator's entire claim: per-key incremental merge of
+    // decomposable aggregate state equals re-aggregating the full corpus
+    forAllNoShrink(
+      Gen.listOfN(20, Gen.zip(Gen.choose(1, 6), Gen.choose(-50, 50))),
+      Gen.listOfN(20, Gen.zip(Gen.choose(1, 6), Gen.choose(-50, 50)))) { (prevRows, deltaRows) =>
+      val s = spark; import s.implicits._
+      import org.apache.spark.sql.functions.{col, sum, min, max, count, lit}
+      def aggOf(rows: Seq[(Int, Int)]) =
+        rows.toDF("k", "v").groupBy("k").agg(
+          sum(col("v")).as("s"), count(lit(1)).as("n"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val merged = RelOps.mergeAggState(aggOf(prevRows), aggOf(deltaRows), Seq("k"),
+          sumCols = Seq("s", "n"), minCols = Seq("lo"), maxCols = Seq("hi"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+      val full = aggOf(prevRows ++ deltaRows)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+      merged == full
+    }
+
+  property("diffFrames classifies exactly the brute-force added/removed/changed sets") =
+    forAllNoShrink(rowsGen, rowsGen) { (p, c) =>
+      val prev = df(p); val cur = df(c)
+      val got = RelOps.diffFrames(prev, cur, Seq("k"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val pm = p.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }
+      val cm = c.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }
+      val want = ((pm.keySet ++ cm.keySet).flatMap { k =>
+        (pm.get(k), cm.get(k)) match {
+          case (None, Some(_))            => Some(k -> "added")
+          case (Some(_), None)            => Some(k -> "removed")
+          case (Some(a), Some(b)) if a != b => Some(k -> "changed")
+          case _                          => None // unchanged keys are dropped
+        }
+      }).toMap
+      got == want
+    }
 }

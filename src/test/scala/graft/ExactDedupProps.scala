@@ -1,0 +1,54 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAllNoShrink
+import graft.operators.Dedup
+
+/** Brute-force oracle for exact dedup: texts generated with random case
+  * and random whitespace (spaces/tabs/newlines, leading/trailing) must
+  * dedup by the NORMALIZED form — lower-case, whitespace runs collapsed
+  * to one space, trimmed — with the min-id row surviving, the md5-hex
+  * fingerprint matching a driver-side digest of the normalized text, and
+  * n_copies counting every variant. Pins the normalization semantics
+  * (the fingerprint contract every inter-run/streaming dedup shares)
+  * against an engine-free restatement.
+  */
+object ExactDedupProps extends Properties("ExactDedup") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withWorkers(1)
+
+  private lazy val spark = SparkSpec.session
+
+  private val wordGen = Gen.oneOf("alpha", "Beta", "GAMMA", "delta")
+  private val wsGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(1, 4)
+    words <- Gen.listOfN(n, for {
+      w <- wordGen
+      flip <- Gen.oneOf(true, false)
+    } yield if (flip) w.toUpperCase else w.toLowerCase)
+    seps <- Gen.listOfN(n + 1, wsGen)
+    lead <- Gen.oneOf("", " ", "\t")
+  } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  private def normalize(t: String) =
+    t.toLowerCase.replaceAll("\\s+", " ").trim
+
+  private def md5hex(t: String) =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  property("exact == group-by-normalized-text, min-id survivor, md5 fingerprint") =
+    forAllNoShrink(Gen.listOfN(25, textGen)) { texts =>
+      val s = spark; import s.implicits._
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.exact(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val want = rows.groupBy { case (_, t) => normalize(t) }.map { case (norm, g) =>
+        val survivor = g.minBy(_._1)
+        (survivor._1, survivor._2, md5hex(norm), g.size.toLong)
+      }.toSet
+      got.length == want.size && got.toSet == want
+    }
+}

@@ -156,4 +156,24 @@ object RelOpsProps extends Properties("RelOps") {
       }).toMap
       got == want
     }
+
+  property("histogram == brute-force integer binning (edges, out-of-range, hi-inclusive)") =
+    forAllNoShrink(
+      Gen.listOfN(40, Gen.choose(-15L, 15L)),
+      Gen.zip(Gen.choose(-10L, -1L), Gen.choose(1L, 10L)),
+      Gen.choose(1, 7)) { case (vs, (lo, hi), nBins) =>
+      val s = spark; import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val got = RelOps.histogram(vs.toDF("v"), col("v"), lo, hi, nBins)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val range = hi - lo
+      // floorDiv mirrors the operator's `div` on non-negative operands;
+      // hi itself lands in the last bin (the `least` clamp)
+      val bins = vs.filter(v => v >= lo && v <= hi)
+        .groupBy(v => math.min((v - lo) * nBins / range, nBins - 1L))
+      val want = bins.map { case (b, g) =>
+        b -> (g.size.toLong, lo + b * range / nBins, lo + (b + 1) * range / nBins)
+      }
+      got == want
+    }
 }

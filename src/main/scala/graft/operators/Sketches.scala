@@ -66,15 +66,17 @@ object Sketches {
     // plan, LRU-evicted). NOTE this operator is EAGER (two actions at
     // call time) — the returned frame is the driver-local gate result,
     // not a lazy plan.
-    val toks = graft.util.Caching.ensurePersisted(docs.select(
+    val (toks, release) = graft.util.Caching.acquire(docs.select(
       explode(tokens(normalizeText(col(textCol)))).as("token")))
     val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered: k·partitions driver merge
       .collect()
     val sketch = toks.stat.countMinSketch("token", eps, confidence, seed)
     // both actions are done — nothing re-reads the cache after this call
-    // (unlike persistedBase, whose returned LAZY plans keep reading it)
-    toks.unpersist(false)
+    // (unlike persistedBase, whose returned LAZY plans keep reading it).
+    // Released through the ownership handle, not a direct unpersist: the
+    // handle also no-ops if another consumer registered the equal plan
+    release()
     val tol = 2L * math.ceil(eps * sketch.totalCount()).toLong
     val spark = docs.sparkSession
     import spark.implicits._

@@ -96,9 +96,15 @@ object EtlRun {
         presignedUrlExpirySeconds = config.presignedUrlExpirySeconds)
       notifier.publish(topic, presigned, headers)
       // K5 (extension) — write-back only after the artifact is durable and
-      // announced (the table name was validated before the first side effect)
+      // announced (the table name was validated before the first side
+      // effect). It reads the JUST-WRITTEN SNAPSHOT, not the stage frame:
+      // the snapshot is what was published (pushing exactly the durable
+      // rows, even if the stage plan is non-deterministic), and re-reading
+      // parquet costs a columnar scan where the stage frame would re-run
+      // the whole upstream DAG a second time
       val wbResult = writeBack.map { wb =>
-        graft.sinks.FeatureService.writeBack(frames(wb.table), wb.editor, wb.layerUrl,
+        graft.sinks.FeatureService.writeBack(
+          store.read(spark, runId, wb.table), wb.editor, wb.layerUrl,
           wb.objectIdCol, wb.xCol, wb.yCol, wb.pageSize)
       }
       Result(runId, s3Key, presigned, headers, startStr, endStr, wbResult)

@@ -89,19 +89,33 @@ object FeatureService {
     validateWriteBack(df, objectIdCol, xCol, yCol, pageSize)
     val cols = df.columns
     val attrCols = cols.filterNot(c => xCol.contains(c) || yCol.contains(c))
-    // data-quality gate BEFORE the first edit is applied: adds are not
-    // idempotent (a re-run would duplicate features already added by
-    // batches that succeeded before a mid-stream abort), so a
-    // half-specified-geometry row must fail the run while the layer is
-    // still untouched — one distributed pre-scan, not a driver loop
-    for (x <- xCol; y <- yCol) {
-      import org.apache.spark.sql.functions.col
-      val bad = df.filter(col(x).isNull =!= col(y).isNull)
-        .select(col(objectIdCol).cast("string")).take(1)
-      if (bad.nonEmpty) throw new ApplyEditsException(
-        s"half-specified geometry (exactly one of $x/$y is null) for " +
-          s"$objectIdCol=${bad.head.getString(0)}; no edits applied")
-    }
+    // ONE materialization for the whole write-back: the geometry pre-scan
+    // below fills this cache and toLocalIterator reads it — uncached, each
+    // pass would recompute the upstream plan, and a NON-deterministic plan
+    // could even pass the pre-scan yet stream a bad row (the cache pins
+    // the materialization both passes read)
+    val (cached, releaseCache) = graft.util.Caching.acquire(df)
+    try {
+      // data-quality gate BEFORE the first edit is applied: adds are not
+      // idempotent (a re-run would duplicate features already added by
+      // batches that succeeded before a mid-stream abort), so a
+      // half-specified-geometry row must fail the run while the layer is
+      // still untouched — one distributed pre-scan, not a driver loop
+      for (x <- xCol; y <- yCol) {
+        import org.apache.spark.sql.functions.col
+        val bad = cached.filter(col(x).isNull =!= col(y).isNull)
+          .select(col(objectIdCol).cast("string")).take(1)
+        if (bad.nonEmpty) throw new ApplyEditsException(
+          s"half-specified geometry (exactly one of $x/$y is null) for " +
+            s"$objectIdCol=${bad.head.getString(0)}; no edits applied")
+      }
+      writeBackRows(cached, editor, layerUrl, objectIdCol, xCol, yCol, pageSize, attrCols)
+    } finally releaseCache()
+  }
+
+  private def writeBackRows(df: DataFrame, editor: FeatureEditor, layerUrl: String,
+                            objectIdCol: String, xCol: Option[String], yCol: Option[String],
+                            pageSize: Int, attrCols: Array[String]): WriteBackResult = {
     val it = df.toLocalIterator()
     var nAdds = 0L; var nUpdates = 0L; var nBatches = 0L
     val adds = scala.collection.mutable.ArrayBuffer[FeatureEdit]()
@@ -132,15 +146,17 @@ object FeatureService {
       // BOTH coordinates null = an attributes-only row in a point layer →
       // geometry=None (an NPE here would fail mid-stream AFTER earlier
       // batches were already applied, with no batch context in the error).
-      // Exactly ONE null is half-specified geometry — corrupt input, not a
-      // valid shape — and silently keeping the layer's stale point while
-      // attributes change would mask it: raise, naming the row.
+      // Exactly ONE null is half-specified geometry — corrupt input. The
+      // PRE-SCAN in writeBack is the primary gate (it fails before any
+      // edit is applied); this row-level raise is only the backstop for a
+      // row the cached pre-scan could not have seen, never the path a
+      // deterministic input reaches.
       val geom = (xCol, yCol) match {
         case (Some(x), Some(y)) =>
           val xNull = row.isNullAt(row.fieldIndex(x))
           val yNull = row.isNullAt(row.fieldIndex(y))
           if (xNull != yNull) throw new ApplyEditsException(
-            s"half-specified geometry (one of $x/$y is null) for " +
+            s"half-specified geometry (exactly one of $x/$y is null) for " +
               s"$objectIdCol=${attrs.getOrElse(objectIdCol, null)}")
           if (xNull) None
           else Some((row.getAs[Number](x).doubleValue(), row.getAs[Number](y).doubleValue()))

@@ -22,11 +22,14 @@ import org.apache.spark.storage.StorageLevel
   * not one per invocation. For deterministic release there are two levels:
   *
   *   - [[acquire]] returns a release handle that unpersists ONLY when this
-  *     call was the one that registered the entry. When the guard found an
-  *     existing equal-plan entry, the handle is a no-op — another
+  *     call was the one that registered the entry AND the registration is
+  *     still the plan's current one. When the guard found an existing
+  *     equal-plan entry — or when the entry was dropped externally and a
+  *     NEWER registration owns the plan — the handle is a no-op: another
   *     consumer's cache is never pulled out from under it (correctness
   *     would survive via lineage recompute, but its cache would silently
-  *     vanish).
+  *     vanish). Per-plan ownership is tracked in [[ownerByPlan]], keyed by
+  *     the same canonicalized plan the CacheManager compares with.
   *   - [[releaseAll]] drops every entry the guard registered in this
   *     process — the session-teardown hook for a long-lived application
   *     embedding the engine (`SparkEntry.releaseSharedCaches`).
@@ -38,67 +41,88 @@ import org.apache.spark.storage.StorageLevel
   * for the session's lifetime). So the registry's footprint tracks the
   * set of LIVE cache registrations — exactly what the CacheManager pins
   * anyway — and [[releaseAll]] can always drop all of it. Entries a
-  * caller unpersists directly (not through their handle) are swept lazily:
-  * each registration prunes refs whose cache registration is gone, so an
-  * externally-released entry's wrapper is not pinned forever.
+  * caller unpersists directly (not through their handle) lose plan
+  * ownership the moment an equal plan re-registers, and their wrapper
+  * refs are swept lazily once the registry is large enough to matter.
+  *
+  * All registry transitions run under ONE monitor (acquire's
+  * check-then-persist, release, releaseAll, the sweep), so two threads
+  * acquiring equal canonical plans cannot both register, and a release
+  * cannot interleave with a concurrent acquire's storageLevel check.
+  * Spark's CacheManager locks nest INSIDE this monitor everywhere and
+  * Spark never calls back into this object, so the ordering is acyclic.
   */
 object Caching {
 
-  // identity set of the exact Dataset objects THIS guard persisted —
-  // ownership for release()'s no-op-on-foreign-entry contract and for
-  // releaseAll(). Strong refs by design (see scaladoc).
-  private val owned = java.util.Collections.synchronizedMap(
-    new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+  // identity map of the exact Dataset objects THIS guard persisted — for
+  // releaseAll() and handle idempotence…
+  private val owned =
+    new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
+  // …plus the CURRENT registration per canonicalized plan: a handle whose
+  // entry was unpersisted externally and re-registered by a newer caller
+  // must not unpersist the newer caller's cache (same canonical plan!)
+  private val ownerByPlan =
+    new java.util.HashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  private val monitor = new Object
+
+  private def canon(df: DataFrame) = df.queryExecution.analyzed.canonicalized
 
   def ensurePersisted(df: DataFrame,
                       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     acquire(df, level)._1
 
   /** Guarded persist WITH an ownership-scoped release handle. The handle
-    * unpersists iff this invocation registered the entry; if an equal plan
-    * was already cached (by another operator, a prior invocation, or the
-    * caller itself), the handle no-ops and cache lifetime stays with the
-    * original owner / LRU.
+    * unpersists iff this invocation registered the entry and still owns
+    * the plan; otherwise it no-ops and cache lifetime stays with the
+    * current owner / LRU.
     */
   def acquire(df: DataFrame,
               level: StorageLevel = StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) =
-    // check-then-persist is atomic w.r.t. other acquire calls: without the
-    // monitor, two threads acquiring equal-canonical-plan frames could both
-    // see NONE, both register ownership, and either handle's release would
-    // then unpersist the shared entry out from under the other's live
-    // consumers — the exact scenario the ownership contract rules out.
-    // (persist() takes the CacheManager's own lock inside this monitor;
-    // safe — Spark never calls back into this object.)
-    acquireMonitor.synchronized {
+    monitor.synchronized {
       if (df.storageLevel == StorageLevel.NONE) {
         if (owned.size() >= PruneThreshold) prune()
         df.persist(level)
         owned.put(df, java.lang.Boolean.TRUE)
+        ownerByPlan.put(canon(df), df)
         (df, () => release(df))
       } else (df, () => ())
     }
 
-  private val acquireMonitor = new Object
+  private def release(df: DataFrame): Unit = monitor.synchronized {
+    if (owned.remove(df) != null) {
+      val c = canon(df)
+      // unpersist only while this registration is the plan's CURRENT one —
+      // after an external unpersist + re-registration by a newer caller,
+      // this handle is stale and must not drop the newer entry
+      if (ownerByPlan.get(c) eq df) {
+        ownerByPlan.remove(c)
+        df.unpersist()
+      }
+      ()
+    }
+  }
 
-  private def release(df: DataFrame): Unit =
-    if (owned.remove(df) != null) { df.unpersist(); () }
-
-  // Sweep owned refs whose CacheManager registration is gone (the caller
+  // Sweep wrapper refs whose CacheManager registration is gone (the caller
   // unpersisted directly instead of through the handle) — storageLevel is
   // the same by-canonical-plan lookup the guard itself uses. The sweep
-  // walks ALL live refs (each an O(#cached) CacheManager lookup), so it is
-  // gated behind a registry-size threshold instead of running on every
-  // registration: below the threshold stale wrappers are a handful of
-  // pinned objects, above it the sweep amortizes to rare.
+  // walks ALL live refs (each an O(#cached) CacheManager lookup), and when
+  // every entry is live it removes nothing — the size gate is a cap on how
+  // many stale wrappers can accumulate before we pay that walk, NOT an
+  // amortization guarantee (correctness never depends on the sweep: stale
+  // HANDLES are already neutralized by the ownerByPlan current-owner
+  // check). Caller must hold `monitor`.
   private val PruneThreshold = 64
 
   private def prune(): Unit = {
     val stale = new java.util.ArrayList[DataFrame]()
-    owned.synchronized {
-      owned.keySet().forEach { df =>
-        if (df.storageLevel == StorageLevel.NONE) stale.add(df)
-      }
-      stale.forEach { df => owned.remove(df); () }
+    owned.keySet().forEach { df =>
+      if (df.storageLevel == StorageLevel.NONE) stale.add(df)
+    }
+    stale.forEach { df =>
+      owned.remove(df)
+      val c = canon(df)
+      if (ownerByPlan.get(c) eq df) { ownerByPlan.remove(c); () }
     }
   }
 
@@ -108,12 +132,15 @@ object Caching {
     * any time: lineage stays valid, so later queries recompute (and
     * re-register) what they need.
     */
-  def releaseAll(): Unit = {
-    val snapshot = new java.util.ArrayList[DataFrame]()
-    owned.synchronized { snapshot.addAll(owned.keySet()); owned.clear() }
-    snapshot.forEach { df =>
+  def releaseAll(): Unit = monitor.synchronized {
+    // unpersist inside the monitor too: a concurrent acquire must not
+    // observe the entry as cached after its registration has been cleared
+    // (it would hand out a no-op handle over a cache about to vanish)
+    owned.keySet().forEach { df =>
       try df.unpersist()
       catch { case _: Throwable => () } // session may already be stopped
     }
+    owned.clear()
+    ownerByPlan.clear()
   }
 }

@@ -49,6 +49,28 @@ class CachingSpec extends SparkSpec {
     } finally a.unpersist()
   }
 
+  test("a stale handle (entry dropped externally, plan re-registered) never evicts the new owner") {
+    import org.apache.spark.sql.functions.col
+    val build = () => sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id")).filter(col("doc_id") % 73 === 0)
+    val (a, releaseA) = graft.util.Caching.acquire(build())
+    // the documented anti-pattern: the caller unpersists directly instead
+    // of through its handle…
+    a.unpersist()
+    // …and a NEWER caller re-registers the same canonical plan
+    val (b, releaseB) = graft.util.Caching.acquire(build())
+    try {
+      assert(b.storageLevel == StorageLevel.MEMORY_AND_DISK)
+      // the stale handle must be a no-op — same canonical plan, but the
+      // registration it refers to is gone; unpersisting here would drop
+      // the new owner's cache out from under it
+      releaseA()
+      assert(b.storageLevel == StorageLevel.MEMORY_AND_DISK,
+        "a stale release handle evicted a newer registration's cache")
+    } finally releaseB()
+    assert(build().storageLevel == StorageLevel.NONE)
+  }
+
   test("releaseAll drops every guard-registered entry still owned") {
     import org.apache.spark.sql.functions.col
     val b1 = () => sources.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -32,9 +32,13 @@ object Scratch {
     val names = sys.env.getOrElse("SCRATCH_ONLY", "pls_run,pls_encoded,id_map_extend").split(",")
     val qs = SparkEntry.queries
     // warm-up (skipped when the small fixture is absent, or when it IS the
-    // timed dir — then pass1 deliberately measures cold start)
+    // timed dir — then pass1 deliberately measures cold start). Canonical
+    // paths: a trailing slash or symlinked spelling must not defeat the
+    // cold-start guard
     val warmDir = sys.env.getOrElse("SCRATCH_WARM_DIR", "/root/testdata/sf0.001")
-    if (new java.io.File(warmDir).exists() && warmDir != sfDir)
+    val warmFile = new java.io.File(warmDir)
+    if (warmFile.exists() &&
+        warmFile.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
       names.foreach(n => qs(n)(spark, warmDir).count())
     Thread.sleep(500)
     names.foreach { n =>

@@ -15,10 +15,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = "/root/testdata/sf0.001"
-    // canonical-path compare: a trailing slash or symlinked spelling of
-    // SPARK_GRAFT_SF_DIR must not let the warm-up run over the timed data
-    if (new java.io.File(warmDir).exists() && new java.io.File(warmDir).getCanonicalPath !=
-          new java.io.File(sfDir).getCanonicalPath)
+    // canonical-path compare (exception-safe): a trailing slash or
+    // symlinked spelling of SPARK_GRAFT_SF_DIR must not let the warm-up
+    // run over the timed data
+    if (new java.io.File(warmDir).exists() && !graft.util.PathsUtil.samePath(warmDir, sfDir))
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }

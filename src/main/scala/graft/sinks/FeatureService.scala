@@ -89,12 +89,14 @@ object FeatureService {
     validateWriteBack(df, objectIdCol, xCol, yCol, pageSize)
     val cols = df.columns
     val attrCols = cols.filterNot(c => xCol.contains(c) || yCol.contains(c))
-    // ONE materialization for the whole write-back: the geometry pre-scan
-    // below fills this cache and toLocalIterator reads it — uncached, each
-    // pass would recompute the upstream plan, and a NON-deterministic plan
-    // could even pass the pre-scan yet stream a bad row (the cache pins
-    // the materialization both passes read)
-    val (cached, releaseCache) = graft.util.Caching.acquire(df)
+    // With geometry columns there are TWO passes (the pre-scan below, then
+    // toLocalIterator), so pin ONE materialization in a guarded cache —
+    // uncached, each pass recomputes the upstream plan, and a
+    // NON-deterministic plan could even pass the pre-scan yet stream a bad
+    // row. Without geometry columns there is no pre-scan and exactly one
+    // consumer: caching would be pure cost, so skip it.
+    val (cached, releaseCache) =
+      if (xCol.isDefined) graft.util.Caching.acquire(df) else (df, () => ())
     try {
       // data-quality gate BEFORE the first edit is applied: adds are not
       // idempotent (a re-run would duplicate features already added by

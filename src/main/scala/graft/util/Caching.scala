@@ -21,15 +21,15 @@ import org.apache.spark.storage.StorageLevel
   * long-lived session holds at most one entry per distinct operator plan,
   * not one per invocation. For deterministic release there are two levels:
   *
-  *   - [[acquire]] returns a release handle that unpersists ONLY when this
-  *     call was the one that registered the entry AND the registration is
-  *     still the plan's current one. When the guard found an existing
-  *     equal-plan entry — or when the entry was dropped externally and a
-  *     NEWER registration owns the plan — the handle is a no-op: another
-  *     consumer's cache is never pulled out from under it (correctness
-  *     would survive via lineage recompute, but its cache would silently
-  *     vanish). Per-plan ownership is tracked in [[ownerByPlan]], keyed by
-  *     the same canonicalized plan the CacheManager compares with.
+  *   - [[acquire]] returns a release handle bound to its REGISTRATION
+  *     (a monotone epoch, not object identity — the same Dataset object
+  *     can be re-registered after an external unpersist, and its older
+  *     handle must not evict the newer registration). The handle
+  *     unpersists iff its registration is still the current one for both
+  *     the wrapper and the plan; in every other case — the guard found an
+  *     existing equal-plan entry, the entry was dropped externally, a
+  *     newer registration owns the plan — it no-ops: another consumer's
+  *     cache is never pulled out from under it.
   *   - [[releaseAll]] drops every entry the guard registered in this
   *     process — the session-teardown hook for a long-lived application
   *     embedding the engine (`SparkEntry.releaseSharedCaches`).
@@ -39,11 +39,11 @@ import org.apache.spark.storage.StorageLevel
   * weak registry here would unpin nothing — it would only let wrapper GC
   * silently disown entries, leaving them unreleasable by [[releaseAll]]
   * for the session's lifetime). So the registry's footprint tracks the
-  * set of LIVE cache registrations — exactly what the CacheManager pins
-  * anyway — and [[releaseAll]] can always drop all of it. Entries a
-  * caller unpersists directly (not through their handle) lose plan
-  * ownership the moment an equal plan re-registers, and their wrapper
-  * refs are swept lazily once the registry is large enough to matter.
+  * set of LIVE registrations — what the CacheManager pins anyway — and
+  * wrappers orphaned by direct external unpersists (with or without a
+  * later re-registration of the plan) are swept once the registry crosses
+  * the size gate: an entry is stale exactly when its epoch is no longer
+  * its plan's current one, or its plan is no longer cached at all.
   *
   * All registry transitions run under ONE monitor (acquire's
   * check-then-persist, release, releaseAll, the sweep), so two threads
@@ -54,16 +54,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caching {
 
-  // identity map of the exact Dataset objects THIS guard persisted — for
-  // releaseAll() and handle idempotence…
-  private val owned =
-    new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
-  // …plus the CURRENT registration per canonicalized plan: a handle whose
-  // entry was unpersisted externally and re-registered by a newer caller
-  // must not unpersist the newer caller's cache (same canonical plan!)
+  // wrapper -> registration epoch, for releaseAll() and handle validity;
+  // plan(canonicalized) -> current registration epoch, so handles and the
+  // sweep can tell a live registration from a superseded one
+  private val owned = new java.util.IdentityHashMap[DataFrame, java.lang.Long]()
   private val ownerByPlan =
-    new java.util.HashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
-
+    new java.util.HashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
+  private var epoch = 0L
   private val monitor = new Object
 
   private def canon(df: DataFrame) = df.queryExecution.analyzed.canonicalized
@@ -73,9 +70,9 @@ object Caching {
     acquire(df, level)._1
 
   /** Guarded persist WITH an ownership-scoped release handle. The handle
-    * unpersists iff this invocation registered the entry and still owns
-    * the plan; otherwise it no-ops and cache lifetime stays with the
-    * current owner / LRU.
+    * unpersists iff this invocation's registration is still current;
+    * otherwise it no-ops and cache lifetime stays with the current
+    * owner / LRU.
     */
   def acquire(df: DataFrame,
               level: StorageLevel = StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) =
@@ -83,19 +80,26 @@ object Caching {
       if (df.storageLevel == StorageLevel.NONE) {
         if (owned.size() >= PruneThreshold) prune()
         df.persist(level)
-        owned.put(df, java.lang.Boolean.TRUE)
-        ownerByPlan.put(canon(df), df)
-        (df, () => release(df))
+        epoch += 1
+        val e = epoch
+        owned.put(df, e)
+        ownerByPlan.put(canon(df), e)
+        (df, () => release(df, e))
       } else (df, () => ())
     }
 
-  private def release(df: DataFrame): Unit = monitor.synchronized {
-    if (owned.remove(df) != null) {
+  private def release(df: DataFrame, e: Long): Unit = monitor.synchronized {
+    // valid only while this registration is current for the WRAPPER (the
+    // same object may have been re-registered after an external unpersist
+    // — identity alone cannot tell the two registrations apart)…
+    val cur = owned.get(df)
+    if (cur != null && cur.longValue == e) {
+      owned.remove(df)
       val c = canon(df)
-      // unpersist only while this registration is the plan's CURRENT one —
-      // after an external unpersist + re-registration by a newer caller,
-      // this handle is stale and must not drop the newer entry
-      if (ownerByPlan.get(c) eq df) {
+      // …and for the PLAN (a different wrapper over an equal plan may own
+      // the current cache entry)
+      val planCur = ownerByPlan.get(c)
+      if (planCur != null && planCur.longValue == e) {
         ownerByPlan.remove(c)
         df.unpersist()
       }
@@ -103,26 +107,33 @@ object Caching {
     }
   }
 
-  // Sweep wrapper refs whose CacheManager registration is gone (the caller
-  // unpersisted directly instead of through the handle) — storageLevel is
-  // the same by-canonical-plan lookup the guard itself uses. The sweep
-  // walks ALL live refs (each an O(#cached) CacheManager lookup), and when
-  // every entry is live it removes nothing — the size gate is a cap on how
-  // many stale wrappers can accumulate before we pay that walk, NOT an
-  // amortization guarantee (correctness never depends on the sweep: stale
-  // HANDLES are already neutralized by the ownerByPlan current-owner
-  // check). Caller must hold `monitor`.
+  // Sweep registry entries whose registration is no longer live: the plan
+  // is uncached (caller unpersisted directly, nothing re-registered), or a
+  // newer registration superseded this epoch (re-registration after a
+  // direct unpersist — storageLevel alone cannot detect this case, since
+  // the by-plan lookup resolves to the NEW entry). Walks all entries
+  // (each an O(#cached) CacheManager lookup), so it is gated behind a
+  // registry-size cap rather than run per registration; correctness never
+  // depends on it — stale handles are already neutralized by the epoch
+  // checks — it only bounds strong-ref accumulation. Caller holds
+  // `monitor`.
   private val PruneThreshold = 64
 
   private def prune(): Unit = {
     val stale = new java.util.ArrayList[DataFrame]()
-    owned.keySet().forEach { df =>
-      if (df.storageLevel == StorageLevel.NONE) stale.add(df)
+    owned.forEach { (df, e) =>
+      val current = ownerByPlan.get(canon(df))
+      if (current == null || current.longValue != e.longValue ||
+          df.storageLevel == StorageLevel.NONE)
+        stale.add(df)
     }
     stale.forEach { df =>
-      owned.remove(df)
+      val e = owned.remove(df)
       val c = canon(df)
-      if (ownerByPlan.get(c) eq df) { ownerByPlan.remove(c); () }
+      val current = ownerByPlan.get(c)
+      if (current != null && e != null && current.longValue == e.longValue) {
+        ownerByPlan.remove(c); ()
+      }
     }
   }
 
@@ -133,9 +144,9 @@ object Caching {
     * re-register) what they need.
     */
   def releaseAll(): Unit = monitor.synchronized {
-    // unpersist inside the monitor too: a concurrent acquire must not
-    // observe the entry as cached after its registration has been cleared
-    // (it would hand out a no-op handle over a cache about to vanish)
+    // unpersist inside the monitor: a concurrent acquire must not observe
+    // an entry as cached after its registration has been cleared (it
+    // would hand out a no-op handle over a cache about to vanish)
     owned.keySet().forEach { df =>
       try df.unpersist()
       catch { case _: Throwable => () } // session may already be stopped

@@ -71,6 +71,22 @@ class CachingSpec extends SparkSpec {
     assert(build().storageLevel == StorageLevel.NONE)
   }
 
+  test("same-OBJECT re-registration: the older handle no-ops (epoch, not identity)") {
+    import org.apache.spark.sql.functions.col
+    val df = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id")).filter(col("doc_id") % 71 === 0)
+    val (_, rel1) = graft.util.Caching.acquire(df)
+    df.unpersist() // the documented anti-pattern, same wrapper object
+    val (_, rel2) = graft.util.Caching.acquire(df) // same object re-registers
+    assert(df.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    // identity alone cannot tell the registrations apart — the epoch must
+    rel1()
+    assert(df.storageLevel == StorageLevel.MEMORY_AND_DISK,
+      "a stale same-object handle evicted the newer registration's cache")
+    rel2()
+    assert(df.storageLevel == StorageLevel.NONE)
+  }
+
   test("releaseAll drops every guard-registered entry still owned") {
     import org.apache.spark.sql.functions.col
     val b1 = () => sources.Tables.documents(spark, "/root/testdata/sf0.001")

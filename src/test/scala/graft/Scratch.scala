@@ -33,12 +33,10 @@ object Scratch {
     val qs = SparkEntry.queries
     // warm-up (skipped when the small fixture is absent, or when it IS the
     // timed dir — then pass1 deliberately measures cold start). Canonical
-    // paths: a trailing slash or symlinked spelling must not defeat the
-    // cold-start guard
+    // paths via the shared exception-safe helper: a trailing slash or
+    // symlinked spelling must not defeat the cold-start guard
     val warmDir = sys.env.getOrElse("SCRATCH_WARM_DIR", "/root/testdata/sf0.001")
-    val warmFile = new java.io.File(warmDir)
-    if (warmFile.exists() &&
-        warmFile.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
+    if (new java.io.File(warmDir).exists() && !graft.util.PathsUtil.samePath(warmDir, sfDir))
       names.foreach(n => qs(n)(spark, warmDir).count())
     Thread.sleep(500)
     names.foreach { n =>

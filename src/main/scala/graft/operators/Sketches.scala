@@ -58,25 +58,24 @@ object Sketches {
     */
   def vocabWithCmsGate(docs: DataFrame, topK: Int = 50, textCol: String = "text",
                        eps: Double = 0.0005, confidence: Double = 0.999,
-                       seed: Int = 42): DataFrame = {
-    import graft.functions.GraftFunctions._
-    // persisted (guarded): the exact top-K job and the sketch job both
-    // read the tokenized stream — uncached, the corpus tokenizes twice
-    // (lifecycle as Dedup.persistedBase: session-lifetime, one entry per
-    // plan, LRU-evicted). NOTE this operator is EAGER (two actions at
-    // call time) — the returned frame is the driver-local gate result,
-    // not a lazy plan.
-    val (toks, release) = graft.util.Caching.acquire(docs.select(
-      explode(tokens(normalizeText(col(textCol)))).as("token")))
+                       seed: Int = 42, idCol: String = "doc_id"): DataFrame = {
+    // both actions — the exact top-K job and the sketch job — read the
+    // SHARED TextAnalysis.tokenBase layer and explode the cached token
+    // arrays on the fly (explode from cached columnar batches is cheap;
+    // persisting the EXPLODED stream, as this operator once did
+    // privately, costs strictly more memory than the array layer and is
+    // shared with nobody). The layer follows shared-layer lifecycle —
+    // left for sibling consumers / LRU, dropped by
+    // `SparkEntry.releaseSharedCaches` — rather than this operator's old
+    // acquire/release pair, which evicted a cache the text family reuses.
+    // NOTE this operator is EAGER (two actions at call time) — the
+    // returned frame is the driver-local gate result, not a lazy plan.
+    val toks = TextAnalysis.tokenBase(docs, idCol, textCol)
+      .select(explode(col("__tok")).as("token"))
     val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered: k·partitions driver merge
       .collect()
     val sketch = toks.stat.countMinSketch("token", eps, confidence, seed)
-    // both actions are done — nothing re-reads the cache after this call
-    // (unlike persistedBase, whose returned LAZY plans keep reading it).
-    // Released through the ownership handle, not a direct unpersist: the
-    // handle also no-ops if another consumer registered the equal plan
-    release()
     val tol = 2L * math.ceil(eps * sketch.totalCount()).toLong
     val spark = docs.sparkSession
     import spark.implicits._

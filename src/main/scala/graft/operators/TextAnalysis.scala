@@ -303,13 +303,44 @@ object TextAnalysis {
         "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
       "\\b\\d{4} \\d{3} \\d{3}\\b", "<PHONE>")
 
+  /** SHARED token-string layer: ONE guarded-persisted `(id, __tok)` frame
+    * per corpus feeds every operator that consumes token STRINGS —
+    * [[docFrequency]], [[chunkTokens]], [[collocations]] (whose uni/bi/
+    * total passes used to re-tokenize the corpus three times each call),
+    * the tfidf/unigram term frame, and `Sketches.vocabWithCmsGate` — the
+    * string-domain sibling of `Dedup.fullHashBase` (r12's token-HASH
+    * layer). The two layers stay SEPARATE by design: the hash families
+    * need only 8-byte hashes (winnow/simhash/minhash/decontaminate work
+    * entirely in hash space, and their cache should stay that small at
+    * 100 TB), while these operators need the strings themselves — fusing
+    * them would pin the corpus-sized string layer under every dedup query
+    * that today caches ~8 bytes/token.
+    *
+    * Lifecycle as `fullHashBase`: first consumer materializes, equal-plan
+    * consumers substitute from cache (CacheManager canonical match),
+    * entries are LRU-evicted (lineage recompute keeps them correct) and
+    * dropped deterministically by `SparkEntry.releaseSharedCaches`.
+    *
+    * Single-pass scans that need EXTRA corpus columns next to the count —
+    * `sampleToTokenBudget`/`packSequences` (stratum/stream columns),
+    * [[tokenCounts]] and [[fingerprints]] (native kernels over the raw
+    * text) — stay direct: they tokenize once already, and reading the
+    * layer would trade that one codegen'd scan for a cache read PLUS an
+    * id join to re-attach their columns.
+    */
+  private[graft] def tokenBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.util.Caching.ensurePersisted(
+      docs.select(col(idCol), tokens(normalizeText(col(textCol))).as("__tok")))
+
   /** Fixed-size token windows with overlap — context-window chunking for
     * training-sequence packing. Chunk `i` covers tokens
     * `[i·stride, i·stride + window)` with `stride = window − overlap`; the
     * final chunk may be short, and an empty document yields one empty
-    * chunk (rows never vanish). The token array is materialized in its own
-    * projection BEFORE the per-chunk lambda references it — an inlined
-    * tokenization would re-run per chunk (interpreted HOFs have no CSE).
+    * chunk (rows never vanish). The token array comes from the SHARED
+    * [[tokenBase]] layer (it must be materialized in its own projection
+    * anyway — an inlined tokenization would re-run per chunk, since
+    * interpreted HOFs have no CSE — and the layer makes that projection a
+    * cache read for a corpus any sibling operator already tokenized).
     * Output: (id, chunk_no, n_tokens, chunk_text), one row per chunk —
     * a pure per-row explode, no shuffle.
     */
@@ -317,8 +348,8 @@ object TextAnalysis {
                   window: Int = 32, overlap: Int = 8): DataFrame = {
     require(window > 0 && overlap >= 0 && overlap < window, "need 0 <= overlap < window")
     val stride = window - overlap
-    docs
-      .select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
+    tokenBase(docs, idCol, textCol)
+      .select(col(idCol), col("__tok").as("__tk"))
       .select(col(idCol), col("__tk"),
         posexplode(sequence(lit(0), greatest(size(col("__tk")) - 1, lit(0)), lit(stride))))
       .select(
@@ -334,13 +365,15 @@ object TextAnalysis {
     * DISTINCT tokens explode to one row each, then a plain
     * map-side-combined count per token — shuffle carries |vocab| partial
     * counts, not the token stream. `df_ratio` divides two exact longs, so
-    * it is deterministic.
+    * it is deterministic. Reads the SHARED [[tokenBase]] layer: a corpus
+    * any sibling token-string operator already processed pays no second
+    * tokenize scan.
     */
   def docFrequency(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val total = docs.select(countDistinct(col(idCol)).as("__total"))
-    docs
-      .select(col(idCol), explode(array_distinct(tokens(normalizeText(col(textCol))))).as("token"))
+    tokenBase(docs, idCol, textCol)
+      .select(col(idCol), explode(array_distinct(col("__tok"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).cast("long").as("df_count"))
       .crossJoin(broadcast(total))
@@ -375,11 +408,15 @@ object TextAnalysis {
     * |vocab| partial counts, never the token stream); totals are one
     * broadcast row; the unigram attach is two token-keyed joins AQE
     * broadcasts for real vocabularies; the final top-k is TakeOrdered
-    * (per-partition partial top-k, k-row driver merge).
+    * (per-partition partial top-k, k-row driver merge). The base is the
+    * SHARED [[tokenBase]] layer — this operator alone has THREE consumers
+    * of the token stream (unigram counts, bigram counts, the
+    * bigram-position total), which used to re-tokenize the corpus three
+    * times per call; all three now read one cache fill.
     */
   def collocations(docs: DataFrame, textCol: String = "text",
-                   minCount: Long = 5, k: Int = 50): DataFrame = {
-    val base = docs.select(tokens(normalizeText(col(textCol))).as("__tk"))
+                   minCount: Long = 5, k: Int = 50, idCol: String = "doc_id"): DataFrame = {
+    val base = tokenBase(docs, idCol, textCol).select(col("__tok").as("__tk"))
     val uni = base.select(explode(col("__tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("long").as("__c"))
     val nUni = uni.agg(sum("__c").as("__nu"))
@@ -428,11 +465,14 @@ object TextAnalysis {
                      textCol: String = "text"): DataFrame = {
     // guarded persist: this projection chain is PLAN-IDENTICAL to
     // tfidfTopTerms' term frame over the same docs, so whichever query
-    // runs first materializes one shared cache entry
-    val tf = graft.util.Caching.ensurePersisted(docs
+    // runs first materializes one shared cache entry — and it derives
+    // from the SHARED tokenBase layer, so even that first fill reads
+    // cached token arrays instead of re-tokenizing a corpus a sibling
+    // operator already scanned
+    val tf = graft.util.Caching.ensurePersisted(tokenBase(docs, idCol, textCol)
       // native per-doc term counts (TermCountsExpr): identical rows to
       // explode→groupBy(doc, term).count, zero shuffle
-      .select(col(idCol), explode(termCounts(tokens(normalizeText(col(textCol))))).as("__tc"))
+      .select(col(idCol), explode(termCounts(col("__tok"))).as("__tc"))
       .select(col(idCol), col("__tc.token").as("token"), col("__tc.tf").as("tf")))
     val counts = tf.groupBy("token").agg(sum("tf").as("__c"))
     val total = counts.agg(sum("__c").as("__t"))
@@ -469,11 +509,12 @@ object TextAnalysis {
     // counts — uncached, the corpus would be scanned and re-tokenized
     // twice. Lifecycle as Dedup.persistedBase: session-lifetime, LRU
     // eviction recomputes from lineage, CacheManager dedups re-persists.
-    val tf = graft.util.Caching.ensurePersisted(docs
+    val tf = graft.util.Caching.ensurePersisted(tokenBase(docs, idCol, textCol)
       // native per-doc term counts — see unigramLogProb; same zero-shuffle
-      // shape AND the same canonical plan, so the two queries share one
-      // cache entry under the guarded persist
-      .select(col(idCol), explode(termCounts(tokens(normalizeText(col(textCol))))).as("__tc"))
+      // shape AND the same canonical plan (both derive from the shared
+      // tokenBase layer), so the two queries share one cache entry under
+      // the guarded persist
+      .select(col(idCol), explode(termCounts(col("__tok"))).as("__tc"))
       .select(col(idCol), col("__tc.token").as("token"), col("__tc.tf").as("tf")))
     val dfc = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df_count"))
     val w = org.apache.spark.sql.expressions.Window

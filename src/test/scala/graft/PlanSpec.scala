@@ -117,6 +117,32 @@ class PlanSpec extends SparkSpec {
     } finally fh.unpersist()
   }
 
+  test("the shared token-string layer is substituted into every text family's plan") {
+    // docFrequency / chunkTokens / collocations / the tfidf-unigram term
+    // frame all derive from ONE guarded-persisted (id, __tok) frame
+    // (TextAnalysis.tokenBase) — the string-domain sibling of the r12
+    // token-hash layer. Materialize the layer once, then assert a freshly
+    // built plan from each consumer resolves it from cache instead of
+    // re-tokenizing the corpus.
+    val tb = operators.TextAnalysis.tokenBase(
+      sources.Tables.documents(spark, dir), "doc_id", "text")
+    tb.count() // materialize the shared layer
+    try {
+      val plans = Seq(
+        "doc_frequency" -> operators.TextAnalysis.docFrequency(
+          sources.Tables.documents(spark, dir)),
+        "chunk_tokens" -> operators.TextAnalysis.chunkTokens(
+          sources.Tables.documents(spark, dir)),
+        "collocations" -> operators.TextAnalysis.collocations(
+          sources.Tables.documents(spark, dir), minCount = 2, k = 10),
+        "tfidf_top_terms" -> operators.TextAnalysis.tfidfTopTerms(
+          sources.Tables.documents(spark, dir), k = 3))
+      for ((name, df) <- plans)
+        assert(df.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+          s"$name did not substitute the shared token-string layer:\n${df.queryExecution.withCachedData}")
+    } finally tb.unpersist()
+  }
+
   test("id-map plans canonicalize stably across invocations — empty() and the entity cache") {
     // The r13 one-pass extend rests on cross-invocation cache reuse, which
     // rests on canonical plan stability. IdMap.empty is the foundation: an

@@ -37,17 +37,22 @@ object Ranking {
       size(filter(col("__tk"), x => x === lit(t))).cast("long").as(s"__tf$i")
     }
     // __tk is a materialized column reference — the HOF-lambda rule
-    // (Dedup.gramsOf): an inlined tokenize would re-run per element
+    // (Dedup.gramsOf): an inlined tokenize would re-run per element.
     // persisted: BOTH the stats aggregate and the scoring projection read
     // this frame — without the cache the corpus is scanned and re-tokenized
     // twice (the dominant cost). Lifecycle as Dedup.persistedBase:
     // deliberately session-lifetime — blocks evict LRU under memory
     // pressure and recompute from lineage; CacheManager dedups
     // re-persists of the same canonical plan, so repeated calls don't
-    // accumulate entries.
-    val base = graft.util.Caching.ensurePersisted(docs
-      .select(col(idCol), tokens(normalizeText(col(textCol))).as("__tk"))
-      .select(col(idCol) +: size(col("__tk")).cast("long").as("__dl") +: tf: _*))
+    // accumulate entries. The token arrays come from the SHARED
+    // TextAnalysis.tokenBase layer, so even this frame's first fill reads
+    // cached tokens when any sibling text operator ran before it (the
+    // per-query-term tf columns stay in THIS narrower per-term cache —
+    // they depend on `terms`, which the shared layer must not).
+    val base = graft.util.Caching.ensurePersisted(
+      TextAnalysis.tokenBase(docs, idCol, textCol)
+        .select(col(idCol), col("__tok").as("__tk"))
+        .select(col(idCol) +: size(col("__tk")).cast("long").as("__dl") +: tf: _*))
     val statAggs = sum(col("__dl")).as("__sumdl") +:
       terms.indices.map(i => sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
     val stats = base.agg(count(lit(1)).as("__n"), statAggs: _*)

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAllNoShrink
+import graft.operators.Similarity
+
+/** Brute-force oracle for the exact ANN baseline: `bruteForceTopKAgg`
+  * (the bounded-buffer scale path) must reproduce a driver-side cosine
+  * ranking computed with the same arithmetic — index-order dot
+  * accumulation, sqrt norms, one rounded division per pair, (cosine
+  * desc, neighbor asc) total order, self-pairs excluded. SimilaritySpec
+  * already pins agg == window; this pins BOTH against an engine-free
+  * restatement of the scoring itself.
+  */
+object AnnProps extends Properties("Ann") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withWorkers(1)
+
+  private lazy val spark = SparkSpec.session
+
+  private val vecsGen: Gen[List[IndexedSeq[Double]]] = for {
+    dim <- Gen.choose(2, 5)
+    m <- Gen.choose(4, 12)
+    vs <- Gen.listOfN(m, Gen.listOfN(dim, Gen.choose(-100, 100).map(_ / 100.0))
+      .map(_.toIndexedSeq).suchThat(v => v.exists(_ != 0.0)))
+  } yield vs
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  property("bruteForceTopKAgg == driver-side cosine ranking") =
+    forAllNoShrink(vecsGen, Gen.choose(1, 5)) { (vecs, k) =>
+      val s = spark; import s.implicits._
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val corpus = rows.toDF("vec_id", "embedding")
+      val nQueries = math.min(3, rows.size)
+      val queries = rows.take(nQueries).toDF("vec_id", "embedding")
+
+      val got = Similarity.bruteForceTopKAgg(corpus, queries, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+      val norm = vecs.map(v => math.sqrt(dot(v, v)))
+      val want = (0 until nQueries).flatMap { qi =>
+        vecs.indices.filter(_ != qi)
+          .map { ci =>
+            (ci.toLong, round6(dot(vecs(qi), vecs(ci)) / (norm(qi) * norm(ci)))) }
+          .sortBy { case (id, c) => (-c, id) }
+          .take(k).zipWithIndex
+          .map { case ((id, c), r) => (qi.toLong, (r + 1).toLong, id, c) }
+      }.toSet
+
+      got == want
+    }
+}

@@ -43,6 +43,22 @@ object RelOpsProps extends Properties("RelOps") {
       once.collect().map(_.toSeq).toSet == twice.collect().map(_.toSeq).toSet
     }
 
+  property("carryForward == upsert with prev-side nullCols nulled (cur intact, prev carried)") =
+    forAllNoShrink(rowsGen, rowsGen) { (p, c) =>
+      val s = spark; import s.implicits._
+      def df2(rows: Seq[(Int, String)], tag: String) =
+        rows.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min, s"$tag$k") }
+          .toSeq.toDF("k", "v", "w")
+      val prev = df2(p, "p"); val cur = df2(c, "c")
+      val out = RelOps.carryForward(prev, cur, Seq("k"), nullCols = Seq("w"))
+        .collect().map(r => r.getInt(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+      val pm = prev.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val cm = cur.collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2)))).toMap
+      out.keySet == (pm.keySet ++ cm.keySet) &&
+        cm.forall { case (k, (v, w)) => out(k) == ((v, Some(w))) } &&
+        (pm.keySet -- cm.keySet).forall(k => out(k) == ((pm(k), None)))
+    }
+
   // (key, ts: Option, tieBreak) — duplicated ts values and null ts included,
   // exercising the max_by struct ordering's tie-break and null ranking
   private val keyedRows = Gen.listOfN(24, Gen.zip(

@@ -330,21 +330,33 @@ object Similarity {
     // rounds did) removes an N-row shuffle join whose only payload was the
     // cell id
     val cb = kmeansCodebook(vectors, k, iters, idCol, vecCol)
-    val v = vectors.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v"))
-      .withColumn("cell", assignStruct(cb, col("__v")).getField("cell"))
-    val a = v.select(col("cell"), col(idCol).as("id_a"), col("__v").as("__va"))
-      .withColumn("__na", VectorOps.norm(col("__va")))
-    val b = v.select(col("cell"), col(idCol).as("id_b"), col("__v").as("__vb"))
-      .withColumn("__nb", VectorOps.norm(col("__vb")))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        round(VectorOps.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b")
-    Dedup.dedupClusters(vectors.select(col(idCol)), pairs, idCol)
-      .select(col(idCol), col("cluster_id"),
-        (col(idCol) === col("cluster_id")).as("keep"))
+    // the assigned frame feeds BOTH sides of the cell self-join (and the
+    // pair stream is materialized again inside dedupClusters' checkpoint),
+    // so stage it in a guarded cache — uncached, the toDouble + k-way
+    // argmin scan runs once per consumer. dedupClusters is EAGER (it
+    // counts the checkpointed pair graph before picking a strategy), so by
+    // the time it returns nothing reads the assignment again — release the
+    // entry right there instead of leaving it to LRU: the codebook is a
+    // plan literal, so a recurring pipeline would strand one dead
+    // corpus-sized entry per run (the capBucketsManaged lesson).
+    val (v, release) = graft.util.Caching.acquire(
+      vectors.select(col(idCol), VectorOps.toDouble(col(vecCol)).as("__v"))
+        .withColumn("cell", assignStruct(cb, col("__v")).getField("cell")))
+    try {
+      val a = v.select(col("cell"), col(idCol).as("id_a"), col("__v").as("__va"))
+        .withColumn("__na", VectorOps.norm(col("__va")))
+      val b = v.select(col("cell"), col(idCol).as("id_b"), col("__v").as("__vb"))
+        .withColumn("__nb", VectorOps.norm(col("__vb")))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          round(VectorOps.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b")
+      Dedup.dedupClusters(vectors.select(col(idCol)), pairs, idCol)
+        .select(col(idCol), col("cluster_id"),
+          (col(idCol) === col("cluster_id")).as("keep"))
+    } finally release()
   }
 
   /** Mean-pooled class centroids — the distributed shape for averaging

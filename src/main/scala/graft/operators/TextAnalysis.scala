@@ -112,7 +112,9 @@ object TextAnalysis {
     */
   def sourceQualityFilter(docs: DataFrame, sourceCol: String = "source",
                           minMean: Double = 0.2): DataFrame = {
-    val good = qualityScore(docs)
+    // spread before the signals kernel — same rationale as qualityBuckets:
+    // this consumer aggregates per source anyway
+    val good = qualityScore(graft.util.Partitioning.spread(docs))
       .groupBy(sourceCol)
       .agg(
         sum(col("quality_score").cast("decimal(18,4)")).as("__s"),
@@ -271,7 +273,14 @@ object TextAnalysis {
   def qualityBuckets(docs: DataFrame, nBuckets: Int = 4, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val scored = qualityScore(docs, textCol).select(col(idCol), col("quality_score"))
+    // spread before the signals kernel: this consumer aggregates anyway
+    // (the exchange was coming), so the size-gated repartition only moves
+    // WHERE the corpus-heavy scoring pass runs — machine-wide instead of
+    // one task per scan partition. qualityScore itself stays a pure
+    // projection (filter-composable); the spread lives in the aggregating
+    // consumer.
+    val scored = qualityScore(graft.util.Partitioning.spread(docs), textCol)
+      .select(col(idCol), col("quality_score"))
     val hist = scored.groupBy("quality_score").agg(count(lit(1)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("quality_score").asc)
     // histogram rows are distinct scores, so the default RANGE frame's

@@ -34,7 +34,13 @@ object CurationPipeline {
     */
   def run(docs: DataFrame, minQuality: Double = 0.05,
           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val scored = TextAnalysis.qualityScore(TextAnalysis.langId(docs, textCol), textCol)
+    // size-gated spread (Partitioning.spread) before the two per-row
+    // kernels (marker counts + quality signals): the pipeline aggregates
+    // downstream anyway, so the repartition only moves WHERE the heavy
+    // scoring scan runs — machine-wide instead of one task per scan
+    // partition; at corpus scale the gate no-ops
+    val scored = TextAnalysis.qualityScore(
+        TextAnalysis.langId(graft.util.Partitioning.spread(docs), textCol), textCol)
       .filter(col("quality_score") >= lit(minQuality))
       .select(col(idCol), col(textCol), col("lang"), col("pred_lang"),
         col("source"), col("quality_score"))

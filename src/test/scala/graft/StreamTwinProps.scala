@@ -63,6 +63,32 @@ object StreamTwinProps extends Properties("StreamTwin") {
       streamed == batch
     }
 
+  property("sessionWindows: closed sessions over random chunked feeds == batch") =
+    forAllNoShrink(feedGen) { case (events, nChunks) =>
+      val s = spark; import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val name = s"twin_sess_${qn.incrementAndGet()}"
+      val mem = MemoryStream[(Long, String, Long, String, Double)]
+      val streamDf = mem.toDF().toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      val q = EventsStream.sessionWindowsStreaming(streamDf, 30)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val streamed =
+        try {
+          chunksOf(events, nChunks).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+          // far-future tick from a user id OUTSIDE the generated range
+          // advances the watermark past every open session; its own
+          // session never closes, so it cannot appear in the output
+          mem.addData((9999L, "2026-01-03 00:00:00", 99L, "tick", 0.0))
+          q.processAllAvailable()
+          s.table(name).collect().map(_.toSeq).toSet
+        } finally { q.stop(); s.catalog.dropTempView(name); () }
+      val batchDf = events.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      val batch = EventsStream.sessionWindows(batchDf, 30).collect().map(_.toSeq).toSet
+      streamed == batch
+    }
+
   property("runningUserTotals: state across random chunk splits == batch sums") =
     forAllNoShrink(
       Gen.choose(1, 20).flatMap(m => Gen.listOfN(m,

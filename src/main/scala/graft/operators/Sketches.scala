@@ -70,8 +70,16 @@ object Sketches {
     // acquire/release pair, which evicted a cache the text family reuses.
     // NOTE this operator is EAGER (two actions at call time) — the
     // returned frame is the driver-local gate result, not a lazy plan.
-    val toks = TextAnalysis.tokenBase(docs, idCol, textCol)
-      .select(explode(col("__tok")).as("token"))
+    // The layer is read only when the id column exists: this operator
+    // never needed an id before it joined the shared layer, so an
+    // id-less corpus keeps working on the direct-tokenize path.
+    val toks =
+      if (docs.columns.contains(idCol))
+        TextAnalysis.tokenBase(docs, idCol, textCol).select(explode(col("__tok")).as("token"))
+      else {
+        import graft.functions.GraftFunctions.{normalizeText, tokens}
+        docs.select(explode(tokens(normalizeText(col(textCol)))).as("token"))
+      }
     val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered: k·partitions driver merge
       .collect()

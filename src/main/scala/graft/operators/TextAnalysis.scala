@@ -425,7 +425,14 @@ object TextAnalysis {
     */
   def collocations(docs: DataFrame, textCol: String = "text",
                    minCount: Long = 5, k: Int = 50, idCol: String = "doc_id"): DataFrame = {
-    val base = tokenBase(docs, idCol, textCol).select(col("__tok").as("__tk"))
+    // layer read only when the id column exists: this operator never
+    // needed an id before it joined the shared layer, so an id-less
+    // corpus must keep working — it falls back to the pre-layer direct
+    // tokenize (one uncached pass per consumer; the caller can add an id
+    // column to opt in to sharing)
+    val base =
+      if (docs.columns.contains(idCol)) tokenBase(docs, idCol, textCol).select(col("__tok").as("__tk"))
+      else docs.select(tokens(normalizeText(col(textCol))).as("__tk"))
     val uni = base.select(explode(col("__tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("long").as("__c"))
     val nUni = uni.agg(sum("__c").as("__nu"))

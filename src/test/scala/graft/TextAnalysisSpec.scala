@@ -302,4 +302,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((0L, 0.0, 0L, 0.0)))
     assert(out(3L) === ((0L, 0.0, 0L, 0.0)))
   }
+
+  test("collocations and vocabWithCmsGate keep working on an id-less corpus (fallback path)") {
+    // both operators read the shared token layer only when the id column
+    // exists; a (text)-only frame — their pre-layer contract — must fall
+    // back to the direct tokenize and produce identical results
+    val s = spark; import s.implicits._
+    val withId = (1L to 6L).map(i => (i, "hong kong hong kong visit")).toDF("doc_id", "text")
+    val noId = withId.select("text")
+    val a = TextAnalysis.collocations(withId, minCount = 2, k = 5).collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.collocations(noId, minCount = 2, k = 5).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    val va = operators.Sketches.vocabWithCmsGate(withId, topK = 3).collect().map(_.toSeq).toSeq
+    val vb = operators.Sketches.vocabWithCmsGate(noId, topK = 3).collect().map(_.toSeq).toSeq
+    assert(va === vb)
+  }
 }

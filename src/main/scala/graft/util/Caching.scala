@@ -143,6 +143,11 @@ object Caching {
     * any time: lineage stays valid, so later queries recompute (and
     * re-register) what they need.
     */
+  /** Registry size, for the sweep's spec only — the count of live
+    * registrations (including any stale ones not yet swept).
+    */
+  private[graft] def registeredCount: Int = monitor.synchronized(owned.size())
+
   def releaseAll(): Unit = monitor.synchronized {
     // unpersist inside the monitor: a concurrent acquire must not observe
     // an entry as cached after its registration has been cleared (it

@@ -101,4 +101,22 @@ class CachingSpec extends SparkSpec {
     assert(b1().storageLevel == StorageLevel.NONE)
     assert(b2().storageLevel == StorageLevel.NONE)
   }
+
+  test("the size-gated sweep drops registrations whose entries were unpersisted directly") {
+    // correctness never depends on the sweep (stale handles are epoch-
+    // neutralized); what it bounds is strong-ref accumulation from caches
+    // dropped OUTSIDE the ownership API. Cross the gate with stale
+    // entries and assert they are swept on the next registration.
+    graft.util.Caching.releaseAll() // isolate from other suites' entries
+    val frames = (0 until 64).map(i => spark.range(1000 + i).toDF("v"))
+    frames.foreach(f => graft.util.Caching.ensurePersisted(f))
+    assert(graft.util.Caching.registeredCount == 64)
+    frames.foreach(_.unpersist()) // direct drops: all 64 now stale
+    // next acquire crosses the PruneThreshold and sweeps before registering
+    val fresh = spark.range(5000).toDF("v")
+    graft.util.Caching.ensurePersisted(fresh)
+    assert(graft.util.Caching.registeredCount == 1,
+      s"sweep left ${graft.util.Caching.registeredCount} registrations")
+    graft.util.Caching.releaseAll()
+  }
 }

@@ -43,6 +43,22 @@ object RelOpsProps extends Properties("RelOps") {
       once.collect().map(_.toSeq).toSet == twice.collect().map(_.toSeq).toSet
     }
 
+  property("upsertWithReset: incoming wins WITH resetCols nulled; base rows keep theirs") =
+    forAllNoShrink(rowsGen, rowsGen) { (b, u) =>
+      val s = spark; import s.implicits._
+      def df2(rows: Seq[(Int, String)], tag: String) =
+        rows.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min, s"$tag$k") }
+          .toSeq.toDF("k", "v", "w")
+      val base = df2(b, "b"); val inc = df2(u, "i")
+      val out = RelOps.upsertWithReset(base, inc, Seq("k"), resetCols = Seq("w"))
+        .collect().map(r => r.getInt(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+      val bm = base.collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2)))).toMap
+      val im = inc.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      out.keySet == (bm.keySet ++ im.keySet) &&
+        im.forall { case (k, v) => out(k) == ((v, None)) } &&
+        (bm.keySet -- im.keySet).forall(k => out(k) == ((bm(k)._1, Some(bm(k)._2))))
+    }
+
   property("carryForward == upsert with prev-side nullCols nulled (cur intact, prev carried)") =
     forAllNoShrink(rowsGen, rowsGen) { (p, c) =>
       val s = spark; import s.implicits._

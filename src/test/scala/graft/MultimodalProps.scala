@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAllNoShrink
+import graft.operators.Multimodal
+
+/** Brute-force oracles for the multimodal plumbing:
+  *
+  *   - `decode` against REAL random grayscale PNGs built driver-side
+  *     (ImageIO round-trip: width/height/mean must come from the same
+  *     pixels that went in; corrupt and empty payloads yield the
+  *     documented (0, 0, 0.0) row rather than an executor exception);
+  *   - `sampleFrames` against driver-side byte-window slicing (tail
+  *     window included, short payloads emit zero rows);
+  *   - `resizeMeta` against the round-not-floor scale rule (the longest
+  *     side of any downscaled image lands EXACTLY on maxSide).
+  */
+object MultimodalProps extends Properties("Multimodal") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withWorkers(1)
+
+  private lazy val spark = SparkSpec.session
+
+  private def png(w: Int, h: Int, px: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    for (y <- 0 until h; x <- 0 until w) { img.getRaster.setSample(x, y, 0, px(i)); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val imageGen: Gen[(Int, Int, List[Int])] = for {
+    w <- Gen.choose(1, 8); h <- Gen.choose(1, 8)
+    px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+  } yield (w, h, px)
+
+  property("decode == the pixels that went in (plus corrupt/empty rows)") =
+    forAllNoShrink(Gen.choose(1, 6).flatMap(m => Gen.listOfN(m, imageGen))) { imgs =>
+      val s = spark; import s.implicits._
+      val rows = imgs.zipWithIndex.map { case ((w, h, px), i) => (i.toLong, png(w, h, px)) } ++
+        Seq((90L, Array[Byte](1, 2, 3)), (91L, Array.emptyByteArray)) // corrupt + empty
+      val got = Multimodal.decode(rows.toDF("doc_id", "media"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+      val want = imgs.zipWithIndex.map { case ((w, h, px), i) =>
+        (i.toLong, w, h, px.map(_.toLong).sum.toDouble / (w.toLong * h))
+      }.toSet ++ Set((90L, 0, 0, 0.0), (91L, 0, 0, 0.0))
+      got == want
+    }
+
+  property("sampleFrames == driver-side byte windows (tail window, short payloads)") =
+    forAllNoShrink(
+      Gen.choose(1, 5).flatMap(m => Gen.listOfN(m,
+        Gen.choose(0, 40).flatMap(len => Gen.listOfN(len, Gen.choose(-128, 127).map(_.toByte))))),
+      Gen.choose(1, 6), Gen.choose(1, 3)) { (payloads, frameBytes, stride) =>
+      val s = spark; import s.implicits._
+      val rows = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p.toArray) }
+      val got = Multimodal.sampleFrames(rows.toDF("doc_id", "media"), frameBytes, stride)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val want = rows.flatMap { case (id, bytes) =>
+        val n = if (bytes.length >= frameBytes)
+          (bytes.length - frameBytes) / (frameBytes * stride) + 1 else 0
+        (0 until n).map { i =>
+          val off = i * frameBytes * stride
+          (id, i, java.util.Base64.getEncoder.encodeToString(
+            bytes.slice(off, off + frameBytes)))
+        }
+      }.toSet
+      got == want
+    }
+
+  property("resizeMeta: round-not-floor; downscaled longest side == maxSide exactly") =
+    forAllNoShrink(
+      Gen.choose(1, 4).flatMap(m => Gen.listOfN(m, Gen.zip(Gen.choose(1, 500), Gen.choose(1, 500)))),
+      Gen.choose(10, 200)) { (dims, maxSide) =>
+      val s = spark; import s.implicits._
+      val rows = dims.zipWithIndex.map { case ((w, h), i) => (i.toLong, "png", w, h) }
+      val media = rows.toDF("doc_id", "format", "w", "h")
+        .selectExpr("doc_id", "named_struct('format', format, 'width', w, 'height', h) AS meta")
+      val got = Multimodal.resizeMeta(media, maxSide)
+        .selectExpr("doc_id", "meta.width", "meta.height")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val want = dims.zipWithIndex.map { case ((w, h), i) =>
+        val longest = math.max(w, h)
+        if (longest <= maxSide) (i.toLong, w, h)
+        else {
+          val scale = maxSide.toDouble / longest
+          def r6(x: Double) = BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+          (i.toLong, r6(w * scale), r6(h * scale))
+        }
+      }.toSet
+      val longestExact = got.forall { case (i, w2, h2) =>
+        val (w, h) = dims(i.toInt)
+        math.max(w, h) <= maxSide || math.max(w2, h2) == maxSide
+      }
+      got == want && longestExact
+    }
+}

@@ -66,7 +66,7 @@ object AsOf {
       keys.map(col) ++ Seq(
         leftOrd.as("__ord"), lit(leftSide).as("__side"),
         lit(null).cast(tieType).as("__tie"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
         lit(null).cast(payloadType).as("__p")): _*)
     // a null right ordinate can never satisfy `<=`/`<` (standard as-of /
     // SQL ASOF semantics) — without this filter it would sort NULLS FIRST

@@ -203,7 +203,7 @@ object Dedup {
         // ids (flipping the survivor, or fabricating an all-null row when
         // every id in a group is null); a struct field ranks null lowest,
         // matching row_number-over-asc's nulls-first
-        min_by(struct(docs.columns.map(col): _*), struct(col(idCol))).as("__row"),
+        min_by(struct(docs.columns.toIndexedSeq.map(col): _*), struct(col(idCol))).as("__row"),
         count(lit(1)).cast("long").as("n_copies"))
       .select(col("__row.*") +: Seq(col("fp"), col("n_copies")): _*)
 

@@ -153,7 +153,7 @@ object Ranking {
     val joinCond = strataCols.map(c => col(c) <=> col(s"__w_$c")).reduce(_ && _)
     val whole = expr("weight_ppm div 1000000")
     docs.join(w, joinCond)
-      .select(docs.columns.map(col) :+ col("weight_ppm"): _*)
+      .select(docs.columns.toIndexedSeq.map(col) :+ col("weight_ppm"): _*)
       .withColumn("copy", explode(sequence(lit(0L), whole)))
       .withColumn("__u", pmod(hash60(strataKey), lit(1000000L)))
       // full copies always survive; the one fractional copy is hash-gated

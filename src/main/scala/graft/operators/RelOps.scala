@@ -29,7 +29,7 @@ object RelOps {
     * window form's `desc` (nulls-last) semantics.
     */
   def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Column, tieBreak: Seq[Column] = Nil): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(orderBy +: tieBreak: _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ord).as("__row"))
@@ -94,7 +94,7 @@ object RelOps {
     * why (map-side combine vs whole-table shuffle-sort).
     */
   def firstWinsDedup(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(orderBy: _*)
     df.groupBy(keys.map(col): _*)
       .agg(min_by(payload, ord).as("__row"))

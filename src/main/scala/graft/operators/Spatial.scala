@@ -126,7 +126,7 @@ object Spatial {
     val cand = radiusJoin(left, right, latL, lonL, latR, lonR, radius)
     val all = cand.columns.filterNot(leftKeys.contains)
     cand.groupBy(leftKeys.map(col): _*)
-      .agg(min_by(struct(all.map(col): _*),
+      .agg(min_by(struct(all.toIndexedSeq.map(col): _*),
         struct((col("dist2") +: tieBreak.map(col)): _*)).as("__n"))
       .select(leftKeys.map(col) ++ all.map(c => col(s"__n.$c").as(c)): _*)
   }

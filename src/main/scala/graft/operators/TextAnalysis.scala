@@ -73,7 +73,7 @@ object TextAnalysis {
       graft.functions.QualitySignalsExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(split(t, "\\s+")), stopwords))
     docs
-      .select(docs.columns.map(col) ++ Seq(
+      .select(docs.columns.toIndexedSeq.map(col) ++ Seq(
         sig.as("__sig"),
         length(regexp_replace(t, "\\s+", "")).as("__nws"),
         (length(t) - length(regexp_replace(t, "[^\\w\\s]", ""))).as("__npunct"),

@@ -9,6 +9,9 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// surface deprecations at every compile so they can't silently accumulate
+// (the round-13 sweep cleared the board)
+ThisBuild / scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
 // Forked `run` output goes straight to stdout (no `[info] ` logger prefix) —

@@ -86,7 +86,14 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     try {
-      val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qsFull$failedField,"sf":"$sfDir"}"""
+      // Run provenance (the r13 lesson): the committed bench_full_r{N}.json
+      // must be the DRIVER's own run, never a hand-picked idle-box rerun.
+      // Policy (docs/SCALE.md "Bench provenance"): every builder-initiated
+      // run sets SPARK_GRAFT_BENCH_CONDITIONS (e.g. "builder-idle"), so an
+      // UNLABELED artifact is by construction the driver harness's — and
+      // only unlabeled artifacts may be committed as the round's numbers.
+      val conditions = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONDITIONS", "unlabeled")
+      val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","conditions":"$conditions","queries":$qsFull$failedField,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
       // BENCH_r{N}.json for round N is captured by the driver AFTER this

@@ -128,13 +128,20 @@ object Queries {
   private val pruneUnrefSql =
     "SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"
 
-  /** J7/J8 — unmatched rows (anti join). */
+  /** J7/J8 — unmatched rows (anti join). The orders side is restricted to
+    * recent orders so the result is NON-EMPTY at every fixture sf (135
+    * customers at sf0.01): every fixture customer has at least one order,
+    * so the unfiltered anti join returned 0 rows — proving only that the
+    * operator never over-returns, while the keep side went ungraded.
+    */
   private val unmatched: Q = (s, d) =>
     RelOps.unmatched(cust(s, d),
-      ord(s, d).select(col("o_custkey").as("c_custkey")), "c_custkey")
+      ord(s, d).filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey")), "c_custkey")
 
   private val unmatchedSql =
-    "SELECT * FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    """SELECT * FROM customer WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')""".stripMargin
 
   /** J6 — backfill join with one-row-per-key pre-aggregation. */
   private val backfill: Q = (s, d) => {

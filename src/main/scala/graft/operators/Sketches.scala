@@ -72,18 +72,28 @@ object Sketches {
     // returned frame is the driver-local gate result, not a lazy plan.
     // The layer is read only when the id column exists: this operator
     // never needed an id before it joined the shared layer, so an
-    // id-less corpus keeps working on the direct-tokenize path.
-    val toks =
+    // id-less corpus keeps working on the direct-tokenize path — under
+    // its OWN guarded persist of the token-ARRAY frame (acquired, then
+    // released once both actions have run): without it the corpus
+    // tokenizes twice, once per eager action. The array form is cached,
+    // not the exploded stream, for the same memory reason as the layer;
+    // both actions explode from the cached columnar batches on the fly.
+    val (base, releaseBase) =
       if (docs.columns.contains(idCol))
-        TextAnalysis.tokenBase(docs, idCol, textCol).select(explode(col("__tok")).as("token"))
+        (TextAnalysis.tokenBase(docs, idCol, textCol), () => ())
       else {
         import graft.functions.GraftFunctions.{normalizeText, tokens}
-        docs.select(explode(tokens(normalizeText(col(textCol)))).as("token"))
+        graft.util.Caching.acquire(
+          docs.select(tokens(normalizeText(col(textCol))).as("__tok")))
       }
-    val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered: k·partitions driver merge
-      .collect()
-    val sketch = toks.stat.countMinSketch("token", eps, confidence, seed)
+    val toks = base.select(explode(col("__tok")).as("token"))
+    val (top, sketch) =
+      try {
+        val t = toks.groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered: k·partitions driver merge
+          .collect()
+        (t, toks.stat.countMinSketch("token", eps, confidence, seed))
+      } finally releaseBase()
     val tol = 2L * math.ceil(eps * sketch.totalCount()).toLong
     val spark = docs.sparkSession
     import spark.implicits._

@@ -112,9 +112,10 @@ object TextAnalysis {
     */
   def sourceQualityFilter(docs: DataFrame, sourceCol: String = "source",
                           minMean: Double = 0.2): DataFrame = {
-    // spread before the signals kernel — same rationale as qualityBuckets:
-    // this consumer aggregates per source anyway
-    val good = qualityScore(graft.util.Partitioning.spread(docs))
+    // no spread before the signals kernel: like CurationPipeline (see its
+    // comment), the r13 placement regressed this row under the driver's
+    // loaded in-suite conditions (0.35→0.45 s) despite winning standalone
+    val good = qualityScore(docs)
       .groupBy(sourceCol)
       .agg(
         sum(col("quality_score").cast("decimal(18,4)")).as("__s"),
@@ -278,7 +279,10 @@ object TextAnalysis {
     // WHERE the corpus-heavy scoring pass runs — machine-wide instead of
     // one task per scan partition. qualityScore itself stays a pure
     // projection (filter-composable); the spread lives in the aggregating
-    // consumer.
+    // consumer. Of the three r13 spread placements this is the ONE that
+    // also won under the driver's loaded in-suite conditions (1.09→0.94 s;
+    // the CurationPipeline and sourceQualityFilter placements regressed
+    // there and were reverted — see CurationPipeline.run).
     val scored = qualityScore(graft.util.Partitioning.spread(docs), textCol)
       .select(col(idCol), col("quality_score"))
     val hist = scored.groupBy("quality_score").agg(count(lit(1)).as("__c"))
@@ -427,12 +431,16 @@ object TextAnalysis {
                    minCount: Long = 5, k: Int = 50, idCol: String = "doc_id"): DataFrame = {
     // layer read only when the id column exists: this operator never
     // needed an id before it joined the shared layer, so an id-less
-    // corpus must keep working — it falls back to the pre-layer direct
-    // tokenize (one uncached pass per consumer; the caller can add an id
-    // column to opt in to sharing)
+    // corpus must keep working — it falls back to a direct tokenize
+    // under its OWN guarded persist: this one operator has THREE
+    // consumers of the token stream, so uncached the corpus would
+    // tokenize three times per call. Lifecycle as the shared layer
+    // (first action fills, LRU evicts, releaseSharedCaches drops);
+    // adding an id column upgrades the cache to the corpus-shared one.
     val base =
       if (docs.columns.contains(idCol)) tokenBase(docs, idCol, textCol).select(col("__tok").as("__tk"))
-      else docs.select(tokens(normalizeText(col(textCol))).as("__tk"))
+      else graft.util.Caching.ensurePersisted(
+        docs.select(tokens(normalizeText(col(textCol))).as("__tk")))
     val uni = base.select(explode(col("__tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("long").as("__c"))
     val nUni = uni.agg(sum("__c").as("__nu"))

@@ -34,13 +34,14 @@ object CurationPipeline {
     */
   def run(docs: DataFrame, minQuality: Double = 0.05,
           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // size-gated spread (Partitioning.spread) before the two per-row
-    // kernels (marker counts + quality signals): the pipeline aggregates
-    // downstream anyway, so the repartition only moves WHERE the heavy
-    // scoring scan runs — machine-wide instead of one task per scan
-    // partition; at corpus scale the gate no-ops
-    val scored = TextAnalysis.qualityScore(
-        TextAnalysis.langId(graft.util.Partitioning.spread(docs), textCol), textCol)
+    // no Partitioning.spread here: the r13 placement won standalone on an
+    // idle box (machine-wide scoring scan) but LOST under the driver's
+    // loaded full-suite conditions (0.67→0.83 s) — on a box already
+    // saturated by concurrent queries the inserted exchange competes with
+    // the very parallelism it buys, while the single-partition scoring
+    // scan it replaced overlapped with the ambient load for free. Callers
+    // with a genuinely cold single-partition corpus can pre-spread it.
+    val scored = TextAnalysis.qualityScore(TextAnalysis.langId(docs, textCol), textCol)
       .filter(col("quality_score") >= lit(minQuality))
       .select(col(idCol), col(textCol), col("lang"), col("pred_lang"),
         col("source"), col("quality_score"))

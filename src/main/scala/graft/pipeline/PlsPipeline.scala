@@ -104,9 +104,22 @@ object PlsPipeline {
       case None => inputs.importedGeocodes
     }
 
-    // prune unmapped addresses (J4), backfill + prune geocodes (J6 + J5)
+    // prune unmapped addresses (J4), backfill + prune geocodes (J6 + J5).
+    // addrKept is the run's shared stage: it appears TWICE inside the
+    // geocode plan (the backfill mapping and the referential prune) and is
+    // itself an output every caller consumes again (the pls_encoded encode
+    // chain, EtlRun's stage write) — so it is guard-persisted here
+    // (spill-to-disk at scale; the reference materializes the same stage
+    // to a SQLite table, `pls/tables.py:833-908`). The guard makes the
+    // entry SHARED across invocations over equal inputs — whichever
+    // consumer acts first pays one upstream materialization and every
+    // other occurrence substitutes from cache — and makes each caller's
+    // cost self-contained instead of depending on which sibling query
+    // happened to fill the cache first. Lifecycle as every shared layer:
+    // LRU eviction recomputes from lineage; releaseSharedCaches drops.
     val (addrKept, dropped) = pruneAddressesWithoutPid(inputs.addresses, pidMap)
-    val geocodes = backfillAndPruneGeocodes(geoBase, addrKept)
-    RunOutputs(geocodes, addrKept, pidMap, dropped)
+    val kept = graft.util.Caching.ensurePersisted(addrKept)
+    val geocodes = backfillAndPruneGeocodes(geoBase, kept)
+    RunOutputs(geocodes, kept, pidMap, dropped)
   }
 }

@@ -137,17 +137,17 @@ object Caching {
     }
   }
 
+  /** Registry size, for the sweep's spec only — the count of live
+    * registrations (including any stale ones not yet swept).
+    */
+  private[graft] def registeredCount: Int = monitor.synchronized(owned.size())
+
   /** Unpersist every entry this guard registered — the deterministic drop
     * for a long-lived session done with the engine's shared frames
     * (shingle bases, the LSH pair graph, id-map deltas). Safe to call at
     * any time: lineage stays valid, so later queries recompute (and
     * re-register) what they need.
     */
-  /** Registry size, for the sweep's spec only — the count of live
-    * registrations (including any stale ones not yet swept).
-    */
-  private[graft] def registeredCount: Int = monitor.synchronized(owned.size())
-
   def releaseAll(): Unit = monitor.synchronized {
     // unpersist inside the monitor: a concurrent acquire must not observe
     // an entry as cached after its registration has been cleared (it

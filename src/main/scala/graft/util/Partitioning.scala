@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
 
 /** Size-gated parallelism floor for corpus-heavy single-scan inputs.
   *
@@ -24,10 +25,28 @@ import org.apache.spark.sql.DataFrame
   */
 object Partitioning {
 
+  /** True iff the plan is scan + Project/Filter only — no node that could
+    * plan an exchange. Decided on the OPTIMIZED LOGICAL plan, which never
+    * runs a job; the check exists because the gate below calls `.rdd`,
+    * and under AQE `.rdd` on a plan containing exchanges FINALIZES the
+    * adaptive plan — eagerly executing every upstream query stage at
+    * plan-construction time, work the repartitioned plan built afterwards
+    * would not reuse (a nominally lazy API silently running its upstream
+    * twice). Derived frames skip the gate instead: anything downstream of
+    * a shuffle already runs at `spark.sql.shuffle.partitions`-wide
+    * parallelism, so the floor has nothing to add there.
+    */
+  private def scanShaped(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.find {
+      case _: Project | _: Filter => false
+      case p => !p.isInstanceOf[LeafNode]
+    }.isEmpty
+
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions is plan-derived (no job); cheap for the scan-shaped
-    // frames this guards
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // getNumPartitions is plan-derived for the exchange-free plans the
+    // scanShaped precondition admits (file-split enumeration, no job)
+    if (scanShaped(df) && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 }

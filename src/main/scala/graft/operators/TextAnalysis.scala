@@ -283,8 +283,16 @@ object TextAnalysis {
     // also won under the driver's loaded in-suite conditions (1.09→0.94 s;
     // the CurationPipeline and sourceQualityFilter placements regressed
     // there and were reverted — see CurationPipeline.run).
-    val scored = qualityScore(graft.util.Partitioning.spread(docs), textCol)
-      .select(col(idCol), col("quality_score"))
+    // scored is guard-persisted: it has THREE consumers (the histogram,
+    // the total, the final join-back), and without the cache the plan
+    // computes the signals kernel TWICE over the full corpus — the r14
+    // plan probe showed per-consumer column pruning makes the three scan
+    // subtrees distinct, so AQE exchange reuse can never kick in here.
+    // The cached frame is (id, score) — ~16 bytes/row, the token-hash
+    // layer's size class — against two corpus-wide kernel passes saved.
+    val scored = graft.util.Caching.ensurePersisted(
+      qualityScore(graft.util.Partitioning.spread(docs), textCol)
+        .select(col(idCol), col("quality_score")))
     val hist = scored.groupBy("quality_score").agg(count(lit(1)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("quality_score").asc)
     // histogram rows are distinct scores, so the default RANGE frame's

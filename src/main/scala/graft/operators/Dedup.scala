@@ -195,17 +195,35 @@ object Dedup {
     * payload drops from the corpus to ~|distinct docs|.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("fp", fingerprint(col(textCol)))
+    exactOnFingerprint(docs.withColumn("fp", fingerprint(col(textCol))), idCol)
+
+  /** [[exact]] with the text column DROPPED from the dedup payload — for
+    * pipelines whose downstream never reads the text back (curation
+    * emits ids + metadata + split, not documents). `min_by`'s struct
+    * payload is opaque to Catalyst's column pruning (verified on the
+    * executed plan: the full text rode the dedup exchange even though
+    * the final projection discarded it), so at corpus scale [[exact]]
+    * shuffles every surviving document's text for nothing. The
+    * fingerprint is computed from the text BEFORE the drop; survivor
+    * choice (lowest id per group) and `n_copies` are identical.
+    */
+  def exactSlim(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    exactOnFingerprint(
+      docs.withColumn("fp", fingerprint(col(textCol))).drop(textCol), idCol)
+
+  private def exactOnFingerprint(fped: DataFrame, idCol: String): DataFrame = {
+    val payload = fped.columns.toIndexedSeq.filterNot(_ == "fp")
+    fped
       .groupBy("fp")
       .agg(
         // struct-wrapped ordering: min_by on a bare column IGNORES null
         // ids (flipping the survivor, or fabricating an all-null row when
         // every id in a group is null); a struct field ranks null lowest,
         // matching row_number-over-asc's nulls-first
-        min_by(struct(docs.columns.toIndexedSeq.map(col): _*), struct(col(idCol))).as("__row"),
+        min_by(struct(payload.map(col): _*), struct(col(idCol))).as("__row"),
         count(lit(1)).cast("long").as("n_copies"))
       .select(col("__row.*") +: Seq(col("fp"), col("n_copies")): _*)
+  }
 
   /** Inter-run incremental dedup: exact-dedup the `incoming` batch, then
     * drop every survivor whose content fingerprint already exists in the

@@ -13,6 +13,10 @@ import graft.functions.{Dist2Expr, DotExpr, Hash60Expr, NgramHashExpr, SimHash60
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer: prune unused min_by/max_by struct-payload fields (the
+    // per-key dedup family's carry-along columns) — stock column pruning
+    // stops at the aggregate boundary; see the rule's scaladoc
+    ext.injectOptimizerRule(_ => graft.plans.MinMaxByPayloadPruning)
     ext.injectFunction((
       new FunctionIdentifier("hash60"),
       new ExpressionInfo(classOf[Hash60Expr].getName, "hash60"),

@@ -283,16 +283,7 @@ object TextAnalysis {
     // also won under the driver's loaded in-suite conditions (1.09→0.94 s;
     // the CurationPipeline and sourceQualityFilter placements regressed
     // there and were reverted — see CurationPipeline.run).
-    // scored is guard-persisted: it has THREE consumers (the histogram,
-    // the total, the final join-back), and without the cache the plan
-    // computes the signals kernel TWICE over the full corpus — the r14
-    // plan probe showed per-consumer column pruning makes the three scan
-    // subtrees distinct, so AQE exchange reuse can never kick in here.
-    // The cached frame is (id, score) — ~16 bytes/row, the token-hash
-    // layer's size class — against two corpus-wide kernel passes saved.
-    val scored = graft.util.Caching.ensurePersisted(
-      qualityScore(graft.util.Partitioning.spread(docs), textCol)
-        .select(col(idCol), col("quality_score")))
+    val scored = scoreBase(docs, idCol, textCol)
     val hist = scored.groupBy("quality_score").agg(count(lit(1)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("quality_score").asc)
     // histogram rows are distinct scores, so the default RANGE frame's
@@ -352,6 +343,30 @@ object TextAnalysis {
   private[graft] def tokenBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.util.Caching.ensurePersisted(
       docs.select(col(idCol), tokens(normalizeText(col(textCol))).as("__tok")))
+
+  /** SHARED per-document quality-SCORE layer: ONE guarded-persisted
+    * `(id, quality_score)` frame per corpus, the third shared layer next
+    * to `Dedup.fullHashBase` (token hashes) and [[tokenBase]] (token
+    * strings). Every consumer that needs per-document scores without the
+    * text — [[qualityBuckets]]' three consumers (histogram, total,
+    * join-back), the keep-best collapse's score side — reads one kernel
+    * pass instead of re-scoring the corpus: the r14 plan probe showed
+    * per-consumer column pruning makes their scan subtrees DISTINCT, so
+    * AQE exchange reuse can never deduplicate the signals kernel across
+    * them. ~16 bytes/row cached (the hash layer's size class) against one
+    * corpus-wide kernel pass per extra consumer saved. The size-gated
+    * spread moves the fill machine-wide on a single-partition scan and
+    * no-ops at cluster scale; lifecycle as every shared layer (first
+    * action fills, LRU evicts, `releaseSharedCaches` drops).
+    * [[sourceQualityFilter]] stays direct: it needs the source column
+    * beside the score, and its per-source aggregate consumes the kernel
+    * exactly once already.
+    */
+  private[graft] def scoreBase(docs: DataFrame, idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame =
+    graft.util.Caching.ensurePersisted(
+      qualityScore(graft.util.Partitioning.spread(docs), textCol)
+        .select(col(idCol), col("quality_score")))
 
   /** Fixed-size token windows with overlap — context-window chunking for
     * training-sequence packing. Chunk `i` covers tokens

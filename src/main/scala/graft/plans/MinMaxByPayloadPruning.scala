@@ -19,28 +19,40 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * aggregation buffer and the exchange (observed on executed plans; the
   * motivating case shuffled full text the query then discarded).
   *
-  * This rule closes the gap: for a `Project` directly over an
-  * `Aggregate`, any `min_by`/`max_by` whose payload is a literal
-  * `CreateNamedStruct` and whose result is consumed ONLY through
-  * `GetStructField` extractions gets its payload narrowed to the
-  * extracted fields (ordinals remapped in the projection; a whole-struct
-  * use disables pruning for that aggregate). Semantics are unchanged:
-  * the ordering argument is untouched, so the same row wins each group —
-  * payload fields are pure carry-along output. Also upstream: narrowing
-  * the struct lets the standard column-pruning batch drop the columns
-  * from the scan itself in the same fixed point.
+  * Two plan shapes carry the pattern, and the rule handles both:
   *
-  * Registered via [[graft.GraftExtensions]]
-  * (`injectOptimizerRule` → the operator-optimization fixed point, so it
-  * composes with `CollapseProject`, which produces the Project-on-
-  * Aggregate shape this matches). Idempotent: after one application every
-  * payload field is referenced, so the guard (`used.size < n`) fails.
+  *   1. `Project(.. __row.f ..， Aggregate(.. min_by(struct) AS __row ..))`
+  *      — the multi-field form (CollapseProject declines to inline an
+  *      aggregate output referenced more than once). The payload narrows
+  *      to the extracted fields; the alias gets a FRESH attribute (its
+  *      struct type changes) and the projection's ordinals remap.
+  *   2. `Aggregate(.. GetStructField(min_by(struct), i) AS f ..)` — the
+  *      single/few-field form CollapseProject produces by merging the
+  *      projection into the aggregate. All extractions over canonically
+  *      equal min_by/max_by instances narrow against ONE shared field
+  *      set, so every rewritten instance stays canonically equal and
+  *      physical planning still deduplicates them into one aggregate
+  *      buffer — splitting into per-field `min_by(field, ord)` calls
+  *      would instead lose the single-winner guarantee under ordering
+  *      ties.
+  *
+  * Semantics are unchanged in both shapes: the ordering argument is
+  * untouched, so the same row wins each group — payload fields are pure
+  * carry-along output. Whole-struct consumption disables pruning for
+  * that aggregate. Narrowing the struct then lets the standard
+  * column-pruning batch drop the columns from the scan itself in the
+  * same fixed point.
+  *
+  * Registered via [[graft.GraftExtensions]] (`injectOptimizerRule` → the
+  * operator-optimization fixed point, composing with `CollapseProject`).
+  * Idempotent: after one application every payload field is referenced,
+  * so the `used.size < n` guard fails.
   */
 object MinMaxByPayloadPruning extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList, agg: Aggregate) =>
-      val rewrites = agg.aggregateExpressions.flatMap(candidate(_, projectList))
+      val rewrites = agg.aggregateExpressions.flatMap(aliasCandidate(_, projectList))
       if (rewrites.isEmpty) p
       else {
         val byId = rewrites.map(r => r.oldAttr.exprId -> r).toMap
@@ -57,17 +69,77 @@ object MinMaxByPayloadPruning extends Rule[LogicalPlan] {
         }
         Project(newProjectList, agg.copy(aggregateExpressions = newAggList))
       }
+
+    case agg: Aggregate =>
+      pruneInline(agg)
+  }
+
+  /** Shape 2: extractions merged into the aggregate list itself. Groups
+    * min_by/max_by instances by canonical equality; an instance is
+    * prunable when every occurrence across the aggregate list sits under
+    * a `GetStructField` and the union of extracted ordinals is a proper
+    * subset of the payload.
+    */
+  private def pruneInline(agg: Aggregate): Aggregate = {
+    final case class Usage(struct: CreateNamedStruct,
+                           build: CreateNamedStruct => aggregate.AggregateFunction,
+                           used: scala.collection.mutable.SortedSet[Int],
+                           var whole: Boolean)
+    val usages = scala.collection.mutable.LinkedHashMap.empty[Expression, Usage]
+    def payloadOf(ae: AggregateExpression)
+        : Option[(CreateNamedStruct, CreateNamedStruct => aggregate.AggregateFunction)] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else ae.aggregateFunction match {
+        case MinBy(v: CreateNamedStruct, ord) => Some((v, (s: CreateNamedStruct) => MinBy(s, ord)))
+        case MaxBy(v: CreateNamedStruct, ord) => Some((v, (s: CreateNamedStruct) => MaxBy(s, ord)))
+        case _ => None
+      }
+    def record(ae: AggregateExpression, ord: Option[Int]): Unit =
+      payloadOf(ae).foreach { case (struct, build) =>
+        val u = usages.getOrElseUpdate(ae.canonicalized,
+          Usage(struct, build, scala.collection.mutable.SortedSet.empty[Int], whole = false))
+        ord match {
+          case Some(i) => u.used += i
+          case None => u.whole = true
+        }
+      }
+    def scan(e: Expression): Unit = e match {
+      case GetStructField(ae: AggregateExpression, ord, _) => record(ae, Some(ord))
+      case ae: AggregateExpression => record(ae, None); ae.children.foreach(scan)
+      case other => other.children.foreach(scan)
+    }
+    agg.aggregateExpressions.foreach(scan)
+    val prunable = usages.filter { case (_, u) =>
+      !u.whole && u.used.nonEmpty && u.used.size < u.struct.valExprs.size
+    }
+    if (prunable.isEmpty) agg
+    else {
+      val newAggList = agg.aggregateExpressions.map { ne =>
+        ne.transform {
+          case g @ GetStructField(ae: AggregateExpression, ord, nameOpt)
+              if prunable.contains(ae.canonicalized) =>
+            val u = prunable(ae.canonicalized)
+            val keep = u.used.toIndexedSeq
+            val newStruct = CreateNamedStruct(keep.flatMap(i =>
+              Seq(u.struct.nameExprs(i), u.struct.valExprs(i))))
+            GetStructField(ae.copy(aggregateFunction = u.build(newStruct)),
+              keep.indexOf(ord), nameOpt)
+        }.asInstanceOf[NamedExpression]
+      }
+      agg.copy(aggregateExpressions = newAggList)
+    }
   }
 
   private final case class Rewrite(oldAlias: NamedExpression, oldAttr: Attribute,
                                    newAlias: Alias, ordinalMap: Map[Int, Int])
 
-  /** A prunable aggregate output: `Alias(AggregateExpression(min_by/max_by
-    * over a literal named struct))` whose attribute is consumed only via
-    * field extraction, with at least one field unused.
+  /** Shape 1 candidate: `Alias(AggregateExpression(min_by/max_by over a
+    * literal named struct))` whose attribute is consumed only via field
+    * extraction in the adjacent projection, with at least one field
+    * unused.
     */
-  private def candidate(ne: NamedExpression,
-                        projectList: Seq[NamedExpression]): Option[Rewrite] = ne match {
+  private def aliasCandidate(ne: NamedExpression,
+                             projectList: Seq[NamedExpression]): Option[Rewrite] = ne match {
     case al @ Alias(ae: AggregateExpression, name)
         if !ae.isDistinct && ae.filter.isEmpty =>
       val structAndBuild = ae.aggregateFunction match {

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MaxBy, MinBy}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Prune unused payload fields out of `min_by`/`max_by` struct aggregates.
@@ -52,26 +52,53 @@ object MinMaxByPayloadPruning extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList, agg: Aggregate) =>
-      val rewrites = agg.aggregateExpressions.flatMap(aliasCandidate(_, projectList))
-      if (rewrites.isEmpty) p
-      else {
-        val byId = rewrites.map(r => r.oldAttr.exprId -> r).toMap
-        val newAggList = agg.aggregateExpressions.map { ne =>
-          byId.values.find(_.oldAlias eq ne).map(_.newAlias).getOrElse(ne)
-        }
-        val newProjectList = projectList.map { ne =>
-          ne.transform {
-            case GetStructField(ar: AttributeReference, ord, nameOpt)
-                if byId.contains(ar.exprId) =>
-              val r = byId(ar.exprId)
-              GetStructField(r.newAlias.toAttribute, r.ordinalMap(ord), nameOpt)
-          }.asInstanceOf[NamedExpression]
-        }
-        Project(newProjectList, agg.copy(aggregateExpressions = newAggList))
+      rewriteAliased(projectList, Nil, agg) match {
+        case Some((newProjectList, _, newAgg)) => Project(newProjectList, newAgg)
+        case None => p
+      }
+
+    // the filtered form (`latestPerKey(..).filter(..).select(..)` — the
+    // address-assembly spine): extractions in the Filter condition count
+    // as uses too, and the condition's ordinals remap with the rest
+    case p @ Project(projectList, Filter(cond, agg: Aggregate)) =>
+      rewriteAliased(projectList, Seq(cond), agg) match {
+        case Some((newProjectList, Seq(newCond), newAgg)) =>
+          Project(newProjectList, Filter(newCond, newAgg))
+        case _ => p
       }
 
     case agg: Aggregate =>
       pruneInline(agg)
+  }
+
+  /** Shape 1 (+1b) core: prune aliased min_by/max_by payloads consumed by
+    * `projectList` (and `extraConsumers` — a Filter condition) strictly
+    * through field extraction. Returns the rewritten projection, the
+    * rewritten extra consumers (same order), and the aggregate — or None
+    * when nothing prunes.
+    */
+  private def rewriteAliased(projectList: Seq[NamedExpression],
+                             extraConsumers: Seq[Expression], agg: Aggregate)
+      : Option[(Seq[NamedExpression], Seq[Expression], Aggregate)] = {
+    val consumers: Seq[Expression] = projectList ++ extraConsumers
+    val rewrites = agg.aggregateExpressions.flatMap(aliasCandidate(_, consumers))
+    if (rewrites.isEmpty) None
+    else {
+      val byId = rewrites.map(r => r.oldAttr.exprId -> r).toMap
+      val newAggList = agg.aggregateExpressions.map { ne =>
+        byId.values.find(_.oldAlias eq ne).map(_.newAlias).getOrElse(ne)
+      }
+      def remap(e: Expression): Expression = e.transform {
+        case GetStructField(ar: AttributeReference, ord, nameOpt)
+            if byId.contains(ar.exprId) =>
+          val r = byId(ar.exprId)
+          GetStructField(r.newAlias.toAttribute, r.ordinalMap(ord), nameOpt)
+      }
+      Some((
+        projectList.map(remap(_).asInstanceOf[NamedExpression]),
+        extraConsumers.map(remap),
+        agg.copy(aggregateExpressions = newAggList)))
+    }
   }
 
   /** Shape 2: extractions merged into the aggregate list itself. Groups
@@ -139,7 +166,7 @@ object MinMaxByPayloadPruning extends Rule[LogicalPlan] {
     * unused.
     */
   private def aliasCandidate(ne: NamedExpression,
-                             projectList: Seq[NamedExpression]): Option[Rewrite] = ne match {
+                             consumers: Seq[Expression]): Option[Rewrite] = ne match {
     case al @ Alias(ae: AggregateExpression, name)
         if !ae.isDistinct && ae.filter.isEmpty =>
       val structAndBuild = ae.aggregateFunction match {
@@ -161,7 +188,7 @@ object MinMaxByPayloadPruning extends Rule[LogicalPlan] {
             usedWhole = true
           case other => other.children.foreach(scan)
         }
-        projectList.foreach(scan)
+        consumers.foreach(scan)
         if (usedWhole || used.isEmpty || used.size >= n) None
         else {
           val keep = used.toIndexedSeq

@@ -76,6 +76,27 @@ class PayloadPruningSpec extends SparkSpec {
       s"dead fields kept: $fields")
   }
 
+  test("the filtered form prunes too, and filter-condition fields count as used") {
+    // latestPerKey → filter on one payload field → select others: the
+    // address-assembly spine. The filter's field must SURVIVE in the
+    // payload (it is consumed), the untouched ones must drop.
+    val q = RelOps.latestPerKey(sources.Tables.orders(spark, dir),
+        Seq("o_custkey"), col("o_orderdate"), Seq(col("o_orderkey")))
+      .filter(col("o_orderstatus") =!= "C")
+      .select("o_custkey", "o_orderkey")
+    val fields = payloadFields(q).toSet
+    assert(fields.contains("o_orderstatus") && fields.contains("o_custkey")
+      && fields.contains("o_orderkey"), s"payload: $fields")
+    assert(!fields.contains("o_totalprice") && !fields.contains("o_orderpriority"),
+      s"dead fields kept: $fields")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val oracle = sources.Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("o_orderstatus") =!= "C").select("o_custkey", "o_orderkey")
+    assert(q.collect().map(_.toSeq).toSet == oracle.collect().map(_.toSeq).toSet)
+  }
+
   test("exact dedup projected without text drops the text from the payload") {
     val q = Dedup.exact(sources.Tables.documents(spark, dir))
       .select("doc_id", "lang", "n_copies")

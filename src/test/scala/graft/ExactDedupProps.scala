@@ -51,4 +51,18 @@ object ExactDedupProps extends Properties("ExactDedup") {
       }.toSet
       got.length == want.size && got.toSet == want
     }
+
+  property("exactSlim == exact minus the text column (same survivors, fp, n_copies)") =
+    forAllNoShrink(Gen.listOfN(25, textGen), Gen.listOfN(25, Gen.alphaLowerStr.map(_.take(3)))) {
+      (texts, metas) =>
+        val s = spark; import s.implicits._
+        val rows = texts.zip(metas).zipWithIndex.map { case ((t, m), i) => (i.toLong, t, m) }
+        val df = rows.toDF("doc_id", "text", "meta")
+        val slim = Dedup.exactSlim(df)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        val full = Dedup.exact(df)
+          .select("doc_id", "meta", "fp", "n_copies")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        slim.toSet == full.toSet && slim.length == full.length
+    }
 }

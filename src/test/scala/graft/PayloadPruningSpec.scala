@@ -103,4 +103,12 @@ class PayloadPruningSpec extends SparkSpec {
     val fields = payloadFields(q).toSet
     assert(fields == Set("doc_id", "lang"), s"payload: $fields")
   }
+
+  test("curation pipeline's dedup payload carries no text (exactSlim end to end)") {
+    val q = Queries.registry.collectFirst { case ("curation_pipeline", qq, _) => qq }
+      .get(spark, dir)
+    val fields = payloadFields(q)
+    assert(fields.nonEmpty && !fields.contains("text"),
+      s"text rides the curation dedup exchange: $fields")
+  }
 }

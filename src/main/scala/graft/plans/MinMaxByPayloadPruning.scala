@@ -21,7 +21,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Two plan shapes carry the pattern, and the rule handles both:
   *
-  *   1. `Project(.. __row.f ..， Aggregate(.. min_by(struct) AS __row ..))`
+  *   1. `Project(.. __row.f ..,  Aggregate(.. min_by(struct) AS __row ..))`
   *      — the multi-field form (CollapseProject declines to inline an
   *      aggregate output referenced more than once). The payload narrows
   *      to the extracted fields; the alias gets a FRESH attribute (its

@@ -19,13 +19,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * aggregation buffer and the exchange (observed on executed plans; the
   * motivating case shuffled full text the query then discarded).
   *
-  * Two plan shapes carry the pattern, and the rule handles both:
+  * Three plan shapes carry the pattern, and the rule handles all:
   *
   *   1. `Project(.. __row.f ..,  Aggregate(.. min_by(struct) AS __row ..))`
   *      — the multi-field form (CollapseProject declines to inline an
   *      aggregate output referenced more than once). The payload narrows
   *      to the extracted fields; the alias gets a FRESH attribute (its
   *      struct type changes) and the projection's ordinals remap.
+  *      1b. the same with a `Filter` between projection and aggregate
+  *      (`latestPerKey(..).filter(..).select(..)`) — the filter
+  *      condition counts as one more consumer and remaps with the rest.
   *   2. `Aggregate(.. GetStructField(min_by(struct), i) AS f ..)` — the
   *      single/few-field form CollapseProject produces by merging the
   *      projection into the aggregate. All extractions over canonically

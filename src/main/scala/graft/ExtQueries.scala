@@ -379,6 +379,61 @@ object ExtQueries {
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
       |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin
 
+  /** S6 graded: COUNT(*) pushdown through the V2 source (the reference's
+    * `returnCountOnly=true` request, `esri_rest_api.py:83-113`). The
+    * lambda REQUIRES the planned scan to be `PagedCountScan` — a positive
+    * runtime proof the query became one remote count call, failing loudly
+    * if a future change makes Catalyst refuse the pushdown. A
+    * throwing-on-fetch fixture can NOT serve as that proof here: harness
+    * wrappers re-plan the query with `.count()` on top, which makes the
+    * inner aggregate's output dead — Spark strips its aggregate
+    * expressions, the CountStar disappears from the plan, and the scan
+    * legitimately pages (V2SourceSpec keeps the no-fetch contract tests
+    * on the unwrapped shape). The key-set filter rides along as exact
+    * `ScanSpec.keys` pushdown (a residual filter would correctly veto
+    * the count).
+    */
+  private val pagedCount: Q = (s, d) => {
+    val name = s"customer_cnt:$d"
+    graft.sources.v2.FetcherRegistry.registerOnce(name) {
+      val cust = Tables.customer(s, d)
+      (new graft.sources.FixtureFetcher(cust.collect().toSeq, cust.schema), cust.schema)
+    }
+    val df = s.read.format("graft.sources.v2.PagedTableProvider")
+      .option("fetcher", name).load()
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .groupBy().count()
+      .select(col("count").as("n"))
+    require(df.queryExecution.executedPlan.toString.contains("PagedCountScan"),
+      "COUNT(*) did not push to the paged source")
+    df
+  }
+
+  private val pagedCountSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin
+
+  /** A5 graded: DISTINCT pushdown through the V2 source (the reference's
+    * `returnDistinctValues=true` request, `geocode.py:331-338`). The
+    * group-by-only aggregate pushes completely — the fetcher serves the
+    * distinct (segment, nation) pairs and Spark plans NO re-aggregation
+    * on top; the fixture fetcher throws on any fetch whose ScanSpec does
+    * not carry `distinct=true`, so a green row proves the pushdown ran.
+    */
+  private val pagedDistinct: Q = (s, d) => {
+    val name = s"customer_dst:$d"
+    graft.sources.v2.FetcherRegistry.registerOnce(name) {
+      val cust = Tables.customer(s, d)
+      (new graft.sources.DistinctOnlyFixture(cust.collect().toSeq, cust.schema), cust.schema)
+    }
+    s.read.format("graft.sources.v2.PagedTableProvider")
+      .option("fetcher", name).load()
+      .select("c_mktsegment", "c_nationkey").distinct()
+  }
+
+  private val pagedDistinctSql =
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
   // ------------------------------------------------------------------
   // Gopher-style duplicate n-gram fraction (repetition quality signal).
   // ------------------------------------------------------------------
@@ -503,6 +558,8 @@ object ExtQueries {
     ("moving_spend", movingSpend, Some(movingSpendSql)),
     ("mix_weights", mixWeights, Some(mixWeightsSql)),
     ("paged_v2", pagedV2, Some(pagedV2Sql)),
+    ("paged_count", pagedCount, Some(pagedCountSql)),
+    ("paged_distinct", pagedDistinct, Some(pagedDistinctSql)),
     ("gram_repetition", gramRepetition, Some(gramRepetitionSql)),
     ("incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     ("z_value", zValue, Some(zValueSql)),

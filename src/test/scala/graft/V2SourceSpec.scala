@@ -224,6 +224,33 @@ class V2SourceSpec extends SparkSpec {
     assert(got === rows.map(_.toSeq).toSet)
   }
 
+  test("graded paged_count: pushes to PagedCountScan AND survives a count-on-top wrapper") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("paged_count")(spark, dir)
+    // the lambda itself requires PagedCountScan; re-assert here so the
+    // proof survives a future refactor of that require
+    assert(q.queryExecution.executedPlan.toString.contains("PagedCountScan"))
+    val expected = sources.Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")).count()
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(expected))
+    // Bench/Scratch wrap every graded query in .count(): the inner
+    // aggregate's output goes dead, Spark strips its CountStar, and the
+    // scan legitimately pages — the row must still evaluate, not throw
+    assert(q.count() === 1L)
+  }
+
+  test("graded paged_distinct: complete pushdown (no re-agg) AND survives count-on-top") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("paged_distinct")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), s"re-aggregation planned:\n$plan")
+    val expected = sources.Tables.customer(spark, dir)
+      .select("c_mktsegment", "c_nationkey").distinct().count()
+    // count-on-top still needs the distinct rows, so the pushdown holds
+    // (DistinctOnlyFixture throws on any non-distinct fetch)
+    assert(q.count() === expected)
+  }
+
   test("V2 read equals the plain DataFrame over the same rows") {
     val f = new RecordingFetcher(rows, schema)
     FetcherRegistry.register("rec4", f, schema)

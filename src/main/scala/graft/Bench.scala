@@ -92,7 +92,12 @@ object Bench {
       // run sets SPARK_GRAFT_BENCH_CONDITIONS (e.g. "builder-idle"), so an
       // UNLABELED artifact is by construction the driver harness's — and
       // only unlabeled artifacts may be committed as the round's numbers.
+      // label charset is restricted to [A-Za-z0-9_-] (anything else maps
+      // to '_'): the value is interpolated into a JSON string, and a quote
+      // or backslash in the env var would otherwise emit malformed JSON
+      // that downstream artifact tooling fails to parse
       val conditions = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONDITIONS", "unlabeled")
+        .map(c => if (c.isLetterOrDigit && c < 128 || c == '_' || c == '-') c else '_')
       val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","conditions":"$conditions","queries":$qsFull$failedField,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))

@@ -186,30 +186,30 @@ object Dedup {
 
   /** Exact dedup: fingerprint the normalized text, keep the lowest-id row per
     * fingerprint group. Returns the SURVIVING ROWS (all input columns) plus
-    * `fp` and the group size `n_copies`.
+    * `fp` and the group size `n_copies`. `fp` is a RESERVED output column:
+    * an input already carrying one would be silently overwritten by the
+    * fingerprint and dropped from the payload, so the call fails fast
+    * instead.
     *
     * One `min_by` + `count` aggregation on the fingerprint — like
     * `RelOps.latestPerKey`, the aggregate form partially combines map-side
     * (shuffle ≈ one row per fingerprint per partition), where the previous
     * two-window form shuffle-sorted every row. At corpus scale the shuffle
     * payload drops from the corpus to ~|distinct docs|.
+    *
+    * Callers whose downstream never reads a payload column back (curation
+    * emits ids + metadata + split, not documents) need no slim variant:
+    * [[graft.plans.MinMaxByPayloadPruning]] narrows the `min_by` struct to
+    * what the caller's projection actually consumes — verified end to end
+    * on the curation pipeline's executed plan (`PayloadPruningSpec`), whose
+    * dedup exchange carries no text. A hand-slimmed `exactSlim` existed for
+    * one round before the rule proved to subsume it.
     */
-  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(!docs.columns.contains("fp"),
+      "'fp' is a reserved output column of Dedup.exact — rename it before deduping")
     exactOnFingerprint(docs.withColumn("fp", fingerprint(col(textCol))), idCol)
-
-  /** [[exact]] with the text column DROPPED from the dedup payload — for
-    * pipelines whose downstream never reads the text back (curation
-    * emits ids + metadata + split, not documents). `min_by`'s struct
-    * payload is opaque to Catalyst's column pruning (verified on the
-    * executed plan: the full text rode the dedup exchange even though
-    * the final projection discarded it), so at corpus scale [[exact]]
-    * shuffles every surviving document's text for nothing. The
-    * fingerprint is computed from the text BEFORE the drop; survivor
-    * choice (lowest id per group) and `n_copies` are identical.
-    */
-  def exactSlim(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    exactOnFingerprint(
-      docs.withColumn("fp", fingerprint(col(textCol))).drop(textCol), idCol)
+  }
 
   private def exactOnFingerprint(fped: DataFrame, idCol: String): DataFrame = {
     val payload = fped.columns.toIndexedSeq.filterNot(_ == "fp")

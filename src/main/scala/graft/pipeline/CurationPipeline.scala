@@ -10,7 +10,7 @@ import graft.operators.{Dedup, TextAnalysis}
   *
   *   1. language ID (`TextAnalysis.langId`, heuristic marker argmax)
   *   2. quality scoring + threshold gate (`TextAnalysis.qualityScore`)
-  *   3. exact first-wins dedup (`Dedup.exactSlim`, lowest-id survivor)
+  *   3. exact first-wins dedup (`Dedup.exact`, lowest-id survivor)
   *   4. referentially-stable train/val/test split
   *      (`TextAnalysis.splitAssign`)
   *
@@ -45,11 +45,12 @@ object CurationPipeline {
       .filter(col("quality_score") >= lit(minQuality))
       .select(col(idCol), col(textCol), col("lang"), col("pred_lang"),
         col("source"), col("quality_score"))
-    // exactSlim: this pipeline's output is ids + metadata + split, never
-    // the text — so the text is dropped AFTER fingerprinting and BEFORE
-    // the dedup exchange (min_by's struct payload defeats column pruning,
-    // so plain exact() would shuffle every surviving document's text)
-    val deduped = Dedup.exactSlim(scored, idCol, textCol)
+    // plain exact(): this pipeline's output is ids + metadata + split,
+    // never the text — MinMaxByPayloadPruning narrows the min_by payload
+    // to the columns the final projection consumes, so no text rides the
+    // dedup exchange (plan-asserted in PayloadPruningSpec; a hand-slimmed
+    // exactSlim variant existed for one round before the rule subsumed it)
+    val deduped = Dedup.exact(scored, idCol, textCol)
     TextAnalysis.splitAssign(deduped, idCol = idCol)
       .select(col(idCol), col("lang"), col("pred_lang"), col("source"),
         col("quality_score"), col("n_copies"), col("split"))

@@ -50,6 +50,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * operator-optimization fixed point, composing with `CollapseProject`).
   * Idempotent: after one application every payload field is referenced,
   * so the `used.size < n` guard fails.
+  *
+  * TRADEOFF — multi-consumer plans: the rule is session-wide, so when one
+  * plan consumes the SAME per-key dedup subtree with DIFFERENT projected
+  * subsets (e.g. a self-join of `latestPerKey` output, one side reading
+  * (k, a), the other (k, b)), the two min_by structs are no longer
+  * canonically equal — exchange/aggregate reuse is defeated and the
+  * upstream scan + shuffle runs once per consumer. External callers of
+  * `latestPerKey`/`firstWinsDedup`/`Dedup.exact` get this silently; the
+  * engine's own multi-consumer pipelines mitigate it with shared persisted
+  * layers (`TextAnalysis.scoreBase`). A dedup output fanned out to
+  * differently-projecting consumers should be pinned with
+  * `graft.util.Caching.ensurePersisted` (one narrowed materialization,
+  * every consumer reads it) rather than left to plan-level reuse.
   */
 object MinMaxByPayloadPruning extends Rule[LogicalPlan] {
 

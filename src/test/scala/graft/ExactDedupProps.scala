@@ -52,17 +52,32 @@ object ExactDedupProps extends Properties("ExactDedup") {
       got.length == want.size && got.toSet == want
     }
 
-  property("exactSlim == exact minus the text column (same survivors, fp, n_copies)") =
+  // exact() with the text projected away runs under MinMaxByPayloadPruning
+  // (the payload narrows, the plan changes — PayloadPruningSpec asserts the
+  // shape); this property pins the PRUNED plan's RESULTS to the same
+  // driver-side ground truth as the full form, so the rule can never flip
+  // a survivor or a count. Replaces the retired hand-slimmed exactSlim.
+  property("exact minus the text column (pruned payload) == ground-truth survivors") =
     forAllNoShrink(Gen.listOfN(25, textGen), Gen.listOfN(25, Gen.alphaLowerStr.map(_.take(3)))) {
       (texts, metas) =>
         val s = spark; import s.implicits._
         val rows = texts.zip(metas).zipWithIndex.map { case ((t, m), i) => (i.toLong, t, m) }
         val df = rows.toDF("doc_id", "text", "meta")
-        val slim = Dedup.exactSlim(df)
-          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-        val full = Dedup.exact(df)
+        val slim = Dedup.exact(df)
           .select("doc_id", "meta", "fp", "n_copies")
           .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-        slim.toSet == full.toSet && slim.length == full.length
+        val want = rows.groupBy { case (_, t, _) => normalize(t) }.map { case (norm, g) =>
+          val survivor = g.minBy(_._1)
+          (survivor._1, survivor._3, md5hex(norm), g.size.toLong)
+        }.toSet
+        slim.length == want.size && slim.toSet == want
+    }
+
+  property("an input already carrying a 'fp' column fails fast (reserved output column)") =
+    forAllNoShrink(Gen.listOfN(3, textGen)) { texts =>
+      val s = spark; import s.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, s"fp$i") }
+        .toDF("doc_id", "text", "fp")
+      scala.util.Try(Dedup.exact(df)).isFailure
     }
 }

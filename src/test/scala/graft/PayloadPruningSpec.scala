@@ -104,7 +104,7 @@ class PayloadPruningSpec extends SparkSpec {
     assert(fields == Set("doc_id", "lang"), s"payload: $fields")
   }
 
-  test("curation pipeline's dedup payload carries no text (exactSlim end to end)") {
+  test("curation pipeline's dedup payload carries no text (rule fires through the split chain)") {
     val q = Queries.registry.collectFirst { case ("curation_pipeline", qq, _) => qq }
       .get(spark, dir)
     val fields = payloadFields(q)

@@ -23,6 +23,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins in:\n$plan")
   }
 
+  test("address_assembly: the latest-per-key payload prunes to the consumed orders columns") {
+    // Shape 1b (Project over Filter over Aggregate) was written FOR this
+    // query — lock the narrowed field set on the graded plan itself. The
+    // assembly consumes o_custkey (key/join), o_orderkey (join), the
+    // o_orderstatus filter, and the o_orderpriority vocab join; everything
+    // else (comment, clerk, totalprice, shippriority, orderdate) must be
+    // out of the max_by payload, carried only by the ordering argument.
+    import org.apache.spark.sql.catalyst.expressions.CreateNamedStruct
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MaxBy}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val q = Queries.registry.collectFirst { case ("address_assembly", qq, _) => qq }
+      .get(spark, dir)
+    val payloads = q.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      .flatMap(_.aggregateExpressions)
+      .flatMap(_.collect { case ae: AggregateExpression => ae.aggregateFunction })
+      .collect { case mb: MaxBy => mb.valueExpr }
+      .collect { case s: CreateNamedStruct => s.names.map(_.toString).toSet }
+    assert(payloads.nonEmpty, "no max_by aggregate in the assembly plan")
+    val fields = payloads.head
+    assert(fields == Set("o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority"),
+      s"assembly payload not pruned to the consumed set: $fields")
+  }
+
   test("per-key dedup queries aggregate — no whole-table Window sort may reappear") {
     // latestPerKey/firstWinsDedup/exact are max_by/min_by aggregates whose
     // shuffle carries ~|keys|; a row_number Window (shuffle-sorts the whole

@@ -772,7 +772,7 @@ object Dedup {
 
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     idCol: String = "doc_id", maxIters: Int = 50,
-                    maxLocalEdges: Long = 1L << 20): DataFrame = {
+                    maxLocalEdges: Long = 1L << 22): DataFrame = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -785,6 +785,17 @@ object Dedup {
     // over a graph that fits in tens of MB spends O(log d) full scheduler
     // round-trips on no data; above the gate (billions of edges at 100 TB)
     // the distributed pointer-doubling loop below is the path.
+    //
+    // The 2^22 gate is MEASURED, not argued (r15, `CcCrossover` harness,
+    // chain-cluster graphs, min-of-3 alternating A/B): driver union-find
+    // beats the propagation loop 7× at 2^19 symmetrized edges (2.98 vs
+    // 21.66 s) and still 2× at 2^22 (14.73 vs 28.97 s); the TIME
+    // crossover extrapolates to ~2^24 (local grows ~3.5 s/M edges over a
+    // ~2 s base, the loop is a near-flat 20-29 s scheduling floor). The
+    // gate stays at 2^22 rather than the time crossover because driver
+    // MEMORY binds first: the collect is ~0.5 GB of Row+HashMap at 2^22
+    // and would be ~8× that at 2^24 — a latency win is not worth an OOM
+    // class of failure on smaller drivers. See docs/SCALE.md (r15).
     val (labels, small) =
       if (edgeCount <= maxLocalEdges) (localLabels(sym0), true)
       else (propagateLabels(sym0, edgeCount, maxIters), false)

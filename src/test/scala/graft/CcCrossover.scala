@@ -6,8 +6,8 @@ import graft.operators.Dedup
 
 /** Dev-only A/B harness (test scope, like `Scratch`): measures the
   * `Dedup.dedupClusters` strategy switch — driver-side union-find vs
-  * distributed min-label propagation — AT its `maxLocalEdges = 2^20` gate,
-  * which until r15 was justified by argument, not measurement.
+  * distributed min-label propagation — AT its `maxLocalEdges` gate (2^20 until r15,
+  * now 2^22 — measured here, raised on this harness's evidence).
   *
   * Graph shape mirrors a near-dup pair graph: many small chain clusters
   * (size 8 — chains are the propagation-unfriendly shape; real LSH

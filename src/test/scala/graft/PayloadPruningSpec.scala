@@ -104,6 +104,40 @@ class PayloadPruningSpec extends SparkSpec {
     assert(fields == Set("doc_id", "lang"), s"payload: $fields")
   }
 
+  test("multi-consumer tradeoff: different subsets defeat reuse; ensurePersisted restores it") {
+    // The rule's documented cost (scaladoc TRADEOFF note): two consumers
+    // of the SAME dedup subtree projecting DIFFERENT subsets get
+    // differently-pruned min_by structs — no longer canonically equal, so
+    // exchange/aggregate reuse can't deduplicate them and the upstream
+    // scan+shuffle runs twice. The remedy is pinning the dedup output
+    // with Caching.ensurePersisted: one materialization, every consumer
+    // reads the cache. This test locks BOTH halves.
+    def latest = RelOps.latestPerKey(sources.Tables.orders(spark, dir),
+      Seq("o_custkey"), col("o_orderdate"), Seq(col("o_orderkey")))
+    def fanOut(base: org.apache.spark.sql.DataFrame) =
+      base.select("o_custkey", "o_totalprice").join(
+        base.select(col("o_custkey"), col("o_orderpriority")), Seq("o_custkey"))
+    // half 1: the two pruned aggregates are distinct (different payloads)
+    val unpinned = fanOut(latest)
+    val aggs = unpinned.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a.canonicalized
+    }
+    assert(aggs.size == 2 && aggs.head != aggs(1),
+      "expected two differently-pruned aggregates (reuse defeated)")
+    // half 2: ensurePersisted pins ONE full-width materialization; both
+    // consumers read InMemoryTableScan instead of re-running the dedup
+    val (pinnedBase, release) = graft.util.Caching.acquire(latest)
+    try {
+      val pinned = fanOut(pinnedBase)
+      // collect() first: AdaptiveSparkPlanExec hides its inner plan from
+      // tree traversal, so probe the FINALIZED plan's rendering
+      assert(pinned.collect().map(_.toSeq).toSet == unpinned.collect().map(_.toSeq).toSet)
+      val scans = "InMemoryTableScan".r
+        .findAllIn(pinned.queryExecution.executedPlan.toString).size
+      assert(scans >= 2, s"expected both consumers on the cache, got $scans")
+    } finally release()
+  }
+
   test("curation pipeline's dedup payload carries no text (rule fires through the split chain)") {
     val q = Queries.registry.collectFirst { case ("curation_pipeline", qq, _) => qq }
       .get(spark, dir)

@@ -52,36 +52,18 @@ object Bench {
       .collect { case ((n, v), i) if i < 8 || v >= 0.6 => n }.toSet
     val p3 = timedPass(Some(slowest)).toMap
     val results = twoPass.map { case (n, v) => n -> math.min(v, p3.getOrElse(n, v)) }
-    // The harness tail window is exactly 2000 bytes of stdout, and sbt
-    // prints "[success] Total time: ..." (~75 bytes) AFTER this line
-    // (visible at the end of BENCH_r09.json's tail) — so the line itself
-    // must stay ≤ ~1920 bytes or its HEAD gets cut and the parse fails.
-    // The 104-query map's NAMES alone cost ~1330 bytes: integer
-    // milliseconds can never fit, so the unit is chosen adaptively — the
-    // finest of cs → ds → s whose line stays ≤ 1920 bytes, self-described
-    // by the "unit" field ("q" = the per-query map; the sf suffix is
-    // dropped — the driver records sf in its own capture metadata).
-    // Three fidelity rules on the compact line:
-    //   - "total" carries the EXACT suite seconds (%.2f, ~16 bytes), so
-    //     cross-round comparisons never depend on the quantized entries or
-    //     on two rounds having picked the same unit;
-    //   - quantization rounds to NEAREST with no floor — a 1 ms query
-    //     prints as 0, and the unit field carries the scale (the old
-    //     max(1, …) floor overstated sub-half-unit queries up to 100×);
-    //   - a FAILED query's entry is null (its elapsed-until-crash time is
-    //     meaningless as a timing and must never read as a fast success);
-    //     the "failed" list names the casualties, and null rows are
-    //     excluded from "total".
-    // Full-precision seconds additionally go to bench_full.json, plus a
-    // round-stamped bench_full_r{N}.json (N inferred from the BENCH_r*.json
-    // already committed) so per-round history survives the overwrite.
+    // The captured stdout line itself is built by `compactLine` below
+    // (budget rationale + encoding documented there). Full-precision
+    // seconds additionally go to bench_full.json, plus a round-stamped
+    // bench_full_r{N}.json (N inferred from the BENCH_r*.json already
+    // committed) so per-round history survives the overwrite; a FAILED
+    // query's entry is null everywhere (its elapsed-until-crash time
+    // must never read as a fast success) and excluded from totals.
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    def quant(v: Double, perSec: Long): String = math.round(v * perSec).toString
     def entry(k: String, render: Double => String, v: Double): String =
       "\"" + k + "\":" + (if (failed.contains(k)) "null" else render(v))
     val qsFull = results.map { case (k, v) => entry(k, sec, v) }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
-    val totalStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
     val failedField =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
@@ -114,27 +96,60 @@ object Bench {
     // stop BEFORE printing so executor/context shutdown logging cannot land
     // after (or interleave into) the JSON — it must be the LAST line out
     spark.stop()
-    def lineFor(unit: String, perSec: Long, withTotal: Boolean): String = {
-      val qs = results.map { case (k, v) => entry(k, quant(_, perSec), v) }
-        .mkString("{", ",", "}")
-      val totalField = if (withTotal) s""","total":$totalStr""" else ""
-      s"""{"unit":"$unit"$totalField,"q":$qs$failedField}"""
-    }
-    // Budget: BENCH_r10.json's captured tail ends at the JSON line + "\n"
-    // (no sbt suffix), but BENCH_r09's tail DID include sbt's ~76-byte
-    // "[success] Total time" line after it — 1920 is safe under both
-    // capture modes (1920 + 77 + newline <= 2000, so the line's head
-    // survives the tail cut either way). Fallback order values per-query
-    // RESOLUTION over the inline total once cs/ds-with-total miss: the
-    // exact total also lives in the committed bench_full_r{N}.json, but a
-    // whole-seconds q map loses 70+ sub-second queries outright.
-    val attempts = Seq(
-      ("cs", 100L, true), ("ds", 10L, true), ("ds", 10L, false), ("s", 1L, true))
-    val line = attempts
-      .map { case (u, p, t) => lineFor(u, p, t) }
-      .find(_.getBytes("UTF-8").length <= 1920)
-      .getOrElse(lineFor("s", 1L, withTotal = false))
-    println(line)
+    println(compactLine(results, failed.toSet))
     Console.out.flush()
+  }
+
+  /** The ONE stdout JSON line the driver harness captures (last ~2000
+    * bytes of the run's tail — BENCH_r10.json's capture ends at the line
+    * + "\n", BENCH_r09's included sbt's ~76-byte "[success] Total time"
+    * suffix after it, so ≤1920 bytes keeps the line's head intact under
+    * both capture modes).
+    *
+    * r15 lesson: the previous adaptive-UNIT fallback hit a fidelity
+    * cliff — at 107 queries the name bytes alone (~1800) sank every
+    * full-map unit, and the round's driver artifact quantized to whole
+    * seconds (every entry 0 or 1, no total). Names, not values, are the
+    * budget hog, so the line now pays them only where per-name
+    * readability matters and ships the rest positionally:
+    *   - `total`: exact suite seconds (%.2f) — never quantized;
+    *   - `q`: the SLOWEST K queries as a name→centisecond map (K chosen
+    *     adaptively to fit the budget) — regressions live at the top, so
+    *     the name-readable rows are exactly the ones worth names;
+    *   - `qv`: ALL queries as a centisecond array in query-NAME order
+    *     (ascending — the order this file times them in, and the key
+    *     order of the committed bench_full_r{N}.json, which carries the
+    *     name list at full precision);
+    *   - `k`: a one-line self-description so the artifact explains its
+    *     own encoding; failed queries are null in both `q` and `qv` and
+    *     named in `failed` (elapsed-until-crash must never read as a
+    *     fast pass) — null `qv` slots keep the array position-aligned.
+    *
+    * `results` must already be in ascending query-name order (the timing
+    * loop sorts by name); `BenchLineSpec` pins the byte budget and the
+    * minimum named-row count at the real suite size.
+    */
+  private[graft] def compactLine(results: Seq[(String, Double)], failed: Set[String],
+                                 budgetBytes: Int = 1920): String = {
+    def cs(v: Double): String = math.round(v * 100).toString
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    val totalStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.toSeq.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val qvField = results.map { case (k, v) => if (failed.contains(k)) "null" else cs(v) }
+      .mkString(""","qv":[""", ",", "]")
+    val keyField =
+      ""","k":"cs; qv=all queries in name order (names: bench_full.json); q=slowest subset""""
+    def lineFor(topK: Int): String = {
+      val top = results.filterNot(t => failed.contains(t._1)).sortBy(-_._2).take(topK)
+      val qs = top.map { case (k, v) => "\"" + k + "\":" + cs(v) }.mkString("{", ",", "}")
+      s"""{"unit":"cs","total":$totalStr,"q":$qs$qvField$keyField$failedField}"""
+    }
+    // widest top map that fits; topK = results.size degenerates to the
+    // old full-fidelity line (plus qv) when the suite is small enough
+    (results.size to 0 by -1).iterator.map(lineFor)
+      .find(_.getBytes("UTF-8").length <= budgetBytes)
+      .getOrElse(lineFor(0))
   }
 }

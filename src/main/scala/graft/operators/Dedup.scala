@@ -206,8 +206,15 @@ object Dedup {
     * one round before the rule proved to subsume it.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(!docs.columns.contains("fp"),
-      "'fp' is a reserved output column of Dedup.exact — rename it before deduping")
+    // Reserved OUTPUT columns: `fp` (the fingerprint `withColumn` would
+    // silently REPLACE an input column of that name — Spark resolves
+    // case-insensitively by default, so `FP`/`Fp` collide too) and
+    // `n_copies` (appended by the aggregate — an input column of that name
+    // would surface as a duplicate/ambiguous output column). Fail fast on
+    // either, case-insensitively, instead of silently corrupting payload.
+    for (reserved <- Seq("fp", "n_copies"))
+      require(!docs.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"'$reserved' is a reserved output column of Dedup.exact — rename it before deduping")
     exactOnFingerprint(docs.withColumn("fp", fingerprint(col(textCol))), idCol)
   }
 
@@ -770,9 +777,25 @@ object Dedup {
         col("n_members"), col("__k.__s").as(scoreCol))
   }
 
+  /** Default union-find gate for [[dedupClusters]], derived from the
+    * driver's ACTUAL heap rather than fixed: the r15 `CcCrossover`
+    * measurement puts the edge collect at ~128 bytes per symmetrized edge
+    * (~0.5 GB of Row+HashMap at the 2^22 ceiling, on a 16 g driver), so
+    * the derived gate spends at most 1/8 of `Runtime.maxMemory` on the
+    * collect and never exceeds the measured 2^22 ceiling. A driver left on
+    * Spark's default ~1 g heap therefore derives ~2^20 — the pre-r15 gate
+    * that was safe there — instead of inheriting a collect sized for the
+    * measurement box; floored at 2^16 so tiny test heaps keep a useful
+    * local path. Callers that know their driver can pass an explicit gate.
+    */
+  def defaultMaxLocalEdges: Long = {
+    val collectBudgetBytes = Runtime.getRuntime.maxMemory() / 8
+    math.max(1L << 16, math.min(1L << 22, collectBudgetBytes / 128))
+  }
+
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     idCol: String = "doc_id", maxIters: Int = 50,
-                    maxLocalEdges: Long = 1L << 22): DataFrame = {
+                    maxLocalEdges: Long = defaultMaxLocalEdges): DataFrame = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -786,16 +809,18 @@ object Dedup {
     // round-trips on no data; above the gate (billions of edges at 100 TB)
     // the distributed pointer-doubling loop below is the path.
     //
-    // The 2^22 gate is MEASURED, not argued (r15, `CcCrossover` harness,
-    // chain-cluster graphs, min-of-3 alternating A/B): driver union-find
-    // beats the propagation loop 7× at 2^19 symmetrized edges (2.98 vs
-    // 21.66 s) and still 2× at 2^22 (14.73 vs 28.97 s); the TIME
+    // The 2^22 CEILING is MEASURED, not argued (r15, `CcCrossover`
+    // harness, chain-cluster graphs, min-of-3 alternating A/B): driver
+    // union-find beats the propagation loop 7× at 2^19 symmetrized edges
+    // (2.98 vs 21.66 s) and still 2× at 2^22 (14.73 vs 28.97 s); the TIME
     // crossover extrapolates to ~2^24 (local grows ~3.5 s/M edges over a
     // ~2 s base, the loop is a near-flat 20-29 s scheduling floor). The
-    // gate stays at 2^22 rather than the time crossover because driver
+    // ceiling stays at 2^22 rather than the time crossover because driver
     // MEMORY binds first: the collect is ~0.5 GB of Row+HashMap at 2^22
     // and would be ~8× that at 2^24 — a latency win is not worth an OOM
-    // class of failure on smaller drivers. See docs/SCALE.md (r15).
+    // class of failure; and below the ceiling the DEFAULT gate scales
+    // with the driver's real heap (`defaultMaxLocalEdges`), so small
+    // drivers keep a safe bound automatically. See docs/SCALE.md (r15).
     val (labels, small) =
       if (edgeCount <= maxLocalEdges) (localLabels(sym0), true)
       else (propagateLabels(sym0, edgeCount, maxIters), false)

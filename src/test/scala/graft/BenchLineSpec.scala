@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench stdout line's byte budget and encoding at the REAL
+  * suite size — the r15 driver artifact lost all per-query resolution
+  * because nothing asserted the line still carried it as queries were
+  * added (107 names sank every full-map unit and the run quantized to
+  * whole seconds). These asserts run against `SparkEntry.queries.keys`
+  * itself, so adding a query that would push the line past its budget
+  * or below a useful named-row count fails HERE, not in the round
+  * artifact.
+  */
+class BenchLineSpec extends AnyFunSuite {
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+
+  /** worst case the suite has ever plausibly hit: every query at 99.99 s
+    * (4-digit centiseconds) — real rounds are 10-100× tighter
+    */
+  private def worst: Seq[(String, Double)] = names.map(_ -> 99.99)
+
+  test("line fits the 1920-byte tail budget at the real query count, worst-case values") {
+    val line = Bench.compactLine(worst, Set.empty)
+    assert(line.getBytes("UTF-8").length <= 1920, s"line is ${line.length} bytes")
+  }
+
+  test("qv carries every query positionally and total survives full-precision") {
+    val results = names.zipWithIndex.map { case (n, i) => n -> (i * 0.01 + 0.005) }
+    val line = Bench.compactLine(results, Set.empty)
+    val qv = line.split("\"qv\":\\[")(1).split("]")(0).split(",")
+    assert(qv.length == names.length)
+    // spot-check position alignment: qv is name-ascending, centiseconds,
+    // round-to-nearest (0.005 rounds up → index i prints i+1)
+    assert(qv(0) == "1" && qv(names.length - 1) == names.length.toString)
+    val expectedTotal = results.map(_._2).sum
+    val totalStr = line.split("\"total\":")(1).split(",")(0)
+    assert(math.abs(totalStr.toDouble - expectedTotal) < 0.005 + 1e-9)
+  }
+
+  test("the named slowest-subset map keeps at least the 0.2 s-regression class readable") {
+    // realistic round shape: a handful of 1 s-class rows, a broad
+    // sub-second tail (bench_full_r14/r15 distribution) — the named map
+    // must cover AT LEAST the top 40, which is every row that has ever
+    // moved ≥0.2 s between rounds
+    val results = names.zipWithIndex.map { case (n, i) => n -> (if (i % 7 == 0) 1.3 else 0.35) }
+    val line = Bench.compactLine(results, Set.empty)
+    val qMap = line.split("\"q\":\\{")(1).split("}")(0)
+    val namedRows = if (qMap.isEmpty) 0 else qMap.split(",").length
+    assert(namedRows >= 40, s"only $namedRows named rows")
+    // and even in the all-4-digit worst case, the top stays named
+    val worstLine = Bench.compactLine(worst, Set.empty)
+    val worstMap = worstLine.split("\"q\":\\{")(1).split("}")(0)
+    assert(worstMap.split(",").length >= 30)
+  }
+
+  test("failed queries are null in qv, absent from q, named in failed, excluded from total") {
+    val results = names.zipWithIndex.map { case (n, i) => n -> (i * 0.01 + 5.0) }
+    val dead = names.take(2).toSet
+    val line = Bench.compactLine(results, dead)
+    val qv = line.split("\"qv\":\\[")(1).split("]")(0).split(",")
+    assert(qv(0) == "null" && qv(1) == "null" && qv(2) != "null")
+    dead.foreach { d =>
+      assert(line.contains("\"failed\":"))
+      assert(line.split("\"failed\":")(1).contains("\"" + d + "\""))
+      assert(!line.split("\"q\":\\{")(1).split("}")(0).contains("\"" + d + "\""))
+    }
+    val totalStr = line.split("\"total\":")(1).split(",")(0)
+    val expected = results.filterNot(r => dead.contains(r._1)).map(_._2).sum
+    assert(math.abs(totalStr.toDouble - expected) < 0.005 + 1e-9)
+  }
+
+  test("the line is valid JSON under a strict parser") {
+    // the driver json-parses the captured tail line; malformed output
+    // (e.g. via a pathological failed-name) must fail here first
+    val line = Bench.compactLine(worst, Set(names.head))
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val org.json4s.JObject(fields) = parsed
+    val keys = fields.map(_._1)
+    assert(Seq("unit", "total", "q", "qv", "k", "failed").forall(keys.contains))
+  }
+}

@@ -50,7 +50,13 @@ object CcCrossover {
       val (docs, pairs, nodes) = graph(sym / 2)
       // materialize inputs so neither strategy pays generation cost
       docs.persist().count()
-      pairs.persist().count()
+      val undirected = pairs.persist().count()
+      // the deep 4096-chain rides ON TOP of the chain-cluster budget, so
+      // the count the gate actually compares slightly exceeds the nominal
+      // 2^e — print the MEASURED symmetrized count (chain and deep edge
+      // sets are disjoint and a<b by construction, so sym = 2×undirected)
+      // so the published table never inherits the label as the number
+      val symMeasured = 2L * undirected
       def time(maxLocal: Long): Double = {
         val t0 = System.nanoTime()
         val n = Dedup.dedupClusters(docs, pairs, maxLocalEdges = maxLocal)
@@ -65,7 +71,7 @@ object CcCrossover {
         local(i) = time(Long.MaxValue) // force driver union-find
         dist(i) = time(0L)             // force distributed propagation
       }
-      println(f"[cc] sym=2^$e%d (${sym / 1000000.0}%.1fM edges, ${nodes / 1000000.0}%.1fM nodes) " +
+      println(f"[cc] sym=2^$e%d (measured sym=$symMeasured%d edges, ${nodes / 1000000.0}%.1fM nodes) " +
         f"local=${local.min}%.2f s distributed=${dist.min}%.2f s " +
         f"(passes local=${local.map(v => f"$v%.2f").mkString(",")} dist=${dist.map(v => f"$v%.2f").mkString(",")})")
       docs.unpersist(); pairs.unpersist()

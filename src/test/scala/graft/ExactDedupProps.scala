@@ -73,11 +73,17 @@ object ExactDedupProps extends Properties("ExactDedup") {
         slim.length == want.size && slim.toSet == want
     }
 
-  property("an input already carrying a 'fp' column fails fast (reserved output column)") =
-    forAllNoShrink(Gen.listOfN(3, textGen)) { texts =>
+  property("an input already carrying a reserved output column fails fast, any case") =
+    forAllNoShrink(
+      Gen.listOfN(3, textGen),
+      Gen.oneOf("fp", "FP", "Fp", "n_copies", "N_COPIES", "N_Copies")) { (texts, reserved) =>
+      // Spark resolves column names case-insensitively by default, so `FP`
+      // would be silently REPLACED by the fingerprint withColumn (and an
+      // input `N_COPIES` would collide with the appended count) — the
+      // guard must catch every casing, not just the exact spelling
       val s = spark; import s.implicits._
-      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, s"fp$i") }
-        .toDF("doc_id", "text", "fp")
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, s"v$i") }
+        .toDF("doc_id", "text", reserved)
       scala.util.Try(Dedup.exact(df)).isFailure
     }
 }

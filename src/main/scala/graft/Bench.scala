@@ -38,6 +38,32 @@ object Bench {
           }
           name -> (System.nanoTime() - t0) / 1e9
         }
+    // Ambient-load calibration (the r15 lesson: the whole driver board
+    // shifted +20% in one round with ZERO structural changes — pure box
+    // load — and the artifact carried nothing to tell a reader that).
+    // A fixed single-thread CPU workload is timed min-of-3 immediately
+    // BEFORE and AFTER the timed passes; on an idle box it is a constant,
+    // so its ratio across rounds quantifies CPU contention at run time,
+    // and the before/after pair shows load CHANGE during the run. The
+    // 1-min loadavg at start is captured alongside (same diagnosis from
+    // the OS's view). All three ride in bench_full + the compact line.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L; var i = 0
+        while (i < 200000000) { // xorshift64*, ~0.2 s single-thread idle
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27; i += 1
+        }
+        if (x == 42L) System.err.println("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(once(), once(), once()).min
+    }
+    val loadAvg = try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+    val calibBefore = calibrate()
     val (p1, p2) = (timedPass(), timedPass())
     val twoPass = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     // third timed pass for the SLOW rows: the ±12% ambient variance this
@@ -52,6 +78,11 @@ object Bench {
       .collect { case ((n, v), i) if i < 8 || v >= 0.6 => n }.toSet
     val p3 = timedPass(Some(slowest)).toMap
     val results = twoPass.map { case (n, v) => n -> math.min(v, p3.getOrElse(n, v)) }
+    val calibAfter = calibrate()
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // "calib":[before,after] fixed-workload seconds; "load": 1-min loadavg
+    val calibField = s""","calib":[${num(calibBefore)},${num(calibAfter)}]""" +
+      (if (loadAvg >= 0) s""","load":${num(loadAvg)}""" else "")
     // The captured stdout line itself is built by `compactLine` below
     // (budget rationale + encoding documented there). Full-precision
     // seconds additionally go to bench_full.json, plus a round-stamped
@@ -80,7 +111,7 @@ object Bench {
       // that downstream artifact tooling fails to parse
       val conditions = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONDITIONS", "unlabeled")
         .map(c => if (c.isLetterOrDigit && c < 128 || c == '_' || c == '-') c else '_')
-      val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","conditions":"$conditions","queries":$qsFull$failedField,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","conditions":"$conditions"$calibField,"queries":$qsFull$failedField,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
       // BENCH_r{N}.json for round N is captured by the driver AFTER this
@@ -96,7 +127,7 @@ object Bench {
     // stop BEFORE printing so executor/context shutdown logging cannot land
     // after (or interleave into) the JSON — it must be the LAST line out
     spark.stop()
-    println(compactLine(results, failed.toSet))
+    println(compactLine(results, failed.toSet, extraFields = calibField))
     Console.out.flush()
   }
 
@@ -123,14 +154,18 @@ object Bench {
     *   - `k`: a one-line self-description so the artifact explains its
     *     own encoding; failed queries are null in both `q` and `qv` and
     *     named in `failed` (elapsed-until-crash must never read as a
-    *     fast pass) — null `qv` slots keep the array position-aligned.
+    *     fast pass) — null `qv` slots keep the array position-aligned;
+    *   - `extraFields` carries run-context fields verbatim (the
+    *     `calib`/`load` ambient-load calibration from `main`), so a
+    *     cross-round reader can separate box load from regression.
     *
     * `results` must already be in ascending query-name order (the timing
     * loop sorts by name); `BenchLineSpec` pins the byte budget and the
     * minimum named-row count at the real suite size.
     */
   private[graft] def compactLine(results: Seq[(String, Double)], failed: Set[String],
-                                 budgetBytes: Int = 1920): String = {
+                                 budgetBytes: Int = 1920,
+                                 extraFields: String = ""): String = {
     def cs(v: Double): String = math.round(v * 100).toString
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val totalStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
@@ -144,7 +179,7 @@ object Bench {
     def lineFor(topK: Int): String = {
       val top = results.filterNot(t => failed.contains(t._1)).sortBy(-_._2).take(topK)
       val qs = top.map { case (k, v) => "\"" + k + "\":" + cs(v) }.mkString("{", ",", "}")
-      s"""{"unit":"cs","total":$totalStr,"q":$qs$qvField$keyField$failedField}"""
+      s"""{"unit":"cs","total":$totalStr$extraFields,"q":$qs$qvField$keyField$failedField}"""
     }
     // widest top map that fits; topK = results.size degenerates to the
     // old full-fidelity line (plus qv) when the suite is small enough

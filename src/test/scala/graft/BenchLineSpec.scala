@@ -19,8 +19,11 @@ class BenchLineSpec extends AnyFunSuite {
     */
   private def worst: Seq[(String, Double)] = names.map(_ -> 99.99)
 
+  /** widest calib/load context fields main can emit (all 4-digit) */
+  private val worstExtra = ""","calib":[99.99,99.99],"load":99.99"""
+
   test("line fits the 1920-byte tail budget at the real query count, worst-case values") {
-    val line = Bench.compactLine(worst, Set.empty)
+    val line = Bench.compactLine(worst, Set.empty, extraFields = worstExtra)
     assert(line.getBytes("UTF-8").length <= 1920, s"line is ${line.length} bytes")
   }
 
@@ -48,7 +51,7 @@ class BenchLineSpec extends AnyFunSuite {
     val namedRows = if (qMap.isEmpty) 0 else qMap.split(",").length
     assert(namedRows >= 40, s"only $namedRows named rows")
     // and even in the all-4-digit worst case, the top stays named
-    val worstLine = Bench.compactLine(worst, Set.empty)
+    val worstLine = Bench.compactLine(worst, Set.empty, extraFields = worstExtra)
     val worstMap = worstLine.split("\"q\":\\{")(1).split("}")(0)
     assert(worstMap.split(",").length >= 30)
   }
@@ -69,13 +72,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(totalStr.toDouble - expected) < 0.005 + 1e-9)
   }
 
-  test("the line is valid JSON under a strict parser") {
+  test("the line is valid JSON under a strict parser, calib fields included") {
     // the driver json-parses the captured tail line; malformed output
     // (e.g. via a pathological failed-name) must fail here first
-    val line = Bench.compactLine(worst, Set(names.head))
+    val line = Bench.compactLine(worst, Set(names.head), extraFields = worstExtra)
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val org.json4s.JObject(fields) = parsed
     val keys = fields.map(_._1)
-    assert(Seq("unit", "total", "q", "qv", "k", "failed").forall(keys.contains))
+    assert(Seq("unit", "total", "calib", "load", "q", "qv", "k", "failed").forall(keys.contains))
   }
 }

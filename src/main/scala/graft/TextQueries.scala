@@ -660,6 +660,22 @@ object TextQueries {
        |SELECT doc_id, source, n_tokens, cb // 512 AS seq_id, cb % 512 AS seq_offset
        |FROM c""".stripMargin
 
+  // -- deterministic corpus shuffle -----------------------------------------
+  private val corpusShuffle: Q = (s, d) =>
+    TextAnalysis.shuffleOrder(
+      docs(s, d).select(col("doc_id"), col("source")), seed = "r16")
+
+  /** Mirror of shuffleOrder's total order: positions are row_number−1 over
+    * (shuffle_key, doc_id) — the partition-offset numbering on the Spark
+    * side produces exactly the dense global rank of that sort.
+    */
+  private val corpusShuffleSql =
+    s"""WITH k AS (SELECT doc_id, source,
+       |  ${h60("'shuffle:r16:' || doc_id")} AS shuffle_key FROM documents)
+       |SELECT doc_id, source, shuffle_key,
+       |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS position
+       |FROM k""".stripMargin
+
   // -- multimodal --------------------------------------------------------------
   // real-PNG image dims: width = 8 + len(text) % 16, height = 8 + 7·doc_id % 16
   // (Multimodal.syntheticImages) — small enough that encoding ~every doc a
@@ -750,6 +766,7 @@ object TextQueries {
     ("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     ("decontaminate", decontaminate, Some(decontaminateSql)),
     ("pack_sequences", packSequences, Some(packSequencesSql)),
+    ("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),
     ("mm_frames", mmFrames, Some(mmFramesSql)),
     ("mm_decode", mmDecode, Some(mmDecodeSql)),

@@ -647,6 +647,42 @@ object TextAnalysis {
         pmod(col("__cb"), lit(budget)).as("seq_offset"))
   }
 
+  /** Deterministic seeded corpus shuffle with contiguous training-order
+    * positions — the layout step between curation and sharding: training
+    * wants documents in a reproducible random order (not crawl/source
+    * order), and shard assignment downstream is `position div shardSize`.
+    * The order is a pure function of (seed, id): `hash60` over a tagged
+    * `shuffle:<seed>:` domain, tie-broken by id into a total order — the
+    * same document lands at the same position on every run and every
+    * engine that can compute an md5, and reshuffling with a new seed is
+    * one column swap, never a data rewrite.
+    *
+    * Shape at 100 TB: one range-partitioned sort on the 60-bit key
+    * (Spark's spillable external sort — no single-partition window, which
+    * is how `row_number() OVER (ORDER BY …)` would degenerate), then
+    * positions by partition-offset numbering: a count pass over the
+    * sorted partitions yields each partition's offset, and a per-partition
+    * map adds `offset + local index` (`RDD.zipWithIndex` — the two jobs
+    * share the sort's shuffle files, so the corpus sorts once). This is
+    * the one operator family where the RDD bridge is the right tool:
+    * contiguous global indices are inherently partition-imperative, and
+    * the map is terminal — nothing downstream loses codegen that had it.
+    */
+  def shuffleOrder(docs: DataFrame, seed: String = "0",
+                   idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val keyed = docs.withColumn("shuffle_key",
+      hash60(concat(lit(s"shuffle:$seed:"), col(idCol).cast("string"))))
+    val sorted = keyed
+      .repartitionByRange(col("shuffle_key"), col(idCol))
+      .sortWithinPartitions("shuffle_key", idCol)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed,
+      sorted.schema.add("position", org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   /** Gopher-style repetition signal: the fraction of n-gram OCCURRENCES
     * that are duplicates of an earlier occurrence in the same document
     * (`1 − distinct/total`), for each window size in `ns`. High values

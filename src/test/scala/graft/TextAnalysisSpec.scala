@@ -317,4 +317,27 @@ class TextAnalysisSpec extends SparkSpec {
     val vb = operators.Sketches.vocabWithCmsGate(noId, topK = 3).collect().map(_.toSeq).toSeq
     assert(va === vb)
   }
+
+  test("shuffleOrder: positions are the dense rank of (hash60(seed,id), id), a permutation") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 97L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+      .repartition(7) // positions must not depend on input partitioning
+    val out = TextAnalysis.shuffleOrder(docs, seed = "t").collect()
+    assert(out.map(_.getAs[Long]("position")).sorted.toSeq == (0L until 97L))
+    // order matches the portable-hash total order
+    val expected = docs
+      .withColumn("k", graft.functions.GraftFunctions.hash60Portable(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("shuffle:t:"), col("doc_id").cast("string"))))
+      .collect().sortBy(r => (r.getAs[Long]("k"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(out.sortBy(_.getAs[Long]("position")).map(_.getAs[Long]("doc_id")).toSeq == expected)
+    // same seed -> identical layout; different seed -> a different permutation
+    val again = TextAnalysis.shuffleOrder(docs, seed = "t").collect()
+      .sortBy(_.getAs[Long]("position")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(again == expected)
+    val other = TextAnalysis.shuffleOrder(docs, seed = "u").collect()
+      .sortBy(_.getAs[Long]("position")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(other != expected)
+  }
 }

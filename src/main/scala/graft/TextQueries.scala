@@ -48,6 +48,18 @@ private[graft] object OracleSql {
     s"CASE WHEN len($hsE) >= $n THEN [${combine("i")} for i in range(0, len($hsE) - ${n - 1})] ELSE [] END"
   }
 
+  /** Dedup.rolledGramHashes WITH positions — `[{'pos': i, 'g': hash}]`
+    * structs, one per gram occurrence (empty below n tokens); the
+    * positional stream duplicateSpans explodes.
+    */
+  def rolledGramStructs(hsE: String, n: Int): String = {
+    def combine(idx: String): String =
+      (1 until n).foldLeft(s"coalesce(($hsE)[$idx + 1], 0)") { (acc, j) =>
+        s"(($acc) * $B + coalesce(($hsE)[$idx + ${j + 1}], 0)) % $P"
+      }
+    s"CASE WHEN len($hsE) >= $n THEN [{'pos': i, 'g': ${combine("i")}} for i in range(0, len($hsE) - ${n - 1})] ELSE [] END"
+  }
+
   /** Dedup.signatures — k affine minima over shingle hashes. */
   def sigItems(shCol: String, k: Int): String =
     Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
@@ -660,6 +672,38 @@ object TextQueries {
        |SELECT doc_id, source, n_tokens, cb // 512 AS seq_id, cb % 512 AS seq_offset
        |FROM c""".stripMargin
 
+  // -- exact duplicate spans -------------------------------------------------
+  private val dupSpans: Q = (s, d) =>
+    Dedup.duplicateSpans(docs(s, d), n = 8, maxOcc = 64)
+
+  /** Mirror of duplicateSpans: positional mod-P gram stream, corpus-wide
+    * occurrence cap (all-or-nothing, capBuckets semantics), diagonal
+    * gaps-and-islands run merge, then the exact 60-bit slice verification.
+    */
+  private val dupSpansSql =
+    s"""WITH t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
+       |h AS (SELECT doc_id, ${hashList("tk")} AS hs,
+       |        list_transform(tk, t -> ${h60("t")}) AS fh FROM t),
+       |ge AS (SELECT doc_id, fh, e.pos AS pos, e.g AS g
+       |       FROM (SELECT doc_id, fh, unnest(${rolledGramStructs("hs", 8)}) AS e FROM h)),
+       |cnt AS (SELECT g, count(*) AS c FROM ge GROUP BY 1),
+       |gg AS (SELECT ge.doc_id, ge.pos, ge.g FROM ge JOIN cnt USING (g) WHERE cnt.c <= 64),
+       |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+       |      FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |i AS (SELECT *, pos_a - pos_b AS diag,
+       |        pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+       |                                   ORDER BY pos_a) AS island FROM m),
+       |sp AS (SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+       |         CAST(count(*) + 7 AS BIGINT) AS n_tokens
+       |       FROM i GROUP BY id_a, id_b, diag, island)
+       |SELECT sp.id_a, sp.id_b,
+       |  CAST(sp.start_a AS INTEGER) AS start_a, CAST(sp.start_b AS INTEGER) AS start_b,
+       |  sp.n_tokens
+       |FROM sp
+       |JOIN h ha ON sp.id_a = ha.doc_id JOIN h hb ON sp.id_b = hb.doc_id
+       |WHERE list_slice(ha.fh, sp.start_a + 1, sp.start_a + sp.n_tokens)
+       |    = list_slice(hb.fh, sp.start_b + 1, sp.start_b + sp.n_tokens)""".stripMargin
+
   // -- deterministic corpus shuffle -----------------------------------------
   private val corpusShuffle: Q = (s, d) =>
     TextAnalysis.shuffleOrder(
@@ -767,6 +811,7 @@ object TextQueries {
     ("decontaminate", decontaminate, Some(decontaminateSql)),
     ("pack_sequences", packSequences, Some(packSequencesSql)),
     ("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
+    ("dup_spans", dupSpans, Some(dupSpansSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),
     ("mm_frames", mmFrames, Some(mmFramesSql)),
     ("mm_decode", mmDecode, Some(mmDecodeSql)),

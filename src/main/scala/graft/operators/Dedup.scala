@@ -939,6 +939,65 @@ object Dedup {
       graft.functions.WinnowSketchExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(sh), w))
 
+  /** Exact duplicate SPANS across documents — the span-level complement of
+    * the doc-pair family: for every pair of documents sharing a verbatim
+    * token run of ≥ `n` tokens, emit the MAXIMAL runs as
+    * `(id_a, id_b, start_a, start_b, n_tokens)` (0-based token offsets).
+    * This is the "exact substring duplication" measure of Lee et al. 2021
+    * (Deduplicating Training Data Makes Language Models Better), where
+    * span removal — not whole-document dropping — is the remedy for
+    * boilerplate-heavy corpora; `winnow` finds such pairs approximately,
+    * this names the exact spans.
+    *
+    * Shape (hash-join, not suffix arrays): the shared 60-bit layer's
+    * positional n-gram stream `(id, pos, gram)` equi-joins itself on the
+    * gram key — never all-pairs — and maximal runs fall out of a
+    * gaps-and-islands pass: matches on one diagonal (`pos_a − pos_b`
+    * constant) with consecutive `pos_a` are one span. Each surviving span
+    * is then VERIFIED exactly: the candidate stream's 31-bit gram keys can
+    * collide, so the full 60-bit token-hash slices of both sides are
+    * compared end-to-end (the md5-fingerprint assumption every exact-dedup
+    * path here already makes — a false span needs a 2^-60 per-token
+    * collision run).
+    *
+    * Shape at 100 TB: the gram stream is ~|corpus tokens| rows (the
+    * `doc_freq` shape) and shuffles once per side on the gram key; grams
+    * occurring more than `maxOcc` times corpus-wide are dropped
+    * ALL-or-nothing before the join (`capBuckets` semantics — a gram in
+    * thousands of documents is boilerplate, surfaced by `docFrequency` /
+    * `gramRepetition`, and would pair quadratically); the islands window
+    * partitions by (pair, diagonal) — millions of tiny partitions, no
+    * global sort; the verify join touches only span-emitting documents.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 8, maxOcc: Int = 64,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, "span gram width must be at least 2")
+    val base = fullHashBase(docs, idCol, textCol)
+    val grams = base
+      .select(col(idCol), posexplode(rolledGramHashes(col("__fh"), n, reduceInputs = true)))
+      .withColumnRenamed("col", "g")
+    val gated = capBuckets(grams, Seq("g"), maxOcc)
+    val l = gated.select(col("g"), col(idCol).as("id_a"), col("pos").as("pos_a"))
+    val r = gated.select(col("g"), col(idCol).as("id_b"), col("pos").as("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("__diag")).orderBy(col("pos_a"))
+    val spans = l.join(r, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__diag", col("pos_a") - col("pos_b"))
+      // gaps-and-islands: within a diagonal, consecutive pos_a share one
+      // island id (pos_a minus its rank is constant on a contiguous run)
+      .withColumn("__island", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "__diag", "__island")
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        (count(lit(1)) + lit(n - 1)).cast("long").as("n_tokens"))
+    val fhA = base.select(col(idCol).as("id_a"), col("__fh").as("__fh_a"))
+    val fhB = base.select(col(idCol).as("id_b"), col("__fh").as("__fh_b"))
+    spans.join(fhA, Seq("id_a")).join(fhB, Seq("id_b"))
+      .filter(slice(col("__fh_a"), col("start_a") + 1, col("n_tokens")) ===
+        slice(col("__fh_b"), col("start_b") + 1, col("n_tokens")))
+      .select("id_a", "id_b", "start_a", "start_b", "n_tokens")
+  }
+
   /** Winnowing near-dup pairs: candidates share a sketch hash (equi join on
     * the hash — never all pairs; hot sketch hashes capped like LSH
     * buckets), then exact shingle-Jaccard verification. Detects documents

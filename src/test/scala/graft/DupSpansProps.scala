@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAllNoShrink
+import graft.operators.Dedup
+
+/** `Dedup.duplicateSpans` against a driver-side brute-force span oracle:
+  * for every document pair and every alignment (diagonal), the maximal
+  * runs of positionwise-equal tokens of length ≥ n must match the
+  * operator's output EXACTLY — ids, both start offsets, and token
+  * length. Texts are generated from a tiny lowercase vocabulary with no
+  * punctuation, so the operator's normalize+tokenize is the identity on
+  * the generator's token lists and the oracle can compare raw tokens.
+  * Hash collisions in the 60-bit verification space would be the only
+  * divergence — vanishingly improbable at these sizes (and the mod-P
+  * candidate keys are exactly what verification exists to correct).
+  */
+object DupSpansProps extends Properties("DupSpans") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withWorkers(1)
+
+  private lazy val spark = SparkSpec.session
+
+  private val n = 3
+
+  // small vocab + short docs => shared runs are common, intra-doc
+  // repetition is common (stressing multi-occurrence gram joins)
+  private val tokenGen = Gen.oneOf("aa", "bb", "cc", "dd")
+  private val docGen = Gen.chooseNum(0, 12).flatMap(Gen.listOfN(_, tokenGen))
+
+  private def bruteSpans(docs: Seq[(Long, Seq[String])]): Set[(Long, Long, Int, Int, Long)] =
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      diag <- -(tb.length) to ta.length
+      span <- {
+        // walk the diagonal, emitting maximal equal-token runs
+        val pairs = (0 until ta.length).flatMap { pa =>
+          val pb = pa - diag
+          if (pb >= 0 && pb < tb.length && ta(pa) == tb(pb)) Some(pa) else None
+        }
+        // group consecutive pa into runs
+        pairs.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.collect { case (s, e) if e - s + 1 >= n =>
+          (ia, ib, s, s - diag, (e - s + 1).toLong)
+        }
+      }
+    } yield span).toSet
+
+  property("spans == brute-force maximal equal-token runs per pair and diagonal") =
+    forAllNoShrink(Gen.chooseNum(2, 6).flatMap(k =>
+      Gen.listOfN(k, docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.map { case (i, tk) => (i, tk.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, n = n, maxOcc = 1000000).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Int]("start_a"), r.getAs[Int]("start_b"), r.getAs[Long]("n_tokens"))).toSet
+      got == bruteSpans(docs)
+    }
+
+  property("the occurrence cap is all-or-nothing: maxOcc below any dup gram's count kills all spans") =
+    forAllNoShrink(Gen.listOfN(2, docGen)) { ts =>
+      val s = spark; import s.implicits._
+      // every gram backing a span occurs >= 2 times corpus-wide by
+      // definition (once per side) — maxOcc = 1 must gate them all
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      Dedup.duplicateSpans(df, n = n, maxOcc = 1).count() == 0L
+    }
+}

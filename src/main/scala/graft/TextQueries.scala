@@ -676,11 +676,13 @@ object TextQueries {
   private val dupSpans: Q = (s, d) =>
     Dedup.duplicateSpans(docs(s, d), n = 8, maxOcc = 64)
 
-  /** Mirror of duplicateSpans: positional mod-P gram stream, corpus-wide
-    * occurrence cap (all-or-nothing, capBuckets semantics), diagonal
-    * gaps-and-islands run merge, then the exact 60-bit slice verification.
+  /** Shared CTE chain mirroring duplicateSpans through verification:
+    * positional mod-P gram stream, corpus-wide occurrence cap
+    * (all-or-nothing, capBuckets semantics), diagonal gaps-and-islands run
+    * merge, then the exact 60-bit slice verification as the final `vs`
+    * relation — `dup_spans` selects it, `excise_spans` builds on it.
     */
-  private val dupSpansSql =
+  private val dupSpanCtes =
     s"""WITH t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
        |h AS (SELECT doc_id, ${hashList("tk")} AS hs,
        |        list_transform(tk, t -> ${h60("t")}) AS fh FROM t),
@@ -695,14 +697,39 @@ object TextQueries {
        |                                   ORDER BY pos_a) AS island FROM m),
        |sp AS (SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
        |         CAST(count(*) + 7 AS BIGINT) AS n_tokens
-       |       FROM i GROUP BY id_a, id_b, diag, island)
-       |SELECT sp.id_a, sp.id_b,
-       |  CAST(sp.start_a AS INTEGER) AS start_a, CAST(sp.start_b AS INTEGER) AS start_b,
-       |  sp.n_tokens
-       |FROM sp
-       |JOIN h ha ON sp.id_a = ha.doc_id JOIN h hb ON sp.id_b = hb.doc_id
-       |WHERE list_slice(ha.fh, sp.start_a + 1, sp.start_a + sp.n_tokens)
-       |    = list_slice(hb.fh, sp.start_b + 1, sp.start_b + sp.n_tokens)""".stripMargin
+       |       FROM i GROUP BY id_a, id_b, diag, island),
+       |vs AS (SELECT sp.id_a, sp.id_b,
+       |         CAST(sp.start_a AS INTEGER) AS start_a, CAST(sp.start_b AS INTEGER) AS start_b,
+       |         sp.n_tokens
+       |       FROM sp
+       |       JOIN h ha ON sp.id_a = ha.doc_id JOIN h hb ON sp.id_b = hb.doc_id
+       |       WHERE list_slice(ha.fh, sp.start_a + 1, sp.start_a + sp.n_tokens)
+       |           = list_slice(hb.fh, sp.start_b + 1, sp.start_b + sp.n_tokens))""".stripMargin
+
+  private val dupSpansSql =
+    s"""$dupSpanCtes
+       |SELECT id_a, id_b, start_a, start_b, n_tokens FROM vs""".stripMargin
+
+  // -- span excision (keep-first) --------------------------------------------
+  private val exciseSpans: Q = (s, d) =>
+    Dedup.exciseSpans(docs(s, d), n = 8, maxOcc = 64)
+
+  private val exciseSpansSql =
+    s"""$dupSpanCtes,
+       |rem0 AS (SELECT id_b AS doc_id,
+       |           unnest([start_b + i for i in range(0, n_tokens)]) AS pos FROM vs),
+       |rem AS (SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos FROM rem0),
+       |tkpos AS (SELECT doc_id, e.pos AS pos, e.tok AS tok
+       |          FROM (SELECT doc_id,
+       |                  unnest([{'pos': i - 1, 'tok': tk[i]} for i in range(1, len(tk) + 1)]) AS e
+       |                FROM t)),
+       |kept AS (SELECT tkpos.* FROM tkpos ANTI JOIN rem USING (doc_id, pos)),
+       |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |       FROM kept GROUP BY doc_id),
+       |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+       |  coalesce(rc.n_removed, 0) AS n_removed
+       |FROM documents d LEFT JOIN rb USING (doc_id) LEFT JOIN rc USING (doc_id)""".stripMargin
 
   // -- deterministic corpus shuffle -----------------------------------------
   private val corpusShuffle: Q = (s, d) =>
@@ -812,6 +839,7 @@ object TextQueries {
     ("pack_sequences", packSequences, Some(packSequencesSql)),
     ("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     ("dup_spans", dupSpans, Some(dupSpansSql)),
+    ("excise_spans", exciseSpans, Some(exciseSpansSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),
     ("mm_frames", mmFrames, Some(mmFramesSql)),
     ("mm_decode", mmDecode, Some(mmDecodeSql)),

@@ -998,6 +998,52 @@ object Dedup {
       .select("id_a", "id_b", "start_a", "start_b", "n_tokens")
   }
 
+  /** Span-level dedup: rebuild the corpus with every duplicated span
+    * excised from the HIGHER-id document of its pair (keep-first by id —
+    * applied transitively, each duplicated passage survives only in the
+    * lowest-id document carrying it). This is [[duplicateSpans]] made
+    * actionable: Lee et al.'s remedy is removing the repeated substring,
+    * not dropping documents that are otherwise unique.
+    *
+    * Output `(id, clean_text, n_removed)` — `clean_text` is the kept
+    * tokens of the NORMALIZED text rejoined with single spaces (the same
+    * token stream the spans index into; raw-whitespace fidelity is not
+    * preserved, by design), `n_removed` the count of excised token
+    * positions. Documents with no spans pass through with `n_removed` 0.
+    *
+    * Shape at 100 TB: span intervals explode to removed (id, pos) rows —
+    * bounded by total duplicated tokens, not corpus size — and anti-join
+    * the positional token stream (~|corpus tokens| rows, the `doc_freq`
+    * shape); reassembly is one groupBy with an array_sort on (pos, token)
+    * structs, partial-aggregated map-side. Nothing corpus-sized sorts
+    * globally and the only corpus-wide shuffles are the token-stream
+    * groupBy and duplicateSpans' own gram join.
+    */
+  def exciseSpans(docs: DataFrame, n: Int = 8, maxOcc: Int = 64,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, n, maxOcc, idCol, textCol)
+    val removed = spans
+      .select(col("id_b").as(idCol),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("n_tokens").cast("int") - 1)).as("pos"))
+      .distinct() // overlapping spans may name a position twice
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(normalizeText(col(textCol)))))
+      .withColumnRenamed("col", "tok")
+    val rebuilt = toks.join(removed, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))), _("tok")),
+        " ").as("clean_text"))
+    val removedCounts = removed.groupBy(idCol).agg(count(lit(1)).as("n_removed"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(removedCounts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Winnowing near-dup pairs: candidates share a sketch hash (equi join on
     * the hash — never all pairs; hot sketch hashes capped like LSH
     * buckets), then exact shingle-Jaccard verification. Detects documents

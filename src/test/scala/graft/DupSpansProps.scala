@@ -60,6 +60,27 @@ object DupSpansProps extends Properties("DupSpans") {
       got == bruteSpans(docs)
     }
 
+  property("exciseSpans == rebuild from the brute-force removed-position union (keep-first)") =
+    forAllNoShrink(Gen.chooseNum(2, 5).flatMap(k =>
+      Gen.listOfN(k, docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.map { case (i, tk) => (i, tk.mkString(" ")) }.toDF("doc_id", "text")
+      val removedByDoc = bruteSpans(docs)
+        .flatMap { case (_, idB, _, startB, len) =>
+          (startB until (startB + len.toInt)).map(p => (idB, p))
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val want = docs.map { case (i, tk) =>
+        val rm = removedByDoc.getOrElse(i, Set.empty[Int])
+        (i, tk.zipWithIndex.collect { case (t, p) if !rm(p) => t }.mkString(" "),
+          rm.size.toLong)
+      }.toSet
+      val got = Dedup.exciseSpans(df, n = n, maxOcc = 1000000).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+          r.getAs[Long]("n_removed"))).toSet
+      got == want
+    }
+
   property("the occurrence cap is all-or-nothing: maxOcc below any dup gram's count kills all spans") =
     forAllNoShrink(Gen.listOfN(2, docGen)) { ts =>
       val s = spark; import s.implicits._

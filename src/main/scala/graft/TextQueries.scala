@@ -710,6 +710,48 @@ object TextQueries {
     s"""$dupSpanCtes
        |SELECT id_a, id_b, start_a, start_b, n_tokens FROM vs""".stripMargin
 
+  // -- inter-run duplicate spans ---------------------------------------------
+  private val incDupSpans: Q = (s, d) => {
+    val all = docs(s, d)
+    Dedup.duplicateSpansAgainstBaseline(
+      all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
+      n = 8, maxOcc = 64)
+  }
+
+  /** Cross-side-only mirror: per-side gram streams, occurrence cap counted
+    * over BOTH sides' union, no baseline-baseline pairing, and the same
+    * 60-bit slice verification.
+    */
+  private val incDupSpansSql = {
+    def side(tag: String, pred: String) =
+      s"""t$tag AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents WHERE $pred),
+         |h$tag AS (SELECT doc_id, ${hashList("tk")} AS hs,
+         |        list_transform(tk, t -> ${h60("t")}) AS fh FROM t$tag),
+         |g$tag AS (SELECT doc_id, e.pos AS pos, e.g AS g
+         |       FROM (SELECT doc_id, unnest(${rolledGramStructs("hs", 8)}) AS e FROM h$tag))""".stripMargin
+    s"""WITH ${side("i", "doc_id >= 250")},
+       |${side("b", "doc_id < 250")},
+       |cnt AS (SELECT g, count(*) AS c
+       |        FROM (SELECT g FROM gi UNION ALL SELECT g FROM gb) GROUP BY 1),
+       |ggi AS (SELECT gi.* FROM gi JOIN cnt USING (g) WHERE cnt.c <= 64),
+       |ggb AS (SELECT gb.* FROM gb JOIN cnt USING (g) WHERE cnt.c <= 64),
+       |m AS (SELECT i.doc_id AS id_in, b.doc_id AS id_bas, i.pos AS pos_in, b.pos AS pos_bas
+       |      FROM ggi i JOIN ggb b ON i.g = b.g),
+       |isl AS (SELECT *, pos_in - pos_bas AS diag,
+       |        pos_in - row_number() OVER (PARTITION BY id_in, id_bas, pos_in - pos_bas
+       |                                    ORDER BY pos_in) AS island FROM m),
+       |sp AS (SELECT id_in, id_bas, min(pos_in) AS start_in, min(pos_bas) AS start_bas,
+       |         CAST(count(*) + 7 AS BIGINT) AS n_tokens
+       |       FROM isl GROUP BY id_in, id_bas, diag, island)
+       |SELECT sp.id_in, sp.id_bas,
+       |  CAST(sp.start_in AS INTEGER) AS start_in, CAST(sp.start_bas AS INTEGER) AS start_bas,
+       |  sp.n_tokens
+       |FROM sp
+       |JOIN hi ON sp.id_in = hi.doc_id JOIN hb ON sp.id_bas = hb.doc_id
+       |WHERE list_slice(hi.fh, sp.start_in + 1, sp.start_in + sp.n_tokens)
+       |    = list_slice(hb.fh, sp.start_bas + 1, sp.start_bas + sp.n_tokens)""".stripMargin
+  }
+
   // -- span excision (keep-first) --------------------------------------------
   private val exciseSpans: Q = (s, d) =>
     Dedup.exciseSpans(docs(s, d), n = 8, maxOcc = 64)
@@ -840,6 +882,7 @@ object TextQueries {
     ("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     ("dup_spans", dupSpans, Some(dupSpansSql)),
     ("excise_spans", exciseSpans, Some(exciseSpansSql)),
+    ("inc_dup_spans", incDupSpans, Some(incDupSpansSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),
     ("mm_frames", mmFrames, Some(mmFramesSql)),
     ("mm_decode", mmDecode, Some(mmDecodeSql)),

@@ -998,6 +998,53 @@ object Dedup {
       .select("id_a", "id_b", "start_a", "start_b", "n_tokens")
   }
 
+  /** Inter-run twin of [[duplicateSpans]] — the nightly-crawl shape: spans
+    * the INCOMING batch shares verbatim with the established baseline
+    * corpus, and only those (no baseline-baseline pairing — the baseline
+    * was already span-deduped when it was ingested, and at 100 TB
+    * re-pairing it against itself would dominate the run). Output
+    * `(id_in, id_bas, start_in, start_bas, n_tokens)`; excising the spans
+    * from the incoming side before appending keeps the corpus keep-first
+    * globally. Sides are independent corpora, so no id ordering
+    * constraint applies (the same id may exist in both).
+    *
+    * The occurrence cap is counted over BOTH sides' gram streams (the
+    * same union-then-cap the incremental LSH variant uses): boilerplate
+    * is corpus-wide, and a gram hot in the baseline must gate incoming
+    * matches too, or every crawl re-pairs against the same boilerplate.
+    */
+  def duplicateSpansAgainstBaseline(incoming: DataFrame, baseline: DataFrame,
+                                    n: Int = 8, maxOcc: Int = 64,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text"): DataFrame = {
+    require(n >= 2, "span gram width must be at least 2")
+    val bInc = fullHashBase(incoming, idCol, textCol)
+    val bBas = fullHashBase(baseline, idCol, textCol)
+    def grams(base: DataFrame, side: String) = base
+      .select(col(idCol), posexplode(rolledGramHashes(col("__fh"), n, reduceInputs = true)))
+      .withColumnRenamed("col", "g").withColumn("__side", lit(side))
+    val gated = capBuckets(
+      grams(bInc, "i").unionByName(grams(bBas, "b")), Seq("g"), maxOcc)
+    val l = gated.filter(col("__side") === "i")
+      .select(col("g"), col(idCol).as("id_in"), col("pos").as("pos_in"))
+    val r = gated.filter(col("__side") === "b")
+      .select(col("g"), col(idCol).as("id_bas"), col("pos").as("pos_bas"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_in"), col("id_bas"), col("__diag")).orderBy(col("pos_in"))
+    val spans = l.join(r, Seq("g"))
+      .withColumn("__diag", col("pos_in") - col("pos_bas"))
+      .withColumn("__island", col("pos_in") - row_number().over(w))
+      .groupBy("id_in", "id_bas", "__diag", "__island")
+      .agg(min("pos_in").as("start_in"), min("pos_bas").as("start_bas"),
+        (count(lit(1)) + lit(n - 1)).cast("long").as("n_tokens"))
+    val fhI = bInc.select(col(idCol).as("id_in"), col("__fh").as("__fh_i"))
+    val fhB = bBas.select(col(idCol).as("id_bas"), col("__fh").as("__fh_b"))
+    spans.join(fhI, Seq("id_in")).join(fhB, Seq("id_bas"))
+      .filter(slice(col("__fh_i"), col("start_in") + 1, col("n_tokens")) ===
+        slice(col("__fh_b"), col("start_bas") + 1, col("n_tokens")))
+      .select("id_in", "id_bas", "start_in", "start_bas", "n_tokens")
+  }
+
   /** Span-level dedup: rebuild the corpus with every duplicated span
     * excised from the HIGHER-id document of its pair (keep-first by id —
     * applied transitively, each duplicated passage survives only in the

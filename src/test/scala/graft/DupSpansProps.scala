@@ -81,6 +81,26 @@ object DupSpansProps extends Properties("DupSpans") {
       got == want
     }
 
+  property("againstBaseline == brute-force spans restricted to cross-side pairs") =
+    forAllNoShrink(Gen.chooseNum(2, 6).flatMap(k =>
+      Gen.listOfN(k, docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))) { docs =>
+      val s = spark; import s.implicits._
+      val (bas, inc) = docs.partition(_._1 < docs.length / 2)
+      def df(side: Seq[(Long, Seq[String])]) =
+        side.map { case (i, tk) => (i, tk.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.duplicateSpansAgainstBaseline(df(inc), df(bas), n = n, maxOcc = 1000000)
+        .collect()
+        .map(r => (r.getAs[Long]("id_in"), r.getAs[Long]("id_bas"),
+          r.getAs[Int]("start_in"), r.getAs[Int]("start_bas"), r.getAs[Long]("n_tokens"))).toSet
+      // the full-corpus oracle keys pairs (lower, higher); baseline ids are
+      // the lower half here, so flip its (id_a=bas, id_b=inc) rows
+      val want = bruteSpans(docs).collect {
+        case (ia, ib, sa, sb, len) if ia < docs.length / 2 && ib >= docs.length / 2 =>
+          (ib, ia, sb, sa, len)
+      }
+      got == want
+    }
+
   property("the occurrence cap is all-or-nothing: maxOcc below any dup gram's count kills all spans") =
     forAllNoShrink(Gen.listOfN(2, docGen)) { ts =>
       val s = spark; import s.implicits._

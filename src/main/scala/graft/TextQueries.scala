@@ -752,6 +752,35 @@ object TextQueries {
        |    = list_slice(hb.fh, sp.start_bas + 1, sp.start_bas + sp.n_tokens)""".stripMargin
   }
 
+  // -- inter-run duplicate spans, streaming twin -----------------------------
+  /** Same semantics as `inc_dup_spans` (shares its oracle): the incoming
+    * half arrives as ONE micro-batch through `spanDedupStream` — pairing
+    * is batch-invariant (cross-side join), but the occurrence cap counts
+    * over (batch ∪ baseline), so only the single-batch feed matches the
+    * batch operator exactly; `EventsStreamSpec` drives the multi-batch
+    * case against the batch twin on a straddle-free corpus.
+    */
+  private val dupSpansStream: Q = (s, d) => {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val all = docs(s, d)
+    val incoming = graft.util.Caching.ensurePersisted(
+      all.filter(col("doc_id") >= 250).select("doc_id", "text"))
+    val feed = incoming.collect().toSeq.map(r => (r.getAs[Long](0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("dup-spans-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = graft.streaming.EventsStream.spanDedupStream(
+      mem.toDF().toDF("doc_id", "text"), all.filter(col("doc_id") < 250), ckpt,
+      n = 8, maxOcc = 64) { spans =>
+      buf.synchronized { schema = spans.schema; buf ++= spans.collect() }
+    }
+    try { mem.addData(feed); q.processAllAvailable() } finally q.stop()
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
+  }
+
   // -- span excision (keep-first) --------------------------------------------
   private val exciseSpans: Q = (s, d) =>
     Dedup.exciseSpans(docs(s, d), n = 8, maxOcc = 64)
@@ -883,6 +912,7 @@ object TextQueries {
     ("dup_spans", dupSpans, Some(dupSpansSql)),
     ("excise_spans", exciseSpans, Some(exciseSpansSql)),
     ("inc_dup_spans", incDupSpans, Some(incDupSpansSql)),
+    ("dup_spans_stream", dupSpansStream, Some(incDupSpansSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),
     ("mm_frames", mmFrames, Some(mmFramesSql)),
     ("mm_decode", mmDecode, Some(mmDecodeSql)),

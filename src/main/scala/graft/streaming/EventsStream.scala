@@ -110,6 +110,37 @@ object EventsStream {
       .drop("__fp")
   }
 
+  /** Streaming twin of `Dedup.duplicateSpansAgainstBaseline`: per
+    * micro-batch exact-span detection against the STATIC baseline via
+    * `foreachBatch` — the gram self-join and the per-(pair, diagonal)
+    * islands window are batch plans a streaming query cannot express, so
+    * the micro-batch is the unit of streaming (the same boundary the
+    * versioned `upsertStream` draws). PAIRING is batch-invariant: the
+    * operator joins cross-side only, so a document's spans depend on the
+    * baseline alone, never on which batch its neighbors rode in. The
+    * occurrence CAP is not: it counts over (this batch ∪ baseline), so a
+    * gram that is boilerplate only in aggregate across batches may still
+    * pair in early batches — the cap is a join-volume bound per batch,
+    * not a cross-batch semantic contract (size batches accordingly, or
+    * fold detected boilerplate back into the baseline between runs).
+    * The baseline's shared hash layer is guard-persisted on
+    * first use and reused by every subsequent batch (plan-equal cache
+    * substitution), so a batch pays only its own side of the gram join;
+    * the baseline-immutability precondition and restart-to-refresh rule
+    * of `dedupAgainstBaselineStream` apply unchanged. `sink` receives
+    * each batch's span frame (at-least-once, per foreachBatch semantics).
+    */
+  def spanDedupStream(docs: DataFrame, baseline: DataFrame, checkpoint: String,
+                      n: Int = 8, maxOcc: Int = 64)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.duplicateSpansAgainstBaseline(
+          batch.toDF(), baseline, n, maxOcc))
+      }
+      .start()
+
   /** Custom keyed state with MULTI-ROW emission via `flatMapGroupsWithState`
     * (the zero-or-more-outputs-per-group shape `mapGroupsWithState` cannot
     * express): per-user running spend with one alert row emitted for every

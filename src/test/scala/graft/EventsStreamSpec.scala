@@ -340,4 +340,37 @@ class EventsStreamSpec extends SparkSpec {
     // 12:00 is 55min after 11:05 -> third session. user 8: one session.
     assert(out == Seq((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 1L), (8L, 1L, 1L)))
   }
+
+  test("spanDedupStream: multi-batch replay == batch twin when no gram straddles the cap") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline doc 0 carries the canonical passage; incoming 10 repeats it
+    // mid-document, 11 shares nothing, 12 shares a shorter run. Every
+    // duplicated gram occurs far below the cap, so per-batch cap counting
+    // cannot diverge from the batch operator whatever the batch split.
+    val passage = "one two three four five six seven eight nine ten"
+    val baseline = Seq((0L, s"lead in $passage trail out"),
+      (1L, "unrelated baseline text entirely")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, s"prefix words here $passage and a suffix"),
+      (11L, "nothing shared with anyone at all"),
+      (12L, "one two three four five six seven padding padding padding"))
+    val batchWant = graft.operators.Dedup.duplicateSpansAgainstBaseline(
+      incoming.toDF("doc_id", "text"), baseline, n = 5, maxOcc = 64)
+      .collect().map(_.toSeq).toSet
+    assert(batchWant.nonEmpty)
+
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("span-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventsStream.spanDedupStream(
+      mem.toDF().toDF("doc_id", "text"), baseline, ckpt, n = 5, maxOcc = 64) { spans =>
+      buf.synchronized { buf ++= spans.collect().map(_.toSeq) }
+    }
+    try {
+      mem.addData(incoming.take(2)); q.processAllAvailable()
+      mem.addData(incoming.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.toSet == batchWant)
+  }
 }

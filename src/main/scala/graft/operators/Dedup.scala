@@ -1016,14 +1016,32 @@ object Dedup {
   def duplicateSpansAgainstBaseline(incoming: DataFrame, baseline: DataFrame,
                                     n: Int = 8, maxOcc: Int = 64,
                                     idCol: String = "doc_id",
-                                    textCol: String = "text"): DataFrame = {
+                                    textCol: String = "text"): DataFrame =
+    duplicateSpansAgainstBaselineManaged(incoming, baseline, n, maxOcc, idCol, textCol)._1
+
+  /** Cleanup-handle variant of [[duplicateSpansAgainstBaseline]] — same
+    * rationale as [[dedupAgainstBaselineBloomManaged]]: per-crawl (and
+    * per-micro-batch — `EventsStream.spanDedupStream`) incoming plans are
+    * DISTINCT every invocation, so the internal guard-persists (the
+    * incoming side's hash layer and the capped gram union) would stack one
+    * cache registration per invocation for the session's lifetime.
+    * release() after materializing the span frame drops this invocation's
+    * entries; it no-ops on any layer another consumer registered first —
+    * in particular a pre-registered BASELINE hash layer survives, which is
+    * how the streaming twin keeps the baseline resident across batches.
+    */
+  def duplicateSpansAgainstBaselineManaged(incoming: DataFrame, baseline: DataFrame,
+                                           n: Int = 8, maxOcc: Int = 64,
+                                           idCol: String = "doc_id",
+                                           textCol: String = "text")
+      : (DataFrame, () => Unit) = {
     require(n >= 2, "span gram width must be at least 2")
-    val bInc = fullHashBase(incoming, idCol, textCol)
-    val bBas = fullHashBase(baseline, idCol, textCol)
+    val (bInc, relInc) = acquireFullHashBase(incoming, idCol, textCol)
+    val (bBas, relBas) = acquireFullHashBase(baseline, idCol, textCol)
     def grams(base: DataFrame, side: String) = base
       .select(col(idCol), posexplode(rolledGramHashes(col("__fh"), n, reduceInputs = true)))
       .withColumnRenamed("col", "g").withColumn("__side", lit(side))
-    val gated = capBuckets(
+    val (gated, relCap) = capBucketsManaged(
       grams(bInc, "i").unionByName(grams(bBas, "b")), Seq("g"), maxOcc)
     val l = gated.filter(col("__side") === "i")
       .select(col("g"), col(idCol).as("id_in"), col("pos").as("pos_in"))
@@ -1039,10 +1057,11 @@ object Dedup {
         (count(lit(1)) + lit(n - 1)).cast("long").as("n_tokens"))
     val fhI = bInc.select(col(idCol).as("id_in"), col("__fh").as("__fh_i"))
     val fhB = bBas.select(col(idCol).as("id_bas"), col("__fh").as("__fh_b"))
-    spans.join(fhI, Seq("id_in")).join(fhB, Seq("id_bas"))
+    val out = spans.join(fhI, Seq("id_in")).join(fhB, Seq("id_bas"))
       .filter(slice(col("__fh_i"), col("start_in") + 1, col("n_tokens")) ===
         slice(col("__fh_b"), col("start_bas") + 1, col("n_tokens")))
       .select("id_in", "id_bas", "start_in", "start_bas", "n_tokens")
+    (out, () => { relCap(); relInc(); relBas() })
   }
 
   /** Span-level dedup: rebuild the corpus with every duplicated span

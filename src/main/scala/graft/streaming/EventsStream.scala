@@ -127,19 +127,29 @@ object EventsStream {
     * first use and reused by every subsequent batch (plan-equal cache
     * substitution), so a batch pays only its own side of the gram join;
     * the baseline-immutability precondition and restart-to-refresh rule
-    * of `dedupAgainstBaselineStream` apply unchanged. `sink` receives
-    * each batch's span frame (at-least-once, per foreachBatch semantics).
+    * of `dedupAgainstBaselineStream` apply unchanged (entry left to LRU,
+    * like its fingerprint sibling). `sink` receives each batch's span
+    * frame (at-least-once, per foreachBatch semantics). Per-BATCH cache
+    * entries (the batch's hash layer, the capped gram union — distinct
+    * plans every micro-batch) are released after the sink returns via the
+    * managed variant: an unbounded stream must not stack one registration
+    * per batch, and the release no-ops on the pre-registered baseline
+    * layer by `Caching.acquire` ownership.
     */
   def spanDedupStream(docs: DataFrame, baseline: DataFrame, checkpoint: String,
                       n: Int = 8, maxOcc: Int = 64)(sink: DataFrame => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.util.Caching.ensurePersisted(
+      graft.operators.Dedup.fullHashFrame(baseline, "doc_id", "text"))
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Dedup.duplicateSpansAgainstBaseline(
-          batch.toDF(), baseline, n, maxOcc))
+        val (spans, release) = graft.operators.Dedup.duplicateSpansAgainstBaselineManaged(
+          batch.toDF(), baseline, n, maxOcc)
+        try sink(spans) finally release()
       }
       .start()
+  }
 
   /** Custom keyed state with MULTI-ROW emission via `flatMapGroupsWithState`
     * (the zero-or-more-outputs-per-group shape `mapGroupsWithState` cannot

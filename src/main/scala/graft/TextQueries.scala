@@ -781,6 +781,26 @@ object TextQueries {
       scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
   }
 
+  // -- span coverage signal --------------------------------------------------
+  private val spanCoverage: Q = (s, d) =>
+    Dedup.spanCoverage(docs(s, d), n = 8, maxOcc = 64)
+
+  private val spanCoverageSql =
+    s"""$dupSpanCtes,
+       |cov0 AS (SELECT id_a AS doc_id,
+       |           unnest([start_a + i for i in range(0, n_tokens)]) AS pos FROM vs
+       |         UNION ALL
+       |         SELECT id_b AS doc_id,
+       |           unnest([start_b + i for i in range(0, n_tokens)]) AS pos FROM vs),
+       |cov AS (SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS n_dup_tokens
+       |        FROM cov0 GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |  coalesce(cov.n_dup_tokens, 0) AS n_dup_tokens,
+       |  round(CASE WHEN len(t.tk) > 0
+       |    THEN CAST(coalesce(cov.n_dup_tokens, 0) AS DOUBLE) / len(t.tk)
+       |    ELSE 0.0 END, 6) AS dup_frac
+       |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin
+
   // -- span excision (keep-first) --------------------------------------------
   private val exciseSpans: Q = (s, d) =>
     Dedup.exciseSpans(docs(s, d), n = 8, maxOcc = 64)
@@ -911,6 +931,7 @@ object TextQueries {
     ("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     ("dup_spans", dupSpans, Some(dupSpansSql)),
     ("excise_spans", exciseSpans, Some(exciseSpansSql)),
+    ("span_coverage", spanCoverage, Some(spanCoverageSql)),
     ("inc_dup_spans", incDupSpans, Some(incDupSpansSql)),
     ("dup_spans_stream", dupSpansStream, Some(incDupSpansSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),

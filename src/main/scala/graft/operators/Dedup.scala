@@ -1064,6 +1064,39 @@ object Dedup {
     (out, () => { relCap(); relInc(); relBas() })
   }
 
+  /** Per-document duplication coverage — the signal that decides DROP vs
+    * EXCISE vs KEEP: for each document, the fraction of its tokens covered
+    * by at least one cross-document duplicated span (either side of the
+    * pair — a passage's ORIGINAL is as covered as its copy). Curation
+    * policy reads it directly: coverage ≈ 1 is a wholesale duplicate
+    * (drop; cheaper than excising everything), moderate coverage is
+    * boilerplate-wrapped unique content (excise), ≈ 0 keeps as-is.
+    *
+    * Shape: spans explode to covered (id, pos) rows from BOTH sides —
+    * bounded by duplicated tokens — distinct (the interval union), then
+    * one count per doc joins the corpus token counts; a left join keeps
+    * zero-coverage documents. Ratios round to 6dp like every other
+    * quality signal.
+    */
+  def spanCoverage(docs: DataFrame, n: Int = 8, maxOcc: Int = 64,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, n, maxOcc, idCol, textCol)
+    val covered = spans.select(col("id_a").as(idCol),
+        explode(sequence(col("start_a"), col("start_a") + col("n_tokens").cast("int") - 1)).as("pos"))
+      .unionByName(spans.select(col("id_b").as(idCol),
+        explode(sequence(col("start_b"), col("start_b") + col("n_tokens").cast("int") - 1)).as("pos")))
+      .distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_tokens"))
+    docs.select(col(idCol),
+        size(tokens(normalizeText(col(textCol)))).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(when(col("n_tokens") > 0,
+          coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0d)), 6).as("dup_frac"))
+  }
+
   /** Span-level dedup: rebuild the corpus with every duplicated span
     * excised from the HIGHER-id document of its pair (keep-first by id —
     * applied transitively, each duplicated passage survives only in the

@@ -101,6 +101,29 @@ object DupSpansProps extends Properties("DupSpans") {
       got == want
     }
 
+  property("spanCoverage == interval-union fraction from the brute-force spans, both sides") =
+    forAllNoShrink(Gen.chooseNum(2, 5).flatMap(k =>
+      Gen.listOfN(k, docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.map { case (i, tk) => (i, tk.mkString(" ")) }.toDF("doc_id", "text")
+      val coveredByDoc = bruteSpans(docs)
+        .flatMap { case (ia, ib, sa, sb, len) =>
+          (sa until sa + len.toInt).map(p => (ia, p)) ++
+            (sb until sb + len.toInt).map(p => (ib, p))
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).size.toLong).toMap
+      val want = docs.map { case (i, tk) =>
+        val dup = coveredByDoc.getOrElse(i, 0L)
+        val frac = if (tk.nonEmpty) BigDecimal(dup.toDouble / tk.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+        (i, tk.length.toLong, dup, frac)
+      }.toSet
+      val got = Dedup.spanCoverage(df, n = n, maxOcc = 1000000).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_dup_tokens"), r.getAs[Double]("dup_frac"))).toSet
+      got == want
+    }
+
   property("the occurrence cap is all-or-nothing: maxOcc below any dup gram's count kills all spans") =
     forAllNoShrink(Gen.listOfN(2, docGen)) { ts =>
       val s = spark; import s.implicits._

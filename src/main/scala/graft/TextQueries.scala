@@ -776,7 +776,15 @@ object TextQueries {
       n = 8, maxOcc = 64) { spans =>
       buf.synchronized { schema = spans.schema; buf ++= spans.collect() }
     }
-    try { mem.addData(feed); q.processAllAvailable() } finally q.stop()
+    try { mem.addData(feed); q.processAllAvailable() } finally {
+      q.stop()
+      // the checkpoint is invocation-scoped (fresh MemoryStream each run)
+      // — delete it, or repeated bench/verify invocations litter /tmp
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(ckpt))
+    }
     s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
   }

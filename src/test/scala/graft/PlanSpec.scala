@@ -213,4 +213,30 @@ class PlanSpec extends SparkSpec {
         s"rebuilt pair plan not substituted from cache:\n${rebuilt.queryExecution.withCachedData}")
     } finally pairs.unpersist()
   }
+
+  test("span-family shuffles carry hashes and positions, never a document text column") {
+    // the gram stream is (id, pos, g) and verification joins hash ARRAYS —
+    // if a refactor ever lets the full `text` column ride a shuffle, the
+    // operator stops surviving 100 TB. FINALIZED plans only: collect()
+    // first, then walk through AQE wrappers and materialized query stages
+    // (docs/SCALE.md plan-probe technique).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    for (name <- Seq("dup_spans", "span_coverage", "excise_spans", "inc_dup_spans")) {
+      val df = Queries.registry.collectFirst { case (`name`, q, _) => q }.get(spark, dir)
+      df.collect()
+      val shuffles = allNodes(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.nonEmpty, s"$name: expected at least one shuffle")
+      for (s <- shuffles)
+        assert(!s.output.exists(_.name == "text"),
+          s"$name shuffles document text: ${s.output.map(_.name)}")
+    }
+  }
 }

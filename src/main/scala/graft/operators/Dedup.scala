@@ -968,6 +968,11 @@ object Dedup {
     * `gramRepetition`, and would pair quadratically); the islands window
     * partitions by (pair, diagonal) — millions of tiny partitions, no
     * global sort; the verify join touches only span-emitting documents.
+    * The `n = 8` default matches the dense synthetic fixture; production
+    * corpora typically run n ≈ 50 (the published exact-substring
+    * threshold), which leaves the gram-stream SIZE unchanged but shrinks
+    * match volume — and with it the join output and islands state —
+    * by orders of magnitude.
     */
   def duplicateSpans(docs: DataFrame, n: Int = 8, maxOcc: Int = 64,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

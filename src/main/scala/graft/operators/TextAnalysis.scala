@@ -662,8 +662,12 @@ object TextAnalysis {
     * is how `row_number() OVER (ORDER BY …)` would degenerate), then
     * positions by partition-offset numbering: a count pass over the
     * sorted partitions yields each partition's offset, and a per-partition
-    * map adds `offset + local index` (`RDD.zipWithIndex` — the two jobs
-    * share the sort's shuffle files, so the corpus sorts once). This is
+    * map adds `offset + local index` (`RDD.zipWithIndex` — the count and
+    * map jobs share the range exchange's shuffle files, so the corpus
+    * SHUFFLES once; the in-partition sort re-executes in both jobs, the
+    * standard zipWithIndex trade — persist `sorted` first only if the
+    * payload is wide enough that a second partition-local sort costs more
+    * than caching the corpus). This is
     * the one operator family where the RDD bridge is the right tool:
     * contiguous global indices are inherently partition-imperative, and
     * the map is terminal — nothing downstream loses codegen that had it.

@@ -185,6 +185,19 @@ object Bench {
     // old full-fidelity line (plus qv) when the suite is small enough
     (results.size to 0 by -1).iterator.map(lineFor)
       .find(_.getBytes("UTF-8").length <= budgetBytes)
-      .getOrElse(lineFor(0))
+      .getOrElse {
+        // failure-heavy degenerate case: the FIXED fields (a ~full-suite
+        // failed list + qv of nulls) can exceed the budget on their own —
+        // exactly the runs whose artifact must stay parseable. Degrade to
+        // a diagnostic line: total, failure count, and as many failed
+        // names as fit (the tail capture would otherwise cut the line's
+        // HEAD and the round's JSON parse dies with it).
+        val base = s"""{"unit":"cs","total":$totalStr,"n_failed":${failed.size}"""
+        val names = failed.toSeq.sorted.map("\"" + _ + "\"")
+        val kept = names.indices.reverse.iterator
+          .map(i => base + names.take(i + 1).mkString(""","failed":[""", ",", "]") + "}")
+          .find(_.getBytes("UTF-8").length <= budgetBytes)
+        kept.getOrElse(base + "}")
+      }
   }
 }

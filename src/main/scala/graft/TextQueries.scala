@@ -678,9 +678,14 @@ object TextQueries {
 
   /** Shared CTE chain mirroring duplicateSpans through verification:
     * positional mod-P gram stream, corpus-wide occurrence cap
-    * (all-or-nothing, capBuckets semantics), diagonal gaps-and-islands run
-    * merge, then the exact 60-bit slice verification as the final `vs`
-    * relation — `dup_spans` selects it, `excise_spans` builds on it.
+    * (all-or-nothing, capBuckets semantics), per-WINDOW 60-bit
+    * verification, then the diagonal gaps-and-islands run merge as the
+    * final `vs` relation — `dup_spans` selects it, `excise_spans` builds
+    * on it. Verifying each window up front is exactly equivalent to the
+    * engine's cheap span-level verify plus gram-wise repair (both compute
+    * the maximal runs of 60-bit-agreeing windows); the oracle takes the
+    * simple form, the engine the one that avoids joining hash arrays onto
+    * the full match stream.
     */
   private val dupSpanCtes =
     s"""WITH t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
@@ -692,19 +697,17 @@ object TextQueries {
        |gg AS (SELECT ge.doc_id, ge.pos, ge.g FROM ge JOIN cnt USING (g) WHERE cnt.c <= 64),
        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
        |      FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |mv AS (SELECT m.* FROM m
+       |       JOIN h ha ON m.id_a = ha.doc_id JOIN h hb ON m.id_b = hb.doc_id
+       |       WHERE list_slice(ha.fh, m.pos_a + 1, m.pos_a + 8)
+       |           = list_slice(hb.fh, m.pos_b + 1, m.pos_b + 8)),
        |i AS (SELECT *, pos_a - pos_b AS diag,
        |        pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
-       |                                   ORDER BY pos_a) AS island FROM m),
-       |sp AS (SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+       |                                   ORDER BY pos_a) AS island FROM mv),
+       |vs AS (SELECT id_a, id_b, CAST(min(pos_a) AS INTEGER) AS start_a,
+       |         CAST(min(pos_b) AS INTEGER) AS start_b,
        |         CAST(count(*) + 7 AS BIGINT) AS n_tokens
-       |       FROM i GROUP BY id_a, id_b, diag, island),
-       |vs AS (SELECT sp.id_a, sp.id_b,
-       |         CAST(sp.start_a AS INTEGER) AS start_a, CAST(sp.start_b AS INTEGER) AS start_b,
-       |         sp.n_tokens
-       |       FROM sp
-       |       JOIN h ha ON sp.id_a = ha.doc_id JOIN h hb ON sp.id_b = hb.doc_id
-       |       WHERE list_slice(ha.fh, sp.start_a + 1, sp.start_a + sp.n_tokens)
-       |           = list_slice(hb.fh, sp.start_b + 1, sp.start_b + sp.n_tokens))""".stripMargin
+       |       FROM i GROUP BY id_a, id_b, diag, island)""".stripMargin
 
   private val dupSpansSql =
     s"""$dupSpanCtes
@@ -737,19 +740,17 @@ object TextQueries {
        |ggb AS (SELECT gb.* FROM gb JOIN cnt USING (g) WHERE cnt.c <= 64),
        |m AS (SELECT i.doc_id AS id_in, b.doc_id AS id_bas, i.pos AS pos_in, b.pos AS pos_bas
        |      FROM ggi i JOIN ggb b ON i.g = b.g),
+       |mv AS (SELECT m.* FROM m
+       |       JOIN hi ON m.id_in = hi.doc_id JOIN hb ON m.id_bas = hb.doc_id
+       |       WHERE list_slice(hi.fh, m.pos_in + 1, m.pos_in + 8)
+       |           = list_slice(hb.fh, m.pos_bas + 1, m.pos_bas + 8)),
        |isl AS (SELECT *, pos_in - pos_bas AS diag,
        |        pos_in - row_number() OVER (PARTITION BY id_in, id_bas, pos_in - pos_bas
-       |                                    ORDER BY pos_in) AS island FROM m),
-       |sp AS (SELECT id_in, id_bas, min(pos_in) AS start_in, min(pos_bas) AS start_bas,
-       |         CAST(count(*) + 7 AS BIGINT) AS n_tokens
-       |       FROM isl GROUP BY id_in, id_bas, diag, island)
-       |SELECT sp.id_in, sp.id_bas,
-       |  CAST(sp.start_in AS INTEGER) AS start_in, CAST(sp.start_bas AS INTEGER) AS start_bas,
-       |  sp.n_tokens
-       |FROM sp
-       |JOIN hi ON sp.id_in = hi.doc_id JOIN hb ON sp.id_bas = hb.doc_id
-       |WHERE list_slice(hi.fh, sp.start_in + 1, sp.start_in + sp.n_tokens)
-       |    = list_slice(hb.fh, sp.start_bas + 1, sp.start_bas + sp.n_tokens)""".stripMargin
+       |                                    ORDER BY pos_in) AS island FROM mv)
+       |SELECT id_in, id_bas, CAST(min(pos_in) AS INTEGER) AS start_in,
+       |  CAST(min(pos_bas) AS INTEGER) AS start_bas,
+       |  CAST(count(*) + 7 AS BIGINT) AS n_tokens
+       |FROM isl GROUP BY id_in, id_bas, diag, island""".stripMargin
   }
 
   // -- inter-run duplicate spans, streaming twin -----------------------------

@@ -955,10 +955,14 @@ object Dedup {
     * gaps-and-islands pass: matches on one diagonal (`pos_a − pos_b`
     * constant) with consecutive `pos_a` are one span. Each surviving span
     * is then VERIFIED exactly: the candidate stream's 31-bit gram keys can
-    * collide, so the full 60-bit token-hash slices of both sides are
-    * compared end-to-end (the md5-fingerprint assumption every exact-dedup
-    * path here already makes — a false span needs a 2^-60 per-token
-    * collision run).
+    * collide, so spans are checked against the full 60-bit token-hash
+    * slices — a cheap whole-slice compare for the common case, with the
+    * rare failures (a collision extending or bridging a TRUE run on its
+    * own diagonal) repaired gram-wise so the true sub-runs survive
+    * (`verifySpans`). The output is exactly the maximal runs of
+    * 60-bit-agreeing windows — the md5-fingerprint assumption every
+    * exact-dedup path here already makes; a false span needs a 2^-60
+    * per-token collision run.
     *
     * Shape at 100 TB: the gram stream is ~|corpus tokens| rows (the
     * `doc_freq` shape) and shuffles once per side on the gram key; grams
@@ -984,23 +988,74 @@ object Dedup {
     val gated = capBuckets(grams, Seq("g"), maxOcc)
     val l = gated.select(col("g"), col(idCol).as("id_a"), col("pos").as("pos_a"))
     val r = gated.select(col("g"), col(idCol).as("id_b"), col("pos").as("pos_b"))
+    val matches = l.join(r, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "pos_a", "pos_b")
+    verifySpans(islandSpans(matches, n),
+      base.select(col(idCol).as("id_a"), col("__fh").as("__fh_a")),
+      base.select(col(idCol).as("id_b"), col("__fh").as("__fh_b")), n)
+  }
+
+  /** Maximal runs via gaps-and-islands over candidate gram matches
+    * `(id_a, id_b, pos_a, pos_b)`: matches on one diagonal
+    * (`pos_a − pos_b` constant) with consecutive `pos_a` share one island
+    * id (`pos_a` minus its rank is constant on a contiguous run).
+    */
+  private def islandSpans(matches: DataFrame, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"), col("id_b"), col("__diag")).orderBy(col("pos_a"))
-    val spans = l.join(r, Seq("g"))
-      .filter(col("id_a") < col("id_b"))
+    matches
       .withColumn("__diag", col("pos_a") - col("pos_b"))
-      // gaps-and-islands: within a diagonal, consecutive pos_a share one
-      // island id (pos_a minus its rank is constant on a contiguous run)
       .withColumn("__island", col("pos_a") - row_number().over(w))
       .groupBy("id_a", "id_b", "__diag", "__island")
       .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
         (count(lit(1)) + lit(n - 1)).cast("long").as("n_tokens"))
-    val fhA = base.select(col(idCol).as("id_a"), col("__fh").as("__fh_a"))
-    val fhB = base.select(col(idCol).as("id_b"), col("__fh").as("__fh_b"))
-    spans.join(fhA, Seq("id_a")).join(fhB, Seq("id_b"))
-      .filter(slice(col("__fh_a"), col("start_a") + 1, col("n_tokens")) ===
-        slice(col("__fh_b"), col("start_b") + 1, col("n_tokens")))
       .select("id_a", "id_b", "start_a", "start_b", "n_tokens")
+  }
+
+  /** Exact 60-bit verification with rare-path REPAIR. The cheap pass
+    * compares each span's whole token-hash slices end-to-end; a span can
+    * only fail it when a mod-P gram collision rode the same diagonal
+    * touching a true run (extending or bridging islands) — dropping the
+    * whole span there would throw away the TRUE run with the impostor.
+    * Failed spans (collision-rare by construction) explode back to their
+    * per-gram windows, keep exactly the windows whose full 60-bit slices
+    * agree, and re-island: the combined output is precisely the maximal
+    * runs of TRUE windows — what verifying every match up front would
+    * compute, without paying the hash-array join on the full match
+    * stream.
+    */
+  private def verifySpans(spans: DataFrame, fhA: DataFrame, fhB: DataFrame,
+                          n: Int): DataFrame = {
+    val joined = spans.join(fhA, Seq("id_a")).join(fhB, Seq("id_b"))
+    val ok = slice(col("__fh_a"), col("start_a") + 1, col("n_tokens")) ===
+      slice(col("__fh_b"), col("start_b") + 1, col("n_tokens"))
+    joined.filter(ok).select("id_a", "id_b", "start_a", "start_b", "n_tokens")
+      .unionByName(reverifySpans(joined.filter(!ok), n))
+  }
+
+  /** Gram-window re-verification of spans that failed the whole-slice
+    * compare: `(id_a, id_b, start_a, start_b, n_tokens, __fh_a, __fh_b)`
+    * rows explode to their window offsets, windows verify individually
+    * against the full 60-bit slices, and the survivors re-island.
+    * Package-visible for direct testing — real collisions cannot be
+    * synthesized at test scale, but this path's arithmetic can be driven
+    * with fabricated hash arrays.
+    */
+  private[graft] def reverifySpans(failed: DataFrame, n: Int): DataFrame = {
+    val windows = failed
+      .filter(col("n_tokens") >= n) // defensive: sequence() would run backwards
+      .select(col("id_a"), col("id_b"), col("__fh_a"), col("__fh_b"),
+        col("start_a"), col("start_b"),
+        explode(sequence(lit(0), col("n_tokens").cast("int") - n)).as("__off"))
+      .select(col("id_a"), col("id_b"),
+        (col("start_a") + col("__off")).as("pos_a"),
+        (col("start_b") + col("__off")).as("pos_b"),
+        col("__fh_a"), col("__fh_b"))
+      .filter(slice(col("__fh_a"), col("pos_a") + 1, lit(n)) ===
+        slice(col("__fh_b"), col("pos_b") + 1, lit(n)))
+      .select("id_a", "id_b", "pos_a", "pos_b")
+    islandSpans(windows, n)
   }
 
   /** Inter-run twin of [[duplicateSpans]] — the nightly-crawl shape: spans
@@ -1048,24 +1103,18 @@ object Dedup {
       .withColumnRenamed("col", "g").withColumn("__side", lit(side))
     val (gated, relCap) = capBucketsManaged(
       grams(bInc, "i").unionByName(grams(bBas, "b")), Seq("g"), maxOcc)
+    // canonical (a = incoming, b = baseline) through the shared island +
+    // verify helpers, renamed back at the end
     val l = gated.filter(col("__side") === "i")
-      .select(col("g"), col(idCol).as("id_in"), col("pos").as("pos_in"))
+      .select(col("g"), col(idCol).as("id_a"), col("pos").as("pos_a"))
     val r = gated.filter(col("__side") === "b")
-      .select(col("g"), col(idCol).as("id_bas"), col("pos").as("pos_bas"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_in"), col("id_bas"), col("__diag")).orderBy(col("pos_in"))
-    val spans = l.join(r, Seq("g"))
-      .withColumn("__diag", col("pos_in") - col("pos_bas"))
-      .withColumn("__island", col("pos_in") - row_number().over(w))
-      .groupBy("id_in", "id_bas", "__diag", "__island")
-      .agg(min("pos_in").as("start_in"), min("pos_bas").as("start_bas"),
-        (count(lit(1)) + lit(n - 1)).cast("long").as("n_tokens"))
-    val fhI = bInc.select(col(idCol).as("id_in"), col("__fh").as("__fh_i"))
-    val fhB = bBas.select(col(idCol).as("id_bas"), col("__fh").as("__fh_b"))
-    val out = spans.join(fhI, Seq("id_in")).join(fhB, Seq("id_bas"))
-      .filter(slice(col("__fh_i"), col("start_in") + 1, col("n_tokens")) ===
-        slice(col("__fh_b"), col("start_bas") + 1, col("n_tokens")))
-      .select("id_in", "id_bas", "start_in", "start_bas", "n_tokens")
+      .select(col("g"), col(idCol).as("id_b"), col("pos").as("pos_b"))
+    val matches = l.join(r, Seq("g")).select("id_a", "id_b", "pos_a", "pos_b")
+    val out = verifySpans(islandSpans(matches, n),
+      bInc.select(col(idCol).as("id_a"), col("__fh").as("__fh_a")),
+      bBas.select(col(idCol).as("id_b"), col("__fh").as("__fh_b")), n)
+      .select(col("id_a").as("id_in"), col("id_b").as("id_bas"),
+        col("start_a").as("start_in"), col("start_b").as("start_bas"), col("n_tokens"))
     (out, () => { relCap(); relInc(); relBas() })
   }
 
@@ -1092,8 +1141,11 @@ object Dedup {
         explode(sequence(col("start_b"), col("start_b") + col("n_tokens").cast("int") - 1)).as("pos")))
       .distinct()
       .groupBy(idCol).agg(count(lit(1)).as("n_dup_tokens"))
-    docs.select(col(idCol),
-        size(tokens(normalizeText(col(textCol)))).cast("long").as("n_tokens"))
+    // token counts project off the SHARED hash layer duplicateSpans just
+    // guard-persisted (hashes are 1:1 with tokens) — a second corpus-wide
+    // normalize+tokenize scan for a length would double the signal's cost
+    fullHashBase(docs, idCol, textCol)
+      .select(col(idCol), size(col("__fh")).cast("long").as("n_tokens"))
       .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),

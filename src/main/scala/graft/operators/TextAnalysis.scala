@@ -674,6 +674,13 @@ object TextAnalysis {
     */
   def shuffleOrder(docs: DataFrame, seed: String = "0",
                    idCol: String = "doc_id"): DataFrame = {
+    // reserved OUTPUT columns, checked case-insensitively (Spark resolves
+    // names case-insensitively by default): an input `shuffle_key` would
+    // be silently replaced by the hash, an input `position` would come
+    // back as a duplicate-name schema — same fail-fast as Dedup.exact
+    for (reserved <- Seq("shuffle_key", "position"))
+      require(!docs.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"'$reserved' is a reserved output column of shuffleOrder — rename it first")
     val spark = docs.sparkSession
     val keyed = docs.withColumn("shuffle_key",
       hash60(concat(lit(s"shuffle:$seed:"), col(idCol).cast("string"))))

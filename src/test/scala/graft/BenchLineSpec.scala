@@ -72,6 +72,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(totalStr.toDouble - expected) < 0.005 + 1e-9)
   }
 
+  test("an all-queries-failed round still emits a parseable, in-budget diagnostic line") {
+    // fixture missing/corrupt -> every query fails: the full failed list
+    // plus a qv of nulls exceeds the budget on their own, so the line must
+    // degrade to total + n_failed + a failed prefix, never print over
+    // budget (the tail capture would cut the HEAD and kill the parse)
+    val results = names.map(_ -> 0.01)
+    val line = Bench.compactLine(results, names.toSet, extraFields = worstExtra)
+    assert(line.getBytes("UTF-8").length <= 1920, s"line is ${line.length} bytes")
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val org.json4s.JObject(fields) = parsed
+    assert(fields.map(_._1).contains("n_failed"))
+  }
+
   test("the line is valid JSON under a strict parser, calib fields included") {
     // the driver json-parses the captured tail line; malformed output
     // (e.g. via a pathological failed-name) must fail here first

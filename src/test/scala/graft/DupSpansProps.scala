@@ -124,6 +124,29 @@ object DupSpansProps extends Properties("DupSpans") {
       got == want
     }
 
+  property("reverifySpans keeps exactly the maximal 60-bit-true sub-runs of a failed span") =
+    forAllNoShrink(Gen.chooseNum(0, 6), Gen.chooseNum(0, 6)) { (trueLeft, trueRight) =>
+      // fabricate the collision shape that whole-slice verification fails
+      // on: `trueLeft` agreeing tokens, a disagreeing middle token, then
+      // `trueRight` agreeing tokens — the claimed span covers all of it.
+      // Expected output: the maximal runs of agreeing n-windows on each
+      // side of the break (real mod-P collisions cannot be synthesized,
+      // but this drives the identical arithmetic).
+      val s = spark; import s.implicits._
+      val total = trueLeft + 1 + trueRight
+      val fhA = (0 until total).map(_.toLong + 100)
+      val fhB = fhA.updated(trueLeft, -1L) // the break
+      val failed = Seq((1L, 2L, 0, 0, total.toLong, fhA, fhB))
+        .toDF("id_a", "id_b", "start_a", "start_b", "n_tokens", "__fh_a", "__fh_b")
+      val got = Dedup.reverifySpans(failed, n)
+        .collect().map(r => (r.getAs[Int]("start_a"), r.getAs[Long]("n_tokens"))).toSet
+      val want = Seq(
+        (0, trueLeft.toLong),                       // run before the break
+        (trueLeft + 1, trueRight.toLong))           // run after the break
+        .collect { case (st, len) if len >= n => (st, len) }.toSet
+      got == want
+    }
+
   property("the occurrence cap is all-or-nothing: maxOcc below any dup gram's count kills all spans") =
     forAllNoShrink(Gen.listOfN(2, docGen)) { ts =>
       val s = spark; import s.implicits._

@@ -831,6 +831,75 @@ object TextQueries {
        |  coalesce(rc.n_removed, 0) AS n_removed
        |FROM documents d LEFT JOIN rb USING (doc_id) LEFT JOIN rc USING (doc_id)""".stripMargin
 
+  // -- paragraph-level exact dedup ------------------------------------------
+  /** The documents table is paragraph-free (single-line synthetic text), so
+    * the graded row paragraphizes it deterministically first: non-
+    * overlapping 16-token windows joined by '\n' — the same construction
+    * on both engines, built from the normalized token list (so every
+    * paragraph is already in normalized form and the oracle can group by
+    * the paragraph string where the engine groups by md5 of it).
+    */
+  private def paragraphized(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import graft.functions.GraftFunctions.{normalizeText, tokens}
+    docs(s, d)
+      .select(col("doc_id"), tokens(normalizeText(col("text"))).as("__tk"))
+      .select(col("doc_id"), array_join(
+        transform(sequence(lit(0), greatest(size(col("__tk")) - 1, lit(0)), lit(16)),
+          st => concat_ws(" ", slice(col("__tk"), st + 1, lit(16)))), "\n").as("text"))
+  }
+
+  private val paraDedup: Q = (s, d) => Dedup.dedupParagraphs(paragraphized(s, d))
+
+  private val paraDedupSql =
+    s"""WITH t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
+       |st AS (SELECT doc_id, tk,
+       |         unnest(generate_series(0, greatest(len(tk) - 1, 0), 16)) AS start FROM t),
+       |para AS (SELECT doc_id, CAST(start // 16 AS BIGINT) AS pos,
+       |           array_to_string(list_slice(tk, start + 1, start + 16), ' ') AS para FROM st),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+       |       FROM para WHERE len(para) > 0),
+       |rem AS (SELECT doc_id, pos FROM rk WHERE rn > 1),
+       |kept AS (SELECT para.* FROM para ANTI JOIN rem USING (doc_id, pos)),
+       |rb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text
+       |       FROM kept GROUP BY doc_id),
+       |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+       |  coalesce(rc.n_removed, 0) AS n_removed
+       |FROM documents d LEFT JOIN rb USING (doc_id) LEFT JOIN rc USING (doc_id)""".stripMargin
+
+  // -- inter-run paragraph dedup ---------------------------------------------
+  /** Incoming half (doc_id >= 250) against baseline half — the split
+    * convention every incremental row shares. Same paragraphization as
+    * `para_dedup`; a baseline paragraph suppresses every incoming instance
+    * (the baseline itself is never rewritten).
+    */
+  private val incParaDedup: Q = (s, d) => {
+    val all = paragraphized(s, d)
+    Dedup.dedupParagraphsAgainstBaseline(
+      all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250))
+  }
+
+  private val incParaDedupSql =
+    s"""WITH t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
+       |st AS (SELECT doc_id, tk,
+       |         unnest(generate_series(0, greatest(len(tk) - 1, 0), 16)) AS start FROM t),
+       |para AS (SELECT doc_id, CAST(start // 16 AS BIGINT) AS pos,
+       |           array_to_string(list_slice(tk, start + 1, start + 16), ' ') AS para FROM st),
+       |inc AS (SELECT * FROM para WHERE doc_id >= 250),
+       |rkin AS (SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+       |         FROM inc WHERE len(para) > 0),
+       |bas AS (SELECT DISTINCT para FROM para WHERE doc_id < 250 AND len(para) > 0),
+       |rem AS (SELECT doc_id, pos FROM rkin WHERE rn > 1
+       |        UNION SELECT doc_id, pos FROM rkin SEMI JOIN bas USING (para)),
+       |kept AS (SELECT inc.* FROM inc ANTI JOIN rem USING (doc_id, pos)),
+       |rb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text
+       |       FROM kept GROUP BY doc_id),
+       |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+       |  coalesce(rc.n_removed, 0) AS n_removed
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+       |LEFT JOIN rb USING (doc_id) LEFT JOIN rc USING (doc_id)""".stripMargin
+
   // -- deterministic corpus shuffle -----------------------------------------
   private val corpusShuffle: Q = (s, d) =>
     TextAnalysis.shuffleOrder(
@@ -940,6 +1009,8 @@ object TextQueries {
     ("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     ("dup_spans", dupSpans, Some(dupSpansSql)),
     ("excise_spans", exciseSpans, Some(exciseSpansSql)),
+    ("para_dedup", paraDedup, Some(paraDedupSql)),
+    ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),
     ("inc_dup_spans", incDupSpans, Some(incDupSpansSql)),
     ("dup_spans_stream", dupSpansStream, Some(incDupSpansSql)),

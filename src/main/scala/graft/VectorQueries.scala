@@ -184,6 +184,47 @@ object VectorQueries {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM ex)
        |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
 
+  // -- random-projection ANN (JL shortlist + exact rerank) -----------------
+  private val rpTopK: Q = (s, d) =>
+    Similarity.rpTopK(
+      Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      k = 5, dim = DIM, rpDim = 16, shortlist = 32)
+
+  /** VectorOps.randomProject as a SQL list literal: component j is the dot
+    * product with the md5("rp_j_d") plane, folded in dimension order.
+    */
+  private def rpSql(v: String, rpDim: Int): String =
+    (0 until rpDim).map { j =>
+      val coef = s"(CAST('0x' || substr(md5('rp_${j}_' || (i - 1)), 1, 15) AS BIGINT) % 1000003) / 500001.5 - 1.0"
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${DIM + 1}), i -> CAST($v[i] AS DOUBLE) * ($coef))), (acc, x) -> acc + x)"
+    }.mkString("[", ", ", "]")
+
+  /** Mirrors both stages: projected cosines (16-dim dot/norm folds replay
+    * the engine's left-to-right accumulation over DOUBLE components) →
+    * 32-deep shortlist on (approx desc, id) → exact cosine rerank to
+    * top-5 — the quantized_topk oracle pattern with a JL shortlist.
+    */
+  private val rpTopKSql = {
+    def dot16(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 17), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def n16(a: String): String =
+      s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x)), (acc, v) -> acc + v * v))"
+    s"""WITH e AS (SELECT vec_id, embedding AS v, ${rpSql("embedding", 16)} AS rv FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, rv AS qrv FROM e WHERE vec_id < 8),
+       |ap AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |         round(${dot16("qrv", "c.rv")} / (${n16("qrv")} * ${n16("c.rv")}), 6) AS ac
+       |       FROM e c, q WHERE c.vec_id <> query_id),
+       |sl AS (SELECT query_id, neighbor_id FROM
+       |         (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ac DESC, neighbor_id) AS rn FROM ap)
+       |       WHERE rn <= 32),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id, ${cosineSql("qv.v", "cv.v")} AS cosine
+       |       FROM sl JOIN e qv ON qv.vec_id = sl.query_id
+       |       JOIN e cv ON cv.vec_id = sl.neighbor_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM ex)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+  }
+
   // -- SemDeDup-style semantic dedup ---------------------------------------
   private val semantic: Q = (s, d) =>
     Similarity.semanticDedup(Tables.embeddings(s, d), k = 16, iters = 1,
@@ -250,6 +291,7 @@ object VectorQueries {
     ("incremental_cosine", incrementalCosine, Some(incrementalCosineSql)),
     ("semantic_dedup", semantic, Some(semanticSql)),
     ("quantized_topk", quantizedTopK, Some(quantizedTopKSql)),
+    ("rp_topk", rpTopK, Some(rpTopKSql)),
     ("class_centroids", centroids, Some(centroidsSql)),
   )
 }

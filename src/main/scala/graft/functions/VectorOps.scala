@@ -69,4 +69,27 @@ object VectorOps {
     }
     bits.reduce(_ + _)
   }
+
+  /** Johnson–Lindenstrauss random projection: `dim`-dim vector -> `rpDim`
+    * deterministic pseudo-random components (array<double>). Component j
+    * is the dot product with a plane whose coefficient for dimension d is
+    * the md5-derived hash of "rp_j_d" mapped to [-1, 1) — the same
+    * construction as [[lshBucket]] but keeping the REAL projection value
+    * instead of its sign bit, and in a disjoint tag domain so the two
+    * plane families never coincide. The coefficient matrix is computed
+    * once at plan build time and shipped as array literals. Angles (so
+    * cosines) are preserved within the usual JL distortion, which is what
+    * makes a projected-cosine shortlist a sound candidate generator
+    * (Similarity.rpTopK).
+    */
+  def randomProject(v: Column, dim: Int, rpDim: Int): Column = {
+    require(rpDim > 0, "need at least one projected component")
+    val comps = (0 until rpDim).map { j =>
+      val coefs = (0 until dim).map { d =>
+        (hash60Scala(s"rp_${j}_$d") % 1000003L).toDouble / 500001.5d - 1.0d
+      }
+      dot(v, array(coefs.map(lit): _*))
+    }
+    array(comps: _*)
+  }
 }

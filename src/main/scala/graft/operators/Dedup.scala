@@ -1200,6 +1200,123 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** Paragraph-level exact dedup, keep-first — the line/paragraph-dedup
+    * stage of web-corpus pipelines (CCNet dedups shard-wise by paragraph
+    * hash, MassiveText/Gopher removes repeated lines), generalized to any
+    * delimiter. A paragraph whose NORMALIZED text already occurred at a
+    * smaller (doc, position) — in any document, including earlier in the
+    * same one — is removed, and every document is rebuilt from its
+    * surviving paragraphs in original order. Granularity sits between
+    * document-level [[exact]] (whole-text fingerprint) and token-level
+    * [[exciseSpans]] (delimiter-free maximal runs), and it is the cheapest
+    * of the three: one fingerprint per paragraph, no positional gram
+    * stream.
+    *
+    * Scale shape (the span-family shuffle policy: hashes and positions,
+    * never text). The winner per fingerprint is one map-side-combined
+    * `min_by` over (id, pos); the winner join runs on (fp, id, pos)
+    * triples. Paragraph TEXT crosses an exchange exactly once — the
+    * rebuild groupBy — and the removed-position set the rebuild anti-joins
+    * against is bounded by duplicated paragraph INSTANCES, so AQE
+    * broadcasts it when duplication is sparse. Paragraphs that normalize
+    * to empty (blank separators) are structure, not content — deduping
+    * them would collapse every blank line corpus-wide into one — so they
+    * always survive and never enter the winner aggregate.
+    *
+    * Output: one row per input document — (id, clean_text, n_removed),
+    * where n_removed counts removed paragraph instances.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", delim: String = "\n"): DataFrame = {
+    require(delim.nonEmpty, "need a non-empty paragraph delimiter")
+    val paras = explodedParas(docs, idCol, textCol, delim)
+    val content = contentFps(paras, idCol)
+    val removed = content
+      .join(paraWinners(content, idCol), Seq("fp"))
+      .filter(col(idCol) =!= col("wid") || col("pos") =!= col("wpos"))
+      .select(col(idCol), col("pos"))
+    rebuildWithoutRemoved(docs, paras, removed, idCol, delim)
+  }
+
+  /** One (id, pos, para, __norm) row per delimiter-split paragraph;
+    * `-1` split limit keeps trailing empties so rebuild is faithful.
+    */
+  private def explodedParas(docs: DataFrame, idCol: String, textCol: String,
+                            delim: String): DataFrame = docs
+    .select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1)))
+    .select(col(idCol), col("pos"), col("col").as("para"))
+    .withColumn("__norm", normalizeText(col("para")))
+
+  /** Content (non-blank) paragraph instances as (id, pos, fp) — the only
+    * shape the winner/removal joins ever shuffle.
+    */
+  private def contentFps(paras: DataFrame, idCol: String): DataFrame =
+    paras.filter(length(col("__norm")) > 0)
+      .select(col(idCol), col("pos"), md5(col("__norm")).as("fp"))
+
+  /** First (id, pos) per fingerprint — one map-side-combined min_by. */
+  private def paraWinners(content: DataFrame, idCol: String): DataFrame =
+    content.groupBy("fp")
+      .agg(min_by(struct(col(idCol).as("wid"), col("pos").as("wpos")),
+        struct(col(idCol), col("pos"))).as("__w"))
+      .select(col("fp"), col("__w.wid").as("wid"), col("__w.wpos").as("wpos"))
+
+  /** Anti-join the removed positions, reassemble per document (the one
+    * exchange paragraph TEXT crosses), emit one row per input document.
+    */
+  private def rebuildWithoutRemoved(docs: DataFrame, paras: DataFrame, removed: DataFrame,
+                                    idCol: String, delim: String): DataFrame = {
+    val rebuilt = paras.select(col(idCol), col("pos"), col("para"))
+      .join(removed, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))), _("para")),
+        delim).as("clean_text"))
+    val removedCounts = removed.groupBy(idCol).agg(count(lit(1)).as("n_removed"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(removedCounts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** Inter-run twin of [[dedupParagraphs]]: a paragraph in the INCOMING
+    * batch is removed when its normalized form already exists anywhere in
+    * the BASELINE corpus, or earlier within the batch itself (keep-first
+    * inside the batch, same rule as the batch variant) — the nightly-crawl
+    * shape: yesterday's corpus is settled, only new documents are
+    * rewritten. Output is one row per incoming document, identical schema
+    * to [[dedupParagraphs]].
+    *
+    * Scale shape: the baseline reduces to DISTINCT paragraph fingerprints
+    * before it crosses any exchange (the [[dedupAgainstBaseline]]
+    * pattern — never baseline text, never baseline positions), and the
+    * batch-internal winner aggregate is the batch variant's (fp, id, pos)
+    * shuffle. Incoming paragraph text still moves exactly once, in the
+    * rebuild groupBy.
+    */
+  def dedupParagraphsAgainstBaseline(incoming: DataFrame, baseline: DataFrame,
+                                     idCol: String = "doc_id", textCol: String = "text",
+                                     delim: String = "\n"): DataFrame = {
+    require(delim.nonEmpty, "need a non-empty paragraph delimiter")
+    val paras = explodedParas(incoming, idCol, textCol, delim)
+    val content = contentFps(paras, idCol)
+    val basFp = explodedParas(baseline, idCol, textCol, delim)
+      .filter(length(col("__norm")) > 0)
+      .select(md5(col("__norm")).as("fp")).distinct()
+    val removedIntra = content
+      .join(paraWinners(content, idCol), Seq("fp"))
+      .filter(col(idCol) =!= col("wid") || col("pos") =!= col("wpos"))
+      .select(col(idCol), col("pos"))
+    val removedCross = content
+      .join(basFp, Seq("fp"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val removed = removedIntra.unionByName(removedCross).distinct()
+    rebuildWithoutRemoved(incoming, paras, removed, idCol, delim)
+  }
+
   /** Winnowing near-dup pairs: candidates share a sketch hash (equi join on
     * the hash — never all pairs; hot sketch hashes capped like LSH
     * buckets), then exact shingle-Jaccard verification. Detects documents

@@ -107,6 +107,52 @@ object Similarity {
     rankTopK(sc, k)
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) ANN: both sides project to
+    * `rpDim` dims through `VectorOps.randomProject` (deterministic md5-
+    * derived planes), a per-query SHORTLIST is ranked on the projected
+    * cosine (rpDim multiplies per pair instead of dim), and only shortlist
+    * members are reranked with the exact cosine. Identical output schema
+    * and ranking rules to the other top-k variants; recall < 1 by
+    * construction (JL distorts angles, so a true neighbor can fall off
+    * the shortlist — widen `shortlist` to trade work for recall, and
+    * `shortlist` = |corpus| degenerates to the exact result).
+    *
+    * Scale shape: projection is per-ROW (rpDim×dim multiplies once),
+    * amortized across every query — at production scale the projected
+    * column is materialized alongside the corpus and the break-even is
+    * ~rpDim×dim/(dim−rpDim) queries. The scoring pass broadcasts the
+    * query side (one corpus scan, no corpus shuffle, bounded `TopKAgg`
+    * map-side combine); the rerank re-reads only shortlisted vectors
+    * through a broadcast semi-join (nq×shortlist ids), so the corpus is
+    * scanned, never shuffled, and full-width vectors cross no exchange.
+    */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             rpDim: Int = 16, shortlist: Int = 32,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val rp = VectorOps.randomProject(col(vecCol), dim, rpDim)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), rp.as("q_rp"))
+      .withColumn("q_rnorm", sqrt(VectorOps.norm2(col("q_rp"))))
+      .withColumn("q_norm", VectorOps.norm(col("q_vec"))))
+    // scoring pass: projected vectors only — no full-width vector per pair
+    val cRp = corpus.select(col(idCol).as("neighbor_id"), rp.as("c_rp"))
+      .withColumn("c_rnorm", sqrt(VectorOps.norm2(col("c_rp"))))
+    val approx = cRp.crossJoin(q.select(col("query_id"), col("q_rp"), col("q_rnorm")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("q_rp"), col("c_rp")) / (col("q_rnorm") * col("c_rnorm")), 6))
+    val sl = rankTopK(approx, shortlist).select("query_id", "neighbor_id")
+    // rerank pass: exact cosine over shortlist members only
+    val cV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", VectorOps.norm(col("c_vec")))
+    val sc = cV.join(broadcast(sl), Seq("neighbor_id"))
+      .join(q.select(col("query_id"), col("q_vec"), col("q_norm")), Seq("query_id"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+    rankTopK(sc, k)
+  }
+
   /** IVF (inverted-file) ANN: a deterministic coarse codebook — the
     * `nCentroids` lowest-id corpus vectors — partitions the corpus into
     * cells (argmin squared distance); each query probes its `nProbe`

@@ -687,8 +687,8 @@ object TextQueries {
     * simple form, the engine the one that avoids joining hash arrays onto
     * the full match stream.
     */
-  private val dupSpanCtes =
-    s"""WITH t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
+  private def spanChain(src: String) =
+    s"""t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM $src),
        |h AS (SELECT doc_id, ${hashList("tk")} AS hs,
        |        list_transform(tk, t -> ${h60("t")}) AS fh FROM t),
        |ge AS (SELECT doc_id, fh, e.pos AS pos, e.g AS g
@@ -708,6 +708,8 @@ object TextQueries {
        |         CAST(min(pos_b) AS INTEGER) AS start_b,
        |         CAST(count(*) + 7 AS BIGINT) AS n_tokens
        |       FROM i GROUP BY id_a, id_b, diag, island)""".stripMargin
+
+  private val dupSpanCtes = "WITH " + spanChain("documents")
 
   private val dupSpansSql =
     s"""$dupSpanCtes
@@ -830,6 +832,164 @@ object TextQueries {
        |SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text,
        |  coalesce(rc.n_removed, 0) AS n_removed
        |FROM documents d LEFT JOIN rb USING (doc_id) LEFT JOIN rc USING (doc_id)""".stripMargin
+
+  // -- intra-document duplicate spans ----------------------------------------
+  /** Self-repeat fixture shared by `dup_spans_intra` / `excise_intra`:
+    * every 7th document's text doubles (`text ⧺ ' ' ⧺ text`), so a
+    * whole-document self-repeat (diagonal −m) is guaranteed alongside any
+    * natural short repeats; both engines build the identical corpus, and
+    * whitespace at the seam collapses in normalization on both.
+    */
+  private def selfRepeated(s: org.apache.spark.sql.SparkSession, d: String) =
+    docs(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7L)) === 0L,
+        concat_ws(" ", col("text"), col("text"))).otherwise(col("text")).as("text"))
+
+  private val selfRepeatedCte =
+    "d2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text FROM documents)"
+
+  /** Intra chain on top of spanChain's `gg`/`h`: same-doc pairs with
+    * pos_a < pos_b (diagonal ≠ 0 by construction), verified against the
+    * one document's 60-bit hash list, then the same diagonal islands.
+    */
+  private val intraChain =
+    s"""mi AS (SELECT a.doc_id AS doc_id, a.pos AS pos_a, b.pos AS pos_b
+       |       FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id = b.doc_id AND a.pos < b.pos),
+       |mvi AS (SELECT mi.* FROM mi JOIN h ON mi.doc_id = h.doc_id
+       |        WHERE list_slice(h.fh, mi.pos_a + 1, mi.pos_a + 8)
+       |            = list_slice(h.fh, mi.pos_b + 1, mi.pos_b + 8)),
+       |ii AS (SELECT *, pos_a - pos_b AS diag,
+       |         pos_a - row_number() OVER (PARTITION BY doc_id, pos_a - pos_b
+       |                                    ORDER BY pos_a) AS island FROM mvi),
+       |vsi AS (SELECT doc_id, CAST(min(pos_a) AS INTEGER) AS start_a,
+       |          CAST(min(pos_b) AS INTEGER) AS start_b,
+       |          CAST(count(*) + 7 AS BIGINT) AS n_tokens
+       |        FROM ii GROUP BY doc_id, diag, island)""".stripMargin
+
+  private val dupSpansIntra: Q = (s, d) =>
+    Dedup.duplicateSpansIntra(selfRepeated(s, d), n = 8, maxOcc = 64)
+
+  private val dupSpansIntraSql =
+    s"""WITH $selfRepeatedCte,
+       |${spanChain("d2")},
+       |$intraChain
+       |SELECT doc_id, start_a, start_b, n_tokens FROM vsi""".stripMargin
+
+  // -- span excision with intra repeats folded in ----------------------------
+  private val exciseIntra: Q = (s, d) =>
+    Dedup.exciseSpans(selfRepeated(s, d), n = 8, maxOcc = 64, includeIntra = true)
+
+  /** Cross-document removals (vs, id_b side) ∪ within-document removals
+    * (vsi, pos_b side), then the same keep-first token rebuild as
+    * `excise_spans` — over the self-repeat corpus, so the doubled half of
+    * every 7th document must excise (its first half survives wherever the
+    * cross-document keep-first rule lets it).
+    */
+  private val exciseIntraSql =
+    s"""WITH $selfRepeatedCte,
+       |${spanChain("d2")},
+       |$intraChain,
+       |rem0 AS (SELECT id_b AS doc_id,
+       |           unnest([start_b + x for x in range(0, n_tokens)]) AS pos FROM vs
+       |         UNION ALL
+       |         SELECT doc_id, unnest([start_b + x for x in range(0, n_tokens)]) AS pos FROM vsi),
+       |rem AS (SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos FROM rem0),
+       |tkpos AS (SELECT doc_id, e.pos AS pos, e.tok AS tok
+       |          FROM (SELECT doc_id,
+       |                  unnest([{'pos': x - 1, 'tok': tk[x]} for x in range(1, len(tk) + 1)]) AS e
+       |                FROM t)),
+       |kept AS (SELECT tkpos.* FROM tkpos ANTI JOIN rem USING (doc_id, pos)),
+       |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |       FROM kept GROUP BY doc_id),
+       |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+       |  coalesce(rc.n_removed, 0) AS n_removed
+       |FROM d2 d LEFT JOIN rb USING (doc_id) LEFT JOIN rc USING (doc_id)""".stripMargin
+
+  // -- span-baseline evolution (two-batch replay) ----------------------------
+  /** The cross-run fold, graded as a two-batch replay: seed the baseline
+    * from doc_id < 150, advance with [150, 300) — excising its spans and
+    * folding its AS-ARRIVED gram counts into the state — then advance
+    * with [300, ∞). Run 2's pairs must reflect run 1's fold twice over:
+    * its baseline side includes batch 1's EXCISED survivors (shifted
+    * start_bas offsets, vanished pairs for passages batch 1 no longer
+    * carries), and its occurrence cap counts over all three batches
+    * as-arrived (a gram under 64 within any single pairing but
+    * cumulatively hot is gated).
+    */
+  private val spanEvolve: Q = (s, d) => {
+    val all = docs(s, d)
+    val st0 = Dedup.initSpanBaseline(all.filter(col("doc_id") < 150))
+    val a1 = Dedup.advanceSpanBaseline(st0,
+      all.filter(col("doc_id") >= 150 && col("doc_id") < 300))
+    val a2 = Dedup.advanceSpanBaseline(a1.state, all.filter(col("doc_id") >= 300))
+    a1.spans.withColumn("run", lit(1L))
+      .unionByName(a2.spans.withColumn("run", lit(2L)))
+      .select("run", "id_in", "id_bas", "start_in", "start_bas", "n_tokens")
+  }
+
+  /** Independent replay of both advances: run 1 caps over batches 0+1
+    * as-arrived and pairs batch 1 against batch 0; its excised rebuild
+    * (`ct1`) joins batch 0 as run 2's baseline; run 2 caps over ALL
+    * batches as-arrived. Spans verify per-window against the 60-bit hash
+    * lists (the engine's verify-then-repair equivalence, as in
+    * `dup_spans`).
+    */
+  private val spanEvolveSql = {
+    def islands(mSrc: String, tag: String) =
+      s"""i$tag AS (SELECT *, pos_in - pos_bas AS diag,
+         |          pos_in - row_number() OVER (PARTITION BY id_in, id_bas, pos_in - pos_bas
+         |                                      ORDER BY pos_in) AS island FROM $mSrc),
+         |vs$tag AS (SELECT id_in, id_bas, CAST(min(pos_in) AS INTEGER) AS start_in,
+         |            CAST(min(pos_bas) AS INTEGER) AS start_bas,
+         |            CAST(count(*) + 7 AS BIGINT) AS n_tokens
+         |          FROM i$tag GROUP BY id_in, id_bas, diag, island)""".stripMargin
+    s"""WITH ${spanChain("documents")},
+       |c01 AS (SELECT g, count(*) AS c FROM ge WHERE doc_id < 300 GROUP BY 1),
+       |hot1 AS (SELECT g FROM c01 WHERE c > 64),
+       |in1 AS (SELECT ge.doc_id, ge.pos, ge.g FROM ge ANTI JOIN hot1 USING (g)
+       |        WHERE ge.doc_id >= 150 AND ge.doc_id < 300),
+       |ba1 AS (SELECT ge.doc_id, ge.pos, ge.g FROM ge ANTI JOIN hot1 USING (g)
+       |        WHERE ge.doc_id < 150),
+       |m1 AS (SELECT i.doc_id AS id_in, b.doc_id AS id_bas, i.pos AS pos_in, b.pos AS pos_bas
+       |       FROM in1 i JOIN ba1 b ON i.g = b.g),
+       |mv1 AS (SELECT m1.* FROM m1
+       |        JOIN h hi ON m1.id_in = hi.doc_id JOIN h hb ON m1.id_bas = hb.doc_id
+       |        WHERE list_slice(hi.fh, m1.pos_in + 1, m1.pos_in + 8)
+       |            = list_slice(hb.fh, m1.pos_bas + 1, m1.pos_bas + 8)),
+       |${islands("mv1", "1")},
+       |rem1 AS (SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos
+       |         FROM (SELECT id_in AS doc_id,
+       |                 unnest([start_in + x for x in range(0, n_tokens)]) AS pos FROM vs1)),
+       |tk1 AS (SELECT doc_id, e.pos AS pos, e.tok AS tok
+       |        FROM (SELECT doc_id,
+       |                unnest([{'pos': x - 1, 'tok': tk[x]} for x in range(1, len(tk) + 1)]) AS e
+       |              FROM t WHERE doc_id >= 150 AND doc_id < 300)),
+       |kept1 AS (SELECT tk1.* FROM tk1 ANTI JOIN rem1 USING (doc_id, pos)),
+       |ct1 AS (SELECT doc_id, list(tok ORDER BY pos) AS tk FROM kept1 GROUP BY doc_id),
+       |hc1 AS (SELECT doc_id, ${hashList("tk")} AS hs,
+       |          list_transform(tk, t -> ${h60("t")}) AS fh FROM ct1),
+       |gc1 AS (SELECT doc_id, e.pos AS pos, e.g AS g
+       |        FROM (SELECT doc_id, unnest(${rolledGramStructs("hs", 8)}) AS e FROM hc1)),
+       |c012 AS (SELECT g, count(*) AS c FROM ge GROUP BY 1),
+       |hot2 AS (SELECT g FROM c012 WHERE c > 64),
+       |in2 AS (SELECT ge.doc_id, ge.pos, ge.g FROM ge ANTI JOIN hot2 USING (g)
+       |        WHERE ge.doc_id >= 300),
+       |bg0 AS (SELECT doc_id, pos, g FROM ge WHERE doc_id < 150
+       |        UNION ALL SELECT doc_id, pos, g FROM gc1),
+       |ba2 AS (SELECT bg0.* FROM bg0 ANTI JOIN hot2 USING (g)),
+       |bfh AS (SELECT doc_id, fh FROM h WHERE doc_id < 150
+       |        UNION ALL SELECT doc_id, fh FROM hc1),
+       |m2 AS (SELECT i.doc_id AS id_in, b.doc_id AS id_bas, i.pos AS pos_in, b.pos AS pos_bas
+       |       FROM in2 i JOIN ba2 b ON i.g = b.g),
+       |mv2 AS (SELECT m2.* FROM m2
+       |        JOIN h hi ON m2.id_in = hi.doc_id JOIN bfh hb ON m2.id_bas = hb.doc_id
+       |        WHERE list_slice(hi.fh, m2.pos_in + 1, m2.pos_in + 8)
+       |            = list_slice(hb.fh, m2.pos_bas + 1, m2.pos_bas + 8)),
+       |${islands("mv2", "2")}
+       |SELECT CAST(1 AS BIGINT) AS run, * FROM vs1
+       |UNION ALL SELECT CAST(2 AS BIGINT) AS run, * FROM vs2""".stripMargin
+  }
 
   // -- paragraph-level exact dedup ------------------------------------------
   /** The documents table is paragraph-free (single-line synthetic text), so
@@ -1008,7 +1168,10 @@ object TextQueries {
     ("pack_sequences", packSequences, Some(packSequencesSql)),
     ("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     ("dup_spans", dupSpans, Some(dupSpansSql)),
+    ("dup_spans_intra", dupSpansIntra, Some(dupSpansIntraSql)),
     ("excise_spans", exciseSpans, Some(exciseSpansSql)),
+    ("excise_intra", exciseIntra, Some(exciseIntraSql)),
+    ("span_evolve", spanEvolve, Some(spanEvolveSql)),
     ("para_dedup", paraDedup, Some(paraDedupSql)),
     ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),

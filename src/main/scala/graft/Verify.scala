@@ -11,7 +11,11 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter for local iteration (tools/oracle_check.py):
+    // the driver never sets VERIFY_ONLY, so its runs dump everything
+    val only = sys.env.get("VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    def selected(name: String) = only.forall(_.contains(name))
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       // remove any PREVIOUS run's output first: a failing query must leave
       // NO parquet behind, or a reused outDir would let the oracle compare
       // stale results and grade a broken query as a MATCH
@@ -39,7 +43,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

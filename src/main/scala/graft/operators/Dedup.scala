@@ -982,10 +982,7 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 2, "span gram width must be at least 2")
     val base = fullHashBase(docs, idCol, textCol)
-    val grams = base
-      .select(col(idCol), posexplode(rolledGramHashes(col("__fh"), n, reduceInputs = true)))
-      .withColumnRenamed("col", "g")
-    val gated = capBuckets(grams, Seq("g"), maxOcc)
+    val gated = capBuckets(posGramStream(base, n, idCol), Seq("g"), maxOcc)
     val l = gated.select(col("g"), col(idCol).as("id_a"), col("pos").as("pos_a"))
     val r = gated.select(col("g"), col(idCol).as("id_b"), col("pos").as("pos_b"))
     val matches = l.join(r, Seq("g"))
@@ -994,6 +991,48 @@ object Dedup {
     verifySpans(islandSpans(matches, n),
       base.select(col(idCol).as("id_a"), col("__fh").as("__fh_a")),
       base.select(col(idCol).as("id_b"), col("__fh").as("__fh_b")), n)
+  }
+
+  /** Positional mod-P gram stream `(id, pos, g)` off the shared 60-bit
+    * hash layer — the `doc_freq` shape every span operator joins on.
+    */
+  private def posGramStream(base: DataFrame, n: Int, idCol: String): DataFrame =
+    base.select(col(idCol), posexplode(rolledGramHashes(col("__fh"), n, reduceInputs = true)))
+      .withColumnRenamed("col", "g")
+
+  /** INTRA-document twin of [[duplicateSpans]]: maximal verbatim token
+    * runs of ≥ `n` tokens repeated WITHIN one document — Lee et al.'s
+    * substring dedup removes within-document repeats too (the signal
+    * `gramRepetition` detects but does not locate). Output
+    * `(id, start_a, start_b, n_tokens)` with `start_a < start_b` — the
+    * earlier occurrence first (the keep side under keep-first excision);
+    * each unordered occurrence pair emits once. Overlapping occurrences
+    * (tandem repeats with period < n_tokens) emit legitimately: a
+    * period-p repetition is a match run on diagonal −p.
+    *
+    * Shape: the SAME capped gram stream self-join as the cross-document
+    * family, restricted to `id_a = id_b ∧ pos_a < pos_b` (diagonal ≠ 0 by
+    * construction — diagonal 0 is the trivial self-match), then the same
+    * (pair, diagonal) islands pass and 60-bit slice verification, both
+    * slices read from the one document's hash array. Every 100 TB posture
+    * argued on [[duplicateSpans]] carries over unchanged: the restriction
+    * only shrinks the join output, and the occurrence cap already counts
+    * within-document repeats toward its corpus-wide total.
+    */
+  def duplicateSpansIntra(docs: DataFrame, n: Int = 8, maxOcc: Int = 64,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, "span gram width must be at least 2")
+    val base = fullHashBase(docs, idCol, textCol)
+    val gated = capBuckets(posGramStream(base, n, idCol), Seq("g"), maxOcc)
+    val l = gated.select(col("g"), col(idCol).as("id_a"), col("pos").as("pos_a"))
+    val r = gated.select(col("g"), col(idCol).as("id_b"), col("pos").as("pos_b"))
+    val matches = l.join(r, Seq("g"))
+      .filter(col("id_a") === col("id_b") && col("pos_a") < col("pos_b"))
+      .select("id_a", "id_b", "pos_a", "pos_b")
+    verifySpans(islandSpans(matches, n),
+      base.select(col(idCol).as("id_a"), col("__fh").as("__fh_a")),
+      base.select(col(idCol).as("id_b"), col("__fh").as("__fh_b")), n)
+      .select(col("id_a").as(idCol), col("start_a"), col("start_b"), col("n_tokens"))
   }
 
   /** Maximal runs via gaps-and-islands over candidate gram matches
@@ -1118,6 +1157,106 @@ object Dedup {
     (out, () => { relCap(); relInc(); relBas() })
   }
 
+  /** Cross-run span-dedup STATE — the span family's carry-forward shape
+    * (the same previous-run-state-is-an-input pattern as the reference's
+    * snapshot restore, main_pls.py:101-186): `docs` is the settled corpus
+    * `(id, text)` — the original seed plus every prior batch's EXCISED
+    * survivors — and `gramCounts` the CUMULATIVE gram occurrence counts
+    * `(g, c)` over every batch AS-ARRIVED (pre-excision). Counting
+    * as-arrived is the point of carrying counts at all: boilerplate that
+    * was excised from the stored text — or dropped with its capped gram —
+    * no longer exists to be re-counted from `docs`, so a text-derived
+    * recount would forget exactly the corpus-wide-hot grams the cap
+    * exists to gate, and every crawl would re-pair against the same
+    * boilerplate.
+    */
+  final case class SpanBaseline(docs: DataFrame, gramCounts: DataFrame)
+
+  /** One crawl's advance: the spans found, the evolved state for the next
+    * crawl, and a release handle for this invocation's guard-persists
+    * (call after BOTH the spans and the next state are materialized —
+    * or checkpointed, in a production multi-crawl loop).
+    */
+  final case class SpanAdvance(spans: DataFrame, state: SpanBaseline, release: () => Unit)
+
+  /** Seed state from an existing (already span-deduped) corpus: the docs
+    * as the baseline, their gram occurrence counts as the cumulative
+    * count state.
+    */
+  def initSpanBaseline(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
+                       textCol: String = "text"): SpanBaseline = {
+    require(n >= 2, "span gram width must be at least 2")
+    val counts = posGramStream(fullHashBase(docs, idCol, textCol), n, idCol)
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    SpanBaseline(docs.select(col(idCol), col(textCol)), counts)
+  }
+
+  /** Span-baseline EVOLUTION — the fold [[duplicateSpansAgainstBaseline]]
+    * lacks between crawls: find the incoming batch's duplicate spans
+    * against the baseline, excise them from the incoming side, append the
+    * excised survivors to the baseline, and carry the gram occurrence
+    * counts forward so the occurrence cap is CROSS-RUN. Per crawl:
+    *
+    *   1. `counts' = counts + gramCounts(incoming as-arrived)` — one
+    *      narrow (g, c) merge, no text;
+    *   2. hot = `counts' > maxOcc` gates BOTH sides' gram streams
+    *      all-or-nothing (capBuckets semantics, but against the
+    *      cumulative total: a gram under the cap within any single
+    *      (batch ∪ baseline) pairing but hot across crawls IS gated here,
+    *      where per-invocation counting would re-pair every crawl
+    *      against the same aggregate boilerplate);
+    *   3. spans = the cross-side island+verify pairing of
+    *      [[duplicateSpansAgainstBaseline]], output
+    *      `(id_in, id_bas, start_in, start_bas, n_tokens)`;
+    *   4. fold: incoming documents are excised at the span positions
+    *      (keep-first globally — each passage survives only where it
+    *      first landed) and the survivors append to `docs`.
+    *
+    * Monotonicity caveat, documented in SCALE.md: a gram crossing the cap
+    * in crawl k pairs normally in crawls 1..k−1 and never after — spans
+    * already found (and excised) stay found; only FUTURE pairing stops.
+    * That is the intended semantics of an occurrence cap over an
+    * append-only corpus: by the time a gram is corpus-hot, its early
+    * duplicates were already excised, and everything arriving later that
+    * still carries it is boilerplate for `spanCoverage`/`gramRepetition`
+    * to flag, not for quadratic pairing to enumerate.
+    *
+    * Scale shape: identical joins to the inter-run operator, plus one
+    * (g, c) count merge — the state that crosses runs is the docs frame
+    * (append-only) and a gram-count frame bounded by |distinct grams|;
+    * a production loop checkpoints both between crawls (SnapshotStore),
+    * so no crawl's lineage embeds the previous crawl's plan.
+    */
+  def advanceSpanBaseline(state: SpanBaseline, incoming: DataFrame,
+                          n: Int = 8, maxOcc: Int = 64,
+                          idCol: String = "doc_id", textCol: String = "text"): SpanAdvance = {
+    require(n >= 2, "span gram width must be at least 2")
+    val (bInc, relInc) = acquireFullHashBase(incoming, idCol, textCol)
+    val (bBas, relBas) = acquireFullHashBase(state.docs, idCol, textCol)
+    val gi = posGramStream(bInc, n, idCol)
+    val (newCounts, relCounts) = graft.util.Caching.acquire(
+      state.gramCounts.unionByName(gi.groupBy("g").agg(count(lit(1)).as("c")))
+        .groupBy("g").agg(sum("c").as("c")))
+    val hot = newCounts.filter(col("c") > maxOcc).select("g")
+    val l = gi.join(hot, Seq("g"), "left_anti")
+      .select(col("g"), col(idCol).as("id_a"), col("pos").as("pos_a"))
+    val r = posGramStream(bBas, n, idCol).join(hot, Seq("g"), "left_anti")
+      .select(col("g"), col(idCol).as("id_b"), col("pos").as("pos_b"))
+    val matches = l.join(r, Seq("g")).select("id_a", "id_b", "pos_a", "pos_b")
+    val (spans, relSpans) = graft.util.Caching.acquire(
+      verifySpans(islandSpans(matches, n),
+        bInc.select(col(idCol).as("id_a"), col("__fh").as("__fh_a")),
+        bBas.select(col(idCol).as("id_b"), col("__fh").as("__fh_b")), n)
+        .select(col("id_a").as("id_in"), col("id_b").as("id_bas"),
+          col("start_a").as("start_in"), col("start_b").as("start_bas"), col("n_tokens")))
+    val removed = spanPositions(spans, "id_in", "start_in", idCol).distinct()
+    val newDocs = state.docs.select(col(idCol), col(textCol)).unionByName(
+      exciseAt(incoming, removed, idCol, textCol)
+        .select(col(idCol), col("clean_text").as(textCol)))
+    SpanAdvance(spans, SpanBaseline(newDocs, newCounts),
+      () => { relSpans(); relCounts(); relInc(); relBas() })
+  }
+
   /** Per-document duplication coverage — the signal that decides DROP vs
     * EXCISE vs KEEP: for each document, the fraction of its tokens covered
     * by at least one cross-document duplicated span (either side of the
@@ -1126,21 +1265,40 @@ object Dedup {
     * (drop; cheaper than excising everything), moderate coverage is
     * boilerplate-wrapped unique content (excise), ≈ 0 keeps as-is.
     *
-    * Shape: spans explode to covered (id, pos) rows from BOTH sides —
-    * bounded by duplicated tokens — distinct (the interval union), then
-    * one count per doc joins the corpus token counts; a left join keeps
-    * zero-coverage documents. Ratios round to 6dp like every other
-    * quality signal.
+    * Shape: spans contribute one half-open [start, start+n_tokens)
+    * INTERVAL per side — never per-token rows — and the union's size is
+    * computed arithmetically from a per-doc gaps-and-islands interval
+    * merge (running-max-of-end over the start-sorted intervals; an
+    * interval opens a new island when its start clears everything seen).
+    * The exchange carries two rows per span, where the pre-r17 form
+    * exploded O(duplicated tokens × multiplicity) per-position rows
+    * before its distinct — with k near-identical documents the same
+    * positions were named ~k times. The islands window partitions by doc
+    * — many tiny sorted runs, no global sort. The covered-token count of
+    * each island is exactly `max(end) − min(start)` (half-open integer
+    * intervals: union length = distinct covered positions), so the
+    * semantics are bit-identical to the per-position distinct the oracle
+    * still computes. A left join keeps zero-coverage documents. Ratios
+    * round to 6dp like every other quality signal.
     */
   def spanCoverage(docs: DataFrame, n: Int = 8, maxOcc: Int = 64,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spans = duplicateSpans(docs, n, maxOcc, idCol, textCol)
-    val covered = spans.select(col("id_a").as(idCol),
-        explode(sequence(col("start_a"), col("start_a") + col("n_tokens").cast("int") - 1)).as("pos"))
-      .unionByName(spans.select(col("id_b").as(idCol),
-        explode(sequence(col("start_b"), col("start_b") + col("n_tokens").cast("int") - 1)).as("pos")))
-      .distinct()
-      .groupBy(idCol).agg(count(lit(1)).as("n_dup_tokens"))
+    val intervals = spans.select(col("id_a").as(idCol), col("start_a").cast("long").as("__s"),
+        (col("start_a") + col("n_tokens")).as("__e"))
+      .unionByName(spans.select(col("id_b").as(idCol), col("start_b").cast("long").as("__s"),
+        (col("start_b") + col("n_tokens")).as("__e")))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+    val covered = intervals
+      .withColumn("__pmax", max(col("__e")).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("__grp", sum(
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L).otherwise(0L)).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__grp"))
+      .agg((max(col("__e")) - min(col("__s"))).as("__len"))
+      .groupBy(idCol).agg(sum("__len").as("n_dup_tokens"))
     // token counts project off the SHARED hash layer duplicateSpans just
     // guard-persisted (hashes are 1:1 with tokens) — a second corpus-wide
     // normalize+tokenize scan for a length would double the signal's cost
@@ -1176,13 +1334,38 @@ object Dedup {
     * groupBy and duplicateSpans' own gram join.
     */
   def exciseSpans(docs: DataFrame, n: Int = 8, maxOcc: Int = 64,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  includeIntra: Boolean = false): DataFrame = {
     val spans = duplicateSpans(docs, n, maxOcc, idCol, textCol)
-    val removed = spans
-      .select(col("id_b").as(idCol),
-        explode(sequence(col("start_b"),
-          col("start_b") + col("n_tokens").cast("int") - 1)).as("pos"))
+    val cross = spanPositions(spans, "id_b", "start_b", idCol)
+    // includeIntra folds within-document repeats in: the LATER occurrence
+    // of each intra span excises (keep-first inside the document, the same
+    // rule the cross-document side applies across ids)
+    val removed = (if (!includeIntra) cross
+      else cross.unionByName(spanPositions(
+        duplicateSpansIntra(docs, n, maxOcc, idCol, textCol), idCol, "start_b", idCol)))
       .distinct() // overlapping spans may name a position twice
+    exciseAt(docs, removed, idCol, textCol)
+  }
+
+  /** One (id, pos) row per token position a span frame excises — the
+    * explicit removal set both excision paths anti-join against.
+    */
+  private def spanPositions(spans: DataFrame, spanIdCol: String, startCol: String,
+                            idCol: String): DataFrame =
+    spans.select(col(spanIdCol).as(idCol),
+      explode(sequence(col(startCol),
+        col(startCol) + col("n_tokens").cast("int") - 1)).as("pos"))
+
+  /** Token-level rebuild shared by [[exciseSpans]] and
+    * [[advanceSpanBaseline]]'s fold: drop the `removed` (id, pos) token
+    * positions and reassemble each document's surviving tokens in order.
+    * `removed` must already be distinct. Output (id, clean_text,
+    * n_removed) — one row per input document, zero-removal documents pass
+    * through.
+    */
+  private def exciseAt(docs: DataFrame, removed: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol), posexplode(tokens(normalizeText(col(textCol)))))
       .withColumnRenamed("col", "tok")

@@ -123,8 +123,11 @@ object Similarity {
     * ~rpDim×dim/(dim−rpDim) queries. The scoring pass broadcasts the
     * query side (one corpus scan, no corpus shuffle, bounded `TopKAgg`
     * map-side combine); the rerank re-reads only shortlisted vectors
-    * through a broadcast semi-join (nq×shortlist ids), so the corpus is
-    * scanned, never shuffled, and full-width vectors cross no exchange.
+    * through a broadcast equi-join on the shortlist pairs (one output row
+    * per (query, neighbor) — a corpus vector shared by many shortlists
+    * fans out once per query that shortlisted it, bounded by
+    * nq×shortlist), so the corpus is scanned, never shuffled, and
+    * full-width vectors cross no exchange.
     */
   def rpTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
              rpDim: Int = 16, shortlist: Int = 32,

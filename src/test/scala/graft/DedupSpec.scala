@@ -277,4 +277,23 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getSeq[String](0) == Seq("a b c", "b c d"))
     assert(out(1).getSeq[String](0) == Seq("x y"))
   }
+
+  test("advanceSpanBaseline: the occurrence cap accumulates ACROSS crawls") {
+    val s = spark; import s.implicits._
+    // one gram dominates: 30 identical tokens per doc → the n=3 gram
+    // occurs 28× per doc. Cap 64: crawl 1 counts 56 (seed + batch
+    // as-arrived) → pairs found and the batch copy excised; crawl 2
+    // counts 84 → gated, NO pairs — where a per-invocation count over
+    // (batch ∪ current baseline) reads only 56 (crawl 1's copy is gone
+    // from the text) and re-pairs the same boilerplate every crawl.
+    def doc(id: Long) = Seq((id, Seq.fill(30)("aa").mkString(" "))).toDF("doc_id", "text")
+    val a1 = Dedup.advanceSpanBaseline(
+      Dedup.initSpanBaseline(doc(0), n = 3), doc(1), n = 3, maxOcc = 64)
+    assert(a1.spans.count() > 0, "crawl 1 under the cap must pair")
+    val a2 = Dedup.advanceSpanBaseline(a1.state, doc(2), n = 3, maxOcc = 64)
+    assert(a2.spans.count() == 0, "cumulatively-hot gram must be gated in crawl 2")
+    val fresh = Dedup.duplicateSpansAgainstBaseline(doc(2), a1.state.docs, n = 3, maxOcc = 64)
+    assert(fresh.count() > 0, "per-invocation counting would re-pair — the gap the fold closes")
+    a2.release(); a1.release()
+  }
 }

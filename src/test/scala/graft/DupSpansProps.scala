@@ -29,7 +29,7 @@ object DupSpansProps extends Properties("DupSpans") {
   private val tokenGen = Gen.oneOf("aa", "bb", "cc", "dd")
   private val docGen = Gen.chooseNum(0, 12).flatMap(Gen.listOfN(_, tokenGen))
 
-  private def bruteSpans(docs: Seq[(Long, Seq[String])]): Set[(Long, Long, Int, Int, Long)] =
+  private[graft] def bruteSpans(docs: Seq[(Long, Seq[String])]): Set[(Long, Long, Int, Int, Long)] =
     (for {
       (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
       diag <- -(tb.length) to ta.length
@@ -144,6 +144,67 @@ object DupSpansProps extends Properties("DupSpans") {
         (0, trueLeft.toLong),                       // run before the break
         (trueLeft + 1, trueRight.toLong))           // run after the break
         .collect { case (st, len) if len >= n => (st, len) }.toSet
+      got == want
+    }
+
+  /** Brute-force INTRA-document oracle: for every offset d ≥ 1, the
+    * maximal runs where token(p) == token(p + d), length ≥ n — the
+    * mirror of the engine's (id, diagonal) islands with pos_a < pos_b.
+    */
+  private def bruteIntraSpans(docs: Seq[(Long, Seq[String])]): Set[(Long, Int, Int, Long)] =
+    (for {
+      (id, t) <- docs
+      d <- 1 to t.length
+      span <- {
+        val pairs = (0 until t.length).flatMap { pa =>
+          if (pa + d < t.length && t(pa) == t(pa + d)) Some(pa) else None
+        }
+        pairs.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.collect { case (s, e) if e - s + 1 >= n =>
+          (id, s, s + d, (e - s + 1).toLong)
+        }
+      }
+    } yield span).toSet
+
+  // self-repetition-heavy generator: plain docs, doubled docs (the
+  // whole-document repeat at diagonal −m), and partial self-prefixes
+  private val selfRepGen: Gen[List[String]] =
+    docGen.flatMap(t => Gen.oneOf(t, t ++ t, t ++ t.take(t.length / 2)))
+
+  property("intra spans == brute-force maximal same-doc runs per offset (incl. tandem overlaps)") =
+    forAllNoShrink(Gen.chooseNum(1, 5).flatMap(k =>
+      Gen.listOfN(k, selfRepGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.map { case (i, tk) => (i, tk.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.duplicateSpansIntra(df, n = n, maxOcc = 1000000).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("start_a"),
+          r.getAs[Int]("start_b"), r.getAs[Long]("n_tokens"))).toSet
+      got == bruteIntraSpans(docs)
+    }
+
+  property("exciseSpans(includeIntra) removes the cross id_b ∪ intra start_b position union") =
+    forAllNoShrink(Gen.chooseNum(2, 4).flatMap(k =>
+      Gen.listOfN(k, selfRepGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.map { case (i, tk) => (i, tk.mkString(" ")) }.toDF("doc_id", "text")
+      val removedByDoc = (bruteSpans(docs)
+        .flatMap { case (_, idB, _, startB, len) =>
+          (startB until (startB + len.toInt)).map(p => (idB, p))
+        } ++
+        bruteIntraSpans(docs).flatMap { case (id, _, startB, len) =>
+          (startB until (startB + len.toInt)).map(p => (id, p))
+        })
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val want = docs.map { case (i, tk) =>
+        val rm = removedByDoc.getOrElse(i, Set.empty[Int])
+        (i, tk.zipWithIndex.collect { case (t, p) if !rm(p) => t }.mkString(" "),
+          rm.size.toLong)
+      }.toSet
+      val got = Dedup.exciseSpans(df, n = n, maxOcc = 1000000, includeIntra = true).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+          r.getAs[Long]("n_removed"))).toSet
       got == want
     }
 

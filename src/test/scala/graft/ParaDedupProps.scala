@@ -105,11 +105,14 @@ object ParaDedupProps extends Properties("ParaDedup") {
       val rows = docLists.zipWithIndex.map { case (ps, i) => (i.toLong, ps.mkString("|")) }
       val got = Dedup.dedupParagraphs(rows.toDF("doc_id", "text"), delim = "|")
         .collect().map(r => (r.getLong(0), r.getString(1))).toMap
-      // every surviving paragraph is a first occurrence, in order
+      // every surviving paragraph is a first occurrence, in order; blanks
+      // are structure and ALWAYS survive (restated here independently of
+      // the generator — paraPool happens to never produce blanks, but the
+      // oracle must not depend on that)
       val seen = scala.collection.mutable.Set[String]()
       val want = rows.map { case (id, t) =>
         val kept = t.split(java.util.regex.Pattern.quote("|"), -1).filter { p =>
-          val k = normalize(p); seen.add(k)
+          val k = normalize(p); k.isEmpty || seen.add(k)
         }
         id -> kept.mkString("|")
       }.toMap

@@ -239,4 +239,28 @@ class PlanSpec extends SparkSpec {
           s"$name shuffles document text: ${s.output.map(_.name)}")
     }
   }
+
+  test("span_coverage counts coverage arithmetically — no per-position explode beyond dup_spans") {
+    // coverage = per-doc interval merge over the span frame; the pre-r17
+    // form exploded O(duplicated tokens × multiplicity) position rows
+    // before a distinct. The only generators allowed are the gram-stream
+    // (and rare-path reverify) explodes duplicateSpans itself plans — the
+    // coverage tail must add ZERO on top of dup_spans' own count.
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    def generates(name: String): Int = {
+      val df = Queries.registry.collectFirst { case (`name`, q, _) => q }.get(spark, dir)
+      df.collect()
+      allNodes(df.queryExecution.executedPlan).count(_.isInstanceOf[GenerateExec])
+    }
+    val base = generates("dup_spans")
+    val cov = generates("span_coverage")
+    assert(cov == base,
+      s"span_coverage plans $cov Generate nodes vs dup_spans' $base — the interval merge regressed to an explode")
+  }
 }

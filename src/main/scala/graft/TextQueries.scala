@@ -991,6 +991,46 @@ object TextQueries {
        |UNION ALL SELECT CAST(2 AS BIGINT) AS run, * FROM vs2""".stripMargin
   }
 
+  // -- fused training-order pipeline ------------------------------------------
+  /** The corpus→training-data endgame as ONE Catalyst plan: excise
+    * duplicated spans, then pack each source stream into 512-token
+    * sequences in seeded-shuffle order — `TextAnalysis.trainingOrder`
+    * orders the pack window by the shuffle key directly, so no RDD hop
+    * and no materialized positions sit between the stages (the stages
+    * grade separately as excise_spans / corpus_shuffle / pack_sequences;
+    * this row grades their composition, where shared-layer and exchange
+    * bugs hide).
+    */
+  private val trainingOrderQ: Q = (s, d) => {
+    val excised = Dedup.exciseSpans(docs(s, d), n = 8, maxOcc = 64)
+    val withSource = excised.join(docs(s, d).select("doc_id", "source"), Seq("doc_id"))
+    TextAnalysis.trainingOrder(withSource, budget = 512, seed = "r17", textCol = "clean_text")
+  }
+
+  /** Composed oracle: excise_spans' kept-token counts feed
+    * pack_sequences' per-stream running sum, ordered by the seeded
+    * shuffle key — each stage's oracle form, chained.
+    */
+  private val trainingOrderSql =
+    s"""$dupSpanCtes,
+       |rem0 AS (SELECT id_b AS doc_id,
+       |           unnest([start_b + x for x in range(0, n_tokens)]) AS pos FROM vs),
+       |rem AS (SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos FROM rem0),
+       |tkpos AS (SELECT doc_id, e.pos AS pos
+       |          FROM (SELECT doc_id,
+       |                  unnest([{'pos': x - 1, 'tok': tk[x]} for x in range(1, len(tk) + 1)]) AS e
+       |                FROM t)),
+       |kept AS (SELECT tkpos.* FROM tkpos ANTI JOIN rem USING (doc_id, pos)),
+       |nt AS (SELECT d.doc_id, d.source, coalesce(k.c, 0) AS n_tokens
+       |       FROM documents d LEFT JOIN
+       |         (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY 1) k USING (doc_id)),
+       |j AS (SELECT doc_id, source, ${h60("'shuffle:r17:' || doc_id")} AS shuffle_key, n_tokens FROM nt),
+       |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |        PARTITION BY source ORDER BY shuffle_key, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM j)
+       |SELECT doc_id, shuffle_key, source, n_tokens, cb // 512 AS seq_id, cb % 512 AS seq_offset
+       |FROM c""".stripMargin
+
   // -- paragraph-level exact dedup ------------------------------------------
   /** The documents table is paragraph-free (single-line synthetic text), so
     * the graded row paragraphizes it deterministically first: non-
@@ -1172,6 +1212,7 @@ object TextQueries {
     ("excise_spans", exciseSpans, Some(exciseSpansSql)),
     ("excise_intra", exciseIntra, Some(exciseIntraSql)),
     ("span_evolve", spanEvolve, Some(spanEvolveSql)),
+    ("training_order", trainingOrderQ, Some(trainingOrderSql)),
     ("para_dedup", paraDedup, Some(paraDedupSql)),
     ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),

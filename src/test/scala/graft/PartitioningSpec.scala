@@ -65,6 +65,23 @@ class PartitioningSpec extends SparkSpec {
     assert(out eq derived, "derived frames skip the gate entirely")
   }
 
+  test("shuffleOrder runs exactly 3 jobs: range sample, zipWithIndex count, result") {
+    // the deliberate RDD hop's cost, LOCKED: (1) the range partitioner's
+    // boundary-sampling job, (2) zipWithIndex's per-partition count job,
+    // (3) the result job — jobs 2 and 3 reuse the range exchange's shuffle
+    // files (skipped stages), so the corpus shuffles ONCE and the extra
+    // job re-runs only the partition-local sort. A fourth job appearing
+    // means someone added an action; the count DROPPING to two usually
+    // means the zipWithIndex hop was "fixed" backwards into a
+    // single-partition window — the scale-killer this shape exists to
+    // avoid. See TextAnalysis.shuffleOrder's scaladoc.
+    val jobs = countJobs {
+      operators.TextAnalysis.shuffleOrder(docs.select("doc_id", "source"), seed = "lock")
+        .collect()
+    }
+    assert(jobs == 3, s"shuffleOrder ran $jobs jobs (expected 3)")
+  }
+
   test("PlsPipeline.run guard-persists the kept-addresses stage (self-contained cost)") {
     val s = spark; import s.implicits._
     val addresses = Seq(("iri_1", "pid_1", "s1"), ("iri_2", "pid_2", null))

@@ -263,4 +263,42 @@ class PlanSpec extends SparkSpec {
     assert(cov == base,
       s"span_coverage plans $cov Generate nodes vs dup_spans' $base — the interval merge regressed to an explode")
   }
+
+  test("training_order is ONE fused Catalyst plan: no RDD hop, no global sort, narrow pack exchange") {
+    // excise→shuffle→pack composed: the shuffle stage contributes only its
+    // KEY (the pack window orders by it), so the plan must contain no
+    // ExistingRDD scan (shuffleOrder's zipWithIndex hop) and no range
+    // partitioning (the global-sort form of ordering). The pack window's
+    // exchange carries exactly (id, shuffle_key, source, n_tokens) —
+    // tokenization of clean_text happens BEFORE the exchange, so document
+    // text never rides a shuffle. Finalized-plan shuffle count pinned at 5
+    // (pack window, rebuild groupBy, token-stream anti-join, removed
+    // positions, islands window — the gram join reads the guard-persisted
+    // capped stream, and the verify sides broadcast at this scale); caches
+    // are released first so the count is measured from a cold plan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    SparkEntry.releaseSharedCaches()
+    val df = Queries.registry.collectFirst { case ("training_order", q, _) => q }.get(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("ExistingRDD"), "fused plan must not exit Catalyst through an RDD hop")
+    val shuffles = allNodes(plan).collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size == 5, s"fused DAG shuffle count changed: ${shuffles.size}\n$plan")
+    for (s <- shuffles) {
+      assert(!s.outputPartitioning.toString.toLowerCase.startsWith("range"),
+        s"global sort in fused plan: ${s.outputPartitioning}")
+      assert(!s.output.exists(a => a.name == "text" || a.name == "clean_text"),
+        s"document text rides a shuffle: ${s.output.map(_.name)}")
+    }
+    val pack = shuffles.filter(_.output.map(_.name).toSet ==
+      Set("doc_id", "shuffle_key", "source", "n_tokens"))
+    assert(pack.size == 1, s"expected exactly one narrow pack exchange:\n$plan")
+  }
 }

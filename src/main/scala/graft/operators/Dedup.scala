@@ -1168,9 +1168,11 @@ object Dedup {
     * no longer exists to be re-counted from `docs`, so a text-derived
     * recount would forget exactly the corpus-wide-hot grams the cap
     * exists to gate, and every crawl would re-pair against the same
-    * boilerplate.
+    * boilerplate. The gram width `n` travels IN the state: counts at one
+    * width are meaningless at another, so advancing reads the width the
+    * state was seeded with instead of trusting every caller to repeat it.
     */
-  final case class SpanBaseline(docs: DataFrame, gramCounts: DataFrame)
+  final case class SpanBaseline(docs: DataFrame, gramCounts: DataFrame, n: Int)
 
   /** One crawl's advance: the spans found, the evolved state for the next
     * crawl, and a release handle for this invocation's guard-persists
@@ -1188,7 +1190,7 @@ object Dedup {
     require(n >= 2, "span gram width must be at least 2")
     val counts = posGramStream(fullHashBase(docs, idCol, textCol), n, idCol)
       .groupBy("g").agg(count(lit(1)).as("c"))
-    SpanBaseline(docs.select(col(idCol), col(textCol)), counts)
+    SpanBaseline(docs.select(col(idCol), col(textCol)), counts, n)
   }
 
   /** Span-baseline EVOLUTION — the fold [[duplicateSpansAgainstBaseline]]
@@ -1228,9 +1230,9 @@ object Dedup {
     * so no crawl's lineage embeds the previous crawl's plan.
     */
   def advanceSpanBaseline(state: SpanBaseline, incoming: DataFrame,
-                          n: Int = 8, maxOcc: Int = 64,
+                          maxOcc: Int = 64,
                           idCol: String = "doc_id", textCol: String = "text"): SpanAdvance = {
-    require(n >= 2, "span gram width must be at least 2")
+    val n = state.n
     val (bInc, relInc) = acquireFullHashBase(incoming, idCol, textCol)
     val (bBas, relBas) = acquireFullHashBase(state.docs, idCol, textCol)
     val gi = posGramStream(bInc, n, idCol)
@@ -1253,7 +1255,7 @@ object Dedup {
     val newDocs = state.docs.select(col(idCol), col(textCol)).unionByName(
       exciseAt(incoming, removed, idCol, textCol)
         .select(col(idCol), col("clean_text").as(textCol)))
-    SpanAdvance(spans, SpanBaseline(newDocs, newCounts),
+    SpanAdvance(spans, SpanBaseline(newDocs, newCounts, n),
       () => { relSpans(); relCounts(); relInc(); relBas() })
   }
 

@@ -28,13 +28,17 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("qv carries every query positionally and total survives full-precision") {
-    val results = names.zipWithIndex.map { case (n, i) => n -> (i * 0.01 + 0.005) }
+    // +0.002 keeps every value OFF the .xx5 rounding boundary: the r16
+    // form used +0.005 and assumed "half rounds up", which is false for
+    // binary-unrepresentable halves (1.195 is stored as 1.19499…, so the
+    // 120th query's row rounded DOWN and the assert broke on suite growth)
+    val results = names.zipWithIndex.map { case (n, i) => n -> (i * 0.01 + 0.002) }
     val line = Bench.compactLine(results, Set.empty)
     val qv = line.split("\"qv\":\\[")(1).split("]")(0).split(",")
     assert(qv.length == names.length)
     // spot-check position alignment: qv is name-ascending, centiseconds,
-    // round-to-nearest (0.005 rounds up → index i prints i+1)
-    assert(qv(0) == "1" && qv(names.length - 1) == names.length.toString)
+    // round-to-nearest (+0.002 rounds down → index i prints i)
+    assert(qv(0) == "0" && qv(names.length - 1) == (names.length - 1).toString)
     val expectedTotal = results.map(_._2).sum
     val totalStr = line.split("\"total\":")(1).split(",")(0)
     assert(math.abs(totalStr.toDouble - expectedTotal) < 0.005 + 1e-9)

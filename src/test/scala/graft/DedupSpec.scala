@@ -288,9 +288,9 @@ class DedupSpec extends SparkSpec {
     // from the text) and re-pairs the same boilerplate every crawl.
     def doc(id: Long) = Seq((id, Seq.fill(30)("aa").mkString(" "))).toDF("doc_id", "text")
     val a1 = Dedup.advanceSpanBaseline(
-      Dedup.initSpanBaseline(doc(0), n = 3), doc(1), n = 3, maxOcc = 64)
+      Dedup.initSpanBaseline(doc(0), n = 3), doc(1), maxOcc = 64)
     assert(a1.spans.count() > 0, "crawl 1 under the cap must pair")
-    val a2 = Dedup.advanceSpanBaseline(a1.state, doc(2), n = 3, maxOcc = 64)
+    val a2 = Dedup.advanceSpanBaseline(a1.state, doc(2), maxOcc = 64)
     assert(a2.spans.count() == 0, "cumulatively-hot gram must be gated in crawl 2")
     val fresh = Dedup.duplicateSpansAgainstBaseline(doc(2), a1.state.docs, n = 3, maxOcc = 64)
     assert(fresh.count() > 0, "per-invocation counting would re-pair — the gap the fold closes")

@@ -68,7 +68,7 @@ object SpanEvolveProps extends Properties("SpanEvolve") {
       Gen.oneOf(1, 3, 8, 1000000)) { (docs, maxOcc) =>
       val (bas, inc) = docs.partition(_._1 < docs.length / 2)
       val adv = Dedup.advanceSpanBaseline(
-        Dedup.initSpanBaseline(df(bas), n = n), df(inc), n = n, maxOcc = maxOcc)
+        Dedup.initSpanBaseline(df(bas), n = n), df(inc), maxOcc = maxOcc)
       val want = collectSpans(
         Dedup.duplicateSpansAgainstBaseline(df(inc), df(bas), n = n, maxOcc = maxOcc))
       val got = collectSpans(adv.spans)
@@ -84,8 +84,8 @@ object SpanEvolveProps extends Properties("SpanEvolve") {
       val b1 = docs.filter(d => d._1 >= third && d._1 < 2 * third)
       val b2 = docs.filter(_._1 >= 2 * third)
       val big = 1000000
-      val a1 = Dedup.advanceSpanBaseline(Dedup.initSpanBaseline(df(b0), n = n), df(b1), n = n, maxOcc = big)
-      val a2 = Dedup.advanceSpanBaseline(a1.state, df(b2), n = n, maxOcc = big)
+      val a1 = Dedup.advanceSpanBaseline(Dedup.initSpanBaseline(df(b0), n = n), df(b1), maxOcc = big)
+      val a2 = Dedup.advanceSpanBaseline(a1.state, df(b2), maxOcc = big)
 
       val want1 = crossSpans(b1, b0)
       val cleaned1 = excise(b1, want1)

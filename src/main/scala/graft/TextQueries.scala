@@ -755,6 +755,59 @@ object TextQueries {
        |FROM isl GROUP BY id_in, id_bas, diag, island""".stripMargin
   }
 
+  // -- cross-crawl n-gram novelty --------------------------------------------
+  private val noveltyRate: Q = (s, d) => {
+    val all = docs(s, d)
+    Dedup.noveltyRate(all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250), n = 8)
+  }
+
+  /** Mirror: baseline DISTINCT gram hashes, incoming positional gram
+    * stream LEFT-joined on the gram key, per-document novel fraction
+    * (NULL below n tokens — 0/0 is not 0% novel).
+    */
+  private val noveltyRateSql =
+    s"""WITH hi AS (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents WHERE doc_id >= 250),
+       |hb AS (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents WHERE doc_id < 250),
+       |bas AS (SELECT DISTINCT unnest(${rolledGramList("hs", 8)}) AS g FROM hb),
+       |gi AS (SELECT doc_id, unnest(${rolledGramList("hs", 8)}) AS g FROM hi),
+       |pd AS (SELECT gi.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(CASE WHEN bas.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |       FROM gi LEFT JOIN bas ON gi.g = bas.g GROUP BY 1)
+       |SELECT ids.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+       |  coalesce(pd.n_novel, 0) AS n_novel,
+       |  round(CAST(pd.n_novel AS DOUBLE) / pd.n_grams, 6) AS novelty
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) ids
+       |LEFT JOIN pd ON ids.doc_id = pd.doc_id""".stripMargin
+
+  // -- cross-crawl vocabulary drift ------------------------------------------
+  private val vocabDrift: Q = (s, d) => {
+    val all = docs(s, d)
+    TextAnalysis.vocabDrift(all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250), k = 50)
+  }
+
+  /** Mirror: per-side unigram counts, FULL OUTER token join, per-token JS
+    * contribution in micro-nats (zero-count side contributes the x·ln x → 0
+    * limit), rounded BEFORE ranking with a token tie-break.
+    */
+  private val vocabDriftSql =
+    s"""WITH ti AS (SELECT unnest(${toks(norm("text"))}) AS token FROM documents WHERE doc_id >= 250),
+       |tb AS (SELECT unnest(${toks(norm("text"))}) AS token FROM documents WHERE doc_id < 250),
+       |ci AS (SELECT token, CAST(count(*) AS BIGINT) AS c_inc FROM ti GROUP BY 1),
+       |cb AS (SELECT token, CAST(count(*) AS BIGINT) AS c_bas FROM tb GROUP BY 1),
+       |j AS (SELECT coalesce(ci.token, cb.token) AS token,
+       |        coalesce(c_inc, 0) AS c_inc, coalesce(c_bas, 0) AS c_bas
+       |      FROM ci FULL OUTER JOIN cb ON ci.token = cb.token),
+       |d AS (SELECT token, c_inc, c_bas,
+       |        CAST(c_inc AS DOUBLE) / (SELECT sum(c_inc) FROM ci) AS p,
+       |        CAST(c_bas AS DOUBLE) / (SELECT sum(c_bas) FROM cb) AS q
+       |      FROM j),
+       |s AS (SELECT token, c_inc, c_bas,
+       |        round(1000000 * (CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+       |                       + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 3) AS js_micro
+       |      FROM d)
+       |SELECT token, c_inc, c_bas, js_micro FROM s
+       |ORDER BY js_micro DESC, token LIMIT 50""".stripMargin
+
   // -- inter-run duplicate spans, streaming twin -----------------------------
   /** Same semantics as `inc_dup_spans` (shares its oracle): the incoming
     * half arrives as ONE micro-batch through `spanDedupStream` — pairing
@@ -1216,6 +1269,8 @@ object TextQueries {
     ("para_dedup", paraDedup, Some(paraDedupSql)),
     ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),
+    ("novelty_rate", noveltyRate, Some(noveltyRateSql)),
+    ("vocab_drift", vocabDrift, Some(vocabDriftSql)),
     ("inc_dup_spans", incDupSpans, Some(incDupSpansSql)),
     ("dup_spans_stream", dupSpansStream, Some(incDupSpansSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),

@@ -1097,6 +1097,46 @@ object Dedup {
     islandSpans(windows, n)
   }
 
+  /** Cross-crawl n-gram NOVELTY — per incoming document, the fraction of
+    * its n-gram occurrences never seen in the baseline corpus: the cheap
+    * crawl-health complement to [[duplicateSpansAgainstBaseline]]. A crawl
+    * whose novelty collapses is re-fetching content the corpus already
+    * holds (feed loops, recrawl storms) and can be triaged BEFORE paying
+    * the span family's positional self-join; a crawl whose novelty spikes
+    * flags a source shift worth a `TextAnalysis.vocabDrift` look. Output
+    * `(id, n_grams, n_novel, novelty)` — `novelty` NULL for documents
+    * shorter than `n` tokens (no grams to judge; 0/0 is not 0% novel).
+    *
+    * Shape at 100 TB: the baseline reduces to DISTINCT gram hashes before
+    * any exchange (the `inc_para_dedup` baseline rule — corpus text and
+    * positions never leave their side); the incoming gram stream joins it
+    * LEFT on the gram key (hash-partitioned equi-join, 8 bytes a row) and
+    * folds straight into a per-document map-side-combined count — no cap
+    * is needed because nothing here pairs: each incoming gram occurrence
+    * emits at most one row regardless of how hot the gram is. Both sides
+    * read their shared 60-bit hash layers, so a crawl that goes on to run
+    * the span family tokenizes nothing twice.
+    */
+  def noveltyRate(incoming: DataFrame, baseline: DataFrame,
+                  n: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, "novelty gram width must be at least 2")
+    val bInc = fullHashBase(incoming, idCol, textCol)
+    val bBas = fullHashBase(baseline, idCol, textCol)
+    val seen = posGramStream(bBas, n, idCol).select(col("g")).distinct()
+      .withColumn("__seen", lit(1))
+    val perDoc = posGramStream(bInc, n, idCol)
+      .join(seen, Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    incoming.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Inter-run twin of [[duplicateSpans]] — the nightly-crawl shape: spans
     * the INCOMING batch shares verbatim with the established baseline
     * corpus, and only those (no baseline-baseline pairing — the baseline

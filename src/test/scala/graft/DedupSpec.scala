@@ -296,4 +296,23 @@ class DedupSpec extends SparkSpec {
     assert(fresh.count() > 0, "per-invocation counting would re-pair — the gap the fold closes")
     a2.release(); a1.release()
   }
+
+  test("noveltyRate: seen grams score 0, fresh grams score 1, short docs stay NULL") {
+    val s = spark; import s.implicits._
+    val bas = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "a b c d"),   // every 3-gram in the baseline -> novelty 0
+      (11L, "x y z w"),   // nothing shared -> novelty 1
+      (12L, "a b c x"),   // grams: abc (seen), bcx (novel) -> 0.5
+      (13L, "a b"),       // shorter than n -> no grams, novelty NULL
+    ).toDF("doc_id", "text")
+    val r = Dedup.noveltyRate(inc, bas, n = 3).collect()
+      .map(row => row.getAs[Long]("doc_id") ->
+        (row.getAs[Long]("n_grams"), row.getAs[Long]("n_novel"),
+          Option(row.getAs[java.lang.Double]("novelty")))).toMap
+    assert(r(10L) == ((2L, 0L, Some(0.0))))
+    assert(r(11L) == ((2L, 2L, Some(1.0))))
+    assert(r(12L) == ((2L, 1L, Some(0.5))))
+    assert(r(13L) == ((0L, 0L, None)))
+  }
 }

@@ -340,4 +340,28 @@ class TextAnalysisSpec extends SparkSpec {
       .sortBy(_.getAs[Long]("position")).map(_.getAs[Long]("doc_id")).toSeq
     assert(other != expected)
   }
+
+  test("vocabDrift: identical sides score zero, one-sided tokens take the closed form") {
+    val s = spark; import s.implicits._
+    val base = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val same = TextAnalysis.vocabDrift(base, base).collect()
+    assert(same.forall(_.getAs[Double]("js_micro") == 0.0))
+
+    // incoming {x}, baseline {y}: each side's token is fully one-sided,
+    // p = 1 (resp. q = 1), m = 1/2 -> contribution = 0.5 * ln 2 exactly
+    val inc = Seq((1L, "x")).toDF("doc_id", "text")
+    val bas = Seq((2L, "y")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabDrift(inc, bas).collect()
+      .map(row => row.getAs[String]("token") -> row.getAs[Double]("js_micro")).toMap
+    val half = math.rint(0.5 * math.log(2.0) * 1e6 * 1000) / 1000
+    assert(r == Map("x" -> half, "y" -> half))
+
+    // ranking: the drifted token outranks the balanced one, and counts ride along
+    val inc2 = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val bas2 = Seq((2L, "a b b b")).toDF("doc_id", "text")
+    val top = TextAnalysis.vocabDrift(inc2, bas2, k = 1).head()
+    assert(top.getAs[String]("token") == "a" || top.getAs[String]("token") == "b")
+    assert(top.getAs[Long]("c_inc") + top.getAs[Long]("c_bas") == 4L)
+    assert(top.getAs[Double]("js_micro") > 0.0)
+  }
 }

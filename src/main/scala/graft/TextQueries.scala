@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, TextAnalysis}
 import graft.sources.Tables
 import Queries.Q
 
@@ -755,6 +755,67 @@ object TextQueries {
        |FROM isl GROUP BY id_in, id_bas, diag, island""".stripMargin
   }
 
+  // -- BPE tokenizer family --------------------------------------------------
+  private val bpePairs: Q = (s, d) => {
+    val wf = Bpe.wordFreqs(docs(s, d))
+    Bpe.pairCounts(wf.withColumn("syms", Bpe.initSymbols(col("word"))))
+  }
+
+  private val bpeTrain: Q = (s, d) => Bpe.train(docs(s, d), numMerges = 6)
+
+  private val bpeEncode: Q = (s, d) => {
+    val dd = docs(s, d)
+    Bpe.subwordFreqs(dd, Bpe.trainMerges(dd, 6).map(m => (m._1, m._2)))
+  }
+
+  /** Staged BPE mirror: word frequencies, then per round — adjacent-pair
+    * counts over the space-joined symbol strings, the (cnt DESC, pair
+    * ASC)-best pair, and the greedy left-to-right merge fold as a
+    * string-accumulator `list_reduce` (`regexp_extract`/`regexp_replace`
+    * of the fixed last-symbol pattern play the engine fold's stack top;
+    * symbols never contain spaces, so the delimiting is unambiguous).
+    * The oracle LEARNS its own merges — agreeing with the engine's is the
+    * verification.
+    */
+  private def bpeStages(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""w AS (SELECT unnest(${toks(norm("text"))}) AS word FROM documents),
+              |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1),
+              |s0 AS (SELECT word, freq, array_to_string([word[i] for i in range(1, len(word) + 1)] || ['</w>'], ' ') AS s FROM wf)""".stripMargin
+    for (i <- 0 until k) {
+      sb ++= s""",
+                |pc$i AS (SELECT p.a AS sym_a, p.b AS sym_b, CAST(sum(freq) AS BIGINT) AS cnt
+                |         FROM (SELECT freq, unnest([{'a': l[j], 'b': l[j + 1]} for j in range(1, len(l))]) AS p
+                |               FROM (SELECT freq, string_split(s, ' ') AS l FROM s$i))
+                |         GROUP BY 1, 2),
+                |m$i AS (SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, sym_a, sym_b, cnt
+                |        FROM pc$i ORDER BY cnt DESC, sym_a, sym_b LIMIT 1),
+                |s${i + 1} AS (SELECT word, freq, list_reduce(string_split(s, ' '), (acc, x) ->
+                |    CASE WHEN regexp_extract(acc, '[^ ]*$$') = sym_a AND x = sym_b
+                |         THEN regexp_replace(acc, '[^ ]*$$', '') || sym_a || sym_b
+                |         ELSE acc || ' ' || x END) AS s
+                |  FROM s$i, m$i)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private val bpePairsSql =
+    s"""WITH ${bpeStages(0)}
+       |SELECT p.a AS sym_a, p.b AS sym_b, CAST(sum(freq) AS BIGINT) AS cnt
+       |FROM (SELECT freq, unnest([{'a': l[j], 'b': l[j + 1]} for j in range(1, len(l))]) AS p
+       |      FROM (SELECT freq, string_split(s, ' ') AS l FROM s0))
+       |GROUP BY 1, 2""".stripMargin
+
+  private val bpeTrainSql =
+    s"""WITH ${bpeStages(6)}
+       |${(0 until 6).map(i => s"SELECT * FROM m$i").mkString("\n UNION ALL ")}""".stripMargin
+
+  private val bpeEncodeSql =
+    s"""WITH ${bpeStages(6)}
+       |SELECT t AS token, CAST(sum(freq) AS BIGINT) AS cnt
+       |FROM (SELECT freq, unnest(string_split(s, ' ')) AS t FROM s6)
+       |GROUP BY 1""".stripMargin
+
   // -- cross-crawl n-gram novelty --------------------------------------------
   private val noveltyRate: Q = (s, d) => {
     val all = docs(s, d)
@@ -1271,6 +1332,9 @@ object TextQueries {
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),
     ("novelty_rate", noveltyRate, Some(noveltyRateSql)),
     ("vocab_drift", vocabDrift, Some(vocabDriftSql)),
+    ("bpe_pairs", bpePairs, Some(bpePairsSql)),
+    ("bpe_train", bpeTrain, Some(bpeTrainSql)),
+    ("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     ("inc_dup_spans", incDupSpans, Some(incDupSpansSql)),
     ("dup_spans_stream", dupSpansStream, Some(incDupSpansSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),

@@ -816,6 +816,45 @@ object TextQueries {
        |FROM (SELECT freq, unnest(string_split(s, ' ')) AS t FROM s6)
        |GROUP BY 1""".stripMargin
 
+  private val bpeTokenCounts: Q = (s, d) => {
+    val dd = docs(s, d)
+    Bpe.docTokenCounts(dd, Bpe.trainMerges(dd, 6).map(m => (m._1, m._2)))
+  }
+
+  /** Shared count CTEs on top of the staged training chain: the final
+    * dictionary state's subword count per word, summed over each
+    * document's word occurrences.
+    */
+  private val bpeCountCtes =
+    s"""nsub AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS ns FROM s6),
+       |dw AS (SELECT doc_id, unnest(${toks(norm("text"))}) AS word FROM documents),
+       |agg AS (SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n FROM dw JOIN nsub USING (word) GROUP BY 1)""".stripMargin
+
+  private val bpeTokenCountsSql =
+    s"""WITH ${bpeStages(6)},
+       |$bpeCountCtes
+       |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  private val bpePack: Q = (s, d) => {
+    val dd = docs(s, d)
+    Bpe.packByBpe(dd, Bpe.trainMerges(dd, 6).map(m => (m._1, m._2)), budget = 512)
+  }
+
+  /** Tokenizer-aware packing mirror: the `pack_sequences` window over the
+    * BPE counts instead of the whitespace proxy.
+    */
+  private val bpePackSql =
+    s"""WITH ${bpeStages(6)},
+       |$bpeCountCtes,
+       |t AS (SELECT d.doc_id, d.source, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens
+       |      FROM documents d LEFT JOIN agg USING (doc_id)),
+       |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |        PARTITION BY source ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM t)
+       |SELECT doc_id, source, n_tokens, cb // 512 AS seq_id, cb % 512 AS seq_offset
+       |FROM c""".stripMargin
+
   // -- cross-crawl n-gram novelty --------------------------------------------
   private val noveltyRate: Q = (s, d) => {
     val all = docs(s, d)
@@ -1335,6 +1374,8 @@ object TextQueries {
     ("bpe_pairs", bpePairs, Some(bpePairsSql)),
     ("bpe_train", bpeTrain, Some(bpeTrainSql)),
     ("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    ("bpe_token_counts", bpeTokenCounts, Some(bpeTokenCountsSql)),
+    ("bpe_pack", bpePack, Some(bpePackSql)),
     ("inc_dup_spans", incDupSpans, Some(incDupSpansSql)),
     ("dup_spans_stream", dupSpansStream, Some(incDupSpansSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),

@@ -253,6 +253,46 @@ object Bpe {
       .select(explode(col("toks")).as("token"), col("freq"))
       .groupBy("token").agg(sum("freq").as("cnt"))
 
+  /** Per-document EXACT token counts under a merge list `(id,
+    * n_bpe_tokens)` — what sequence budgeting actually needs: the
+    * whitespace proxy miscounts by the subword factor, which varies per
+    * document (rare-word-heavy documents split more). No corpus explode:
+    * per-document term counts come from the native `TermCountsExpr`
+    * kernel (corpus scanned once, rows born pre-combined), the dictionary
+    * contributes one `(word, |subwords|)` side (AQE broadcasts small
+    * vocabularies), and the count is `Σ tf·|subwords(word)|` — one
+    * map-side-combined aggregate. Tokenless documents count 0.
+    */
+  def docTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dict = encodeWords(
+      wordFreqBase(docs, idCol, textCol).select(col("word")), merges)
+      .select(col("word"), size(col("toks")).cast("long").as("__nsub"))
+    val perDoc = TextAnalysis.tokenBase(docs, idCol, textCol)
+      .select(col(idCol), explode(termCounts(col("__tok"))).as("__tc"))
+      .select(col(idCol), col("__tc.token").as("word"), col("__tc.tf").as("tf"))
+      .join(dict, Seq("word"))
+      .groupBy(idCol).agg(sum(col("tf") * col("__nsub")).as("n_bpe_tokens"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** Tokenizer-aware sequence packing — [[TextAnalysis.packSequences]]
+    * budgeted by [[docTokenCounts]] instead of the whitespace proxy: the
+    * emission path a real training pipeline runs, where a 512-token
+    * budget means 512 tokens of the vocabulary the model will see.
+    * Same single-exchange pack shape; the only addition upstream is the
+    * dictionary join the counts cost.
+    */
+  def packByBpe(docs: DataFrame, merges: Seq[(String, String)], budget: Long,
+                streamCol: String = "source",
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    TextAnalysis.packSequences(
+      docs.select(col(idCol), col(streamCol))
+        .join(docTokenCounts(docs, merges, idCol, textCol), Seq(idCol)),
+      budget, streamCol, idCol, textCol,
+      tokenCountCol = Some("n_bpe_tokens"))
+
   /** Per-document token sequences `(id, wpos, spos, token)` — wpos the
     * word's position in the document, spos the subword's position in the
     * word; `(wpos, spos)` lexicographic is the document's token order.

@@ -632,7 +632,8 @@ object TextAnalysis {
     */
   def packSequences(docs: DataFrame, budget: Long, streamCol: String = "source",
                     idCol: String = "doc_id", textCol: String = "text",
-                    orderCol: Option[String] = None): DataFrame = {
+                    orderCol: Option[String] = None,
+                    tokenCountCol: Option[String] = None): DataFrame = {
     require(budget > 0, "budget must be positive")
     // optional explicit pack order (tie-broken by id): trainingOrder packs
     // by the seeded shuffle key instead of ingest id order
@@ -641,8 +642,13 @@ object TextAnalysis {
       .partitionBy(col(streamCol)).orderBy(ord: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val keep = col(idCol) +: orderCol.toSeq.map(col) :+ col(streamCol)
+    // optional precomputed per-document token counts (tokenizer-aware
+    // packing: Bpe.packByBpe budgets by the REAL vocabulary's counts);
+    // default stays the whitespace proxy computed from the text
+    val nTok = tokenCountCol.map(c => col(c).cast("long"))
+      .getOrElse(size(tokens(normalizeText(col(textCol)))).cast("long"))
     docs
-      .select(keep :+ size(tokens(normalizeText(col(textCol)))).cast("long").as("n_tokens"): _*)
+      .select(keep :+ nTok.as("n_tokens"): _*)
       .withColumn("__cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(keep ++ Seq(col("n_tokens"),
         // division audit: __cb is a cumulative token count (≥ 0), so

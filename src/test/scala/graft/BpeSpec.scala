@@ -85,6 +85,28 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("ab", Bpe.EOW, "b", "a", Bpe.EOW))
   }
 
+  test("docTokenCounts: exact counts under the vocabulary; tokenless docs count 0") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "low low lowest"), (2L, "low"), (3L, " ")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", Bpe.EOW))
+    // low -> [low</w>] (1), lowest -> [low,e,s,t,</w>] (5)
+    val r = Bpe.docTokenCounts(docs, merges).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r == Map(1L -> 7L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("packByBpe budgets by BPE counts, not the whitespace proxy") {
+    val s = spark; import s.implicits._
+    // two docs x 1 word each: whitespace counts are 1+1, but under zero
+    // merges "abcd" is 5 subwords (a b c d </w>) — budget 6 straddles
+    val docs = Seq((1L, "abcd", "x"), (2L, "abcd", "x")).toDF("doc_id", "text", "source")
+    val packed = Bpe.packByBpe(docs, Seq.empty, budget = 6).collect()
+      .map(row => row.getAs[Long]("doc_id") ->
+        (row.getAs[Long]("n_tokens"), row.getAs[Long]("seq_id"), row.getAs[Long]("seq_offset"))).toMap
+    assert(packed(1L) == ((5L, 0L, 0L)))
+    assert(packed(2L) == ((5L, 0L, 5L)))
+  }
+
   test("train emits 1-based ranks and stops early when nothing is left to merge") {
     val docs = corpus((1L, "a a a"))
     // "a</w>" has exactly one pair -> one merge, then nothing

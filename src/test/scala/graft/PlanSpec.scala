@@ -301,4 +301,30 @@ class PlanSpec extends SparkSpec {
       Set("doc_id", "shuffle_key", "source", "n_tokens"))
     assert(pack.size == 1, s"expected exactly one narrow pack exchange:\n$plan")
   }
+
+  test("bpe_pack shuffles carry words and counts, never a document text column") {
+    // tokenizer-aware packing: the corpus is read through the shared
+    // tokenBase/wordFreq caches, counts aggregate per document, and the
+    // pack window exchanges (doc_id, source, n_tokens) — document text
+    // exists only inside the cached layer builds, never on an exchange
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    SparkEntry.releaseSharedCaches()
+    val df = Queries.registry.collectFirst { case ("bpe_pack", q, _) => q }.get(spark, dir)
+    df.collect()
+    val shuffles = allNodes(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    for (s <- shuffles)
+      assert(!s.output.exists(_.name == "text"),
+        s"document text rides a bpe_pack shuffle: ${s.output.map(_.name)}")
+    val pack = shuffles.filter(_.output.map(_.name).toSet ==
+      Set("doc_id", "source", "n_tokens"))
+    assert(pack.size == 1, "expected exactly one narrow pack exchange")
+  }
 }

@@ -879,6 +879,39 @@ object TextQueries {
        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) ids
        |LEFT JOIN pd ON ids.doc_id = pd.doc_id""".stripMargin
 
+  // -- cross-crawl n-gram novelty, streaming twin ----------------------------
+  /** Same semantics as `novelty_rate` (shares its oracle): the incoming
+    * half rides one micro-batch through `noveltyStream` — novelty is
+    * fully batch-invariant (no cap, no pairing), so the replay must
+    * reproduce the batch operator row-for-row.
+    */
+  private val noveltyStreamQ: Q = (s, d) => {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val all = docs(s, d)
+    val incoming = graft.util.Caching.ensurePersisted(
+      all.filter(col("doc_id") >= 250).select("doc_id", "text"))
+    val feed = incoming.collect().toSeq.map(r => (r.getAs[Long](0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("novelty-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = graft.streaming.EventsStream.noveltyStream(
+      mem.toDF().toDF("doc_id", "text"), all.filter(col("doc_id") < 250), ckpt,
+      n = 8) { nov =>
+      buf.synchronized { schema = nov.schema; buf ++= nov.collect() }
+    }
+    try { mem.addData(feed); q.processAllAvailable() } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(ckpt))
+    }
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
+  }
+
   // -- cross-crawl vocabulary drift ------------------------------------------
   private val vocabDrift: Q = (s, d) => {
     val all = docs(s, d)
@@ -1370,6 +1403,7 @@ object TextQueries {
     ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),
     ("novelty_rate", noveltyRate, Some(noveltyRateSql)),
+    ("novelty_stream", noveltyStreamQ, Some(noveltyRateSql)),
     ("vocab_drift", vocabDrift, Some(vocabDriftSql)),
     ("bpe_pairs", bpePairs, Some(bpePairsSql)),
     ("bpe_train", bpeTrain, Some(bpeTrainSql)),

@@ -1119,10 +1119,23 @@ object Dedup {
     */
   def noveltyRate(incoming: DataFrame, baseline: DataFrame,
                   n: Int = 8,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    noveltyRateManaged(incoming, baseline, n, idCol, textCol)._1
+
+  /** Cleanup-handle twin of [[noveltyRate]] — the per-micro-batch form
+    * (`EventsStream.noveltyStream`): each batch's incoming hash layer is
+    * a distinct plan, so an unbounded stream must release it after the
+    * sink or stack one cache registration per batch; the release no-ops
+    * on a pre-registered baseline layer (`Caching.acquire` ownership),
+    * which is how the stream keeps the baseline resident across batches.
+    */
+  def noveltyRateManaged(incoming: DataFrame, baseline: DataFrame,
+                         n: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, () => Unit) = {
     require(n >= 2, "novelty gram width must be at least 2")
-    val bInc = fullHashBase(incoming, idCol, textCol)
-    val bBas = fullHashBase(baseline, idCol, textCol)
+    val (bInc, relInc) = acquireFullHashBase(incoming, idCol, textCol)
+    val (bBas, relBas) = acquireFullHashBase(baseline, idCol, textCol)
     val seen = posGramStream(bBas, n, idCol).select(col("g")).distinct()
       .withColumn("__seen", lit(1))
     val perDoc = posGramStream(bInc, n, idCol)
@@ -1130,11 +1143,12 @@ object Dedup {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
-    incoming.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    val out = incoming.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+    (out, () => { relInc(); relBas() })
   }
 
   /** Inter-run twin of [[duplicateSpans]] — the nightly-crawl shape: spans

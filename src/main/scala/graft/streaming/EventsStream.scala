@@ -151,6 +151,36 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming twin of `Dedup.noveltyRate`: per-micro-batch crawl-health
+    * novelty against the STATIC baseline via `foreachBatch` — the
+    * ingestion-path form of the triage signal (watch novelty collapse
+    * DURING a crawl, not after it lands). Unlike the span twin, the
+    * semantics here are FULLY batch-invariant: a document's novelty
+    * depends on its own grams and the baseline alone — no occurrence
+    * cap, no cross-document pairing — so any batching of the same
+    * documents produces identical rows (`EventsStreamSpec` drives one-
+    * and two-batch replays against the batch operator). The baseline's
+    * shared hash layer is guard-persisted on first use and reused by
+    * every batch; per-batch entries are released after the sink returns
+    * via the managed variant (the unbounded-stream registration rule).
+    * Baseline immutability and restart-to-refresh as every stream-static
+    * sibling.
+    */
+  def noveltyStream(docs: DataFrame, baseline: DataFrame, checkpoint: String,
+                    n: Int = 8)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.util.Caching.ensurePersisted(
+      graft.operators.Dedup.fullHashFrame(baseline, "doc_id", "text"))
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (nov, release) = graft.operators.Dedup.noveltyRateManaged(
+          batch.toDF(), baseline, n)
+        try sink(nov) finally release()
+      }
+      .start()
+  }
+
   /** Custom keyed state with MULTI-ROW emission via `flatMapGroupsWithState`
     * (the zero-or-more-outputs-per-group shape `mapGroupsWithState` cannot
     * express): per-user running spend with one alert row emitted for every

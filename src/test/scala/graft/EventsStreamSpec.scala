@@ -373,4 +373,32 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
     assert(buf.toSet == batchWant)
   }
+
+  test("noveltyStream: any batch split == batch twin (novelty is fully batch-invariant)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq((0L, "a b c d e"), (1L, "x y z w v")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a b c d e"),      // fully seen
+      (11L, "p q r s t"),      // fully novel
+      (12L, "a b c q r s"),    // mixed
+      (13L, "a b"))            // too short for n=3 -> NULL novelty
+    val batchWant = graft.operators.Dedup.noveltyRate(
+      incoming.toDF("doc_id", "text"), baseline, n = 3)
+      .collect().map(_.toSeq).toSet
+    assert(batchWant.size == 4)
+
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("novelty-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventsStream.noveltyStream(
+      mem.toDF().toDF("doc_id", "text"), baseline, ckpt, n = 3) { nov =>
+      buf.synchronized { buf ++= nov.collect().map(_.toSeq) }
+    }
+    try {
+      mem.addData(incoming.take(1)); q.processAllAvailable()
+      mem.addData(incoming.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.toSet == batchWant)
+  }
 }

@@ -879,6 +879,29 @@ object TextQueries {
        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) ids
        |LEFT JOIN pd ON ids.doc_id = pd.doc_id""".stripMargin
 
+  // -- carry-forward monitor states (two-crawl replays) ----------------------
+  /** Two advances from a seed must reproduce the stateless operator
+    * against the cumulative corpus (counts/sets are text tallies with
+    * nothing excised, so state ≡ union) — shares `novelty_rate`'s /
+    * `vocab_drift`'s oracle; what the replay grades is the state merge.
+    */
+  private val noveltyEvolve: Q = (s, d) => {
+    val all = docs(s, d)
+    val (_, seen1) = Dedup.advanceGramSet(
+      Dedup.initGramSet(all.filter(col("doc_id") < 150), n = 8),
+      all.filter(col("doc_id") >= 150 && col("doc_id") < 250), n = 8)
+    Dedup.noveltyAgainstGrams(all.filter(col("doc_id") >= 250), seen1, n = 8)
+  }
+
+  private val vocabEvolve: Q = (s, d) => {
+    val all = docs(s, d)
+    val (_, c1) = TextAnalysis.advanceUnigrams(
+      TextAnalysis.unigramCounts(all.filter(col("doc_id") < 150)),
+      all.filter(col("doc_id") >= 150 && col("doc_id") < 250))
+    TextAnalysis.vocabDriftFromCounts(
+      TextAnalysis.unigramCounts(all.filter(col("doc_id") >= 250)), c1, k = 50)
+  }
+
   // -- cross-crawl n-gram novelty, streaming twin ----------------------------
   /** Same semantics as `novelty_rate` (shares its oracle): the incoming
     * half rides one micro-batch through `noveltyStream` — novelty is
@@ -1404,7 +1427,9 @@ object TextQueries {
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),
     ("novelty_rate", noveltyRate, Some(noveltyRateSql)),
     ("novelty_stream", noveltyStreamQ, Some(noveltyRateSql)),
+    ("novelty_evolve", noveltyEvolve, Some(noveltyRateSql)),
     ("vocab_drift", vocabDrift, Some(vocabDriftSql)),
+    ("vocab_evolve", vocabEvolve, Some(vocabDriftSql)),
     ("bpe_pairs", bpePairs, Some(bpePairsSql)),
     ("bpe_train", bpeTrain, Some(bpeTrainSql)),
     ("bpe_encode", bpeEncode, Some(bpeEncodeSql)),

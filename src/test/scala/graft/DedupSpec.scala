@@ -297,6 +297,18 @@ class DedupSpec extends SparkSpec {
     a2.release(); a1.release()
   }
 
+  test("advanceGramSet: two advances == stateless novelty against the union corpus") {
+    val s = spark; import s.implicits._
+    val b0 = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "c d e f")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "a b c x"), (3L, "d e f g")).toDF("doc_id", "text")
+    val (nov1, seen1) = Dedup.advanceGramSet(Dedup.initGramSet(b0, n = 3), b1, n = 3)
+    val (nov2, _) = Dedup.advanceGramSet(seen1, b2, n = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(nov1) == rows(Dedup.noveltyRate(b1, b0, n = 3)))
+    assert(rows(nov2) == rows(Dedup.noveltyRate(b2, b0.unionByName(b1), n = 3)))
+  }
+
   test("noveltyRate: seen grams score 0, fresh grams score 1, short docs stay NULL") {
     val s = spark; import s.implicits._
     val bas = Seq((1L, "a b c d")).toDF("doc_id", "text")

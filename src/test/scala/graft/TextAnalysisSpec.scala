@@ -341,6 +341,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(other != expected)
   }
 
+  test("advanceUnigrams: two advances == stateless drift against the union corpus") {
+    val s = spark; import s.implicits._
+    val b0 = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "b c c")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "a c d d")).toDF("doc_id", "text")
+    val (d1, c1) = TextAnalysis.advanceUnigrams(TextAnalysis.unigramCounts(b0), b1)
+    val (d2, _) = TextAnalysis.advanceUnigrams(c1, b2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(d1) == rows(TextAnalysis.vocabDrift(b1, b0)))
+    assert(rows(d2) == rows(TextAnalysis.vocabDrift(b2, b0.unionByName(b1))))
+  }
+
   test("vocabDrift: identical sides score zero, one-sided tokens take the closed form") {
     val s = spark; import s.implicits._
     val base = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")

@@ -783,6 +783,10 @@ object TextQueries {
               |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1),
               |s0 AS (SELECT word, freq, array_to_string([word[i] for i in range(1, len(word) + 1)] || ['</w>'], ' ') AS s FROM wf)""".stripMargin
     for (i <- 0 until k) {
+      // mm$i is the ALWAYS-ONE-ROW form of the round's best pair ('' when
+      // training exhausted — '' is never a symbol, so the fold matches
+      // nothing and the state carries through unchanged): the fold stage
+      // cross-joins it, and an empty m$i must not empty the dictionary
       sb ++= s""",
                 |pc$i AS (SELECT p.a AS sym_a, p.b AS sym_b, CAST(sum(freq) AS BIGINT) AS cnt
                 |         FROM (SELECT freq, unnest([{'a': l[j], 'b': l[j + 1]} for j in range(1, len(l))]) AS p
@@ -790,11 +794,13 @@ object TextQueries {
                 |         GROUP BY 1, 2),
                 |m$i AS (SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, sym_a, sym_b, cnt
                 |        FROM pc$i ORDER BY cnt DESC, sym_a, sym_b LIMIT 1),
+                |mm$i AS (SELECT coalesce(max(sym_a), '') AS sym_a, coalesce(max(sym_b), '') AS sym_b
+                |         FROM m$i),
                 |s${i + 1} AS (SELECT word, freq, list_reduce(string_split(s, ' '), (acc, x) ->
                 |    CASE WHEN regexp_extract(acc, '[^ ]*$$') = sym_a AND x = sym_b
                 |         THEN regexp_replace(acc, '[^ ]*$$', '') || sym_a || sym_b
                 |         ELSE acc || ' ' || x END) AS s
-                |  FROM s$i, m$i)""".stripMargin
+                |  FROM s$i, mm$i)""".stripMargin
     }
     sb.toString
   }

@@ -30,9 +30,10 @@ import graft.functions.GraftFunctions._
   *     frequency, overlapping occurrences all counted (the standard
   *     Sennrich counting);
   *   - each round merges the (count DESC, left ASC, right ASC)-best pair
-  *     — the string tie-break is binary/code-point order both here and
-  *     in DuckDB (identical for ASCII corpora; documents are ASCII in
-  *     every graded fixture);
+  *     — the string tie-break is UTF-8 BINARY order on every path
+  *     (Spark's UTF8String sort, the driver loop's explicit byte
+  *     comparator, DuckDB's default collation all agree, for non-ASCII
+  *     corpora too);
   *   - one merge applies as a greedy LEFT-TO-RIGHT fold: scanning the
   *     symbol list once, an (a, b) adjacency whose left side was not
   *     itself just produced by this merge collapses to `ab` ("aaaa" under
@@ -47,20 +48,13 @@ object Bpe {
     */
   val EOW = "</w>"
 
-  /** SHARED word-frequency dictionary layer `(word, freq)` — the ONE
-    * corpus-touching step of the family, guarded-persisted because all
-    * three graded queries (pairs, train, encode) and any repeated
-    * training run read it. Derives from the shared [[TextAnalysis
-    * .tokenBase]] token arrays (no re-tokenization), pre-combines per
-    * document through the native `TermCountsExpr` kernel, and reduces to
-    * |vocab| rows before the one hash exchange.
+  /** The family's ONE corpus-touching step: the shared guarded-persisted
+    * `(word, freq)` dictionary layer, `TextAnalysis.wordFreqBase` — also
+    * read (as a rename projection) by the drift monitors, so a pipeline
+    * running both families pays the aggregate once.
     */
   private[graft] def wordFreqBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.util.Caching.ensurePersisted(
-      TextAnalysis.tokenBase(docs, idCol, textCol)
-        .select(explode(termCounts(col("__tok"))).as("__tc"))
-        .select(col("__tc.token").as("word"), col("__tc.tf").as("tf"))
-        .groupBy("word").agg(sum("tf").as("freq")))
+    TextAnalysis.wordFreqBase(docs, idCol, textCol)
 
   def wordFreqs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     wordFreqBase(docs, idCol, textCol)
@@ -153,13 +147,32 @@ object Bpe {
       : Seq[(String, String, Long)] = {
     require(numMerges >= 0, "numMerges must be non-negative")
     val wf = wordFreqBase(docs, idCol, textCol)
-    // one dictionary-sized stat pass decides the gate: chars*2 bytes +
-    // per-row object overhead, the union-find gate's estimate style
+    // one dictionary-sized stat pass decides the gate. The driver path's
+    // real footprint is NOT chars*2: charSyms expands every code point
+    // into its own java.lang.String (~48 B header+value each) inside a
+    // Vector (~8 B ref + ~32 B/element tree overhead), so the estimate
+    // charges ~96 B per character plus ~128 B per word — measured-shape
+    // accounting, not the string-bytes lower bound (which undercounts
+    // ~25x and would OOM exactly the dictionaries the gate should route
+    // to the distributed path)
     val stat = wf.agg(count(lit(1)).as("n"), sum(length(col("word"))).as("chars")).head()
     val n = stat.getLong(0)
-    val estBytes = (if (stat.isNullAt(1)) 0L else stat.getLong(1)) * 2L + n * 64L
+    val estBytes = (if (stat.isNullAt(1)) 0L else stat.getLong(1)) * 96L + n * 128L
     if (estBytes <= driverMaxBytes) trainDriver(wf, numMerges)
     else trainDistributed(wf, numMerges)
+  }
+
+  /** UTF-8 unsigned-byte lexicographic order — byte-identical to how the
+    * distributed path's `orderBy` compares `UTF8String`s.
+    */
+  private val utf8BinaryOrdering: Ordering[String] = (s1: String, s2: String) => {
+    val a = s1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = s2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var r = 0
+    while (i < n && r == 0) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+    if (r != 0) r else a.length - b.length
   }
 
   private def trainDriver(wf: DataFrame, numMerges: Int): Seq[(String, String, Long)] = {
@@ -174,9 +187,13 @@ object Bpe {
         counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
       if (counts.isEmpty) done = true
       else {
-        // (count DESC, left ASC, right ASC) — String.compareTo is
-        // code-unit order; equals code-point/UTF-8 binary order for every
-        // BMP symbol, and exactly for the ASCII graded fixtures
+        // (count DESC, left ASC, right ASC) — strings compared in UTF-8
+        // BINARY order (what Spark's UTF8String sort gives the
+        // distributed path), NOT String.compareTo: code-unit order
+        // diverges from byte order between U+E000..U+FFFF and
+        // supplementary code points, and the two gated paths must learn
+        // identical vocabularies on ANY corpus, not just ASCII ones
+        implicit val utf8Order: Ordering[String] = utf8BinaryOrdering
         val ((a, b), c) = counts.minBy { case ((x, y), cn) => (-cn, x, y) }
         merges += ((a, b, c))
         dict = dict.map { case (syms, f) => (foldMerge(syms, a, b), f) }

@@ -1035,6 +1035,32 @@ object Dedup {
       .select(col("id_a").as(idCol), col("start_a"), col("start_b"), col("n_tokens"))
   }
 
+  /** Cross-document AND intra-document spans from ONE capped self-join —
+    * what [[exciseSpans]]`(includeIntra = true)` consumes: the two graded
+    * ops restrict the same join to complementary predicates
+    * (`id_a < id_b` vs `id_a = id_b ∧ pos_a < pos_b`), so composing them
+    * by union would pay the gram self-join, islands pass, and
+    * verification twice; the disjunction produces both families in one
+    * pipeline (island groups key on (pair, diagonal), and intra rows'
+    * keys are disjoint from cross rows' by construction). Rows with
+    * `id_a = id_b` are the intra spans.
+    */
+  private def duplicateSpansCombined(docs: DataFrame, n: Int, maxOcc: Int,
+                                     idCol: String, textCol: String): DataFrame = {
+    require(n >= 2, "span gram width must be at least 2")
+    val base = fullHashBase(docs, idCol, textCol)
+    val gated = capBuckets(posGramStream(base, n, idCol), Seq("g"), maxOcc)
+    val l = gated.select(col("g"), col(idCol).as("id_a"), col("pos").as("pos_a"))
+    val r = gated.select(col("g"), col(idCol).as("id_b"), col("pos").as("pos_b"))
+    val matches = l.join(r, Seq("g"))
+      .filter(col("id_a") < col("id_b") ||
+        (col("id_a") === col("id_b") && col("pos_a") < col("pos_b")))
+      .select("id_a", "id_b", "pos_a", "pos_b")
+    verifySpans(islandSpans(matches, n),
+      base.select(col(idCol).as("id_a"), col("__fh").as("__fh_a")),
+      base.select(col(idCol).as("id_b"), col("__fh").as("__fh_b")), n)
+  }
+
   /** Maximal runs via gaps-and-islands over candidate gram matches
     * `(id_a, id_b, pos_a, pos_b)`: matches on one diagonal
     * (`pos_a − pos_b` constant) with consecutive `pos_a` share one island
@@ -1149,23 +1175,43 @@ object Dedup {
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     noveltyAgainstGramsManaged(incoming, seenGrams, n, idCol, textCol)._1
 
-  private def noveltyAgainstGramsManaged(incoming: DataFrame, seenGrams: DataFrame,
-                                         n: Int, idCol: String, textCol: String)
+  /** Cleanup-handle form of [[noveltyAgainstGrams]] — what
+    * `EventsStream.noveltyStream` calls per micro-batch (each batch's
+    * hash layer is a distinct plan; release after the sink, or an
+    * unbounded stream stacks registrations). The seen set is the
+    * CALLER's frame — persist it once (`initGramSet` + a guard) and
+    * every batch pays only its own side.
+    */
+  def noveltyAgainstGramsManaged(incoming: DataFrame, seenGrams: DataFrame,
+                                 n: Int = 8,
+                                 idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, () => Unit) = {
     require(n >= 2, "novelty gram width must be at least 2")
     val (bInc, relInc) = acquireFullHashBase(incoming, idCol, textCol)
+    val out = noveltyFromGrams(posGramStream(bInc, n, idCol),
+      incoming.select(col(idCol)), seenGrams, idCol)
+    (out, relInc)
+  }
+
+  /** Per-doc novelty fold shared by the stateless, streaming, and
+    * carry-forward forms. The gram stream arrives AS-IS: the single-
+    * consumer forms must not pay a corpus-token-sized persist, and
+    * [[advanceGramSetManaged]] — whose state merge is a second consumer —
+    * acquires it before calling here.
+    */
+  private def noveltyFromGrams(grams: DataFrame, incomingIds: DataFrame,
+                               seenGrams: DataFrame, idCol: String): DataFrame = {
     val seen = seenGrams.select(col("g")).withColumn("__seen", lit(1))
-    val perDoc = posGramStream(bInc, n, idCol)
+    val perDoc = grams
       .join(seen, Seq("g"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
-    val out = incoming.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    incomingIds.join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
-    (out, relInc)
   }
 
   /** The seen-gram SET a corpus contributes — [[advanceGramSet]]'s
@@ -1192,12 +1238,32 @@ object Dedup {
   def advanceGramSet(seen: DataFrame, incoming: DataFrame, n: Int = 8,
                      idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, DataFrame) = {
-    val novelty = noveltyAgainstGrams(incoming, seen, n, idCol, textCol)
+    val (novelty, merged, _) = advanceGramSetManaged(seen, incoming, n, idCol, textCol)
+    (novelty, merged) // one-shot form: registrations left to LRU
+  }
+
+  /** Cleanup-handle twin of [[advanceGramSet]] — the nightly-loop form:
+    * the incoming batch's hash layer and gram stream are acquired here
+    * and released once the novelty rows are read and the merged set
+    * checkpointed, so a loop that advances per crawl never stacks
+    * registrations (the `noveltyRateManaged` rule). The shared gram
+    * stream feeds both the novelty fold and the state merge — one
+    * explode, two consumers.
+    */
+  def advanceGramSetManaged(seen: DataFrame, incoming: DataFrame, n: Int = 8,
+                            idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame, () => Unit) = {
+    require(n >= 2, "novelty gram width must be at least 2")
+    val (bInc, relInc) = acquireFullHashBase(incoming, idCol, textCol)
+    // the gram stream feeds BOTH the novelty fold and the state merge;
+    // column pruning makes their exchange subtrees distinct, so without
+    // this acquire the explode would run twice
+    val (stream, relStream) = graft.util.Caching.acquire(posGramStream(bInc, n, idCol))
+    val novelty = noveltyFromGrams(stream, incoming.select(col(idCol)), seen, idCol)
     val merged = seen.select(col("g"))
-      .unionByName(posGramStream(fullHashBase(incoming, idCol, textCol), n, idCol)
-        .select(col("g")))
+      .unionByName(stream.select(col("g")))
       .distinct()
-    (novelty, merged)
+    (novelty, merged, () => { relStream(); relInc() })
   }
 
   /** Inter-run twin of [[duplicateSpans]] — the nightly-crawl shape: spans
@@ -1441,14 +1507,15 @@ object Dedup {
   def exciseSpans(docs: DataFrame, n: Int = 8, maxOcc: Int = 64,
                   idCol: String = "doc_id", textCol: String = "text",
                   includeIntra: Boolean = false): DataFrame = {
-    val spans = duplicateSpans(docs, n, maxOcc, idCol, textCol)
-    val cross = spanPositions(spans, "id_b", "start_b", idCol)
-    // includeIntra folds within-document repeats in: the LATER occurrence
-    // of each intra span excises (keep-first inside the document, the same
-    // rule the cross-document side applies across ids)
-    val removed = (if (!includeIntra) cross
-      else cross.unionByName(spanPositions(
-        duplicateSpansIntra(docs, n, maxOcc, idCol, textCol), idCol, "start_b", idCol)))
+    // includeIntra folds within-document repeats in through the COMBINED
+    // single-join path (one gram self-join, one islands pass, one verify
+    // for both families): the LATER occurrence of each intra span excises
+    // (keep-first inside the document, the same rule the cross-document
+    // side applies across ids) — and the id_b/start_b side names the
+    // excised position for cross and intra rows alike
+    val spans = if (includeIntra) duplicateSpansCombined(docs, n, maxOcc, idCol, textCol)
+      else duplicateSpans(docs, n, maxOcc, idCol, textCol)
+    val removed = spanPositions(spans, "id_b", "start_b", idCol)
       .distinct() // overlapping spans may name a position twice
     exciseAt(docs, removed, idCol, textCol)
   }

@@ -340,9 +340,11 @@ object TextAnalysis {
     * layer would trade that one codegen'd scan for a cache read PLUS an
     * id join to re-attach their columns.
     */
+  private def tokenFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(normalizeText(col(textCol))).as("__tok"))
+
   private[graft] def tokenBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.util.Caching.ensurePersisted(
-      docs.select(col(idCol), tokens(normalizeText(col(textCol))).as("__tok")))
+    graft.util.Caching.ensurePersisted(tokenFrame(docs, idCol, textCol))
 
   /** SHARED per-document quality-SCORE layer: ONE guarded-persisted
     * `(id, quality_score)` frame per corpus, the third shared layer next
@@ -799,16 +801,39 @@ object TextAnalysis {
     vocabDriftFromCounts(unigramCounts(incoming, idCol, textCol),
       unigramCounts(baseline, idCol, textCol), k)
 
+  /** SHARED word-frequency dictionary layer `(word, freq)` — the fourth
+    * shared layer next to `Dedup.fullHashBase` / [[tokenBase]] /
+    * [[scoreBase]]: one guarded-persisted vocab-scale aggregate per
+    * corpus, read by the BPE family (`Bpe.wordFreqBase` delegates here)
+    * AND the drift monitors ([[unigramCounts]] is a rename projection
+    * over it, so the two families share one cache entry — a pipeline
+    * running both pays the aggregate once). Derives from [[tokenBase]]
+    * (no re-tokenization); `TermCountsExpr` pre-combines per document,
+    * so the one exchange carries |vocab|-scale rows, never corpus
+    * tokens.
+    */
+  private def wordFreqFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenBase(docs, idCol, textCol)
+      .select(explode(termCounts(col("__tok"))).as("__tc"))
+      .select(col("__tc.token").as("word"), col("__tc.tf").as("tf"))
+      .groupBy("word").agg(sum("tf").as("freq"))
+
+  private[graft] def acquireWordFreqBase(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, () => Unit) =
+    graft.util.Caching.acquire(wordFreqFrame(docs, idCol, textCol))
+
+  private[graft] def wordFreqBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    acquireWordFreqBase(docs, idCol, textCol)._1
+
   /** Corpus unigram counts `(token, c)` — [[vocabDrift]]'s per-side input
-    * and the CARRY-FORWARD state of [[advanceUnigrams]]: one
-    * map-side-combined vocab-scale aggregate off the [[tokenBase]] layer.
+    * and the CARRY-FORWARD state of [[advanceUnigrams]]: a rename
+    * projection over the shared [[wordFreqBase]] layer (cache-shared
+    * with the BPE family).
     */
   def unigramCounts(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =
-    tokenBase(docs, idCol, textCol)
-      .select(explode(termCounts(col("__tok"))).as("__tc"))
-      .select(col("__tc.token").as("token"), col("__tc.tf").as("tf"))
-      .groupBy("token").agg(sum("tf").as("c"))
+    wordFreqBase(docs, idCol, textCol)
+      .select(col("word").as("token"), col("freq").as("c"))
 
   /** Unigram-count EVOLUTION — the monitoring loop's carry-forward shape
     * (the span family's `SpanBaseline` pattern, without its excision
@@ -826,10 +851,31 @@ object TextAnalysis {
   def advanceUnigrams(counts: DataFrame, incoming: DataFrame, k: Int = 50,
                       idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, DataFrame) = {
-    val inc = unigramCounts(incoming, idCol, textCol)
+    val (drift, merged, _) = advanceUnigramsManaged(counts, incoming, k, idCol, textCol)
+    (drift, merged) // one-shot form: registrations left to LRU, the plain-form rule
+  }
+
+  /** Cleanup-handle twin of [[advanceUnigrams]] — the nightly-loop form:
+    * each crawl's incoming batch is a DISTINCT plan, so its token and
+    * word-frequency layers are ACQUIRED here (before any guard registers
+    * them) and the release drops exactly this crawl's entries once the
+    * drift rows are read and the merged state checkpointed — a loop that
+    * advances nightly must not stack registrations per crawl (the
+    * `noveltyRateManaged` rule). Both outputs read the one acquired
+    * vocab-scale aggregate, so materializing drift and state costs the
+    * incoming scan once.
+    */
+  def advanceUnigramsManaged(counts: DataFrame, incoming: DataFrame, k: Int = 50,
+                             idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame, () => Unit) = {
+    // acquire-before-guard: constructing wordFreqFrame runs tokenBase's
+    // ensurePersisted, so the token layer must be owned first
+    val (_, relTok) = graft.util.Caching.acquire(tokenFrame(incoming, idCol, textCol))
+    val (wf, relWf) = acquireWordFreqBase(incoming, idCol, textCol)
+    val inc = wf.select(col("word").as("token"), col("freq").as("c"))
     val merged = counts.unionByName(inc)
       .groupBy("token").agg(sum("c").as("c"))
-    (vocabDriftFromCounts(inc, counts, k), merged)
+    (vocabDriftFromCounts(inc, counts, k), merged, () => { relWf(); relTok() })
   }
 
   /** [[vocabDrift]] over precomputed per-side counts (see

@@ -169,13 +169,17 @@ object EventsStream {
   def noveltyStream(docs: DataFrame, baseline: DataFrame, checkpoint: String,
                     n: Int = 8)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    graft.util.Caching.ensurePersisted(
-      graft.operators.Dedup.fullHashFrame(baseline, "doc_id", "text"))
+    // the baseline contributes only its DISTINCT gram SET — persist THAT
+    // (8 bytes a row), not just the hash layer: every batch then joins
+    // the cached set, instead of re-running the baseline-corpus-scale
+    // gram explode + distinct per micro-batch
+    val seen = graft.util.Caching.ensurePersisted(
+      graft.operators.Dedup.initGramSet(baseline, n))
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val (nov, release) = graft.operators.Dedup.noveltyRateManaged(
-          batch.toDF(), baseline, n)
+        val (nov, release) = graft.operators.Dedup.noveltyAgainstGramsManaged(
+          batch.toDF(), seen, n)
         try sink(nov) finally release()
       }
       .start()

@@ -777,9 +777,9 @@ object TextQueries {
     * The oracle LEARNS its own merges — agreeing with the engine's is the
     * verification.
     */
-  private def bpeStages(k: Int): String = {
+  private def bpeStages(k: Int, from: String = "documents"): String = {
     val sb = new StringBuilder
-    sb ++= s"""w AS (SELECT unnest(${toks(norm("text"))}) AS word FROM documents),
+    sb ++= s"""w AS (SELECT unnest(${toks(norm("text"))}) AS word FROM $from),
               |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1),
               |s0 AS (SELECT word, freq, array_to_string([word[i] for i in range(1, len(word) + 1)] || ['</w>'], ' ') AS s FROM wf)""".stripMargin
     for (i <- 0 until k) {
@@ -831,14 +831,14 @@ object TextQueries {
     * dictionary state's subword count per word, summed over each
     * document's word occurrences.
     */
-  private val bpeCountCtes =
+  private def bpeCountCtes(from: String = "documents") =
     s"""nsub AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS ns FROM s6),
-       |dw AS (SELECT doc_id, unnest(${toks(norm("text"))}) AS word FROM documents),
+       |dw AS (SELECT doc_id, unnest(${toks(norm("text"))}) AS word FROM $from),
        |agg AS (SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n FROM dw JOIN nsub USING (word) GROUP BY 1)""".stripMargin
 
   private val bpeTokenCountsSql =
     s"""WITH ${bpeStages(6)},
-       |$bpeCountCtes
+       |${bpeCountCtes()}
        |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bpe_tokens
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin
 
@@ -852,7 +852,7 @@ object TextQueries {
     */
   private val bpePackSql =
     s"""WITH ${bpeStages(6)},
-       |$bpeCountCtes,
+       |${bpeCountCtes()},
        |t AS (SELECT d.doc_id, d.source, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens
        |      FROM documents d LEFT JOIN agg USING (doc_id)),
        |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
@@ -884,6 +884,42 @@ object TextQueries {
        |  round(CAST(pd.n_novel AS DOUBLE) / pd.n_grams, 6) AS novelty
        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) ids
        |LEFT JOIN pd ON ids.doc_id = pd.doc_id""".stripMargin
+
+  // -- tokenizer endgame: excise -> train BPE -> pack by real counts ---------
+  /** The full corpus→training-data tokenizer path as one graded
+    * composition: span-excise the corpus, train the subword vocabulary
+    * on the CLEAN text (training on text about to be excised would teach
+    * the tokenizer its boilerplate), then pack by exact token counts
+    * under that vocabulary. Composition is where shared-layer bugs hide
+    * (the `curation_pipeline` lesson) — here the clean corpus feeds both
+    * training and counting through one tokenBase/wordFreq layer pair.
+    */
+  private val tokenizerPipeline: Q = (s, d) => {
+    val dd = docs(s, d)
+    val clean = Dedup.exciseSpans(dd, n = 8, maxOcc = 64)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(dd.select("doc_id", "source"), Seq("doc_id"))
+    Bpe.packByBpe(clean, Bpe.trainMerges(clean, 6).map(m => (m._1, m._2)), budget = 512)
+  }
+
+  /** Mirror: the excise chain's clean corpus (`cd`) feeds the staged BPE
+    * training and the count/pack window — pack CTEs renamed (`pt`/`pw`)
+    * clear of spanChain's `t`.
+    */
+  private val tokenizerPipelineSql =
+    s"""$dupSpanCtes,
+       |$exciseChainCtes,
+       |cd AS (SELECT d.doc_id, d.source, coalesce(rb.clean_text, '') AS text
+       |       FROM documents d LEFT JOIN rb USING (doc_id)),
+       |${bpeStages(6, "cd")},
+       |${bpeCountCtes("cd")},
+       |pt AS (SELECT cd.doc_id, cd.source, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens
+       |       FROM cd LEFT JOIN agg USING (doc_id)),
+       |pw AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |         PARTITION BY source ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM pt)
+       |SELECT doc_id, source, n_tokens, cb // 512 AS seq_id, cb % 512 AS seq_offset
+       |FROM pw""".stripMargin
 
   // -- carry-forward monitor states (two-crawl replays) ----------------------
   /** Two advances from a seed must reproduce the stateless operator
@@ -1031,19 +1067,27 @@ object TextQueries {
   private val exciseSpans: Q = (s, d) =>
     Dedup.exciseSpans(docs(s, d), n = 8, maxOcc = 64)
 
+  /** Excision chain on top of spanChain's `vs`/`t` (the id_b/start_b side
+    * removes; keep-first rebuild) — ends at `rb` (doc_id, clean_text) and
+    * `rc` (doc_id, n_removed); `excise_spans` selects them,
+    * `tokenizer_pipeline` trains and packs on the clean corpus.
+    */
+  private def exciseChainCtes =
+    """rem0 AS (SELECT id_b AS doc_id,
+      |           unnest([start_b + i for i in range(0, n_tokens)]) AS pos FROM vs),
+      |rem AS (SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos FROM rem0),
+      |tkpos AS (SELECT doc_id, e.pos AS pos, e.tok AS tok
+      |          FROM (SELECT doc_id,
+      |                  unnest([{'pos': i - 1, 'tok': tk[i]} for i in range(1, len(tk) + 1)]) AS e
+      |                FROM t)),
+      |kept AS (SELECT tkpos.* FROM tkpos ANTI JOIN rem USING (doc_id, pos)),
+      |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |       FROM kept GROUP BY doc_id),
+      |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id)""".stripMargin
+
   private val exciseSpansSql =
     s"""$dupSpanCtes,
-       |rem0 AS (SELECT id_b AS doc_id,
-       |           unnest([start_b + i for i in range(0, n_tokens)]) AS pos FROM vs),
-       |rem AS (SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos FROM rem0),
-       |tkpos AS (SELECT doc_id, e.pos AS pos, e.tok AS tok
-       |          FROM (SELECT doc_id,
-       |                  unnest([{'pos': i - 1, 'tok': tk[i]} for i in range(1, len(tk) + 1)]) AS e
-       |                FROM t)),
-       |kept AS (SELECT tkpos.* FROM tkpos ANTI JOIN rem USING (doc_id, pos)),
-       |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
-       |       FROM kept GROUP BY doc_id),
-       |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id)
+       |$exciseChainCtes
        |SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text,
        |  coalesce(rc.n_removed, 0) AS n_removed
        |FROM documents d LEFT JOIN rb USING (doc_id) LEFT JOIN rc USING (doc_id)""".stripMargin
@@ -1441,6 +1485,7 @@ object TextQueries {
     ("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     ("bpe_token_counts", bpeTokenCounts, Some(bpeTokenCountsSql)),
     ("bpe_pack", bpePack, Some(bpePackSql)),
+    ("tokenizer_pipeline", tokenizerPipeline, Some(tokenizerPipelineSql)),
     ("inc_dup_spans", incDupSpans, Some(incDupSpansSql)),
     ("dup_spans_stream", dupSpansStream, Some(incDupSpansSql)),
     ("mm_resize", mmResize, Some(mmResizeSql)),

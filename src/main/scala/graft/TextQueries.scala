@@ -1406,6 +1406,22 @@ object TextQueries {
     * an exact integer (≤ 23·23·255 ≪ 2^53) and `mean_px` is one IEEE
     * double division on both engines.
     */
+  /** Payload bytes are md5 of the text's first 30 chars (`syntheticMedia`
+    * over prefixes — full texts are unique at every SF, prefixes collide
+    * plentifully), so byte-identical payloads form real multi-member
+    * classes and the graded row exercises keep-first collapse over
+    * binary, not just the hex projection.
+    */
+  private val mmDedup: Q = (s, d) =>
+    Multimodal.dedupBinary(Multimodal.syntheticMedia(
+      docs(s, d).select(col("doc_id"), substring(col("text"), 1, 30).as("text"))))
+
+  private val mmDedupSql =
+    """WITH m AS (SELECT doc_id, upper(md5(substr(text, 1, 30))) AS payload_hex FROM documents)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, payload_hex,
+      |  CAST(count(*) AS BIGINT) AS n_copies
+      |FROM m GROUP BY payload_hex""".stripMargin
+
   private val mmDecode: Q = (s, d) =>
     Multimodal.decode(Multimodal.syntheticImages(docs(s, d)))
 
@@ -1492,5 +1508,6 @@ object TextQueries {
     ("mm_frames", mmFrames, Some(mmFramesSql)),
     ("mm_decode", mmDecode, Some(mmDecodeSql)),
     ("mm_audio", mmAudio, Some(mmAudioSql)),
+    ("mm_dedup", mmDedup, Some(mmDedupSql)),
   )
 }

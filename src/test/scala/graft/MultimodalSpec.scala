@@ -127,4 +127,15 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.resizeMeta(media, 100).select("meta.width", "meta.height").head()
     assert((out.getInt(0), out.getInt(1)) == (100, 67))
   }
+
+  test("dedupBinary: byte-identical payloads collapse keep-first, hex output") {
+    val s = spark; import s.implicits._
+    val media = Seq(
+      (3L, Array[Byte](1, 2)), (1L, Array[Byte](1, 2)),   // dup class, min id 1
+      (2L, Array[Byte](1, 3)),                            // unique
+      (4L, Array.emptyByteArray)).toDF("doc_id", "media") // empty payload is a class too
+    val out = Multimodal.dedupBinary(media).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (("0102", 2L)), 2L -> (("0103", 1L)), 4L -> (("", 1L))))
+  }
 }

@@ -107,6 +107,20 @@ class BpeSpec extends SparkSpec {
     assert(packed(2L) == ((5L, 0L, 5L)))
   }
 
+  test("tie-break is UTF-8 binary order on both paths (code-unit order would diverge)") {
+    // U+FFFD is a single UTF-16 code unit but sorts AFTER the supplementary
+    // U+1F600 (surrogate pair) in code-unit order, while UTF-8 bytes order
+    // it BEFORE — equal-frequency pairs from these two words force the
+    // tie-break to decide, and both gated paths must pick the same pair
+    val docs = corpus((1L, "��"), (2L, "😀😀"))
+    val viaDriver = Bpe.trainMerges(docs, 1, driverMaxBytes = Long.MaxValue)
+    val viaCluster = Bpe.trainMerges(docs, 1, driverMaxBytes = 0L)
+    assert(viaDriver == viaCluster)
+    // UTF-8 orders U+FFFD (ef bf bd) before U+1F600 (f0 9f 98 80); UTF-16
+    // code units order them the other way (D83D < FFFD)
+    assert(viaDriver.head == (("�", Bpe.EOW, 1L)))
+  }
+
   test("train emits 1-based ranks and stops early when nothing is left to merge") {
     val docs = corpus((1L, "a a a"))
     // "a</w>" has exactly one pair -> one merge, then nothing

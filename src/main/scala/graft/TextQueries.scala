@@ -896,9 +896,13 @@ object TextQueries {
     */
   private val tokenizerPipeline: Q = (s, d) => {
     val dd = docs(s, d)
-    val clean = Dedup.exciseSpans(dd, n = 8, maxOcc = 64)
-      .select(col("doc_id"), col("clean_text").as("text"))
-      .join(dd.select("doc_id", "source"), Seq("doc_id"))
+    // guard-persisted: the excision chain (gram self-join, islands,
+    // verify, rebuild) feeds training AND two pruned copies in the pack
+    // plan — uncached it would execute three times in one job
+    val clean = graft.util.Caching.ensurePersisted(
+      Dedup.exciseSpans(dd, n = 8, maxOcc = 64)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(dd.select("doc_id", "source"), Seq("doc_id")))
     Bpe.packByBpe(clean, Bpe.trainMerges(clean, 6).map(m => (m._1, m._2)), budget = 512)
   }
 
@@ -1399,13 +1403,6 @@ object TextQueries {
       |SELECT doc_id, t.i AS frame_no, base64(unhex(substr(hx, CAST(t.i * 16 + 1 AS INTEGER), 8))) AS frame
       |FROM m, (SELECT unnest(range(0, 2)) AS i) t""".stripMargin
 
-  /** REAL decode: `syntheticImages` writes genuine PNG bytes (pixel
-    * (x, y) = (doc_id + x + y) mod 256) and `Multimodal.decode` reads the
-    * raster back out with JDK ImageIO — so width/height/mean_px are
-    * DECODED pixel facts the oracle recomputes arithmetically. The sum is
-    * an exact integer (≤ 23·23·255 ≪ 2^53) and `mean_px` is one IEEE
-    * double division on both engines.
-    */
   /** Payload bytes are md5 of the text's first 30 chars (`syntheticMedia`
     * over prefixes — full texts are unique at every SF, prefixes collide
     * plentifully), so byte-identical payloads form real multi-member
@@ -1422,6 +1419,13 @@ object TextQueries {
       |  CAST(count(*) AS BIGINT) AS n_copies
       |FROM m GROUP BY payload_hex""".stripMargin
 
+  /** REAL decode: `syntheticImages` writes genuine PNG bytes (pixel
+    * (x, y) = (doc_id + x + y) mod 256) and `Multimodal.decode` reads the
+    * raster back out with JDK ImageIO — so width/height/mean_px are
+    * DECODED pixel facts the oracle recomputes arithmetically. The sum is
+    * an exact integer (≤ 23·23·255 ≪ 2^53) and `mean_px` is one IEEE
+    * double division on both engines.
+    */
   private val mmDecode: Q = (s, d) =>
     Multimodal.decode(Multimodal.syntheticImages(docs(s, d)))
 

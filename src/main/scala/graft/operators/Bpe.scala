@@ -163,16 +163,25 @@ object Bpe {
   }
 
   /** UTF-8 unsigned-byte lexicographic order — byte-identical to how the
-    * distributed path's `orderBy` compares `UTF8String`s.
+    * distributed path's `orderBy` compares `UTF8String`s. Compared as
+    * CODE POINTS without materializing byte arrays (UTF-8 byte order
+    * equals code-point order): this ordering runs inside the driver
+    * loop's per-round argmax over the whole pair-count map, where a
+    * getBytes-per-comparison implementation would allocate millions of
+    * short-lived arrays per merge.
     */
   private val utf8BinaryOrdering: Ordering[String] = (s1: String, s2: String) => {
-    val a = s1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = s2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(a.length, b.length)
     var i = 0
+    var j = 0
     var r = 0
-    while (i < n && r == 0) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
-    if (r != 0) r else a.length - b.length
+    while (r == 0 && i < s1.length && j < s2.length) {
+      val c1 = s1.codePointAt(i)
+      val c2 = s2.codePointAt(j)
+      r = Integer.compare(c1, c2)
+      i += Character.charCount(c1)
+      j += Character.charCount(c2)
+    }
+    if (r != 0) r else Integer.compare(s1.length - i, s2.length - j)
   }
 
   private def trainDriver(wf: DataFrame, numMerges: Int): Seq[(String, String, Long)] = {

@@ -1238,8 +1238,19 @@ object Dedup {
   def advanceGramSet(seen: DataFrame, incoming: DataFrame, n: Int = 8,
                      idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, DataFrame) = {
-    val (novelty, merged, _) = advanceGramSetManaged(seen, incoming, n, idCol, textCol)
-    (novelty, merged) // one-shot form: registrations left to LRU
+    require(n >= 2, "novelty gram width must be at least 2")
+    // one-shot form: only the hash layer registers (LRU, the standing
+    // rule) — the gram stream recomputes from it for each output rather
+    // than pinning a corpus-token-scale persist nobody will release;
+    // loops use the Managed twin, which acquires the stream once for
+    // both consumers AND releases it
+    val bInc = fullHashBase(incoming, idCol, textCol)
+    val stream = posGramStream(bInc, n, idCol)
+    val novelty = noveltyFromGrams(stream, incoming.select(col(idCol)), seen, idCol)
+    val merged = seen.select(col("g"))
+      .unionByName(stream.select(col("g")))
+      .distinct()
+    (novelty, merged)
   }
 
   /** Cleanup-handle twin of [[advanceGramSet]] — the nightly-loop form:

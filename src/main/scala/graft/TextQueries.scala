@@ -137,6 +137,31 @@ object TextQueries {
 
   private val qualitySql = s"WITH $qualityCtes\nSELECT * FROM q"
 
+  // -- cross-crawl quality-score distribution drift ----------------------
+  private val qualityDrift: Q = (s, d) => {
+    val all = docs(s, d)
+    TextAnalysis.qualityDrift(
+      all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250), nBins = 20)
+  }
+
+  /** Mirror: per-side integral bucketing of the shared quality-score CTE,
+    * full bucket spine, share deltas as pure scalars of exact ratios.
+    */
+  private val qualityDriftSql =
+    s"""WITH $qualityCtes,
+       |bi AS (SELECT least(CAST(floor(quality_score * 20) AS INTEGER), 19) AS bucket
+       |       FROM q WHERE doc_id >= 250),
+       |bb AS (SELECT least(CAST(floor(quality_score * 20) AS INTEGER), 19) AS bucket
+       |       FROM q WHERE doc_id < 250),
+       |ci AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_inc FROM bi GROUP BY 1),
+       |cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_bas FROM bb GROUP BY 1),
+       |sp AS (SELECT CAST(unnest(range(0, 20)) AS INTEGER) AS bucket)
+       |SELECT sp.bucket, CAST(coalesce(c_inc, 0) AS BIGINT) AS c_inc,
+       |  CAST(coalesce(c_bas, 0) AS BIGINT) AS c_bas,
+       |  round(CAST(coalesce(c_inc, 0) AS DOUBLE) / (SELECT count(*) FROM bi)
+       |      - CAST(coalesce(c_bas, 0) AS DOUBLE) / (SELECT count(*) FROM bb), 6) AS share_delta
+       |FROM sp LEFT JOIN ci USING (bucket) LEFT JOIN cb USING (bucket)""".stripMargin
+
   // -- source-level quality gate -----------------------------------------
   private val sourceFilter: Q = (s, d) =>
     TextAnalysis.sourceQualityFilter(docs(s, d), minMean = 0.37)
@@ -1500,6 +1525,7 @@ object TextQueries {
     ("novelty_evolve", noveltyEvolve, Some(noveltyRateSql)),
     ("vocab_drift", vocabDrift, Some(vocabDriftSql)),
     ("vocab_evolve", vocabEvolve, Some(vocabDriftSql)),
+    ("quality_drift", qualityDrift, Some(qualityDriftSql)),
     ("bpe_pairs", bpePairs, Some(bpePairsSql)),
     ("bpe_train", bpeTrain, Some(bpeTrainSql)),
     ("bpe_encode", bpeEncode, Some(bpeEncodeSql)),

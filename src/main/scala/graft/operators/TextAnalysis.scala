@@ -878,6 +878,48 @@ object TextAnalysis {
     (vocabDriftFromCounts(inc, counts, k), merged, () => { relWf(); relTok() })
   }
 
+  /** Quality-score distribution drift between crawls — the third
+    * crawl-health monitor next to [[vocabDrift]] and `Dedup.noveltyRate`:
+    * per-bucket document counts and share deltas of the composite
+    * quality score, one row per bucket (the full spine, so a bucket
+    * emptying out is a visible row, not a missing one). A crawl whose
+    * low-quality buckets swell (spam wave, a broken extractor emitting
+    * fragments) shows here before any filter threshold is applied — and
+    * WHICH end of the distribution moved, which a mean cannot say.
+    *
+    * Determinism: both engines produce bit-identical quality scores (the
+    * graded `quality_score` contract), so integral bucketing
+    * (`floor(score·nBins)`, top edge clamped) can never disagree; the
+    * share delta is a pure scalar of two exact count ratios, rounded —
+    * no cross-row float sum (the [[vocabDrift]] rule).
+    *
+    * Shape at 100 TB: each side is one kernel pass over its [[scoreBase]]
+    * layer folded into an nBins-row aggregate; totals broadcast; the
+    * spine join is nBins rows. The corpus is scanned once per side and
+    * only score bytes move.
+    */
+  def qualityDrift(incoming: DataFrame, baseline: DataFrame, nBins: Int = 20,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBins > 0, "need at least one bucket")
+    def side(docs: DataFrame, cnt: String) =
+      scoreBase(docs, idCol, textCol)
+        .select(least(floor(col("quality_score") * nBins), lit(nBins - 1)).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(cnt))
+    val inc = side(incoming, "c_inc")
+    val bas = side(baseline, "c_bas")
+    val tInc = inc.agg(sum("c_inc").as("__ti"))
+    val tBas = bas.agg(sum("c_bas").as("__tb"))
+    incoming.sparkSession.range(nBins).select(col("id").cast("int").as("bucket"))
+      .join(inc, Seq("bucket"), "left")
+      .join(bas, Seq("bucket"), "left")
+      .crossJoin(broadcast(tInc)).crossJoin(broadcast(tBas))
+      .select(col("bucket"),
+        coalesce(col("c_inc"), lit(0L)).as("c_inc"),
+        coalesce(col("c_bas"), lit(0L)).as("c_bas"),
+        round(coalesce(col("c_inc"), lit(0L)).cast("double") / col("__ti")
+          - coalesce(col("c_bas"), lit(0L)).cast("double") / col("__tb"), 6).as("share_delta"))
+  }
+
   /** [[vocabDrift]] over precomputed per-side counts (see
     * [[unigramCounts]]); both the stateless and carry-forward forms land
     * here.

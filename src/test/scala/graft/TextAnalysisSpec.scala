@@ -341,6 +341,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(other != expected)
   }
 
+  test("qualityDrift: full spine, zero deltas on identical sides, shares sum to ±0") {
+    val s = spark; import s.implicits._
+    val side = Seq((1L, "the cat sat on the mat"), (2L, "x! y! z!")).toDF("doc_id", "text")
+    val same = TextAnalysis.qualityDrift(side, side, nBins = 10).collect()
+    assert(same.length == 10) // every bucket emits, occupied or not
+    assert(same.forall(_.getAs[Double]("share_delta") == 0.0))
+    assert(same.map(_.getAs[Long]("c_inc")).sum == 2L)
+
+    // a one-sided shift: incoming all low-ish, baseline all high-ish —
+    // deltas must be positive where incoming concentrates, negative where
+    // baseline does, and the occupied buckets differ
+    val inc = Seq((1L, "x! y! z! w! v! u!")).toDF("doc_id", "text")
+    val bas = Seq((2L, "the cat sat on the mat quietly today")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityDrift(inc, bas, nBins = 10).collect()
+      .map(row => row.getAs[Int]("bucket") -> row.getAs[Double]("share_delta")).toMap
+    assert(math.abs(r.values.sum) < 1e-9)
+    assert(r.values.exists(_ > 0) && r.values.exists(_ < 0))
+  }
+
   test("advanceUnigrams: two advances == stateless drift against the union corpus") {
     val s = spark; import s.implicits._
     val b0 = Seq((0L, "a a b")).toDF("doc_id", "text")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Ranking, TextAnalysis}
 import graft.sources.Tables
 import Queries.Q
 
@@ -234,6 +234,60 @@ object TextQueries {
        |SELECT d.doc_id, CAST(coalesce(lp.n, 0) AS BIGINT) AS n_tokens,
        |  round(lp.slp / lp.n / 1000000.0, 6) AS logprob_per_token
        |FROM documents d LEFT JOIN lp USING (doc_id)""".stripMargin
+
+  // -- DSIR importance weights + resampling selection ----------------------
+  /** Target = every 97th document (the `decontaminate` fixture
+    * convention): a self-contained deterministic "domain sample" whose
+    * members naturally score high — the expected self-consistency check.
+    */
+  private val dsirWeightsQ: Q = (s, d) => {
+    val dd = docs(s, d)
+    Ranking.dsirWeights(dd, dd.filter(pmod(col("doc_id"), lit(97L)) === 0L), buckets = 8192)
+  }
+
+  /** Shared CTE chain: hashed unigram∪bigram feature stream folded into
+    * 8192 buckets, add-one-smoothed target/raw bucket distributions, the
+    * per-bucket micro-quantized log-ratio, and the exact per-document
+    * long sum.
+    */
+  private def dsirCtes =
+    s"""hl AS (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents),
+       |f AS (SELECT doc_id,
+       |        unnest(list_concat(${rolledGramList("hs", 1)}, ${rolledGramList("hs", 2)})) % 8192 AS b
+       |      FROM hl),
+       |tf AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM f WHERE doc_id % 97 = 0 GROUP BY 1),
+       |sf AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM f GROUP BY 1),
+       |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS t FROM tf),
+       |ts AS (SELECT CAST(coalesce(sum(cs), 0) AS BIGINT) AS t FROM sf),
+       |lr AS (SELECT sf.b,
+       |         CAST(round((ln((coalesce(tf.ct, 0) + 1) / CAST(tt.t + 8192 AS DOUBLE))
+       |                   - ln((sf.cs + 1) / CAST(ts.t + 8192 AS DOUBLE))) * 1000000) AS BIGINT) AS lr
+       |       FROM sf LEFT JOIN tf USING (b) CROSS JOIN tt CROSS JOIN ts),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |         CAST(sum(lr) AS BIGINT) AS dsir_micro
+       |       FROM f JOIN lr USING (b) GROUP BY 1),
+       |dw AS (SELECT d.doc_id, coalesce(pd.n_feats, 0) AS n_feats,
+       |         coalesce(pd.dsir_micro, 0) AS dsir_micro
+       |       FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id))""".stripMargin
+
+  private val dsirWeightsSql =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_feats, dsir_micro FROM dw""".stripMargin
+
+  private val dsirSelectQ: Q = (s, d) => {
+    val dd = docs(s, d)
+    Ranking.dsirSelect(dd, dd.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+      k = 100, seed = "0", buckets = 8192)
+  }
+
+  private val dsirSelectSql =
+    s"""WITH $dsirCtes,
+       |sel AS (SELECT doc_id, dsir_micro,
+       |          round(CAST(dsir_micro AS DOUBLE) / 1000000
+       |              + -ln(-ln(((${h60("'dsir:0:' || doc_id")} % 1000000) + 0.5) / 1000000.0)), 6) AS gumbel_key
+       |        FROM dw)
+       |SELECT doc_id, dsir_micro, gumbel_key FROM sel
+       |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin
 
   // -- greedy token-budget sampling ---------------------------------------
   private val budgetSample: Q = (s, d) =>
@@ -1487,6 +1541,8 @@ object TextQueries {
     ("sample_n_per_stratum", sampleN, Some(sampleNSql)),
     ("split_assign", splitAssign, Some(splitAssignSql)),
     ("budget_sample", budgetSample, Some(budgetSampleSql)),
+    ("dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
+    ("dsir_select", dsirSelectQ, Some(dsirSelectSql)),
     ("unigram_logprob", unigramLp, Some(unigramLpSql)),
     ("collocations", collocations, Some(collocationsSql)),
     ("quality_buckets", qualityBuckets, Some(qualityBucketsSql)),

@@ -161,4 +161,85 @@ object Ranking {
         col("__u") < pmod(col("weight_ppm"), lit(1000000L)))
       .drop("__u", "weight_ppm")
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET corpus's distribution than under the raw corpus's —
+    * the targeted-data-selection signal behind domain-matched pretraining
+    * mixes. Features are hashed unigrams ∪ bigrams folded into `buckets`
+    * buckets (the paper's hashed n-gram generative model); both
+    * distributions are add-one smoothed over the bucket space; a
+    * document's weight is the sum of per-occurrence log-ratios.
+    *
+    * Determinism: the log-ratio is micro-quantized ONCE PER BUCKET
+    * (`round(ln λ_t/λ_s · 10⁶)` as long — bucket-space scale, not
+    * corpus scale), so every per-document weight is an exact long sum
+    * (the `unigramLogProb` rule). Output `(id, n_feats, dsir_micro)`
+    * carries no float column.
+    *
+    * Shape at 100 TB: feature streams are corpus-token-scale projections
+    * off the shared hash layers; bucket counts are two map-side-combined
+    * aggregates of ≤ `buckets` rows; the log-ratio table is
+    * buckets-sized (AQE broadcasts it); the per-document fold is one
+    * map-side-combined aggregate. The corpus feature stream is
+    * guard-persisted — the raw-distribution count and the scoring fold
+    * both read it.
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, buckets: Int = 8192,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "need at least one feature bucket")
+    def feats(docs: DataFrame) = {
+      val base = Dedup.fullHashBase(docs, idCol, textCol)
+      def grams(n: Int) = base.select(col(idCol),
+        explode(Dedup.rolledGramHashes(col("__fh"), n, reduceInputs = true)).as("__g"))
+      grams(1).unionByName(grams(2))
+        .select(col(idCol), pmod(col("__g"), lit(buckets.toLong)).as("b"))
+    }
+    val corpusFeats = graft.util.Caching.ensurePersisted(feats(corpus))
+    val tCounts = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val sCounts = corpusFeats.groupBy("b").agg(count(lit(1)).as("cs"))
+    val tTot = tCounts.agg(sum("ct").as("__tt"))
+    val sTot = sCounts.agg(sum("cs").as("__ts"))
+    // buckets absent from the corpus never join a corpus feature, so the
+    // ratio table only needs the corpus-side buckets (LEFT to the target)
+    val lr = sCounts.join(tCounts, Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
+      .select(col("b"),
+        round((log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+            (col("__tt") + lit(buckets.toLong)).cast("double"))
+          - log((col("cs") + lit(1L)).cast("double") /
+            (col("__ts") + lit(buckets.toLong)).cast("double"))) * 1000000d, 0)
+          .cast("long").as("__lr"))
+    val perDoc = corpusFeats.join(lr, Seq("b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"), sum("__lr").as("dsir_micro"))
+    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro"))
+  }
+
+  /** DSIR selection — Gumbel-top-k importance RESAMPLING over
+    * [[dsirWeights]] (sampling without replacement ∝ exp(w), the paper's
+    * resampling step): each document's key is `w + g` with `g` standard
+    * Gumbel noise derived DETERMINISTICALLY from `hash60(dsir:seed:id)`
+    * (the engine's seeded-hash randomness everywhere), so the same seed
+    * selects the same k documents on every run and both engines. Keys
+    * are rounded BEFORE ranking with an id tie-break; the top-k is a
+    * bounded TakeOrdered, never a global sort.
+    */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, k: Int, seed: String = "0",
+                 buckets: Int = 8192,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, "need a positive selection size")
+    val u = (pmod(hash60(concat(lit(s"dsir:$seed:"), col(idCol).cast("string"))),
+      lit(1000000L)).cast("double") + lit(0.5d)) / lit(1000000d)
+    dsirWeights(corpus, target, buckets, idCol, textCol)
+      .withColumn("gumbel_key",
+        round(col("dsir_micro").cast("double") / 1000000d + -log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dsir_micro"), col("gumbel_key"))
+  }
 }

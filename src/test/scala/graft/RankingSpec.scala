@@ -158,6 +158,93 @@ class RankingSpec extends SparkSpec {
     assert(out4.toSeq === Seq("red", "blue", "green", "amber"))
   }
 
+  // -- DSIR importance weights / selection --------------------------------
+
+  /** Feature stream via the SAME hashed-gram layer the operator consumes
+    * (pinned independently by the dedup suites); the distributional math
+    * on top — smoothing, per-bucket micro-quantization, exact long fold —
+    * is mirrored driver-side in plain Scala below.
+    */
+  private def dsirFeatPairs(df: org.apache.spark.sql.DataFrame, buckets: Int): Seq[(Long, Long)] = {
+    import graft.operators.Dedup
+    val base = Dedup.fullHashBase(df, "doc_id", "text")
+    def g(n: Int) = base.select(col("doc_id"),
+      explode(Dedup.rolledGramHashes(col("__fh"), n, reduceInputs = true)).as("__g"))
+    g(1).unionByName(g(2))
+      .select(col("doc_id"), pmod(col("__g"), lit(buckets.toLong)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  private def dsirCorpus(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    // target-flavored docs (share "spark shuffle stage" vocabulary), noise
+    // docs, one doc straddling both, and an empty doc (no features at all)
+    ((0L to 3L).map(i => (i, s"spark shuffle stage executor task $i")) ++
+      (4L to 9L).map(i => (i, s"lorem ipsum dolor sit amet $i consectetur")) ++
+      Seq((10L, "spark shuffle lorem ipsum"), (11L, ""))).toDF("doc_id", "text")
+  }
+
+  test("dsirWeights matches a driver-side mirror of the smoothed log-ratio fold") {
+    val s = spark
+    val B = 64
+    val corpus = dsirCorpus(s)
+    val target = corpus.filter(col("doc_id") <= 3L)
+    val corpusF = dsirFeatPairs(corpus, B)
+    val targetF = dsirFeatPairs(target, B)
+    val tc = targetF.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val sc = corpusF.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tt = tc.values.sum; val ts = sc.values.sum
+    def lrOf(b: Long): Long = BigDecimal(
+      (math.log((tc.getOrElse(b, 0L) + 1).toDouble / (tt + B)) -
+        math.log((sc(b) + 1).toDouble / (ts + B))) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byDoc = corpusF.groupBy(_._1)
+    val expected = corpus.select("doc_id").collect().map(_.getLong(0)).map { id =>
+      val fs = byDoc.getOrElse(id, Seq.empty)
+      id -> ((fs.size.toLong, fs.map(p => lrOf(p._2)).sum))
+    }.toMap
+    val got = Ranking.dsirWeights(corpus, target, buckets = B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // the empty doc survives the left join with zero features and weight
+    assert(got(11L) === ((0L, 0L)))
+    // directionality: every pure-target doc outranks every pure-noise doc
+    val worstTarget = (0L to 3L).map(got(_)._2).min
+    val bestNoise = (4L to 9L).map(got(_)._2).max
+    assert(worstTarget > bestNoise, s"target floor $worstTarget vs noise ceiling $bestNoise")
+    // exact long arithmetic → identical under repartition
+    val got2 = Ranking.dsirWeights(corpus.repartition(7), target, buckets = B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2 === expected)
+  }
+
+  test("dsirSelect is the deterministic Gumbel top-k over dsirWeights") {
+    val s = spark
+    val B = 64
+    val corpus = dsirCorpus(s)
+    val target = corpus.filter(col("doc_id") <= 3L)
+    // expected: recompute keys from the weights via the same seeded-hash
+    // noise, rank driver-side with the id tie-break
+    import graft.functions.GraftFunctions.hash60
+    val keyed = Ranking.dsirWeights(corpus, target, buckets = B)
+      .withColumn("u", (pmod(hash60(concat(lit("dsir:7:"), col("doc_id").cast("string"))),
+        lit(1000000L)).cast("double") + lit(0.5d)) / lit(1000000d))
+      .withColumn("k", round(col("dsir_micro").cast("double") / 1000000d + -log(-log(col("u"))), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getAs[Double]("k")))
+    val expTop = keyed.sortBy(t => (-t._3, t._1)).take(5)
+      .map(t => (t._1, t._2, t._3)).toSeq
+    val got = Ranking.dsirSelect(corpus, target, k = 5, seed = "7", buckets = B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expTop)
+    // deterministic: same seed → same selection; different seed → (here) different
+    val again = Ranking.dsirSelect(corpus, target, k = 5, seed = "7", buckets = B)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again === got.map(_._1))
+    val other = Ranking.dsirSelect(corpus, target, k = 5, seed = "8", buckets = B)
+      .collect().map(_.getLong(0)).toSeq
+    assert(other !== got.map(_._1), "seed change should perturb the Gumbel draw")
+  }
+
   test("sketch gates hold on fixture data and exact stats are right") {
     val s = spark; import s.implicits._
     val df = (1 to 1000).map(i => (i % 3, i.toDouble, (i % 101).toLong))

@@ -1409,6 +1409,34 @@ object TextQueries {
        |  coalesce(rc.n_removed, 0) AS n_removed
        |FROM documents d LEFT JOIN rb USING (doc_id) LEFT JOIN rc USING (doc_id)""".stripMargin
 
+  // -- document-frequency boilerplate removal --------------------------------
+  /** Same paragraphization as `para_dedup`, but the REMOVAL RULE differs:
+    * a paragraph present in ≥ 3 distinct documents is removed EVERYWHERE
+    * (df-thresholded boilerplate), while cross-doc paragraphs below the
+    * threshold — and intra-doc repeats — survive untouched. The two rows
+    * diverging on the same fixture is the point: keep-first dedup
+    * preserves one cookie banner; this pass preserves none.
+    */
+  private val stripBoiler: Q = (s, d) =>
+    Dedup.stripBoilerplate(paragraphized(s, d), minDf = 3)
+
+  private val stripBoilerSql =
+    s"""WITH t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
+       |st AS (SELECT doc_id, tk,
+       |         unnest(generate_series(0, greatest(len(tk) - 1, 0), 16)) AS start FROM t),
+       |para AS (SELECT doc_id, CAST(start // 16 AS BIGINT) AS pos,
+       |           array_to_string(list_slice(tk, start + 1, start + 16), ' ') AS para FROM st),
+       |hot AS (SELECT para FROM (SELECT para, count(DISTINCT doc_id) AS df
+       |                          FROM para WHERE len(para) > 0 GROUP BY 1) WHERE df >= 3),
+       |rem AS (SELECT doc_id, pos FROM para SEMI JOIN hot USING (para)),
+       |kept AS (SELECT para.* FROM para ANTI JOIN rem USING (doc_id, pos)),
+       |rb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text
+       |       FROM kept GROUP BY doc_id),
+       |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+       |  coalesce(rc.n_removed, 0) AS n_removed
+       |FROM documents d LEFT JOIN rb USING (doc_id) LEFT JOIN rc USING (doc_id)""".stripMargin
+
   // -- inter-run paragraph dedup ---------------------------------------------
   /** Incoming half (doc_id >= 250) against baseline half — the split
     * convention every incremental row shares. Same paragraphization as
@@ -1574,6 +1602,7 @@ object TextQueries {
     ("span_evolve", spanEvolve, Some(spanEvolveSql)),
     ("training_order", trainingOrderQ, Some(trainingOrderSql)),
     ("para_dedup", paraDedup, Some(paraDedupSql)),
+    ("strip_boilerplate", stripBoiler, Some(stripBoilerSql)),
     ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),
     ("novelty_rate", noveltyRate, Some(noveltyRateSql)),

@@ -281,8 +281,37 @@ object VectorQueries {
       |    ELSE CAST(round((x - lo) * CAST(255.0 AS DOUBLE) / (hi - lo)) AS BIGINT) END), ',') AS codes
       |FROM mm""".stripMargin
 
+  // -- semantic benchmark decontamination -----------------------------------
+  /** Benchmark = every 41st vector (≈12 rows at sf0.01) — tiny relative to
+    * the corpus, the real shape of an eval set. Benchmark vectors are a
+    * subset of the corpus, so each flags itself at cosine 1.0 — exactly
+    * what decontamination should do to verbatim leakage.
+    */
+  private val semanticDecon: Q = (s, d) => {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val all = Tables.embeddings(s, d)
+    Similarity.semanticDecontaminate(
+      all, all.filter(pmod(col("vec_id"), lit(41L)) === 0L), threshold = 0.2)
+  }
+
+  private val semanticDeconSql =
+    s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings WHERE vec_id % 41 = 0),
+       |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+       |sc AS (SELECT vec_id, bench_id, ${cosineSql("cv", "bv")} AS cosine FROM c, b),
+       |ag AS (SELECT vec_id,
+       |         CAST(count(*) FILTER (WHERE cosine >= 0.2) AS BIGINT) AS n_hits,
+       |         max(cosine) AS max_cosine FROM sc GROUP BY 1),
+       |nn AS (SELECT vec_id, bench_id AS nearest_id FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn
+       |         FROM sc) WHERE rn = 1)
+       |SELECT e.vec_id, coalesce(ag.n_hits, 0) AS n_hits, ag.max_cosine, nn.nearest_id,
+       |  coalesce(ag.max_cosine >= 0.2, FALSE) AS contaminated
+       |FROM (SELECT vec_id FROM embeddings) e
+       |LEFT JOIN ag USING (vec_id) LEFT JOIN nn USING (vec_id)""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("brute_force_topk", bruteForce, Some(bruteForceSql)),
+    ("semantic_decon", semanticDecon, Some(semanticDeconSql)),
     ("quantize_int8", quantize, Some(quantizeSql)),
     ("lsh_topk", lshTopK, Some(lshTopKSql)),
     ("ivf_topk", ivfTopK, Some(ivfTopKSql)),

@@ -1683,6 +1683,45 @@ object Dedup {
     rebuildWithoutRemoved(incoming, paras, removed, idCol, delim)
   }
 
+  /** Boilerplate-line removal by DOCUMENT FREQUENCY — the web-corpus
+    * hygiene pass distinct from keep-first [[dedupParagraphs]]: a
+    * paragraph whose normalized form appears in at least `minDf` DISTINCT
+    * documents is navigation/footer/cookie-banner furniture, and EVERY
+    * occurrence is removed — including the first (keep-first dedup would
+    * preserve one copy of the cookie banner forever; CCNet/RefinedWeb-
+    * style pipelines drop them all). Frequency is per-DOCUMENT, not
+    * per-instance: a paragraph repeated five times inside one document
+    * has df = 1 and survives (that is intra-doc repetition —
+    * [[gramRepetition]] territory), so the two signals stay orthogonal.
+    *
+    * Scale shape (the span-family shuffle policy: hashes and positions,
+    * never text). The df count reduces (fp, id) pairs to DISTINCT before
+    * counting — two map-side-combined hash aggregates, nothing
+    * text-sized; the surviving hot-fingerprint set is bounded by the
+    * number of genuinely corpus-wide paragraphs (boilerplate, by
+    * definition small), so AQE broadcasts the removal semi-join.
+    * Paragraph text crosses exactly one exchange, the rebuild groupBy.
+    * Blank paragraphs are structure and never removed, exactly as in
+    * [[dedupParagraphs]].
+    *
+    * Output: one row per input document — (id, clean_text, n_removed),
+    * the paragraph-family schema.
+    */
+  def stripBoilerplate(docs: DataFrame, minDf: Int = 3, idCol: String = "doc_id",
+                       textCol: String = "text", delim: String = "\n"): DataFrame = {
+    require(minDf >= 2, "a boilerplate threshold below 2 would empty the corpus")
+    require(delim.nonEmpty, "need a non-empty paragraph delimiter")
+    val paras = explodedParas(docs, idCol, textCol, delim)
+    val content = contentFps(paras, idCol)
+    val hot = content.select(col("fp"), col(idCol)).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("fp"))
+    val removed = content.join(hot, Seq("fp"), "left_semi")
+      .select(col(idCol), col("pos"))
+    rebuildWithoutRemoved(docs, paras, removed, idCol, delim)
+  }
+
   /** Winnowing near-dup pairs: candidates share a sketch hash (equi join on
     * the hash — never all pairs; hot sketch hashes capped like LSH
     * buckets), then exact shingle-Jaccard verification. Detects documents

@@ -232,6 +232,50 @@ object Similarity {
       .select(col("id_in"), col("id_bas"), col("cosine"))
   }
 
+  /** Semantic benchmark decontamination — the embedding-space sibling of
+    * `TextAnalysis.decontaminate`'s n-gram collision pass: flag every
+    * corpus vector whose cosine against ANY benchmark/eval vector reaches
+    * `threshold` (paraphrased leakage that shares no verbatim n-gram still
+    * lands near the benchmark in embedding space). Exhaustive over the
+    * benchmark — an LSH shortcut here would trade RECALL on exactly the
+    * rows the pass exists to catch, and benchmark corpora are small by
+    * definition, so exactness costs only |benchmark| dot products per
+    * corpus row.
+    *
+    * Output keeps every corpus row with the audit columns
+    * (n_hits, max_cosine, nearest_id, contaminated) so callers can drop,
+    * review, or threshold-sweep. `nearest_id` ties break to the smallest
+    * benchmark id on the 6-dp-rounded cosine (the family's determinism
+    * rule), via an allocation-light struct max over (cosine, −id).
+    *
+    * Scale shape: the benchmark side BROADCASTS with its norms
+    * precomputed; scoring is map-side (corpus never shuffles full-width);
+    * the per-vector fold partial-aggregates to ONE narrow row per corpus
+    * vector before its exchange — ids and doubles on the wire, never
+    * embeddings. Empty-benchmark degenerates to zero hits for every row
+    * (the left join back onto the corpus ids keeps the output total).
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(benchmark
+      .select(col(idCol).as("__bid"), col(vecCol).as("b_vec"))
+      .withColumn("b_norm", VectorOps.norm(col("b_vec"))))
+    val c = corpus.select(col(idCol), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", VectorOps.norm(col("c_vec")))
+    val agg = c.crossJoin(b)
+      .withColumn("cosine",
+        round(VectorOps.dot(col("c_vec"), col("b_vec")) / (col("c_norm") * col("b_norm")), 6))
+      .groupBy(idCol)
+      .agg(sum(when(col("cosine") >= threshold, 1L).otherwise(0L)).as("n_hits"),
+        max(struct(col("cosine").as("c"), (-col("__bid")).as("ni"))).as("__m"))
+    corpus.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("__m.c").as("max_cosine"),
+        (-col("__m.ni")).as("nearest_id"),
+        coalesce(col("__m.c") >= threshold, lit(false)).as("contaminated"))
+  }
+
   def cosineNearDup(vectors: DataFrame, threshold: Double, dim: Int, nPlanes: Int = 8,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucket = VectorOps.lshBucket(col(vecCol), dim, nPlanes)

@@ -35,6 +35,29 @@ object AnnProps extends Properties("Ann") {
     acc
   }
 
+  property("semanticDecontaminate == driver-side max/count/argmax fold") =
+    forAllNoShrink(vecsGen, Gen.choose(0, 50).map(_ / 100.0)) { (vecs, thr) =>
+      val s = spark; import s.implicits._
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val corpus = rows.toDF("vec_id", "embedding")
+      val bench = rows.filter(_._1 % 3 == 0)
+      val got = Similarity.semanticDecontaminate(corpus, bench.toDF("vec_id", "embedding"), thr)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+        .toSet
+
+      val norm = vecs.map(v => math.sqrt(dot(v, v)))
+      val want = vecs.indices.map { ci =>
+        val scored = bench.map { case (bi, _) =>
+          (bi, round6(dot(vecs(ci), vecs(bi.toInt)) / (norm(ci) * norm(bi.toInt)))) }
+        val maxC = scored.map(_._2).max
+        val nearest = scored.filter(_._2 == maxC).map(_._1).min
+        (ci.toLong, scored.count(_._2 >= thr).toLong, maxC, nearest, maxC >= thr)
+      }.toSet
+
+      got == want
+    }
+
   property("bruteForceTopKAgg == driver-side cosine ranking") =
     forAllNoShrink(vecsGen, Gen.choose(1, 5)) { (vecs, k) =>
       val s = spark; import s.implicits._

@@ -99,6 +99,37 @@ object ParaDedupProps extends Properties("ParaDedup") {
       got == want
     }
 
+  property("stripBoilerplate removes exactly the df>=minDf paragraphs, everywhere") =
+    forAllNoShrink(Gen.listOfN(8, docGen)) { texts =>
+      val s = spark; import s.implicits._
+      val minDf = 3
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.stripBoilerplate(rows.toDF("doc_id", "text"), minDf = minDf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+      // driver oracle: DOCUMENT frequency per normalized content paragraph
+      // (distinct docs, not instances); every instance of a hot key is
+      // removed — including the first — while sub-threshold keys, blanks,
+      // and intra-doc-only repeats (df = 1) all survive
+      val paras = rows.flatMap { case (id, t) =>
+        t.split(java.util.regex.Pattern.quote("\n"), -1).toSeq.zipWithIndex
+          .map { case (p, pos) => (id, pos, p) }
+      }
+      val df = paras.filter { case (_, _, p) => normalize(p).nonEmpty }
+        .groupBy { case (_, _, p) => normalize(p) }
+        .map { case (k, g) => k -> g.map(_._1).distinct.size }
+      val removed = paras.filter { case (_, _, p) =>
+        val k = normalize(p); k.nonEmpty && df(k) >= minDf
+      }.map { case (id, pos, _) => (id, pos) }.toSet
+      val want = rows.map { case (id, _) =>
+        val kept = paras.filter { case (pid, pos, _) => pid == id && !removed((pid, pos)) }
+          .sortBy(_._2).map(_._3)
+        (id, kept.mkString("\n"),
+          paras.count { case (pid, pos, _) => pid == id && removed((pid, pos)) }.toLong)
+      }.toSet
+      got == want
+    }
+
   property("a custom delimiter splits/rebuilds on that delimiter only") =
     forAllNoShrink(Gen.listOfN(6, Gen.listOfN(3, Gen.oneOf(paraPool)))) { docLists =>
       val s = spark; import s.implicits._

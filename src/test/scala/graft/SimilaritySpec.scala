@@ -42,6 +42,27 @@ class SimilaritySpec extends SparkSpec {
     assert(re === out)
   }
 
+  test("semanticDecontaminate: benchmark members self-flag at 1.0; empty benchmark is total") {
+    val emb = Tables.embeddings(spark, dir)
+    val bench = emb.filter(pmod(col("vec_id"), lit(41L)) === 0L)
+    val out = Similarity.semanticDecontaminate(emb, bench, threshold = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size.toLong === emb.count())
+    val members = bench.select("vec_id").collect().map(_.getLong(0))
+    assert(members.nonEmpty)
+    // a benchmark member's nearest neighbor is itself at rounded cosine 1.0
+    members.foreach { id =>
+      val (nHits, maxC, nearest, flagged) = out(id)
+      assert(maxC === 1.0 && nearest === id && flagged && nHits >= 1L)
+    }
+    // empty benchmark: every corpus row survives with zero hits, null audit
+    val none = Similarity.semanticDecontaminate(
+      emb, emb.filter(col("vec_id") < 0L), threshold = 0.2).collect()
+    assert(none.length.toLong === emb.count())
+    assert(none.forall(r => r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3) && !r.getBoolean(4)))
+  }
+
   test("ivfTopK with a kmeans-refined codebook: exact scores, k rows per query") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 4)

@@ -246,7 +246,11 @@ object Similarity {
     * (n_hits, max_cosine, nearest_id, contaminated) so callers can drop,
     * review, or threshold-sweep. `nearest_id` ties break to the smallest
     * benchmark id on the 6-dp-rounded cosine (the family's determinism
-    * rule), via an allocation-light struct max over (cosine, −id).
+    * rule), via the bounded `TopKAgg` at k = 1 — its (score DESC, id ASC)
+    * ordering IS this rule, and as a typed-imperative aggregate it keeps
+    * the fold in ObjectHashAggregate (a `max(struct(cosine, −id))`
+    * formulation would demote the whole aggregate to SortAggregate and
+    * sort every partition's pair stream).
     *
     * Scale shape: the benchmark side BROADCASTS with its norms
     * precomputed; scoring is map-side (corpus never shuffles full-width);
@@ -262,18 +266,19 @@ object Similarity {
       .withColumn("b_norm", VectorOps.norm(col("b_vec"))))
     val c = corpus.select(col(idCol), col(vecCol).as("c_vec"))
       .withColumn("c_norm", VectorOps.norm(col("c_vec")))
+    val top1 = udaf(new TopKAgg(1))
     val agg = c.crossJoin(b)
       .withColumn("cosine",
         round(VectorOps.dot(col("c_vec"), col("b_vec")) / (col("c_norm") * col("b_norm")), 6))
       .groupBy(idCol)
       .agg(sum(when(col("cosine") >= threshold, 1L).otherwise(0L)).as("n_hits"),
-        max(struct(col("cosine").as("c"), (-col("__bid")).as("ni"))).as("__m"))
+        top1(col("cosine"), col("__bid")).as("__t"))
     corpus.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        col("__m.c").as("max_cosine"),
-        (-col("__m.ni")).as("nearest_id"),
-        coalesce(col("__m.c") >= threshold, lit(false)).as("contaminated"))
+        element_at(col("__t._1"), 1).as("max_cosine"),
+        element_at(col("__t._2"), 1).as("nearest_id"),
+        coalesce(element_at(col("__t._1"), 1) >= threshold, lit(false)).as("contaminated"))
   }
 
   def cosineNearDup(vectors: DataFrame, threshold: Double, dim: Int, nPlanes: Int = 8,

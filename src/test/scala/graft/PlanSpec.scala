@@ -327,4 +327,16 @@ class PlanSpec extends SparkSpec {
       Set("doc_id", "source", "n_tokens"))
     assert(pack.size == 1, "expected exactly one narrow pack exchange")
   }
+
+  test("semantic_decon folds in ObjectHashAggregate — no SortAggregate over the pair stream") {
+    // the per-vector argmax is the bounded TopKAgg at k = 1 (typed
+    // imperative → ObjectHashAggregate, constant buffers, map-side
+    // partial). A max(struct(cosine, −id)) formulation demotes the whole
+    // aggregate to SortAggregate, which shuffle-sorts every partition's
+    // corpus×benchmark pair stream just to keep one row per vector.
+    val plan = Queries.registry.collectFirst { case ("semantic_decon", q, _) => q }
+      .get(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), s"semantic_decon sorts its pair stream:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"semantic_decon lost the typed fold:\n$plan")
+  }
 }

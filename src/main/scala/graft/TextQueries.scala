@@ -289,6 +289,74 @@ object TextQueries {
        |SELECT doc_id, dsir_micro, gumbel_key FROM sel
        |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin
 
+  // -- trained quality classifier (fastText-style logistic) ----------------
+  /** Label = "document mentions customer" — a TEXT-DERIVED target (the
+    * synthetic corpus's lang/source columns are independent of its text,
+    * so no classifier could learn them; `ClassifierScale` measures that
+    * floor). Presence-of-vocabulary is the learnable shape of the real
+    * "target domain vs raw crawl" labels a CCNet-style quality
+    * classifier trains on.
+    */
+  private val qualityClassifier: Q = (s, d) =>
+    graft.operators.Classifier.trainScoreLogistic(
+      docs(s, d), col("text").contains("customer"),
+      iters = 8, buckets = 1024, lr = 1.0, decay = 0.8)
+
+  /** The oracle UNROLLS the eight preconditioned gradient steps as
+    * generated CTE layers (s/g/r/w per iteration) — an independent
+    * restatement of the training loop in pure SQL against the same
+    * micro/nano quantization contract, with each step's decayed rate
+    * embedded as the exact double the engine computes.
+    */
+  private val qualityClassifierSql: String = {
+    val B = 1024
+    val iters = 8
+    val head =
+      s"""hl AS MATERIALIZED (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents),
+         |f0 AS MATERIALIZED (SELECT doc_id,
+         |         unnest(list_concat(${rolledGramList("hs", 1)}, ${rolledGramList("hs", 2)})) % $B AS b
+         |       FROM hl),
+         |fc AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM f0 GROUP BY 1, 2),
+         |nfr AS MATERIALIZED (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nf FROM fc GROUP BY 1),
+         |fb AS MATERIALIZED (SELECT doc_id, b, cnt FROM fc
+         |       UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS b, nf AS cnt FROM nfr),
+         |lb AS MATERIALIZED (SELECT doc_id, CASE WHEN text LIKE '%customer%' THEN 1 ELSE 0 END AS y FROM documents),
+         |qn AS MATERIALIZED (SELECT b, CAST(sum(CAST(round(cnt * cnt * 1000000000.0 / nf / nf) AS BIGINT)) AS BIGINT) AS q
+         |       FROM fb JOIN nfr USING (doc_id) GROUP BY 1),
+         |w0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w FROM range($B)
+         |       UNION ALL SELECT CAST($B AS BIGINT),
+         |         (SELECT CAST(round(ln((sum(y) + 1) / CAST(count(*) - sum(y) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |          FROM nfr JOIN lb USING (doc_id)))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val lrIt = 1.0 * math.pow(0.8, i - 1) // the exact double the engine uses
+      s"""s$i AS MATERIALIZED (SELECT fb.doc_id, CAST(sum(fb.cnt * w${i - 1}.w) AS BIGINT) AS sm
+         |       FROM fb JOIN w${i - 1} USING (b) GROUP BY 1),
+         |g$i AS MATERIALIZED (SELECT s$i.doc_id,
+         |          CAST(round((round(1.0 / (1.0 + exp(-(s$i.sm / 1000000.0 / nfr.nf))), 6) - lb.y)
+         |               / nfr.nf * 1000000000.0) AS BIGINT) AS g
+         |        FROM s$i JOIN nfr USING (doc_id) JOIN lb USING (doc_id)),
+         |r$i AS MATERIALIZED (SELECT b, CAST(sum(fb.cnt * g$i.g) AS BIGINT) AS grad
+         |       FROM fb JOIN g$i USING (doc_id) GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT w${i - 1}.b,
+         |          CAST(w${i - 1}.w - CAST(round($lrIt * coalesce(r$i.grad, 0)
+         |               / greatest(coalesce(qn.q, 1), 1) * 1000000.0) AS BIGINT) AS BIGINT) AS w
+         |        FROM w${i - 1} LEFT JOIN r$i USING (b) LEFT JOIN qn USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$steps,
+       |fsc AS MATERIALIZED (SELECT fb.doc_id, CAST(sum(fb.cnt * w$iters.w) AS BIGINT) AS sm
+       |        FROM fb JOIN w$iters USING (b) GROUP BY 1),
+       |sc2 AS MATERIALIZED (SELECT d.doc_id,
+       |          CAST(coalesce(nfr.nf, 0) AS BIGINT) AS n_feats,
+       |          CAST(coalesce(fsc.sm, 0) AS BIGINT) AS score_micro
+       |        FROM (SELECT doc_id FROM documents) d
+       |        LEFT JOIN nfr USING (doc_id) LEFT JOIN fsc USING (doc_id))
+       |SELECT doc_id, n_feats, score_micro,
+       |  round(1.0 / (1.0 + exp(-(score_micro / 1000000.0 / greatest(n_feats, 1)))), 6) AS prob6,
+       |  round(1.0 / (1.0 + exp(-(score_micro / 1000000.0 / greatest(n_feats, 1)))), 6) >= 0.5 AS predicted
+       |FROM sc2""".stripMargin
+  }
+
   // -- greedy token-budget sampling ---------------------------------------
   private val budgetSample: Q = (s, d) =>
     TextAnalysis.sampleToTokenBudget(docs(s, d), budgetPerStratum = 2000)
@@ -1571,6 +1639,7 @@ object TextQueries {
     ("budget_sample", budgetSample, Some(budgetSampleSql)),
     ("dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
     ("dsir_select", dsirSelectQ, Some(dsirSelectSql)),
+    ("quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     ("unigram_logprob", unigramLp, Some(unigramLpSql)),
     ("collocations", collocations, Some(collocationsSql)),
     ("quality_buckets", qualityBuckets, Some(qualityBucketsSql)),

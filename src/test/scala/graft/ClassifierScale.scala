@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classifier
+
+/** Measurement harness for the trained quality classifier (dev tool,
+  * test scope): wall per configuration and in-sample accuracy/AUC-ish
+  * separation on the sf0.1 documents, labeled lang='en' — so the
+  * iters/buckets defaults in the graded query are justified numbers,
+  * not guesses. Run with `sbt "Test/runMain graft.ClassifierScale"`;
+  * paste the table into SCALE.md.
+  */
+object ClassifierScale {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = GraftSession.local("classifier-scale")
+    val docs = graft.util.Caching.ensurePersisted(sources.Tables.documents(spark, dir))
+    val n = docs.count()
+    val label = col("text").contains("customer")
+    val nPos = docs.filter(label).count()
+    println(s"corpus: $n docs, $nPos positive ($dir)")
+    println(f"${"config"}%-26s ${"wall_s"}%8s ${"acc"}%8s ${"meanP_pos"}%10s ${"meanP_neg"}%10s")
+    def row(name: String, iters: Int, buckets: Int, lr: Double, decay: Double = 0.5,
+            lab: org.apache.spark.sql.Column = label): Unit = {
+      SparkEntry.releaseSharedCaches()
+      val t0 = System.nanoTime()
+      val scored = Classifier.trainScoreLogistic(docs, lab,
+        iters = iters, buckets = buckets, lr = lr, decay = decay)
+        .join(docs.select(col("doc_id"), lab.as("truth")), Seq("doc_id"))
+      val agg = scored.agg(
+        avg(when(col("predicted") === col("truth"), 1.0).otherwise(0.0)).as("acc"),
+        avg(when(col("truth"), col("prob6"))).as("mp"),
+        avg(when(!col("truth"), col("prob6"))).as("mn")).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-24s $wall%8.2f ${agg.getDouble(0)}%8.3f ${agg.getDouble(1)}%10.3f ${agg.getDouble(2)}%10.3f")
+    }
+    row("i=8 lr=1 d=0.8 (graded)", 8, 1024, 1, 0.8)
+    row("i=12 lr=1 d=0.85", 12, 1024, 1, 0.85)
+    row("i=8 lr=1 d=0.8 b=8192", 8, 8192, 1, 0.8)
+    // the failure modes SCALE.md describes, kept measurable:
+    row("i=5 lr=1 no decay", 5, 1024, 1, 1)      // shared-direction oscillation
+    row("i=3 lr=0.01 d=1", 3, 1024, 0.01, 1)     // freeze: every prob6 = 0.500
+    // a text-INDEPENDENT label cannot be learned by any classifier:
+    // the synthetic lang column is statistically independent of text
+    row("lang=en (independent)", 3, 1024, 2, 0.5, col("lang") === "en")
+    spark.stop()
+  }
+}

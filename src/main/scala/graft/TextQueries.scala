@@ -235,6 +235,82 @@ object TextQueries {
        |  round(lp.slp / lp.n / 1000000.0, 6) AS logprob_per_token
        |FROM documents d LEFT JOIN lp USING (doc_id)""".stripMargin
 
+  // -- interpolated bigram LM (CCNet/KenLM-style perplexity) ---------------
+  private val bigramLp: Q = (s, d) => TextAnalysis.bigramLogProb(docs(s, d))
+
+  /** Reference-trained tiers: the LM trains on the `lang = 'en'` subset
+    * (the CCNet shape — a clean reference corpus scores the whole crawl)
+    * and every document lands in a head/middle/tail perplexity tier.
+    */
+  private val ccnetBucketsQ: Q = (s, d) => {
+    val dd = docs(s, d)
+    TextAnalysis.perplexityBuckets(dd, train = Some(dd.filter(col("lang") === "en")))
+  }
+
+  /** Bigram-LM CTE chain up to the per-document aggregate `agg`,
+    * parameterized by the reference-corpus filter (empty = self-trained).
+    * Mirrors [[TextAnalysis.bigramLogProb]]'s arithmetic exactly: add-one
+    * unigrams over (T + V + 1), λ = 0.9 interpolation in DOUBLE (the
+    * explicit CASTs keep DuckDB out of DECIMAL arithmetic — `1 - 0.9` as
+    * decimals is exactly 0.1, as doubles it is Spark's 1.0 - 0.9), and
+    * per-event micro-quantization before the per-document long sum.
+    */
+  private def bigramLmCtes(trainWhere: String) =
+    s"""tk AS (SELECT doc_id, lang, ${toks(norm("text"))} AS tk FROM documents),
+       |ttk AS (SELECT doc_id, tk FROM tk $trainWhere),
+       |c1 AS (SELECT token, CAST(count(*) AS BIGINT) AS c1
+       |       FROM (SELECT unnest(tk) AS token FROM ttk) GROUP BY 1),
+       |tot AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM c1),
+       |cb AS (SELECT pair, CAST(count(*) AS BIGINT) AS cab FROM (
+       |         SELECT unnest(CASE WHEN len(tk) >= 2
+       |           THEN [tk[i + 1] || ' ' || tk[i + 2] for i in range(0, len(tk) - 1)]
+       |           ELSE [] END) AS pair FROM ttk) GROUP BY 1),
+       |ptf AS (SELECT doc_id, pair, CAST(count(*) AS BIGINT) AS tf2 FROM (
+       |          SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+       |            THEN [tk[i + 1] || ' ' || tk[i + 2] for i in range(0, len(tk) - 1)]
+       |            ELSE [] END) AS pair FROM tk) GROUP BY 1, 2),
+       |fe AS (SELECT f.doc_id,
+       |         CAST(round(ln(CAST(coalesce(c.c1, 0) + 1 AS DOUBLE) /
+       |           CAST(tot.t + tot.v + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp,
+       |         CAST(1 AS BIGINT) AS n
+       |       FROM (SELECT doc_id, tk[1] AS token FROM tk WHERE len(tk) >= 1) f
+       |       LEFT JOIN c1 c USING (token) CROSS JOIN tot),
+       |be AS (SELECT doc_id, tf2 * CAST(round(ln(p) * 1000000) AS BIGINT) AS lp, tf2 AS n FROM (
+       |         SELECT ptf.doc_id, ptf.tf2,
+       |           CASE WHEN ca.c1 IS NOT NULL
+       |             THEN CAST(0.9 AS DOUBLE) * (CAST(coalesce(cb.cab, 0) AS DOUBLE) /
+       |                    CAST(ca.c1 AS DOUBLE))
+       |                  + (CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE)) *
+       |                    (CAST(coalesce(cw.c1, 0) + 1 AS DOUBLE) /
+       |                     CAST(tot.t + tot.v + 1 AS DOUBLE))
+       |             ELSE CAST(coalesce(cw.c1, 0) + 1 AS DOUBLE) /
+       |                  CAST(tot.t + tot.v + 1 AS DOUBLE) END AS p
+       |         FROM ptf
+       |         LEFT JOIN cb USING (pair)
+       |         LEFT JOIN c1 ca ON ca.token = string_split(pair, ' ')[1]
+       |         LEFT JOIN c1 cw ON cw.token = string_split(pair, ' ')[2]
+       |         CROSS JOIN tot)),
+       |agg AS (SELECT doc_id, sum(lp) AS slp, CAST(sum(n) AS BIGINT) AS n
+       |        FROM (SELECT * FROM fe UNION ALL SELECT * FROM be) GROUP BY 1)""".stripMargin
+
+  private val bigramLpSql =
+    s"""WITH ${bigramLmCtes("")}
+       |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+       |  round(agg.slp / agg.n / 1000000.0, 6) AS logprob_per_token
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  private val ccnetBucketsSql =
+    s"""WITH ${bigramLmCtes("WHERE lang = 'en'")},
+       |sc AS (SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+       |         round(agg.slp / agg.n / 1000000.0, 6) AS lp
+       |       FROM documents d LEFT JOIN agg USING (doc_id)),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY lp DESC NULLS LAST, doc_id) AS rn,
+       |         (SELECT count(*) FROM sc) AS nn FROM sc)
+       |SELECT doc_id, n_tokens, lp AS logprob_per_token,
+       |  CAST(((rn - 1) * 3) // nn AS BIGINT) AS bucket,
+       |  CASE ((rn - 1) * 3) // nn WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
+       |FROM rk""".stripMargin
+
   // -- DSIR importance weights + resampling selection ----------------------
   /** Target = every 97th document (the `decontaminate` fixture
     * convention): a self-contained deterministic "domain sample" whose
@@ -1641,6 +1717,8 @@ object TextQueries {
     ("dsir_select", dsirSelectQ, Some(dsirSelectSql)),
     ("quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     ("unigram_logprob", unigramLp, Some(unigramLpSql)),
+    ("bigram_logprob", bigramLp, Some(bigramLpSql)),
+    ("ccnet_buckets", ccnetBucketsQ, Some(ccnetBucketsSql)),
     ("collocations", collocations, Some(collocationsSql)),
     ("quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     ("doc_freq", docFreq, Some(docFreqSql)),

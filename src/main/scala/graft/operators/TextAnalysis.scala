@@ -536,6 +536,154 @@ object TextAnalysis {
         round(col("__slp") / col("n_tokens") / 1000000.0, 6).as("logprob_per_token"))
   }
 
+  /** Interpolated bigram language-model score — the CCNet/KenLM-style
+    * perplexity filter one order up from [[unigramLogProb]]: each
+    * document's mean log probability per token under a Jelinek-Mercer
+    * bigram model, optionally trained on a separate REFERENCE corpus
+    * (CCNet trains its LM on Wikipedia and scores the crawl with it;
+    * `train = None` closes the model over the scored corpus itself).
+    *
+    * Model: a document's first token scores the add-one unigram
+    * `p1(w) = (c(w)+1)/(T+V+1)` (the +1s keep out-of-reference tokens
+    * finite); every later token scores
+    * `p(b|a) = λ·c(ab)/c(a) + (1−λ)·p1(b)` when `a` is in the reference
+    * vocabulary, else `p1(b)` alone. λ is the Jelinek-Mercer
+    * interpolation weight; smoothing guarantees `p > 0` for every event,
+    * so the log never sees zero.
+    *
+    * Determinism: per-event log-probabilities micro-quantize
+    * (`round(ln(p)·10⁶)` as long) BEFORE the per-document sum — the
+    * [[unigramLogProb]] rule; a double sum is partition-order-dependent
+    * in its last bits, the quantized long sum is exact and associative.
+    * Bigram keys are the two tokens joined by ONE space — collision-free
+    * by construction: tokens are whitespace-split, so no token can
+    * contain a space.
+    *
+    * Shape at 100 TB: reference unigram counts aggregate off the SHARED
+    * per-doc term-count frame (plan-identical to [[unigramLogProb]]'s /
+    * [[tfidfTopTerms]]' guarded persist — whichever query runs first
+    * fills ONE cache entry); per-doc bigram tallies are a PURE PROJECTION
+    * (`termCounts` over the adjacent-pair array — never an
+    * explode→regroup exchange of the token stream); reference bigram
+    * counts aggregate from those (|bigram vocab| partial counts on the
+    * wire); scoring attaches three vocabulary-sized count frames by
+    * token/pair-keyed joins AQE broadcasts for real vocabularies; the
+    * only corpus-scale exchange is the final per-document sum, map-side
+    * combined on the id.
+    */
+  def bigramLogProb(docs: DataFrame, train: Option[DataFrame] = None,
+                    lambda: Double = 0.9, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0,
+      "lambda is a Jelinek-Mercer interpolation weight in [0, 1]")
+    val trainDf = train.getOrElse(docs)
+    // reference unigram counts off the shared term-count frame (the
+    // tfidf/unigram plan — one cache fill serves all three operators)
+    val tfRef = graft.util.Caching.ensurePersisted(tokenBase(trainDf, idCol, textCol)
+      .select(col(idCol), explode(termCounts(col("__tok"))).as("__tc"))
+      .select(col(idCol), col("__tc.token").as("token"), col("__tc.tf").as("tf")))
+    val c1 = tfRef.groupBy("token").agg(sum("tf").as("__c1"))
+    // coalesce: an EMPTY reference corpus must degrade to the uniform
+    // add-one model (T = V = 0 → every token scores ln(1/1) = 0), not to
+    // NULL-poisoned scores from a NULL sum
+    val tot = c1.agg(coalesce(sum("__c1"), lit(0L)).as("__t"), count(lit(1)).as("__v"))
+    def pairFrame(d: DataFrame) = tokenBase(d, idCol, textCol)
+      .select(col(idCol), explode(termCounts(
+        when(size(col("__tok")) >= 2,
+          expr("transform(sequence(0, size(__tok) - 2), i -> concat(__tok[i], ' ', __tok[i + 1]))"))
+          .otherwise(expr("CAST(array() AS array<string>)")))).as("__pc"))
+      .select(col(idCol), col("__pc.token").as("pair"), col("__pc.tf").as("tf2"))
+    // self-trained: ONE per-doc pair frame feeds both the reference
+    // bigram counts and the scoring pass — guard-persist it; reference-
+    // trained: each side is read exactly once, nothing to share
+    val pairsScore =
+      if (train.isEmpty) graft.util.Caching.ensurePersisted(pairFrame(docs))
+      else pairFrame(docs)
+    val cb = (if (train.isEmpty) pairsScore else pairFrame(trainDf))
+      .groupBy("pair").agg(sum("tf2").as("__cab"))
+    // add-one unigram probability for a (possibly absent) reference count
+    def p1(c: Column): Column =
+      (coalesce(c, lit(0L)) + lit(1L)).cast("double") /
+        (col("__t") + col("__v") + lit(1L)).cast("double")
+    val firstScored = tokenBase(docs, idCol, textCol)
+      .filter(size(col("__tok")) >= 1)
+      .select(col(idCol), col("__tok").getItem(0).as("token"))
+      .join(c1, Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        round(log(p1(col("__c1"))) * 1000000d, 0).cast("long").as("__lp"),
+        lit(1L).as("__n"))
+    val biScored = pairsScore
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1))
+      .join(cb, Seq("pair"), "left")
+      .join(c1.select(col("token").as("w1"), col("__c1").as("__ca")), Seq("w1"), "left")
+      .join(c1.select(col("token").as("w2"), col("__c1").as("__cb2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__p",
+        when(col("__ca").isNotNull,
+          lit(lambda) * (coalesce(col("__cab"), lit(0L)).cast("double") /
+            col("__ca").cast("double")) +
+            lit(1.0d - lambda) * p1(col("__cb2")))
+          .otherwise(p1(col("__cb2"))))
+      .select(col(idCol),
+        (col("tf2").cast("long") * round(log(col("__p")) * 1000000d, 0).cast("long")).as("__lp"),
+        col("tf2").cast("long").as("__n"))
+    val perDoc = firstScored.unionByName(biScored)
+      .groupBy(idCol).agg(sum("__lp").as("__slp"), sum("__n").as("n_tokens"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("__slp") / col("n_tokens") / 1000000.0, 6).as("logprob_per_token"))
+  }
+
+  /** CCNet-style perplexity tiers: rank every document by its
+    * [[bigramLogProb]] score (reference-trained when `train` is given)
+    * and cut the ranking into `nBuckets` equal tiers — CCNet's
+    * head/middle/tail split, the curation gate that keeps the head,
+    * samples the middle, and drops the tail. Bucket membership is a pure
+    * function of the corpus: scores round to 6dp before ranking,
+    * ties break by id, and tier `b` is rank·nBuckets div n — so the cut
+    * is a total order, reproducible on any engine.
+    *
+    * Zero-token documents (NULL score) rank LAST — they land in the tail
+    * tier, never silently vanish.
+    *
+    * Shape at 100 TB: the scored frame guard-persists (the LM's join
+    * pipeline must not replay per job), then ranking is the
+    * [[shuffleOrder]] idiom — one range-partitioned spillable sort on
+    * (score desc, id), positions by partition-offset numbering
+    * (`RDD.zipWithIndex`: the count job and the result job share the
+    * range exchange's shuffle files) — NEVER a
+    * `row_number() OVER (ORDER BY …)` window, which is one partition for
+    * the whole corpus. The total count is one broadcast row.
+    */
+  def perplexityBuckets(docs: DataFrame, train: Option[DataFrame] = None,
+                        nBuckets: Int = 3, lambda: Double = 0.9,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, "need at least one perplexity tier")
+    val spark = docs.sparkSession
+    val scored = graft.util.Caching.ensurePersisted(
+      bigramLogProb(docs, train, lambda, idCol, textCol))
+    val sorted = scored
+      .repartitionByRange(col("logprob_per_token").desc_nulls_last, col(idCol).asc)
+      .sortWithinPartitions(col("logprob_per_token").desc_nulls_last, col(idCol).asc)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    val pos = spark.createDataFrame(indexed,
+      sorted.schema.add("__rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val total = scored.agg(count(lit(1)).as("__n"))
+    val bucket = expr(s"(__rank * ${nBuckets}L) div __n")
+    val tier =
+      if (nBuckets == 3)
+        when(bucket === 0, "head").when(bucket === 1, "middle").otherwise("tail")
+      else concat(lit("b"), bucket.cast("string"))
+    pos.crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"), col("logprob_per_token"),
+        bucket.cast("long").as("bucket"), tier.as("tier"))
+  }
+
   /** TF-IDF top terms per document — the sparse document representation
     * behind keyword extraction, topic tagging, and classical retrieval
     * (`docFrequency` is the corpus half; this joins it back per term).

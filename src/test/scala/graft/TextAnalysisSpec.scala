@@ -174,6 +174,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(1L)._3.get === expected)
   }
 
+  test("bigramLogProb: context beats unigram frequency; empty and 1-token docs survive") {
+    val s = spark; import s.implicits._
+    // docs 1 and 2 are the SAME bag of tokens in opposite orders: the
+    // reversed doc starts from the rarer initial state and shifts
+    // transition mass to the weaker "b a" bigram, so it must score
+    // strictly below — exactly what a unigram model cannot distinguish
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "b a b a b a"),
+      (3L, "a b a b a b"),
+      (4L, "a"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toList
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.size === 5)
+    assert(byId(5L)._2 === 0L && byId(5L)._3.isEmpty)  // empty doc kept, null score
+    assert(byId(1L)._3 === byId(3L)._3)                // identical docs score alike
+    // same unigram bag, different order → bigram model separates them
+    assert(byId(1L)._3.get > byId(2L)._3.get)
+    // 1-token doc scores exactly the add-one unigram of its only token:
+    // c(a) = 10, T = 19, V = 2 → ln(11/22), micro-quantized then /1
+    val lp = math.round(math.log(11.0 / 22.0) * 1000000).toDouble
+    val want = BigDecimal(lp / 1 / 1000000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byId(4L)._3.get === want)
+  }
+
+  test("perplexityBuckets: reference-trained tiers rank by score desc, nulls in the tail") {
+    val s = spark; import s.implicits._
+    // reference = the three 'en' docs; 'xx' docs score against it.
+    // 6 docs → tiers of exactly 2; the empty doc must land in 'tail'.
+    val df = Seq(
+      (1L, "en", "a b a b a b"),
+      (2L, "en", "a b a b"),
+      (3L, "en", "c c c c"),
+      (4L, "xx", "a b a b a b"),   // in-reference order → head
+      (5L, "xx", "z z z z z z"),   // out-of-vocabulary → low score
+      (6L, "xx", "")               // zero tokens → null score, ranks last
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.perplexityBuckets(df,
+        train = Some(df.filter($"lang" === "en")))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3), r.getString(4)))
+    assert(out.length === 6)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(6L)._5 === "tail" && byId(6L)._3.isEmpty)  // null score → tail
+    assert(byId(4L)._5 === "head")                          // fluent doc leads
+    assert(byId(5L)._4 >= byId(4L)._4)                      // OOV never outranks fluent
+    // tiers partition the corpus 2/2/2 and ordering respects the score
+    assert(out.groupBy(_._5).view.mapValues(_.size).toMap ===
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    val ranked = out.sortBy(r => (r._4, r._1))
+    val scores = ranked.flatMap(_._3)
+    assert(scores === scores.sortBy(-(_: Double)))
+  }
+
   test("sampleToTokenBudget: greedy hash-order prefix fills the budget, crossing doc kept") {
     val s = spark; import s.implicits._
     // every doc is exactly 10 tokens; budget 35 → keep while tokens_before < 35:

@@ -91,4 +91,80 @@ object TextStatsProps extends Properties("TextStats") {
       }.toSet
       got == want
     }
+
+  /** Driver-side mirror of the Jelinek-Mercer bigram LM: add-one unigrams
+    * over (T + V + 1), λ = 0.9 interpolation in the engine's exact double
+    * operation order, per-event micro-quantization before the long sum.
+    */
+  private def bigramMirror(rows: List[(Long, String)],
+                           train: List[(Long, String)]): Set[(Long, Long, Option[Double])] = {
+    def quant(p: Double): Long =
+      BigDecimal(math.log(p) * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val trainToks = train.map { case (_, t) => tokensOf(t) }
+    val c1 = trainToks.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val bigT = c1.values.sum
+    val v = c1.size.toLong
+    val cb = trainToks.flatMap(tk => tk.zip(tk.drop(1)))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    def p1(w: String): Double =
+      (c1.getOrElse(w, 0L) + 1L).toDouble / (bigT + v + 1L).toDouble
+    rows.map { case (id, t) =>
+      val tk = tokensOf(t)
+      if (tk.isEmpty) (id, 0L, None)
+      else {
+        val first = quant(p1(tk.head))
+        val rest = tk.zip(tk.drop(1)).map { case (a, b) =>
+          c1.get(a) match {
+            case Some(ca) =>
+              quant(0.9 * (cb.getOrElse((a, b), 0L).toDouble / ca.toDouble) +
+                (1.0 - 0.9) * p1(b))
+            case None => quant(p1(b))
+          }
+        }
+        val slp = first + rest.sum
+        (id, tk.size.toLong, Some(round6(slp.toDouble / tk.size.toDouble / 1000000.0)))
+      }
+    }.toSet
+  }
+
+  property("bigramLogProb (self-trained) == driver-side quantized JM mirror") =
+    forAllNoShrink(corpusGen) { rows =>
+      val s = spark; import s.implicits._
+      val got = TextAnalysis.bigramLogProb(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      got == bigramMirror(rows, rows)
+    }
+
+  property("bigramLogProb (reference-trained) == mirror; OOV degrades to add-one unigram") =
+    forAllNoShrink(corpusGen) { rows =>
+      val s = spark; import s.implicits._
+      // reference = even ids only — possibly EMPTY, which must degrade to
+      // the uniform model (ln 1 = 0 per event), never NULL-poison
+      val train = rows.filter(_._1 % 2 == 0)
+      val df = rows.toDF("doc_id", "text")
+      val got = TextAnalysis.bigramLogProb(df,
+          train = Some(df.filter($"doc_id" % 2 === 0)))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      got == bigramMirror(rows, train)
+    }
+
+  property("perplexityBuckets == mirror rank cut; every doc tiered, nulls last") =
+    forAllNoShrink(corpusGen) { rows =>
+      val s = spark; import s.implicits._
+      val got = TextAnalysis.perplexityBuckets(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getLong(3), r.getString(4))).toSet
+      val scored = bigramMirror(rows, rows)
+      val n = scored.size.toLong
+      val want = scored.toSeq
+        .sortBy { case (id, _, lp) => (lp.isEmpty, lp.map(-_).getOrElse(0.0), id) }
+        .zipWithIndex.map { case ((id, nt, lp), rank) =>
+          val b = rank.toLong * 3L / n
+          (id, nt, lp, b, Seq("head", "middle", "tail")(b.toInt))
+        }.toSet
+      got == want
+    }
 }

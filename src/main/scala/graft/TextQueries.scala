@@ -1534,6 +1534,68 @@ object TextQueries {
           st => concat_ws(" ", slice(col("__tk"), st + 1, lit(16)))), "\n").as("text"))
   }
 
+  /** C4 fixture: 12-token lines with DETERMINISTIC punctuation and
+    * blocklist injection keyed on (doc_id, line index) — `h60` over
+    * tagged domains decides each line's terminal mark ('.'/'!'/'?' or
+    * none, ~80 % terminated) and whether it gains a "javascript " prefix
+    * (1 in 7); every 53rd doc grows a curly-brace footer and every 59th
+    * a "lorem ipsum" header, so both page gates fire on real rows.
+    */
+  private def c4ized(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import graft.functions.GraftFunctions.{hash60, normalizeText, tokens}
+    docs(s, d)
+      .select(col("doc_id"), tokens(normalizeText(col("text"))).as("__tk"))
+      .select(col("doc_id"), transform(
+        sequence(lit(0), greatest(size(col("__tk")) - 1, lit(0)), lit(12)),
+        st => concat_ws(" ", slice(col("__tk"), st + 1, lit(12)))).as("__ls"))
+      .select(col("doc_id"), transform(col("__ls"), (l, i) => {
+        val key = concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))
+        val m = pmod(hash60(concat(lit("c4p:"), key)), lit(10L))
+        val suffix = when(m <= 5, ".").when(m === 6, "!").when(m === 7, "?").otherwise("")
+        val jv = pmod(hash60(concat(lit("c4j:"), key)), lit(7L)) === 0
+        concat(when(jv, lit("javascript ")).otherwise(lit("")), l, suffix)
+      }).as("__ls"))
+      .select(col("doc_id"),
+        concat(
+          when(pmod(col("doc_id"), lit(59L)) === 0, lit("lorem ipsum\n")).otherwise(lit("")),
+          array_join(col("__ls"), "\n"),
+          when(pmod(col("doc_id"), lit(53L)) === 0, lit("\nsee { config }")).otherwise(lit("")))
+          .as("text"))
+  }
+
+  private val c4CleanQ: Q = (s, d) => TextAnalysis.c4LineClean(c4ized(s, d))
+
+  private val c4CleanSql =
+    s"""WITH c4t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
+       |c4st AS (SELECT doc_id, tk,
+       |           unnest(generate_series(0, greatest(len(tk) - 1, 0), 12)) AS st FROM c4t),
+       |c4ln AS (SELECT doc_id, CAST(st // 12 AS BIGINT) AS pos,
+       |           ${h60("'c4p:' || doc_id || ':' || (st // 12)")} % 10 AS m,
+       |           (CASE WHEN ${h60("'c4j:' || doc_id || ':' || (st // 12)")} % 7 = 0
+       |              THEN 'javascript ' ELSE '' END)
+       |           || array_to_string(list_slice(tk, st + 1, st + 12), ' ') AS body
+       |         FROM c4st),
+       |c4l2 AS (SELECT doc_id, pos, body || (CASE WHEN m <= 5 THEN '.' WHEN m = 6 THEN '!'
+       |           WHEN m = 7 THEN '?' ELSE '' END) AS line FROM c4ln),
+       |c4raw AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       |          FROM c4l2 GROUP BY 1),
+       |c4docs AS (SELECT doc_id,
+       |             (CASE WHEN doc_id % 59 = 0 THEN 'lorem ipsum' || chr(10) ELSE '' END)
+       |             || text
+       |             || (CASE WHEN doc_id % 53 = 0 THEN chr(10) || 'see { config }' ELSE '' END)
+       |             AS text FROM c4raw),
+       |base AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+       |           list_filter(string_split(text, chr(10)), l ->
+       |             regexp_matches(trim(l), '[.!?"]$$')
+       |             AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> len(w) > 0)) >= 3
+       |             AND NOT contains(lower(l), 'javascript')) AS ks
+       |         FROM c4docs)
+       |SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text,
+       |  CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept
+       |FROM base
+       |WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(lower(text), '{')
+       |  AND len(ks) >= 2""".stripMargin
+
   private val paraDedup: Q = (s, d) => Dedup.dedupParagraphs(paragraphized(s, d))
 
   private val paraDedupSql =
@@ -1749,6 +1811,7 @@ object TextQueries {
     ("span_evolve", spanEvolve, Some(spanEvolveSql)),
     ("training_order", trainingOrderQ, Some(trainingOrderSql)),
     ("para_dedup", paraDedup, Some(paraDedupSql)),
+    ("c4_clean", c4CleanQ, Some(c4CleanSql)),
     ("strip_boilerplate", stripBoiler, Some(stripBoilerSql)),
     ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),

@@ -684,6 +684,50 @@ object TextAnalysis {
         bucket.cast("long").as("bucket"), tier.as("tier"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020): keep only lines
+    * that end in a terminal punctuation mark (`. ! ? "`), carry at least
+    * `minWordsPerLine` whitespace words, and mention no `lineBlocklist`
+    * term (C4 dropped every line with the word "javascript"); then drop
+    * the whole page when its ORIGINAL text contains a `pageBlocklist`
+    * term (C4: "lorem ipsum", any curly brace) or fewer than
+    * `minLinesKept` lines survive. Kept pages come back rebuilt in line
+    * order with their before/after line counts. Rule order is C4's:
+    * line filters see every line, page gates judge the original text and
+    * the post-filter line count.
+    *
+    * All checks are case-insensitive on the blocklists (C4 lowercased);
+    * the punctuation test runs on the TRIMMED line, so trailing spaces
+    * never hide a terminal period.
+    *
+    * Shape at 100 TB: the whole operator is ONE codegen'd projection +
+    * filter over the corpus scan — `split`/`filter`/`array_join`
+    * higher-order expressions, no explode, no shuffle, no joins;
+    * throughput is scan-bound and scales linearly with executors.
+    */
+  def c4LineClean(docs: DataFrame, minWordsPerLine: Int = 3, minLinesKept: Int = 2,
+                  lineBlocklist: Seq[String] = Seq("javascript"),
+                  pageBlocklist: Seq[String] = Seq("lorem ipsum", "{"),
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minWordsPerLine >= 0 && minLinesKept >= 0, "thresholds must be non-negative")
+    val lines = split(col(textCol), "\n")
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      val words = size(filter(split(t, "\\s+"), w => length(w) > 0))
+      val blocked = lineBlocklist.map(b => lower(l).contains(lit(b.toLowerCase)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      t.rlike("[.!?\"]$") && words >= minWordsPerLine && !blocked
+    }
+    val pageBlocked = pageBlocklist.map(b => lower(col(textCol)).contains(lit(b.toLowerCase)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    docs
+      .withColumn("__kept", filter(lines, keepLine _))
+      .filter(!pageBlocked && size(col("__kept")) >= minLinesKept)
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(lines).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   /** TF-IDF top terms per document — the sparse document representation
     * behind keyword extraction, topic tagging, and classical retrieval
     * (`docFrequency` is the corpus half; this joins it back per term).

@@ -233,6 +233,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores === scores.sortBy(-(_: Double)))
   }
 
+  test("c4LineClean: terminal-punct/min-words/blocklist line rules, page gates drop whole docs") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      // 5 lines: keep "good line one." and the quote-terminated line;
+      // drop the 1-worder, the unterminated line, and the javascript line
+      (1L, "good line one.\nshort.\nno terminal punct\nthis uses JavaScript badly.\nhe said \"stop right there\""),
+      (2L, "lorem ipsum dolor sit.\nanother fine line here.\nand one more line."),  // page gate: lorem ipsum
+      (3L, "braces are code { so }.\nanother fine line here.\nand one more line."), // page gate: brace
+      (4L, "only one good line here.\nnope\nnah"),                                  // < 2 kept lines
+      (5L, "first decent line stays!\nsecond decent line stays?\ntail")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineClean(df)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 5L))
+    val d1 = out.find(_._1 == 1L).get
+    assert(d1._2 === "good line one.\nhe said \"stop right there\"")
+    assert(d1._3 === 5L && d1._4 === 2L)
+    val d5 = out.find(_._1 == 5L).get
+    assert(d5._2 === "first decent line stays!\nsecond decent line stays?")
+    assert(d5._3 === 3L && d5._4 === 2L)
+  }
+
   test("sampleToTokenBudget: greedy hash-order prefix fills the budget, crossing doc kept") {
     val s = spark; import s.implicits._
     // every doc is exactly 10 tokens; budget 35 → keep while tokens_before < 35:

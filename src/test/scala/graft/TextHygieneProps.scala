@@ -99,4 +99,39 @@ object TextHygieneProps extends Properties("TextHygiene") {
       }.toSet
       got == want
     }
+
+  // C4 line cleaning: random multi-line pages mixing terminated /
+  // unterminated / blocklisted / short lines, with occasional page-level
+  // poison ("lorem ipsum", a brace) — mirrored by a direct driver filter
+  private val lineGen: Gen[String] = for {
+    nw <- Gen.choose(0, 5)
+    ws <- Gen.listOfN(nw, Gen.oneOf(vocab :+ "javascript"))
+    end <- Gen.oneOf(".", "!", "?", "\"", "", " ", "x")
+  } yield ws.mkString(" ") + end
+  private val pageGen: Gen[String] = for {
+    nl <- Gen.choose(0, 6)
+    ls <- Gen.listOfN(nl, lineGen)
+    poison <- Gen.frequency(8 -> "", 1 -> "\nlorem ipsum dolor", 1 -> "\nif (x) { y }")
+  } yield ls.mkString("\n") + poison
+
+  property("c4LineClean == driver-side line filter + page gates") =
+    forAllNoShrink(Gen.choose(2, 12).flatMap(m => Gen.listOfN(m, pageGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })) { rows =>
+      val s = spark; import s.implicits._
+      val got = TextAnalysis.c4LineClean(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val want = rows.flatMap { case (id, text) =>
+        val lines = text.split("\n", -1).toSeq
+        val kept = lines.filter { l =>
+          val t = l.trim
+          t.nonEmpty && ".!?\"".contains(t.last) &&
+            t.split("\\s+").count(_.nonEmpty) >= 3 &&
+            !l.toLowerCase.contains("javascript")
+        }
+        val lo = text.toLowerCase
+        if (lo.contains("lorem ipsum") || lo.contains("{") || kept.size < 2) None
+        else Some((id, kept.mkString("\n"), lines.size.toLong, kept.size.toLong))
+      }.toSet
+      got == want
+    }
 }

@@ -880,6 +880,29 @@ object TextQueries {
        |  coalesce(hits.n_hits, 0) > 0 AS contaminated
        |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id""".stripMargin
 
+  // -- per-benchmark-item contamination report ------------------------------
+  private val contaminationReport: Q = (s, d) => {
+    val dd = docs(s, d)
+    TextAnalysis.contaminationReport(dd, dd.filter(pmod(col("doc_id"), lit(97L)) === 0L))
+  }
+
+  private val contaminationReportSql =
+    s"""WITH hl AS (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents),
+       |g AS (SELECT doc_id, list_distinct(${rolledGramList("hs", 3)}) AS g FROM hl),
+       |bg AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0),
+       |be AS (SELECT bench_id, unnest(g) AS gh FROM bg),
+       |ce AS (SELECT doc_id AS cid, unnest(g) AS gh FROM g),
+       |hp AS (SELECT be.bench_id, ce.cid, be.gh FROM ce JOIN be USING (gh)),
+       |ag AS (SELECT bench_id, CAST(count(DISTINCT gh) AS BIGINT) AS n_hit_grams,
+       |         CAST(count(DISTINCT cid) AS BIGINT) AS n_corpus_docs FROM hp GROUP BY 1)
+       |SELECT bg.bench_id, CAST(len(bg.g) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(ag.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+       |  CAST(coalesce(ag.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+       |  round(CASE WHEN len(bg.g) > 0
+       |    THEN CAST(coalesce(ag.n_hit_grams, 0) AS DOUBLE) / len(bg.g)
+       |    ELSE 0.0 END, 6) AS overlap_frac
+       |FROM bg LEFT JOIN ag USING (bench_id)""".stripMargin
+
   // -- sequence packing ------------------------------------------------------
   private val packSequences: Q = (s, d) =>
     TextAnalysis.packSequences(docs(s, d), budget = 512)
@@ -1802,6 +1825,7 @@ object TextQueries {
     ("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     ("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     ("decontaminate", decontaminate, Some(decontaminateSql)),
+    ("contamination_report", contaminationReport, Some(contaminationReportSql)),
     ("pack_sequences", packSequences, Some(packSequencesSql)),
     ("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     ("dup_spans", dupSpans, Some(dupSpansSql)),

@@ -808,6 +808,55 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_hits") > 0L)
   }
 
+  /** Per-benchmark-item contamination report — the REVERSE view of
+    * [[decontaminate]]: instead of flagging corpus documents that
+    * overlap the benchmark, report how exposed each BENCHMARK item is
+    * to the corpus — the eval-integrity triage that decides which eval
+    * rows are still trustworthy after a crawl lands. Per benchmark doc:
+    * its distinct n-gram count, how many of those grams occur anywhere
+    * in the corpus (`n_hit_grams`), the overlap fraction, and the number
+    * of DISTINCT corpus documents sharing at least one gram
+    * (`n_corpus_docs` — one near-copy vs diffuse phrase reuse read very
+    * differently).
+    *
+    * Shape at 100 TB: the benchmark gram table broadcasts (benchmarks
+    * are eval-sized); the corpus reads the SHARED hash layer once and
+    * its gram stream meets the broadcast as a map-side hash-join FILTER
+    * — only HIT rows (bench item, corpus doc, gram) survive into the
+    * bench-keyed aggregate, so the exchange carries contamination
+    * volume, never corpus volume. A pathologically common benchmark
+    * gram (a stock phrase) inflates hit volume by construction — raise
+    * `n` to sharpen grams before corpus-wide triage.
+    */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 3, benchIdCol: String = "doc_id"): DataFrame = {
+    // corpus side reads the shared full-hash layer; benchmark side stays
+    // a direct single-consumer chain (tiny, usually a filtered plan) —
+    // the decontaminate split, and the gram values are identical
+    val corpusGrams = Dedup.fullHashBase(docs, idCol, textCol)
+      .select(col(idCol).as("__cid"),
+        explode(array_distinct(
+          Dedup.rolledGramHashes(col("__fh"), n, reduceInputs = true))).as("__gh"))
+    val benchGrams = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        array_distinct(Dedup.rolledGramHashes(
+          tokenHashes(tokens(normalizeText(col(textCol)))), n)).as("__g"))
+    val hitPairs = corpusGrams
+      .join(broadcast(benchGrams.select(col("bench_id"), explode(col("__g")).as("__gh"))), "__gh")
+    val agg = hitPairs.groupBy("bench_id")
+      .agg(countDistinct(col("__gh")).as("n_hit_grams"),
+        countDistinct(col("__cid")).as("n_corpus_docs"))
+    benchGrams.select(col("bench_id"), size(col("__g")).cast("long").as("n_grams"))
+      .join(agg, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        round(when(col("n_grams") > 0,
+          coalesce(col("n_hit_grams"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0d)), 6).as("overlap_frac"))
+  }
+
   /** Sequence packing (concat-then-chunk): lay each stream's documents
     * end-to-end in deterministic `idCol` order and cut the token stream
     * into fixed-`budget` sequences — every document gets the sequence id

@@ -256,6 +256,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d5._3 === 3L && d5._4 === 2L)
   }
 
+  test("contaminationReport: exposure per benchmark item — hit grams, fraction, distinct sources") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // contains bench 10's full text
+      (2L, "the quick brown cat sleeps"),  // shares only "the quick brown"
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox"),        // 2 grams, both in corpus
+      (11L, "never seen anywhere at all"), // 3 grams, none in corpus
+      (12L, "xy")                          // < n tokens → zero grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationReport(corpus, bench, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toList
+    // bench 10: grams {the quick brown, quick brown fox} — first hits docs
+    // 1 AND 2, second hits doc 1 only → 2/2 grams, 2 distinct corpus docs
+    assert(out === List(
+      (10L, 2L, 2L, 2L, 1.0),
+      (11L, 3L, 0L, 0L, 0.0),
+      (12L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("sampleToTokenBudget: greedy hash-order prefix fills the budget, crossing doc kept") {
     val s = spark; import s.implicits._
     // every doc is exactly 10 tokens; budget 35 → keep while tokens_before < 35:

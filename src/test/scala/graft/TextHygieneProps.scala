@@ -83,6 +83,27 @@ object TextHygieneProps extends Properties("TextHygiene") {
         got == want
     }
 
+  property("contaminationReport == driver-side per-benchmark exposure tally") =
+    forAllNoShrink(corpusGen, Gen.choose(1, 4).flatMap(m => Gen.listOfN(m, docGen))) {
+      (rows, benchTexts) =>
+        val s = spark; import s.implicits._
+        val bench = benchTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val got = TextAnalysis.contaminationReport(
+            rows.toDF("doc_id", "text"), bench.toDF("doc_id", "text"), n = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4))).toSet
+        val corpusSets = rows.map { case (id, t) => id -> grams(t, 3).toSet }
+        val allCorpus = corpusSets.flatMap(_._2).toSet
+        val want = bench.map { case (bid, t) =>
+          val g = grams(t, 3).distinct
+          val hits = g.count(allCorpus.contains).toLong
+          val nDocs = corpusSets.count { case (_, cs) => g.exists(cs.contains) }.toLong
+          val frac = if (g.isEmpty) 0.0 else round6(hits.toDouble / g.size.toLong)
+          (bid, g.size.toLong, hits, nDocs, frac)
+        }.toSet
+        got == want
+    }
+
   property("qualityBuckets == rank definition over the operator's own scores") =
     forAllNoShrink(corpusGen, Gen.choose(1, 5)) { (rows, nBuckets) =>
       val s = spark; import s.implicits._

@@ -245,6 +245,30 @@ object ExtQueries {
       |       CAST((weight_ppm * n_tokens) // 1000000 AS BIGINT) AS sampled_tokens
       |FROM w""".stripMargin
 
+  private val mixTemperature: Q = (s, d) =>
+    Ranking.mixTemperature(Tables.documents(s, d), Seq("source", "lang"))
+
+  // temperature mass q = round(exp(0.7·ln n)·10⁶) as BIGINT per stratum —
+  // quantized BEFORE normalization so the normalizing sum is exact integer
+  // arithmetic; the explicit DOUBLE casts keep DuckDB out of DECIMAL
+  // arithmetic on the 0.7 literal (mirrors Ranking.mixTemperature)
+  private val mixTemperatureSql =
+    s"""WITH perdoc AS (SELECT source, lang, CAST(len(${toks(norm("text"))}) AS BIGINT) AS dl FROM documents),
+      |strata AS (SELECT source, lang, count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM perdoc GROUP BY 1, 2),
+      |sq AS (SELECT *, CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(round(exp(CAST(0.7 AS DOUBLE) * ln(CAST(n_tokens AS DOUBLE))) * 1000000.0) AS BIGINT) END AS q
+      |       FROM strata),
+      |tot AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total,
+      |          CAST(coalesce(sum(q), 0) AS BIGINT) AS qs FROM sq)
+      |SELECT source, lang, n_docs, n_tokens,
+      |  CASE WHEN total > 0 THEN CAST(round(CAST(n_tokens AS DOUBLE) / total * 1000000.0) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS share_ppm,
+      |  CASE WHEN qs > 0 THEN CAST(round(CAST(q AS DOUBLE) * 1000000.0 / qs) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS temp_ppm,
+      |  CASE WHEN qs > 0 THEN CAST(round(CAST(q AS DOUBLE) * total / qs) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS sampled_tokens
+      |FROM sq CROSS JOIN tot""".stripMargin
+
   // ------------------------------------------------------------------
   // Table profile: one-pass per-column data-quality stats.
   // ------------------------------------------------------------------
@@ -557,6 +581,7 @@ object ExtQueries {
     ("pivot_counts", pivotCounts, Some(pivotCountsSql)),
     ("moving_spend", movingSpend, Some(movingSpendSql)),
     ("mix_weights", mixWeights, Some(mixWeightsSql)),
+    ("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     ("paged_v2", pagedV2, Some(pagedV2Sql)),
     ("paged_count", pagedCount, Some(pagedCountSql)),
     ("paged_distinct", pagedDistinct, Some(pagedDistinctSql)),

@@ -174,6 +174,19 @@ object TextQueries {
        |         HAVING sum(CAST(quality_score AS DECIMAL(18,4))) >= CAST(0.37 AS DECIMAL(18,4)) * count(*))
        |SELECT doc_id, source, lang FROM documents WHERE source IN (SELECT source FROM good)""".stripMargin
 
+  // -- per-source document cap (domain quota) -----------------------------
+  private val sourceCapQ: Q = (s, d) =>
+    TextAnalysis.sourceCap(docs(s, d), k = 20)
+
+  private val sourceCapSql =
+    s"""WITH $qualityCtes,
+       |capr AS (SELECT d.doc_id, d.source, q.quality_score,
+       |        row_number() OVER (PARTITION BY d.source
+       |          ORDER BY q.quality_score DESC, d.doc_id) AS rn
+       |      FROM q JOIN documents d USING (doc_id))
+       |SELECT doc_id, source, quality_score, CAST(rn AS BIGINT) AS rank_in_stratum
+       |FROM capr WHERE rn <= 20""".stripMargin
+
   // -- deterministic stratified sampling ---------------------------------
   private val stratified: Q = (s, d) =>
     TextAnalysis.stratifiedSample(docs(s, d),
@@ -1794,6 +1807,7 @@ object TextQueries {
     ("pii_redact", piiRedact, Some(piiRedactSql)),
     ("chunk_tokens", chunkTokens, Some(chunkTokensSql)),
     ("source_filter", sourceFilter, Some(sourceFilterSql)),
+    ("source_cap", sourceCapQ, Some(sourceCapSql)),
     ("stratified_sample", stratified, Some(stratifiedSql)),
     ("sample_n_per_stratum", sampleN, Some(sampleNSql)),
     ("split_assign", splitAssign, Some(splitAssignSql)),

@@ -117,6 +117,52 @@ object Ranking {
         Seq(col("n_docs"), col("n_tokens"), col("share_ppm"), col("weight_ppm"), col("sampled_tokens")): _*)
   }
 
+  /** Temperature-flattened training-mix weights — the `p ∝ n^α`
+    * reweighting (α < 1 upsamples small strata, downsamples dominant
+    * ones; the standard multilingual/multi-domain mixing rule, vs
+    * [[mixWeights]]' uniform-target shape). Each stratum's temperature
+    * mass is `n_tokens^α`, computed as `exp(α·ln n)` and micro-quantized
+    * to a long BEFORE the cross-strata normalization — so the normalizing
+    * sum is exact integer arithmetic, immune to aggregation order, and
+    * the published shares are engine-exact integer ppm. `sampled_tokens`
+    * reallocates the corpus's own token total along the flattened
+    * distribution.
+    *
+    * Shape at 100 TB: identical to [[mixWeights]] — ONE map-side-combined
+    * strata aggregate over the corpus (the frame is plan-identical to
+    * mixWeights', so the guarded persist is SHARED between the two), a
+    * one-row broadcast of the totals, and a |strata|-row projection.
+    */
+  def mixTemperature(docs: DataFrame, strataCols: Seq[String], alpha: Double = 0.7,
+                     textCol: String = "text"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "temperature exponent must be in (0, 1]")
+    val perDoc = docs.select(strataCols.map(col) :+
+      size(tokens(normalizeText(col(textCol)))).cast("long").as("__dl"): _*)
+    // plan-identical to mixWeights' strata frame: one shared cache entry
+    val strata = graft.util.Caching.ensurePersisted(
+      perDoc.groupBy(strataCols.map(col): _*)
+        .agg(count(lit(1)).as("n_docs"), sum("__dl").as("n_tokens")))
+    val withQ = strata.withColumn("__q",
+      when(col("n_tokens") === 0, lit(0L)).otherwise(
+        round(exp(lit(alpha) * log(col("n_tokens").cast("double"))) * lit(1000000.0), 0)
+          .cast("long")))
+    val totals = withQ.agg(
+      coalesce(sum("n_tokens"), lit(0L)).as("__total"),
+      coalesce(sum("__q"), lit(0L)).as("__qs"))
+    withQ.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", when(col("__total") > 0,
+        round(col("n_tokens").cast("double") / col("__total") * lit(1000000.0), 0).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("temp_ppm", when(col("__qs") > 0,
+        round(col("__q").cast("double") * lit(1000000.0) / col("__qs"), 0).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("sampled_tokens", when(col("__qs") > 0,
+        round(col("__q").cast("double") * col("__total") / col("__qs"), 0).cast("long"))
+        .otherwise(lit(0L)))
+      .select(strataCols.map(col) ++ Seq(col("n_docs"), col("n_tokens"),
+        col("share_ppm"), col("temp_ppm"), col("sampled_tokens")): _*)
+  }
+
   /** MATERIALIZE a training mix: join each document to its stratum's
     * sampling weight (the `mixWeights` output, `weight_ppm` micro-units;
     * w = weight_ppm/10⁶) and apply it as deterministic hash-gated

@@ -125,6 +125,36 @@ object TextAnalysis {
     docs.join(good, Seq(sourceCol), "left_semi")
   }
 
+  /** Per-stratum document cap — the domain/source quota pass (cap the
+    * documents any one domain contributes, keeping its BEST): within
+    * each stratum, rank by (quality desc, id) and keep the top `k`.
+    * This is the frequency-control curation step between source-level
+    * filtering ([[sourceQualityFilter]] drops whole bad sources) and
+    * document-level selection — one hot crawl domain must not dominate
+    * the mix however good its pages look.
+    *
+    * Shape at 100 TB: scores read the SHARED [[scoreBase]] layer (one
+    * signals-kernel pass per corpus, shared with qualityBuckets and the
+    * keep-best collapse); the rank is ONE window partitioned by the
+    * STRATUM — the high-cardinality partitioning where windows
+    * parallelize perfectly (every domain ranks independently; no global
+    * sort exists), and the id-keyed score attach is the keep-best join
+    * shape. Output carries `rank_in_stratum` so downstream tighter caps
+    * re-cut without re-ranking.
+    */
+  def sourceCap(docs: DataFrame, k: Int, stratumCol: String = "source",
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, "the per-stratum cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("quality_score").desc, col(idCol).asc)
+    docs.select(col(idCol), col(stratumCol))
+      .join(scoreBase(docs, idCol, textCol), Seq(idCol))
+      .withColumn("rank_in_stratum", row_number().over(w).cast("long"))
+      .filter(col("rank_in_stratum") <= k)
+      .select(col(idCol), col(stratumCol), col("quality_score"), col("rank_in_stratum"))
+  }
+
   /** Deterministic stratified sampling — per-stratum keep rates for
     * composing training mixes ("50% of en, 25% of everything else").
     * Membership is a pure hash decision on (stratum, id): seedless,

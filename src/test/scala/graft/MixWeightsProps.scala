@@ -62,6 +62,43 @@ object MixWeightsProps extends Properties("MixWeights") {
       got == want
     }
 
+  property("mixTemperature == driver-side exp(α·ln n) quantized flattening (incl. NULL stratum)") =
+    forAllNoShrink(corpusGen, Gen.oneOf(0.5, 0.7, 1.0)) { (rows, alpha) =>
+      val got = Ranking.mixTemperature(corpusDf(rows), Seq("lang"), alpha = alpha)
+        .collect().map { r =>
+          (if (r.isNullAt(0)) None else Some(r.getString(0))) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        }.toMap
+      val strata = rows.groupBy(_._1).map { case (l, g) =>
+        l -> (g.size.toLong, g.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum)
+      }
+      val total = strata.values.map(_._2).sum
+      val qs = strata.map { case (l, (_, n)) =>
+        l -> (if (n == 0L) 0L
+              else java.math.BigDecimal.valueOf(
+                math.exp(alpha * math.log(n.toDouble)) * 1000000.0)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      }
+      val qSum = qs.values.sum
+      def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val want = strata.map { case (l, (nDocs, nTokens)) =>
+        val q = qs(l)
+        l -> ((nDocs, nTokens,
+          if (total > 0) halfUpPpm(nTokens.toDouble / total) else 0L,
+          if (qSum > 0) halfUp(q.toDouble * 1000000.0 / qSum) else 0L,
+          if (qSum > 0) halfUp(q.toDouble * total / qSum) else 0L))
+      }
+      got == want
+    }
+
+  // α = 1 must reproduce the natural distribution: temp share == share
+  property("mixTemperature at α = 1 leaves shares within 1 ppm of natural") =
+    forAllNoShrink(corpusGen) { rows =>
+      Ranking.mixTemperature(corpusDf(rows), Seq("lang"), alpha = 1.0)
+        .collect().forall(r => math.abs(r.getLong(3) - r.getLong(4)) <= 1L)
+    }
+
   property("applyMixWeights: per-doc multiplicity in {⌊w⌋, ⌊w⌋+1}, dense copies, deterministic") =
     forAllNoShrink(corpusGen, Gen.oneOf(300000L, 1000000L, 1700000L, 3200000L)) { (rows, wPpm) =>
       val s = spark; import s.implicits._

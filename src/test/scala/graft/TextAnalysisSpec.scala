@@ -279,6 +279,32 @@ class TextAnalysisSpec extends SparkSpec {
       (12L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("sourceCap: keeps each stratum's top-k by (quality desc, id), ranks dense from 1") {
+    val s = spark; import s.implicits._
+    // src A: 3 docs of visibly different quality; src B: 1 doc — a cap of
+    // 2 keeps A's best two and all of B
+    val df = Seq(
+      (1L, "A", "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "A", "aaa aaa aaa aaa aaa aaa aaa aaa"),
+      (3L, "A", "a solid readable sentence with varied common words in it."),
+      (4L, "B", "another perfectly normal document with some words here.")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceCap(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length === 3)
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("A").map(_._1).toSet.size === 2 && bySrc("B").map(_._1).toSeq === Seq(4L))
+    // within A, rank 1 outscores rank 2; the dropped doc scores ≤ both
+    val a = bySrc("A").sortBy(_._4)
+    assert(a.map(_._4).toSeq === Seq(1L, 2L))
+    assert(a(0)._3 >= a(1)._3)
+    val aScores = TextAnalysis.qualityScore(df.filter($"source" === "A"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(8)).toMap
+    val dropped = (Set(1L, 2L, 3L) -- a.map(_._1).toSet).head
+    assert(a.forall(kept => aScores(kept._1) >= aScores(dropped) ||
+      (aScores(kept._1) == aScores(dropped) && kept._1 < dropped)))
+  }
+
   test("sampleToTokenBudget: greedy hash-order prefix fills the budget, crossing doc kept") {
     val s = spark; import s.implicits._
     // every doc is exactly 10 tokens; budget 35 → keep while tokens_before < 35:

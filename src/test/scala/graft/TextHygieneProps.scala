@@ -135,6 +135,23 @@ object TextHygieneProps extends Properties("TextHygiene") {
     poison <- Gen.frequency(8 -> "", 1 -> "\nlorem ipsum dolor", 1 -> "\nif (x) { y }")
   } yield ls.mkString("\n") + poison
 
+  property("sourceCap == per-stratum top-k over the operator's own scores") =
+    forAllNoShrink(corpusGen, Gen.choose(1, 4)) { (rows, k) =>
+      val s = spark; import s.implicits._
+      val docs = rows.map { case (id, t) => (id, s"s${id % 3}", t) }
+        .toDF("doc_id", "source", "text")
+      val scores = TextAnalysis.qualityScore(docs)
+        .select("doc_id", "quality_score")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = TextAnalysis.sourceCap(docs, k = k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+      val want = rows.map(_._1).groupBy(id => s"s${id % 3}").toSeq.flatMap { case (src, ids) =>
+        ids.sortBy(id => (-scores(id), id)).take(k).zipWithIndex
+          .map { case (id, i) => (id, src, scores(id), (i + 1).toLong) }
+      }.toSet
+      got == want
+    }
+
   property("c4LineClean == driver-side line filter + page gates") =
     forAllNoShrink(Gen.choose(2, 12).flatMap(m => Gen.listOfN(m, pageGen))
       .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })) { rows =>

@@ -1326,6 +1326,29 @@ object TextQueries {
        |    ELSE 0.0 END, 6) AS dup_frac
        |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin
 
+  // -- containment attribution (best covering partner) -----------------------
+  private val spanContainmentQ: Q = (s, d) =>
+    Dedup.spanContainment(docs(s, d), n = 8, maxOcc = 64)
+
+  private val spanContainmentSql =
+    s"""$dupSpanCtes,
+       |pv0 AS (SELECT id_a AS doc_id, id_b AS partner_id,
+       |          unnest([start_a + i for i in range(0, n_tokens)]) AS pos FROM vs
+       |        UNION ALL
+       |        SELECT id_b AS doc_id, id_a AS partner_id,
+       |          unnest([start_b + i for i in range(0, n_tokens)]) AS pos FROM vs),
+       |pv AS (SELECT doc_id, partner_id, CAST(count(DISTINCT pos) AS BIGINT) AS cov
+       |       FROM pv0 GROUP BY 1, 2),
+       |bst AS (SELECT doc_id, partner_id, cov,
+       |          row_number() OVER (PARTITION BY doc_id
+       |            ORDER BY cov DESC, partner_id) AS rn FROM pv)
+       |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens, b.partner_id,
+       |  CAST(coalesce(b.cov, 0) AS BIGINT) AS covered_tokens,
+       |  round(CASE WHEN len(t.tk) > 0
+       |    THEN CAST(coalesce(b.cov, 0) AS DOUBLE) / len(t.tk)
+       |    ELSE 0.0 END, 6) AS containment_frac
+       |FROM t LEFT JOIN (SELECT * FROM bst WHERE rn = 1) b USING (doc_id)""".stripMargin
+
   // -- span excision (keep-first) --------------------------------------------
   private val exciseSpans: Q = (s, d) =>
     Dedup.exciseSpans(docs(s, d), n = 8, maxOcc = 64)
@@ -1843,6 +1866,7 @@ object TextQueries {
     ("pack_sequences", packSequences, Some(packSequencesSql)),
     ("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     ("dup_spans", dupSpans, Some(dupSpansSql)),
+    ("span_containment", spanContainmentQ, Some(spanContainmentSql)),
     ("dup_spans_intra", dupSpansIntra, Some(dupSpansIntraSql)),
     ("excise_spans", exciseSpans, Some(exciseSpansSql)),
     ("excise_intra", exciseIntra, Some(exciseIntraSql)),

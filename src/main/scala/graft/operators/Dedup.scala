@@ -1494,6 +1494,57 @@ object Dedup {
           .otherwise(lit(0.0d)), 6).as("dup_frac"))
   }
 
+  /** Containment attribution — [[spanCoverage]] with a WHO: for each
+    * document, the single partner covering most of its tokens through
+    * shared spans, with that pair's covered-token count and fraction.
+    * `dup_frac ≈ 1` with one dominant partner means the document is
+    * CONTAINED in (or contains) that partner — the quote-heavy /
+    * aggregation-page / near-superset cases document-level dedup misses
+    * and whole-corpus coverage cannot attribute. Clean documents pass
+    * through with a NULL partner and zero coverage.
+    *
+    * Shape at 100 TB: interval union runs per (document, partner) —
+    * gaps-and-islands one partition level deeper than [[spanCoverage]]'s
+    * merge, so partitions stay span-pair-sized (millions of tiny windows,
+    * no global sort); the per-document winner is ONE hash-aggregable
+    * argmax (max over (covered, −partner) structs — the semantic-decon
+    * rule, partial-aggregated map-side, never a row_number over the
+    * corpus); token counts project off the SHARED hash layer
+    * duplicateSpans just guard-persisted.
+    */
+  def spanContainment(docs: DataFrame, n: Int = 8, maxOcc: Int = 64,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, n, maxOcc, idCol, textCol)
+    val sides = spans.select(col("id_a").as(idCol), col("id_b").as("partner_id"),
+        col("start_a").cast("long").as("__s"), (col("start_a") + col("n_tokens")).as("__e"))
+      .unionByName(spans.select(col("id_b").as(idCol), col("id_a").as("partner_id"),
+        col("start_b").cast("long").as("__s"), (col("start_b") + col("n_tokens")).as("__e")))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("partner_id")).orderBy(col("__s"), col("__e"))
+    val cov = sides
+      .withColumn("__pmax", max(col("__e")).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("__grp", sum(
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L).otherwise(0L)).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("partner_id"), col("__grp"))
+      .agg((max(col("__e")) - min(col("__s"))).as("__len"))
+      .groupBy(idCol, "partner_id").agg(sum("__len").as("covered_tokens"))
+    val best = cov
+      .groupBy(idCol)
+      .agg(max(struct(col("covered_tokens"), (-col("partner_id")).as("__np"))).as("__b"))
+      .select(col(idCol), col("__b.covered_tokens").as("covered_tokens"),
+        (-col("__b.__np")).as("partner_id"))
+    fullHashBase(docs, idCol, textCol)
+      .select(col(idCol), size(col("__fh")).cast("long").as("n_tokens"))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("partner_id"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0d)), 6).as("containment_frac"))
+  }
+
   /** Span-level dedup: rebuild the corpus with every duplicated span
     * excised from the HIGHER-id document of its pair (keep-first by id —
     * applied transitively, each duplicated passage survives only in the

@@ -124,6 +124,34 @@ object DupSpansProps extends Properties("DupSpans") {
       got == want
     }
 
+  property("spanContainment == brute-force best-partner coverage with (cov desc, id asc) tie-break") =
+    forAllNoShrink(Gen.chooseNum(2, 5).flatMap(k =>
+      Gen.listOfN(k, docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.map { case (i, tk) => (i, tk.mkString(" ")) }.toDF("doc_id", "text")
+      val covByPair = bruteSpans(docs)
+        .flatMap { case (ia, ib, sa, sb, len) =>
+          (sa until sa + len.toInt).map(p => ((ia, ib), p)) ++
+            (sb until sb + len.toInt).map(p => ((ib, ia), p))
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).size.toLong).toMap
+      val want = docs.map { case (i, tk) =>
+        val partners = covByPair.collect { case ((d, p), c) if d == i => (p, c) }
+        if (partners.isEmpty) (i, tk.length.toLong, None, 0L, 0.0)
+        else {
+          val (p, c) = partners.toSeq.minBy { case (pid, cov) => (-cov, pid) }
+          val frac = if (tk.nonEmpty) BigDecimal(c.toDouble / tk.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+          (i, tk.length.toLong, Some(p), c, frac)
+        }
+      }.toSet
+      val got = Dedup.spanContainment(df, n = n, maxOcc = 1000000).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          if (r.isNullAt(2)) None else Some(r.getAs[Long]("partner_id")),
+          r.getAs[Long]("covered_tokens"), r.getAs[Double]("containment_frac"))).toSet
+      got == want
+    }
+
   property("reverifySpans keeps exactly the maximal 60-bit-true sub-runs of a failed span") =
     forAllNoShrink(Gen.chooseNum(0, 6), Gen.chooseNum(0, 6)) { (trueLeft, trueRight) =>
       // fabricate the collision shape that whole-slice verification fails

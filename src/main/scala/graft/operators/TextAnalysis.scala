@@ -749,13 +749,19 @@ object TextAnalysis {
     }
     val pageBlocked = pageBlocklist.map(b => lower(col(textCol)).contains(lit(b.toLowerCase)))
       .reduceOption(_ || _).getOrElse(lit(false))
+    for (reserved <- Seq("clean_text", "n_lines", "n_kept"))
+      require(!docs.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"'$reserved' is a reserved output column of c4LineClean — rename it first")
+    // metadata (source, lang, …) passes through so the cleaner composes
+    // into pipelines without a re-join; only the text column is consumed
+    val carried = docs.columns.filterNot(_.equalsIgnoreCase(textCol)).map(col).toSeq
     docs
       .withColumn("__kept", filter(lines, keepLine _))
       .filter(!pageBlocked && size(col("__kept")) >= minLinesKept)
-      .select(col(idCol),
+      .select(carried ++ Seq(
         array_join(col("__kept"), "\n").as("clean_text"),
         size(lines).cast("long").as("n_lines"),
-        size(col("__kept")).cast("long").as("n_kept"))
+        size(col("__kept")).cast("long").as("n_kept")): _*)
   }
 
   /** TF-IDF top terms per document — the sparse document representation

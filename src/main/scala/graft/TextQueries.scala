@@ -1645,8 +1645,9 @@ object TextQueries {
        |             AS text FROM c4raw),
        |base AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
        |           list_filter(string_split(text, chr(10)), l ->
-       |             regexp_matches(trim(l), '[.!?"]$$')
-       |             AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> len(w) > 0)) >= 3
+       |             regexp_matches(regexp_replace(l, '^\\s+|\\s+$$', '', 'g'), '[.!?"]$$')
+       |             AND len(list_filter(string_split_regex(
+       |               regexp_replace(l, '^\\s+|\\s+$$', '', 'g'), '\\s+'), w -> len(w) > 0)) >= 3
        |             AND NOT contains(lower(l), 'javascript')) AS ks
        |         FROM c4docs)
        |SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text,

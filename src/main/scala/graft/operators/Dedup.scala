@@ -1507,8 +1507,9 @@ object Dedup {
     * gaps-and-islands one partition level deeper than [[spanCoverage]]'s
     * merge, so partitions stay span-pair-sized (millions of tiny windows,
     * no global sort); the per-document winner is ONE hash-aggregable
-    * argmax (max over (covered, −partner) structs — the semantic-decon
-    * rule, partial-aggregated map-side, never a row_number over the
+    * argmax (max over (covered, ~partner) structs — bitwise complement,
+    * an overflow-free order reversal on the whole long range —
+    * partial-aggregated map-side, never a row_number over the
     * corpus); token counts project off the SHARED hash layer
     * duplicateSpans just guard-persisted.
     */
@@ -1530,11 +1531,15 @@ object Dedup {
       .groupBy(col(idCol), col("partner_id"), col("__grp"))
       .agg((max(col("__e")) - min(col("__s"))).as("__len"))
       .groupBy(idCol, "partner_id").agg(sum("__len").as("covered_tokens"))
+    // smallest-partner tie-break via bitwise complement, NOT negation:
+    // ~x is a total order-reversing bijection on the full long range
+    // (negation overflows at Long.MinValue, silently breaking the
+    // preference for the most-negative partner id)
     val best = cov
       .groupBy(idCol)
-      .agg(max(struct(col("covered_tokens"), (-col("partner_id")).as("__np"))).as("__b"))
+      .agg(max(struct(col("covered_tokens"), bitwise_not(col("partner_id")).as("__np"))).as("__b"))
       .select(col(idCol), col("__b.covered_tokens").as("covered_tokens"),
-        (-col("__b.__np")).as("partner_id"))
+        bitwise_not(col("__b.__np")).as("partner_id"))
     fullHashBase(docs, idCol, textCol)
       .select(col(idCol), size(col("__fh")).cast("long").as("n_tokens"))
       .join(best, Seq(idCol), "left")

@@ -604,8 +604,11 @@ object TextAnalysis {
   def bigramLogProb(docs: DataFrame, train: Option[DataFrame] = None,
                     lambda: Double = 0.9, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    require(lambda >= 0.0 && lambda <= 1.0,
-      "lambda is a Jelinek-Mercer interpolation weight in [0, 1]")
+    // lambda = 1.0 is excluded: with an in-vocabulary context and an
+    // unseen bigram, p = 1·0/c(a) + 0·p1 = 0 and log(0) = -Inf would
+    // poison the quantized score — the unigram floor needs weight > 0
+    require(lambda >= 0.0 && lambda < 1.0,
+      "lambda is a Jelinek-Mercer interpolation weight in [0, 1)")
     val trainDf = train.getOrElse(docs)
     // reference unigram counts off the shared term-count frame (the
     // tfidf/unigram plan — one cache fill serves all three operators)
@@ -726,8 +729,18 @@ object TextAnalysis {
     * the post-filter line count.
     *
     * All checks are case-insensitive on the blocklists (C4 lowercased);
-    * the punctuation test runs on the TRIMMED line, so trailing spaces
-    * never hide a terminal period.
+    * the punctuation test runs on the line with ALL leading/trailing
+    * whitespace stripped (regex `\s` class, not just ASCII spaces), so
+    * trailing spaces, tabs, and the `\r` a CRLF document leaves after a
+    * `\n` split never hide a terminal period.
+    *
+    * DEFAULTS DEVIATE from Raffel et al. on purpose: the paper keeps
+    * lines with ≥ 5 words and pages with ≥ 3 sentences; the defaults
+    * here (`minWordsPerLine = 3`, `minLinesKept = 2` KEPT LINES, a
+    * line-count gate rather than a sentence count) are looser so the
+    * filter composes with short-document corpora. Pass
+    * `minWordsPerLine = 5, minLinesKept = 3` for paper-faithful word and
+    * line gates.
     *
     * Shape at 100 TB: the whole operator is ONE codegen'd projection +
     * filter over the corpus scan — `split`/`filter`/`array_join`
@@ -741,7 +754,11 @@ object TextAnalysis {
     require(minWordsPerLine >= 0 && minLinesKept >= 0, "thresholds must be non-negative")
     val lines = split(col(textCol), "\n")
     def keepLine(l: Column): Column = {
-      val t = trim(l)
+      // regex whitespace trim, NOT trim(): Spark's trim strips only ASCII
+      // spaces, so CRLF documents would keep a trailing \r after the \n
+      // split and every line would fail the terminal-punctuation test —
+      // silently dropping the whole page
+      val t = regexp_replace(l, "^\\s+|\\s+$", "")
       val words = size(filter(split(t, "\\s+"), w => length(w) > 0))
       val blocked = lineBlocklist.map(b => lower(l).contains(lit(b.toLowerCase)))
         .reduceOption(_ || _).getOrElse(lit(false))

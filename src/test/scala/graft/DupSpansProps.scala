@@ -152,6 +152,22 @@ object DupSpansProps extends Properties("DupSpans") {
       got == want
     }
 
+  property("spanContainment tie-break survives Long.MinValue partner ids (complement, not negation)") = {
+    // three docs share one identical n-token span, so every doc sees TWO
+    // partners tied on coverage; the smallest-partner rule must pick
+    // Long.MinValue — the id whose negation overflows back to itself,
+    // which a max(struct(cov, -id)) argmax would silently lose
+    val s = spark; import s.implicits._
+    val span = Seq("aa", "bb", "cc").mkString(" ") // exactly n = 3 tokens
+    val df = Seq(
+      (5L, span + " xx"),
+      (Long.MinValue, span + " yy"),
+      (7L, span + " zz")).toDF("doc_id", "text")
+    val got = Dedup.spanContainment(df, n = n, maxOcc = 1000000).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("partner_id")).toMap
+    got == Map(5L -> Long.MinValue, Long.MinValue -> 5L, 7L -> Long.MinValue)
+  }
+
   property("reverifySpans keeps exactly the maximal 60-bit-true sub-runs of a failed span") =
     forAllNoShrink(Gen.chooseNum(0, 6), Gen.chooseNum(0, 6)) { (trueLeft, trueRight) =>
       // fabricate the collision shape that whole-slice verification fails

@@ -124,10 +124,13 @@ object TextHygieneProps extends Properties("TextHygiene") {
   // C4 line cleaning: random multi-line pages mixing terminated /
   // unterminated / blocklisted / short lines, with occasional page-level
   // poison ("lorem ipsum", a brace) — mirrored by a direct driver filter
+  // endings include \r and \t so CRLF pages ("." + "\r" after the \n
+  // split) exercise the whitespace-class trim — Spark trim() strips only
+  // ASCII spaces and would fail the terminal-punctuation test here
   private val lineGen: Gen[String] = for {
     nw <- Gen.choose(0, 5)
     ws <- Gen.listOfN(nw, Gen.oneOf(vocab :+ "javascript"))
-    end <- Gen.oneOf(".", "!", "?", "\"", "", " ", "x")
+    end <- Gen.oneOf(".", "!", "?", "\"", "", " ", "x", ".\r", "!\t", "\r", "\t.")
   } yield ws.mkString(" ") + end
   private val pageGen: Gen[String] = for {
     nl <- Gen.choose(0, 6)

@@ -391,6 +391,46 @@ object TextQueries {
       docs(s, d), col("text").contains("customer"),
       iters = 8, buckets = 1024, lr = 1.0, decay = 0.8)
 
+  /** STREAMING twin of `quality_classifier`, graded against the SAME
+    * unrolled-GD oracle: train the weight frame in batch (training is an
+    * eager driver loop — the batch shape), then replay the corpus through
+    * a `MemoryStream` and score it micro-batch by micro-batch with
+    * `EventsStream.scoreStream` into a memory sink. Scoring is stateless
+    * (own grams + frozen broadcast weights), so the replay reproduces the
+    * batch scorer row for row — the batch==stream equivalence
+    * EventsStreamSpec asserts, now driver-graded. The collect feeding the
+    * MemoryStream is bounded by the scored batch and exists only to drive
+    * the in-memory source; production wires a Kafka/file source into the
+    * same operator.
+    */
+  private val classifierStream: Q = (s, d) => {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val all = docs(s, d)
+    val weights = graft.operators.Classifier.trainWeights(
+      all, col("text").contains("customer"),
+      iters = 8, buckets = 1024, lr = 1.0, decay = 0.8)
+    val feed = all.select("doc_id", "text").collect().toSeq
+      .map(r => (r.getAs[Long](0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("classifier-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = graft.streaming.EventsStream.scoreStream(
+      mem.toDF().toDF("doc_id", "text"), weights, ckpt) { scored =>
+      buf.synchronized { schema = scored.schema; buf ++= scored.collect() }
+    }
+    try { mem.addData(feed); q.processAllAvailable() } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(ckpt))
+    }
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
+  }
+
   /** The oracle UNROLLS the eight preconditioned gradient steps as
     * generated CTE layers (s/g/r/w per iteration) — an independent
     * restatement of the training loop in pure SQL against the same
@@ -1823,6 +1863,98 @@ object TextQueries {
       |  CAST(list_sum([((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(0, n)]) AS DOUBLE) / n AS mean_sample
       |FROM m""".stripMargin
 
+  /** Perceptual near-dup over REAL decoded PNGs: `syntheticImagesPatterned`
+    * renders 9×4 block-brightness patterns in normalized coordinates
+    * (`k = p mod 256`, every 9th doc borrowing its predecessor's pattern
+    * at its own dimensions with one block bumped — planted resized-and-
+    * edited twins), `nearDupImages` dHashes the decoded raster and bands
+    * 4×16 bits. The oracle replays the NN grid sample
+    * (`gx = (2i+1)w ÷ 18, gy = (2j+1)h ÷ 16`), the gradient-sign bits,
+    * the band chunks, and the Hamming verify in pure integer SQL —
+    * possible only because every decoded sample is one exact raster
+    * integer. The Spark side's all-or-nothing bucket cap (1000) is not
+    * replayed: at sf0.01 no bucket can exceed 500 members (corpus size).
+    */
+  private val mmNearDup: Q = (s, d) =>
+    Multimodal.nearDupImages(Multimodal.syntheticImagesPatterned(docs(s, d)))
+
+  private val mmNearDupSql =
+    """WITH m AS (SELECT doc_id, 24 + (length(text) % 32) AS w, 24 + ((doc_id * 7) % 32) AS h,
+      |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END) % 256 AS k,
+      |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id % 36 ELSE -1 END) AS pb
+      |          FROM documents),
+      |g AS (SELECT doc_id, w, h, k, pb, ti.i AS i, tj.j AS j,
+      |        ((2 * ti.i + 1) * w) // 18 AS gx, ((2 * tj.j + 1) * h) // 16 AS gy
+      |      FROM m, (SELECT unnest(range(0, 9)) AS i) ti, (SELECT unnest(range(0, 8)) AS j) tj),
+      |blk AS (SELECT doc_id, i, j, k, pb, ((gy * 4) // h) * 9 + (gx * 9) // w AS b FROM g),
+      |sv AS (SELECT doc_id, i, j,
+      |         30 + 30 * (((73 * k + 29 * b) % 257
+      |           + CASE WHEN b = pb THEN 1 ELSE 0 END) % 7) AS v FROM blk),
+      |bits AS (SELECT a.doc_id, a.j * 8 + a.i AS bit, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS x
+      |         FROM sv a JOIN sv b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+      |         WHERE a.i < 8),
+      |bands AS (SELECT doc_id, bit // 16 AS band, sum(x << (bit % 16)) AS chunk
+      |          FROM bits GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+      |           AND a.doc_id < b.doc_id),
+      |ham AS (SELECT c.id_a, c.id_b,
+      |          CAST(sum(CASE WHEN ba.x <> bb.x THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      |        FROM cand c
+      |        JOIN bits ba ON ba.doc_id = c.id_a
+      |        JOIN bits bb ON bb.doc_id = c.id_b AND bb.bit = ba.bit
+      |        GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+
+  /** Semantic multimodal dedup — the composition proof: `imageEmbedding`
+    * lifts the same decoded grid into a 72-dim vector and the EXISTING
+    * `Similarity.cosineNearDup` (LSH-bucketed, id-ordered pairs) runs
+    * unchanged on it. The oracle rebuilds the embedding arithmetically
+    * and replays lshBucket/dot/norm with the engine's left-to-right
+    * accumulation at dim 72. Cosine is brightness-scale invariant, so
+    * all-dark and all-bright flat patterns pair at 1.0 — the known flip
+    * side of perceptual-semantic matching, shared by both engines.
+    */
+  private val mmSemanticDedup: Q = (s, d) =>
+    graft.operators.Similarity.cosineNearDup(
+      // guard-persisted: cosineNearDup reads its vector frame on both join
+      // sides — uncached, the corpus would be PNG-decoded twice
+      graft.util.Caching.ensurePersisted(
+        Multimodal.imageEmbedding(Multimodal.syntheticImagesPatterned(docs(s, d)))),
+      threshold = 0.9, dim = 72, nPlanes = 8, idCol = "doc_id")
+
+  private val mmSemanticDedupSql = {
+    val dim = 72
+    def dotSql(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    def norm2Sql(a: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> CAST(x AS DOUBLE))), (acc, v) -> acc + v * v)"
+    val cosine =
+      s"round(${dotSql("a.v", "b.v")} / (sqrt(${norm2Sql("a.v")}) * sqrt(${norm2Sql("b.v")})), 6)"
+    val bucket = (0 until 8).map { p =>
+      val coef = s"(CAST('0x' || substr(md5('${p}_' || (i - 1)), 1, 15) AS BIGINT) % 1000003) / 500001.5 - 1.0"
+      val proj = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${dim + 1}), i -> CAST(v[i] AS DOUBLE) * ($coef))), (acc, x) -> acc + x)"
+      s"CASE WHEN ($proj) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+    s"""WITH m AS (SELECT doc_id, 24 + (length(text) % 32) AS w, 24 + ((doc_id * 7) % 32) AS h,
+       |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END) % 256 AS k,
+       |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id % 36 ELSE -1 END) AS pb
+       |          FROM documents),
+       |bk AS (SELECT doc_id, k, pb, idx.idx AS idx,
+       |         (((((2 * (idx.idx // 9) + 1) * h) // 16) * 4) // h) * 9
+       |           + ((((2 * (idx.idx % 9) + 1) * w) // 18) * 9) // w AS b
+       |       FROM m, (SELECT unnest(range(0, $dim)) AS idx) idx),
+       |emb AS (SELECT doc_id,
+       |          list(CAST(30 + 30 * (((73 * k + 29 * b) % 257
+       |            + CASE WHEN b = pb THEN 1 ELSE 0 END) % 7) AS DOUBLE) / 255.0
+       |            ORDER BY idx) AS v
+       |        FROM bk GROUP BY doc_id),
+       |e AS (SELECT doc_id, v, $bucket AS bucket FROM emb),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $cosine AS cosine
+       |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9""".stripMargin
+  }
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("lang_id", langId, Some(langIdSql)),
     ("quality_score", quality, Some(qualitySql)),
@@ -1839,6 +1971,7 @@ object TextQueries {
     ("dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
     ("dsir_select", dsirSelectQ, Some(dsirSelectSql)),
     ("quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    ("classifier_stream", classifierStream, Some(qualityClassifierSql)),
     ("unigram_logprob", unigramLp, Some(unigramLpSql)),
     ("bigram_logprob", bigramLp, Some(bigramLpSql)),
     ("ccnet_buckets", ccnetBucketsQ, Some(ccnetBucketsSql)),
@@ -1897,5 +2030,7 @@ object TextQueries {
     ("mm_decode", mmDecode, Some(mmDecodeSql)),
     ("mm_audio", mmAudio, Some(mmAudioSql)),
     ("mm_dedup", mmDedup, Some(mmDedupSql)),
+    ("mm_near_dup", mmNearDup, Some(mmNearDupSql)),
+    ("mm_semantic_dedup", mmSemanticDedup, Some(mmSemanticDedupSql)),
   )
 }

@@ -60,8 +60,14 @@ object Classifier {
     * classifier consumes counts, not occurrences).
     */
   private def featureCounts(docs: DataFrame, buckets: Int,
-                            idCol: String, textCol: String): DataFrame = {
-    val base = Dedup.fullHashBase(docs, idCol, textCol)
+                            idCol: String, textCol: String): DataFrame =
+    featureCountsFrom(Dedup.fullHashBase(docs, idCol, textCol), buckets, idCol)
+
+  /** [[featureCounts]] over an already-acquired hash layer — the seam the
+    * managed scoring path uses to own (and release) its registration.
+    */
+  private def featureCountsFrom(base: DataFrame, buckets: Int,
+                                idCol: String): DataFrame = {
     def grams(n: Int) = base.select(col(idCol),
       explode(Dedup.rolledGramHashes(col("__fh"), n, reduceInputs = true)).as("__g"))
     grams(1).unionByName(grams(2))
@@ -177,10 +183,23 @@ object Classifier {
     * the left join at the sigmoid midpoint (score 0 → prob 0.5).
     */
   private[graft] def scoreLogistic(docs: DataFrame, wMicro: Array[Long],
-                                   idCol: String, textCol: String): DataFrame = {
+                                   idCol: String, textCol: String): DataFrame =
+    scoreLogisticManaged(docs, wMicro, idCol, textCol)._1
+
+  /** [[scoreLogistic]] with the corpus hash-layer registration exposed
+    * for release — the unbounded-stream rule: a `foreachBatch` consumer
+    * scores a DISTINCT plan every micro-batch and must not stack one
+    * session-lifetime cache registration per batch
+    * (`EventsStream.scoreStream` releases after its sink returns; batch
+    * callers via [[scoreLogistic]] keep the shared-layer reuse).
+    */
+  private[graft] def scoreLogisticManaged(docs: DataFrame, wMicro: Array[Long],
+                                          idCol: String, textCol: String)
+      : (DataFrame, () => Unit) = {
     val spark = docs.sparkSession
     val buckets = wMicro.length - 1 // last slot is the intercept
-    val feats = featureCounts(docs, buckets, idCol, textCol)
+    val (base, release) = Dedup.acquireFullHashBase(docs, idCol, textCol)
+    val feats = featureCountsFrom(base, buckets, idCol)
     val nf = feats.groupBy(col(idCol)).agg(sum("cnt").as("n_feats"))
     val wDf = broadcast(spark.createDataFrame(
       wMicro.toIndexedSeq.zipWithIndex.map { case (w, b) => (b.toLong, w) })
@@ -191,12 +210,31 @@ object Classifier {
       .join(nf, Seq(idCol))
     val z = col("score_micro").cast("double") / lit(1000000.0) /
       greatest(col("n_feats"), lit(1L))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    val scored = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("__sm"), lit(0L)).as("score_micro"))
       .withColumn("prob6", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
       .withColumn("predicted", col("prob6") >= lit(0.5))
+    (scored, release)
+  }
+
+  /** Score under a `(b, w_micro)` weight FRAME — [[trainWeights]]' output
+    * fed back in, the deploy-time API: weights collect to the dense
+    * micro-unit vector (dictionary-sized, `buckets + 1` rows — never
+    * corpus data) and scoring is [[scoreLogistic]]'s one broadcast join +
+    * map-side fold.
+    */
+  def scoreWeights(docs: DataFrame, weights: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreLogistic(docs, weightsToArray(weights), idCol, textCol)
+
+  private[graft] def weightsToArray(weights: DataFrame): Array[Long] = {
+    val rows = weights.select(col("b").cast("long"), col("w_micro").cast("long")).collect()
+    require(rows.nonEmpty, "empty weight frame")
+    val w = Array.fill(rows.map(_.getLong(0)).max.toInt + 1)(0L)
+    rows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    w
   }
 
   /** Train on `docs` labeled by `label`, then score the same corpus —

@@ -264,6 +264,209 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_no").withColumnRenamed("col", "frame")
   }
 
+  /** Synthesize REAL PNG payloads carrying a 9×4 BLOCK-BRIGHTNESS pattern
+    * in NORMALIZED coordinates: block `(y·4 ÷ h)·9 + x·9 ÷ w` of pattern
+    * `k` has the 7-level brightness `30 + 30·(((73k + 29·block) mod 257)
+    * mod 7)` (integer division/modulo throughout), so the same `k`
+    * rendered at different dimensions is a genuine nearest-neighbour
+    * RESIZE of the same underlying image — the near-duplicate class a
+    * perceptual hash must collapse and byte equality cannot.
+    *
+    * The geometry is chosen so [[gridSamples]]' 9×8 cell centers NEVER
+    * straddle a block boundary at these sizes (block col of sample `i`
+    * is exactly `i` for every `w ≥ 18`, block row of sample `j` exactly
+    * `j ÷ 2` for `h ≥ 16` — the floors cancel), so a pattern's hash is
+    * dimension-independent: resized twins collapse at Hamming 0 and the
+    * 256 pattern classes keep distinct gradient-sign profiles.
+    *
+    * `k = p mod 256` with `p = doc_id`, EXCEPT every 9th document, which
+    * borrows the PREVIOUS document's pattern (`p = doc_id − 1`) at its
+    * own dimensions WITH one block's level bumped (+1 mod 7 at block
+    * `doc_id mod 36`) — a planted "resized + slightly edited" twin that
+    * lands at small nonzero Hamming distance, exercising the verify path
+    * rather than only exact hash equality. Dimensions are 24–55 px
+    * (`w = 24 + len(text) mod 32`, `h = 24 + 7·doc_id mod 32`); bytes
+    * are genuine ImageIO PNG, decode-identical on any compliant reader,
+    * and every decoded fact is exact-integer replayable in SQL.
+    */
+  def syntheticImagesPatterned(docs: DataFrame, idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs
+      .select(col(idCol).cast("long").as("doc_id"), length(col(textCol)).as("__tl"))
+      .filter(col("doc_id").isNotNull && col("__tl").isNotNull)
+      .rdd.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = 24 + r.getInt(1) % 32
+          val h = 24 + ((id * 7) % 32).toInt
+          val twin = id % 9 == 0 && id > 0
+          val p = if (twin) id - 1 else id
+          val k = (p % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val block = (y * 4 / h) * 9 + x * 9 / w
+              val pert = if (twin && block == (id % 36).toInt) 1 else 0
+              raster.setSample(x, y, 0, 30 + 30 * (((73 * k + 29 * block) % 257 + pert) % 7))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(512)
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray, Row("image/png", w, h))
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Decode + NN-sample a 9×8 grid at cell centers: sample (i, j) is the
+    * raster pixel at `gx = (2i+1)·w ÷ 18, gy = (2j+1)·h ÷ 16` (integer
+    * division — every decoded image, even 8 px wide, yields in-bounds
+    * points). Nearest-neighbour-at-center instead of box averaging keeps
+    * each sample ONE exact raster integer, so the oracle can replay the
+    * whole hash arithmetically from the fixture's pixel formula; box
+    * averaging is the robustness upgrade a production deployment makes
+    * inside this same decode loop (identical plumbing and plan shape).
+    * Returns None for undecodable/empty payloads.
+    */
+  private def gridSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    val img =
+      if (bytes == null || bytes.isEmpty) null
+      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w == 0 || h == 0) None
+      else {
+        val raster = img.getRaster
+        val out = new Array[Int](72)
+        var j = 0
+        while (j < 8) {
+          val gy = (2 * j + 1) * h / 16
+          var i = 0
+          while (i < 9) {
+            val gx = (2 * i + 1) * w / 18
+            out(j * 9 + i) = raster.getSample(gx, gy, 0)
+            i += 1
+          }
+          j += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** 64-bit perceptual dHash over the DECODED raster (difference hash,
+    * Krawetz's aHash/dHash family): bit `j·8 + i` is set iff grid sample
+    * `(i+1, j)` is strictly brighter than `(i, j)` — 8 horizontal
+    * gradient signs per row over the [[gridSamples]] 9×8 grid. Gradient
+    * signs are brightness-shift and (approximately) resize invariant, so
+    * re-encoded, re-scaled, and re-brightened copies hash close in
+    * Hamming space while byte equality sees nothing. Exact-2× NN
+    * upscales hash IDENTICALLY (`⌊⌊2a⌋/2⌋ = ⌊a⌋` makes the sample grid
+    * coincide). Undecodable payloads are dropped — no pixels, no
+    * perceptual content (run [[dedupBinary]]/[[decode]] gates first).
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false),
+    ))
+    val rdd = media.select("doc_id", "media")
+      .filter(col("doc_id").isNotNull)
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          gridSamples(r.getAs[Array[Byte]]("media")).map { s =>
+            var hash = 0L
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                if (s(j * 9 + i + 1) > s(j * 9 + i)) hash |= 1L << (j * 8 + i)
+                i += 1
+              }
+              j += 1
+            }
+            Row(r.getAs[Long]("doc_id"), hash)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Perceptual near-dup image pairs — [[dedupBinary]]'s one-recompression
+    * blind spot closed: [[perceptualHash]] each payload, band the 64-bit
+    * hash into four 16-bit chunks (any equal chunk → candidate; the
+    * pigeonhole guarantees full recall for Hamming distance ≤ 3, hence
+    * the default), cap hot buckets, verify with `bit_count(xor)`. The
+    * exact machinery of `Dedup.simhashPairs` on a perceptual rather than
+    * textual fingerprint: id-only band join (no payload on the candidate
+    * shuffle), all-or-nothing bucket cap as the 100 TB quadratic-pairing
+    * guard, hashes joined back once per side after the pair dedup.
+    */
+  def nearDupImages(media: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4-band LSH only guarantees recall for hamming <= 3")
+    // guard-persisted: the hash frame feeds the band explode AND both
+    // verify join-backs — without the cache every consumer re-decodes the
+    // full image corpus (the expensive pass this operator exists to
+    // amortize). 16 bytes/row; eviction recomputes from lineage.
+    val ph = graft.util.Caching.ensurePersisted(perceptualHash(media))
+    val chunks = array((0 until 4).map { b =>
+      shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))
+    }: _*)
+    val banded = Dedup.capBuckets(
+      ph.select(col("doc_id"), posexplode(chunks))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk"),
+      Seq("band", "chunk"), maxBucket)
+    val l = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"))
+    val cand = l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val phA = ph.select(col("doc_id").as("id_a"), col("phash").as("ph_a"))
+    val phB = ph.select(col("doc_id").as("id_b"), col("phash").as("ph_b"))
+    cand.join(phA, Seq("id_a")).join(phB, Seq("id_b"))
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Coarse pixel-moment embedding: the [[gridSamples]] 9×8 grid as a
+    * 72-dim unit-range vector (sample ÷ 255) — the bridge from decoded
+    * pixels into the vector family (`Similarity.cosineNearDup`,
+    * `semanticDedup`, ANN top-k) with zero new operator code downstream.
+    * A production deployment swaps the grid for a model embedding inside
+    * the same decode loop; every downstream plan is unchanged.
+    * Undecodable payloads are dropped, like [[perceptualHash]].
+    */
+  def imageEmbedding(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false),
+    ))
+    val rdd = media.select("doc_id", "media")
+      .filter(col("doc_id").isNotNull)
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          gridSamples(r.getAs[Array[Byte]]("media")).map { s =>
+            Row(r.getAs[Long]("doc_id"), s.map(_.toDouble / 255.0).toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Exact payload dedup over an opaque BINARY column — the multimodal
     * twin of `Dedup.exact`: a scraped media corpus is full of
     * byte-identical payloads under different URLs/ids (mirrors, hotlinks,

@@ -185,6 +185,37 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming twin of `Classifier.scoreLogistic` — the quality gate on
+    * the ingestion path: score every arriving document under a FROZEN
+    * trained weight frame (`Classifier.trainWeights` output), micro-batch
+    * by micro-batch via `foreachBatch`. STATELESS and fully
+    * batch-invariant: a document's score depends on its own grams and the
+    * broadcast weights alone — no cross-document term, no cap, no state —
+    * so any batching of the same documents produces identical rows
+    * (`EventsStreamSpec` drives one- and two-batch replays against the
+    * batch scorer). Weights collect ONCE to the dense dictionary-sized
+    * vector before the stream starts and ride every batch as a broadcast;
+    * per-batch hash-layer registrations are released after the sink
+    * returns (the unbounded-stream registration rule — each micro-batch
+    * is a distinct plan and must not stack session-lifetime cache
+    * entries). Retraining = restart with a new weight frame, the same
+    * baseline-refresh rule as every stream-static sibling.
+    */
+  def scoreStream(docs: DataFrame, weights: DataFrame, checkpoint: String,
+                  idCol: String = "doc_id", textCol: String = "text")
+                 (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val wMicro = graft.operators.Classifier.weightsToArray(weights)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (scored, release) = graft.operators.Classifier.scoreLogisticManaged(
+          batch.toDF(), wMicro, idCol, textCol)
+        try sink(scored) finally release()
+      }
+      .start()
+  }
+
   /** Custom keyed state with MULTI-ROW emission via `flatMapGroupsWithState`
     * (the zero-or-more-outputs-per-group shape `mapGroupsWithState` cannot
     * express): per-user running spend with one alert row emitted for every

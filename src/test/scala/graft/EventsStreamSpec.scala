@@ -401,4 +401,36 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
     assert(buf.toSet == batchWant)
   }
+
+  test("scoreStream: any batch split == batch scorer (scoring is stateless)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "good clean prose about customers and orders"),
+      (1L, "spam spam spam buy now"),
+      (2L, "more customer text with real words"),
+      (3L, "zzz qqq"),
+      (4L, ""))                                  // featureless -> midpoint row
+      .toDF("doc_id", "text")
+    val weights = graft.operators.Classifier.trainWeights(
+      corpus, org.apache.spark.sql.functions.col("text").contains("customer"),
+      iters = 3, buckets = 64)
+    val batchWant = graft.operators.Classifier.scoreWeights(corpus, weights)
+      .collect().map(_.toSeq).toSet
+    assert(batchWant.size == 5)
+
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("score-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventsStream.scoreStream(
+      mem.toDF().toDF("doc_id", "text"), weights, ckpt) { scored =>
+      buf.synchronized { buf ++= scored.collect().map(_.toSeq) }
+    }
+    val feed = corpus.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    try {
+      mem.addData(feed.take(2)); q.processAllAvailable()
+      mem.addData(feed.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.toSet == batchWant)
+  }
 }

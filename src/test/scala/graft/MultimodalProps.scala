@@ -70,6 +70,86 @@ object MultimodalProps extends Properties("Multimodal") {
       got == want
     }
 
+  // -- perceptual hash family ------------------------------------------------
+
+  /** Driver-side mirror of Multimodal.gridSamples: NN sample at the 9×8
+    * cell centers of a row-major pixel list.
+    */
+  private def mirrorSamples(w: Int, h: Int, px: Seq[Int]): Array[Int] = {
+    val out = new Array[Int](72)
+    for (j <- 0 until 8; i <- 0 until 9)
+      out(j * 9 + i) = px(((2 * j + 1) * h / 16) * w + (2 * i + 1) * w / 18)
+    out
+  }
+
+  private def mirrorHash(s: Array[Int]): Long = {
+    var hash = 0L
+    for (j <- 0 until 8; i <- 0 until 8)
+      if (s(j * 9 + i + 1) > s(j * 9 + i)) hash |= 1L << (j * 8 + i)
+    hash
+  }
+
+  property("perceptualHash == driver dHash; 2x NN upscale and PNG re-encode collapse; corrupt rows drop") =
+    forAllNoShrink(Gen.choose(1, 5).flatMap(m => Gen.listOfN(m, for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 40)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px)))) { imgs =>
+      val s = spark; import s.implicits._
+      def reencode(bytes: Array[Byte]): Array[Byte] = {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val rows = imgs.zipWithIndex.flatMap { case ((w, h, px), i) =>
+        val up = for (y <- 0 until 2 * h; x <- 0 until 2 * w) yield px((y / 2) * w + x / 2)
+        Seq((i.toLong, png(w, h, px)),                      // original
+          (i.toLong + 100, png(2 * w, 2 * h, up)),          // exact 2x NN upscale
+          (i.toLong + 200, reencode(png(w, h, px))))        // decode -> re-encode
+      } ++ Seq((900L, Array[Byte](9, 9, 9)), (901L, Array.emptyByteArray))
+      val got = Multimodal.perceptualHash(rows.toDF("doc_id", "media"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = imgs.zipWithIndex.flatMap { case ((w, h, px), i) =>
+        val hh = mirrorHash(mirrorSamples(w, h, px))
+        Seq(i.toLong -> hh, (i.toLong + 100) -> hh, (i.toLong + 200) -> hh)
+      }.toMap
+      got == want // corrupt/empty ids absent on both sides
+    }
+
+  property("nearDupImages == brute-force 16-bit banding + hamming over mirror hashes") =
+    forAllNoShrink(Gen.choose(2, 6).flatMap(m => Gen.listOfN(m, for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 24)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px)))) { imgs =>
+      val s = spark; import s.implicits._
+      val rows = imgs.zipWithIndex.map { case ((w, h, px), i) => (i.toLong, png(w, h, px)) }
+      val got = Multimodal.nearDupImages(rows.toDF("doc_id", "media"), maxBucket = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hashes = imgs.zipWithIndex.map { case ((w, h, px), i) =>
+        i.toLong -> mirrorHash(mirrorSamples(w, h, px)) }
+      val want = (for {
+        (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+        if (0 until 4).exists(b => ((ha >>> (16 * b)) & 0xFFFFL) == ((hb >>> (16 * b)) & 0xFFFFL))
+        ham = java.lang.Long.bitCount(ha ^ hb).toLong if ham <= 3
+      } yield (ia, ib, ham)).toSet
+      got == want
+    }
+
+  property("imageEmbedding == mirror grid / 255") =
+    forAllNoShrink(Gen.choose(1, 4).flatMap(m => Gen.listOfN(m, for {
+      w <- Gen.choose(1, 30); h <- Gen.choose(1, 30)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px)))) { imgs =>
+      val s = spark; import s.implicits._
+      val rows = imgs.zipWithIndex.map { case ((w, h, px), i) => (i.toLong, png(w, h, px)) }
+      val got = Multimodal.imageEmbedding(rows.toDF("doc_id", "media"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+      val want = imgs.zipWithIndex.map { case ((w, h, px), i) =>
+        i.toLong -> mirrorSamples(w, h, px).map(_.toDouble / 255.0).toVector
+      }.toMap
+      got == want
+    }
+
   property("resizeMeta: round-not-floor; downscaled longest side == maxSide exactly") =
     forAllNoShrink(
       Gen.choose(1, 4).flatMap(m => Gen.listOfN(m, Gen.zip(Gen.choose(1, 500), Gen.choose(1, 500)))),

@@ -128,6 +128,36 @@ class MultimodalSpec extends SparkSpec {
     assert((out.getInt(0), out.getInt(1)) == (100, 67))
   }
 
+  test("nearDupImages: resized/edited twins collapse, distinct patterns survive, byte dedup sees nothing") {
+    val s = spark; import s.implicits._
+    // ids 1..20 with varied text lengths: doc 9 and 18 are the planted
+    // twins (pattern of 8 and 17 at different dims + one bumped block)
+    val fixture = (1L to 20L).map(i => (i, "x" * (3 + i.toInt * 5 % 29))).toDF("doc_id", "text")
+    val media = Multimodal.syntheticImagesPatterned(fixture)
+    // byte-exact dedup finds NO classes: every payload differs (dims differ)
+    assert(Multimodal.dedupBinary(media).count() == 20)
+    val pairs = Multimodal.nearDupImages(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // both planted twins found, within the hamming budget
+    assert(pairs.contains((8L, 9L)) && pairs((8L, 9L)) <= 3)
+    assert(pairs.contains((17L, 18L)) && pairs((17L, 18L)) <= 3)
+    // a deliberately distinct pattern pair survives: k=1 vs k=2 have
+    // different 7-level profiles -> far in hamming space
+    assert(!pairs.contains((1L, 2L)))
+  }
+
+  test("imageEmbedding bridges decoded pixels into cosineNearDup: twins pair near 1.0") {
+    val s = spark; import s.implicits._
+    val fixture = (1L to 20L).map(i => (i, "x" * (3 + i.toInt * 5 % 29))).toDF("doc_id", "text")
+    val emb = Multimodal.imageEmbedding(Multimodal.syntheticImagesPatterned(fixture))
+    assert(emb.count() == 20 && emb.head().getSeq[Double](1).size == 72)
+    val pairs = graft.operators.Similarity
+      .cosineNearDup(emb, threshold = 0.9, dim = 72, nPlanes = 8, idCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((8L, 9L)) && pairs((8L, 9L)) >= 0.9)
+    assert(!pairs.contains((1L, 2L)))
+  }
+
   test("dedupBinary: byte-identical payloads collapse keep-first, hex output") {
     val s = spark; import s.implicits._
     val media = Seq(

@@ -458,6 +458,30 @@ object ExtQueries {
   private val pagedDistinctSql =
     "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
 
+  /** TopN pushdown graded: `orderBy(desc).limit(k)` through the V2 source
+    * becomes ONE capped, ordered remote request (the reference's
+    * `orderByFields` + `resultRecordCount` — its latest-snapshot idiom,
+    * top-1 by key desc, `s3.py:37-46`). The fixture fetcher throws on any
+    * fetch whose ScanSpec lacks `topN`, so a green row proves the sort+
+    * limit pushed; the ordering key (c_name) is unique, so the top-5 is a
+    * total order on both engines.
+    */
+  private val pagedTopN: Q = (s, d) => {
+    val name = s"customer_topn:$d"
+    graft.sources.v2.FetcherRegistry.registerOnce(name) {
+      val cust = Tables.customer(s, d)
+      (new graft.sources.TopNOnlyFixture(cust.collect().toSeq, cust.schema), cust.schema)
+    }
+    s.read.format("graft.sources.v2.PagedTableProvider")
+      .option("fetcher", name).load()
+      .select("c_custkey", "c_name")
+      .orderBy(col("c_name").desc)
+      .limit(5)
+  }
+
+  private val pagedTopNSql =
+    "SELECT c_custkey, c_name FROM customer ORDER BY c_name DESC LIMIT 5"
+
   // ------------------------------------------------------------------
   // Gopher-style duplicate n-gram fraction (repetition quality signal).
   // ------------------------------------------------------------------
@@ -583,6 +607,7 @@ object ExtQueries {
     ("mix_weights", mixWeights, Some(mixWeightsSql)),
     ("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     ("paged_v2", pagedV2, Some(pagedV2Sql)),
+    ("paged_topn", pagedTopN, Some(pagedTopNSql)),
     ("paged_count", pagedCount, Some(pagedCountSql)),
     ("paged_distinct", pagedDistinct, Some(pagedDistinctSql)),
     ("gram_repetition", gramRepetition, Some(gramRepetitionSql)),

@@ -47,6 +47,18 @@ final case class ScanSpec(
     * re-applies the exact UTF8String comparison post-scan.
     */
   lowerBound: Option[(String, String)] = None,
+  /** Ordered top-N pushdown (the reference's `orderByFields` +
+    * `resultRecordCount` request — its latest-snapshot idiom is top-1 by
+    * key desc). `(orderings, n)`: each ordering is
+    * (column, descending, nullsLast). CONTRACT: the fetcher serves ONLY
+    * the first `n` rows under that ordering (count reflects the cap);
+    * string order is UTF-8 byte order (Spark's UTF8String comparison).
+    * The V2 scan declares the push PARTIAL, so Spark re-sorts and
+    * re-limits the n returned rows — ties at the boundary and remote
+    * collation drift cost nothing at n rows and can never change the
+    * result set Spark would have computed from the capped page.
+    */
+  topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
 )
 
 trait PageFetcher extends Serializable {
@@ -127,6 +139,38 @@ class FixtureFetcher(rows: Seq[Row], schema: StructType) extends PageFetcher {
       // re-filters IsNotNull on key-set columns post-scan
       out = out.filter(r => !r.isNullAt(i) && keySet.contains(String.valueOf(r.get(i))))
     }
+    // ordered top-N cap (ScanSpec.topN contract): sort on the FULL rows —
+    // ordering columns need not survive the projection — in UTF-8 byte
+    // order for strings (Spark's UTF8String comparison; Java String `<`
+    // is UTF-16 code-unit order, which diverges for supplementary chars),
+    // natural order for numeric wire types, nulls per the pushed ordering
+    spec.topN.foreach { case (orderings, n) =>
+      val ord = new Ordering[Row] {
+        def compare(a: Row, b: Row): Int = {
+          orderings.foreach { case (colName, desc, nullsLast) =>
+            val i = idx(colName)
+            val (an, bn) = (a.isNullAt(i), b.isNullAt(i))
+            val c =
+              if (an && bn) 0
+              else if (an) { if (nullsLast) 1 else -1 }
+              else if (bn) { if (nullsLast) -1 else 1 }
+              else {
+                val base = (a.get(i), b.get(i)) match {
+                  case (x: String, y: String) => utf8Compare(x, y)
+                  case (x: java.lang.Number, y: java.lang.Number) =>
+                    java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+                  case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+                  case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+                }
+                if (desc) -base else base
+              }
+            if (c != 0) return c
+          }
+          0
+        }
+      }
+      out = out.sorted(ord).take(n)
+    }
     val projected = spec.columns match {
       case Some(cols) =>
         val is = cols.map(idx)
@@ -136,16 +180,18 @@ class FixtureFetcher(rows: Seq[Row], schema: StructType) extends PageFetcher {
     if (spec.distinct) projected.distinct else projected
   }
 
-  private def utf8Gte(a: String, b: String): Boolean = {
+  private def utf8Gte(a: String, b: String): Boolean = utf8Compare(a, b) >= 0
+
+  private def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
     while (i < x.length && i < y.length) {
       val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c > 0
+      if (c != 0) return c
       i += 1
     }
-    x.length >= y.length
+    x.length - y.length
   }
 
   override def count(spec: ScanSpec): Long = matching(spec).size.toLong
@@ -165,6 +211,23 @@ class DistinctOnlyFixture(rows: Seq[Row], schema: StructType) extends PageFetche
   override def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row] = {
     require(spec.distinct,
       "non-distinct page fetch under DISTINCT pushdown — the aggregate was not pushed")
+    inner.fetch(offset, limit, spec)
+  }
+}
+
+/** [[FixtureFetcher]] that refuses UN-ORDERED page fetches: backs the
+  * graded TopN-pushdown row (`paged_topn`) — the reference's
+  * `orderByFields` + `resultRecordCount` request, its latest-snapshot
+  * idiom (top-1 by key desc). A fetch whose ScanSpec lacks `topN` means
+  * the `orderBy(...).limit(k)` did not push and the whole table would
+  * have paged across the wire.
+  */
+class TopNOnlyFixture(rows: Seq[Row], schema: StructType) extends PageFetcher {
+  private val inner = new FixtureFetcher(rows, schema)
+  override def count(spec: ScanSpec): Long = inner.count(spec)
+  override def fetch(offset: Long, limit: Int, spec: ScanSpec): Iterator[Row] = {
+    require(spec.topN.nonEmpty,
+      "un-ordered page fetch under TopN pushdown — the sort+limit was not pushed")
     inner.fetch(offset, limit, spec)
   }
 }

@@ -4,6 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate
+import org.apache.spark.sql.connector.{expressions => cexpr}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull}
@@ -25,6 +26,11 @@ import graft.sources.{PageFetcher, ScanSpec}
   *     `geocode.py:190-202`), conservative + re-applied post-scan;
   *     everything else stays a post-scan Filter;
   *   - `SupportsPushDownLimit` → caps how many pages are even planned;
+  *   - `SupportsPushDownTopN` → `ScanSpec.topN` (the reference's
+  *     `orderByFields` + `resultRecordCount` request — its latest-snapshot
+  *     idiom, top-1 by key desc, `s3.py:37-46`): `orderBy(...).limit(k)`
+  *     plans `ceil(k / pageSize)` remote pages, declared partial so Spark
+  *     re-sorts the k returned rows;
   *   - one `InputPartition` per page → executor-side fetch parallelism,
   *     exactly like `PagedSource.read`'s `spark.range` formulation.
   *
@@ -89,7 +95,7 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
                                    retryMaxSeconds: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownTopN {
 
   private var spec = ScanSpec()
   private var pushed = Array.empty[Filter]
@@ -227,6 +233,37 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
     limit = Some(l)
     false // advisory: Spark still applies the exact limit on top
   }
+
+  /** Ordered top-N pushdown — the reference's `orderByFields` +
+    * `resultRecordCount` request (its latest-snapshot idiom is top-1 by
+    * key desc): `orderBy(...).limit(k)` over this source plans
+    * `ceil(k / pageSize)` remote pages instead of paging the whole layer.
+    * Accepted only when the ordering is bare columns of the schema and no
+    * residual filter exists (a conservative-superset scan could crowd the
+    * true top-N out of the capped page — refusing is the only correct
+    * call; key-set pushdown is exact, so it composes). Declared PARTIAL:
+    * Spark re-sorts and re-limits the N returned rows — at N rows that
+    * costs nothing and makes remote collation drift and multi-partition
+    * concatenation order irrelevant to correctness.
+    */
+  override def pushTopN(orders: Array[cexpr.SortOrder], l: Int): Boolean = {
+    if (hasResidual || countPushed || aggPushed) return false
+    val orderings = orders.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            fullSchema.fieldNames.contains(nr.fieldNames()(0)) =>
+          (nr.fieldNames()(0),
+            o.direction() == cexpr.SortDirection.DESCENDING,
+            o.nullOrdering() == cexpr.NullOrdering.NULLS_LAST)
+        case _ => return false
+      }
+    }
+    spec = spec.copy(topN = Some(orderings.toSeq -> l))
+    limit = Some(l) // partition planning caps at l like a pushed limit
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
     if (countPushed) new CountScan(fetcher, outSchema, spec, retryMaxSeconds)

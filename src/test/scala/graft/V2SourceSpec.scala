@@ -251,6 +251,53 @@ class V2SourceSpec extends SparkSpec {
     assert(q.count() === expected)
   }
 
+  test("TopN pushes: fetcher receives the ordering spec, planned pages cap at k, no full scan") {
+    val rec = new RecordingFetcher(rows, schema)
+    FetcherRegistry.register("topnfx", rec, schema)
+    val df = readV2("topnfx", pageSize = 10).select("k", "v").orderBy(col("v").desc).limit(7)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === (93 to 99).reverse.map(i => (s"k$i", i.toLong)))
+    // the planning count saw the ordered cap: (col, descending, nullsLast)
+    // — Spark's desc default is NULLS LAST
+    assert(rec.lastCountSpec.topN === Some(Seq(("v", true, true)) -> 7))
+    // one page, not ten: count(spec) reflects the cap
+    assert(plannedPages(df) === 1)
+    // composes with an exact key filter
+    val keyed = readV2("topnfx", pageSize = 10)
+      .filter(col("seg") === "A").select("k", "v").orderBy(col("v").asc).limit(3)
+    assert(keyed.collect().map(_.getLong(1)).toSeq === Seq(0L, 3L, 6L))
+    assert(rec.lastCountSpec.topN === Some(Seq(("v", false, false)) -> 3))
+    assert(rec.lastCountSpec.keys === Some("seg" -> Set("A")))
+  }
+
+  test("TopN refuses pushdown when a residual filter could crowd out the true top-N") {
+    val rec = new RecordingFetcher(rows, schema)
+    FetcherRegistry.register("topnres", rec, schema)
+    // wm >= is conservative (residual): a remote top-3 of the superset
+    // could exclude the true top-3 — Spark must keep the sort+limit and
+    // the fetcher must see NO topN spec
+    val df = readV2("topnres").filter(col("wm") >= "2026-01-15")
+      .select("k", "wm").orderBy(col("wm").desc, col("k").asc).limit(3)
+    val expected = rows.filter(_.getString(3) >= "2026-01-15")
+      .map(r => (r.getString(0), r.getString(3)))
+      .sortBy { case (k, wm) => (wm, k) }(Ordering.Tuple2(Ordering.String.reverse, Ordering.String))
+      .take(3)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq === expected)
+    assert(rec.lastCountSpec.topN === None)
+  }
+
+  test("graded paged_topn: ordered fetch only (TopNOnlyFixture) AND survives count-on-top") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("paged_topn")(spark, dir)
+    val expected = sources.Tables.customer(spark, dir)
+      .select("c_custkey", "c_name").orderBy(col("c_name").desc).limit(5)
+      .collect().map(_.toSeq).toSeq
+    // TopNOnlyFixture throws on any un-ordered fetch, so equality PROVES
+    // the sort+limit reached the remote call
+    assert(q.collect().map(_.toSeq).toSeq === expected)
+    assert(q.count() === 5L)
+  }
+
   test("V2 read equals the plain DataFrame over the same rows") {
     val f = new RecordingFetcher(rows, schema)
     FetcherRegistry.register("rec4", f, schema)

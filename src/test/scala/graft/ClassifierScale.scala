@@ -45,6 +45,45 @@ object ClassifierScale {
     // a text-INDEPENDENT label cannot be learned by any classifier:
     // the synthetic lang column is statistically independent of text
     row("lang=en (independent)", 3, 1024, 2, 0.5, col("lang") === "en")
+
+    // -- decomposition: setup (feature frame + persist + preconditioner)
+    // vs the per-iteration loop, via the marginal wall of an iters sweep.
+    // Each point releases the shared caches first, so every run re-pays
+    // the same setup: wall(i) ≈ setup + i · per_iter, and consecutive
+    // differences isolate one broadcast-join + two-agg + collect round.
+    println("\niters sweep (b=1024, cold caches each point): wall(i) = setup + i * per_iter")
+    println(f"${"iters"}%6s ${"wall_s"}%8s ${"marginal_s"}%11s")
+    var prev = 0.0
+    for (i <- Seq(1, 2, 4, 8, 12)) {
+      SparkEntry.releaseSharedCaches()
+      val t0 = System.nanoTime()
+      Classifier.trainWeights(docs, label, iters = i, buckets = 1024,
+        lr = 1.0, decay = 0.8).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val marg = if (prev > 0) f"${wall - prev}%11.2f" else f"${"--"}%11s"
+      println(f"$i%6d $wall%8.2f $marg")
+      prev = wall
+    }
+
+    // -- buckets sweep at the graded iters: collision pressure vs wall.
+    // 1,025 → 8,193 weight rows is still dictionary-sized (the collect and
+    // broadcast are O(buckets)); what changes is hash-collision mixing of
+    // unrelated grams into one bucket.
+    println("\nbuckets sweep (i=8, lr=1, d=0.8, cold caches each point)")
+    println(f"${"buckets"}%8s ${"wall_s"}%8s ${"acc"}%8s ${"meanP_pos"}%10s ${"meanP_neg"}%10s")
+    for (b <- Seq(256, 1024, 4096, 8192)) {
+      SparkEntry.releaseSharedCaches()
+      val t0 = System.nanoTime()
+      val scored = Classifier.trainScoreLogistic(docs, label,
+        iters = 8, buckets = b, lr = 1.0, decay = 0.8)
+        .join(docs.select(col("doc_id"), label.as("truth")), Seq("doc_id"))
+      val agg = scored.agg(
+        avg(when(col("predicted") === col("truth"), 1.0).otherwise(0.0)).as("acc"),
+        avg(when(col("truth"), col("prob6"))).as("mp"),
+        avg(when(!col("truth"), col("prob6"))).as("mn")).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"$b%8d $wall%8.2f ${agg.getDouble(0)}%8.3f ${agg.getDouble(1)}%10.3f ${agg.getDouble(2)}%10.3f")
+    }
     spark.stop()
   }
 }

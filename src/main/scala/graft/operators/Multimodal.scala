@@ -334,7 +334,9 @@ object Multimodal {
     * whole hash arithmetically from the fixture's pixel formula; box
     * averaging is the robustness upgrade a production deployment makes
     * inside this same decode loop (identical plumbing and plan shape).
-    * Returns None for undecodable/empty payloads.
+    * Samples read raster band 0 — the gray channel of the grayscale
+    * fixtures; for color payloads a production deployment converts to
+    * luma in the same loop. Returns None for undecodable/empty payloads.
     */
   private def gridSamples(bytes: Array[Byte]): Option[Array[Int]] = {
     val img =

@@ -52,11 +52,13 @@ final case class ScanSpec(
     * key desc). `(orderings, n)`: each ordering is
     * (column, descending, nullsLast). CONTRACT: the fetcher serves ONLY
     * the first `n` rows under that ordering (count reflects the cap);
-    * string order is UTF-8 byte order (Spark's UTF8String comparison).
+    * string order is UTF-8 byte order (Spark's UTF8String comparison) —
+    * the capped page must BE the true top-n set; a fetcher whose
+    * collation diverges caps away rows no post-scan step can resurrect.
     * The V2 scan declares the push PARTIAL, so Spark re-sorts and
-    * re-limits the n returned rows — ties at the boundary and remote
-    * collation drift cost nothing at n rows and can never change the
-    * result set Spark would have computed from the capped page.
+    * re-limits the n returned rows: the order they come back in (and
+    * tie-break choices among rows equal under the ordering) never
+    * matters, only the set does.
     */
   topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None,
 )
@@ -157,6 +159,10 @@ class FixtureFetcher(rows: Seq[Row], schema: StructType) extends PageFetcher {
               else {
                 val base = (a.get(i), b.get(i)) match {
                   case (x: String, y: String) => utf8Compare(x, y)
+                  // exact integral compare first: doubleValue() loses
+                  // precision above 2^53 and would misorder large keys
+                  case (x: java.lang.Long, y: java.lang.Long) =>
+                    java.lang.Long.compare(x, y)
                   case (x: java.lang.Number, y: java.lang.Number) =>
                     java.lang.Double.compare(x.doubleValue(), y.doubleValue())
                   case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)

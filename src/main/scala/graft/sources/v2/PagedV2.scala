@@ -243,8 +243,12 @@ private[v2] class PagedScanBuilder(fetcher: PageFetcher, fullSchema: StructType,
     * true top-N out of the capped page — refusing is the only correct
     * call; key-set pushdown is exact, so it composes). Declared PARTIAL:
     * Spark re-sorts and re-limits the N returned rows — at N rows that
-    * costs nothing and makes remote collation drift and multi-partition
-    * concatenation order irrelevant to correctness.
+    * costs nothing and makes the ORDER rows come back in (multi-partition
+    * concatenation, remote sort stability) irrelevant. The returned SET
+    * must still be the true top-N, which is why ScanSpec.topN contracts
+    * UTF-8 byte order for strings — a remote whose collation diverges
+    * would cap away rows Spark cannot resurrect, exactly like a key-set
+    * fetcher that matched NULLs.
     */
   override def pushTopN(orders: Array[cexpr.SortOrder], l: Int): Boolean = {
     if (hasResidual || countPushed || aggPushed) return false

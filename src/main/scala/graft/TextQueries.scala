@@ -1906,6 +1906,48 @@ object TextQueries {
       |        GROUP BY 1, 2)
       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
+  /** Perceptual near-dup over REAL decoded WAVs — the audio twin of
+    * `mm_near_dup`: `syntheticAudioPatterned` renders 65-frame 7-level
+    * energy envelopes (`A = 500 + 400·(((73k + 29f) mod 257) mod 7)`,
+    * every 9th doc a re-levelled twin at 2× volume with one frame
+    * bumped), `audioFingerprint` takes the 64 sign-of-energy-difference
+    * bits, and the SAME 4×16 banding + Hamming verify runs. Frame
+    * energies are `spf·vol·A` — exact integers — and difference signs
+    * cancel both `spf` and `vol`, so the oracle replays the BITS
+    * directly from the level formula in pure integer SQL: neither
+    * engine's frame length or volume can appear in the result, which is
+    * precisely the perceptual-invariance claim under test. The bucket
+    * cap (1000) is not replayed: at sf0.01 no bucket exceeds the
+    * 500-doc corpus.
+    */
+  private val mmNearDupAudio: Q = (s, d) =>
+    Multimodal.nearDupAudio(Multimodal.syntheticAudioPatterned(docs(s, d)))
+
+  private val mmNearDupAudioSql =
+    """WITH m AS (SELECT doc_id,
+      |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END) % 256 AS k,
+      |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id % 65 ELSE -1 END) AS pf
+      |          FROM documents),
+      |lev AS (SELECT doc_id, tf.f AS f,
+      |          500 + 400 * (((73 * k + 29 * tf.f) % 257
+      |            + CASE WHEN tf.f = pf THEN 1 ELSE 0 END) % 7) AS lvl
+      |        FROM m, (SELECT unnest(range(0, 65)) AS f) tf),
+      |bits AS (SELECT a.doc_id, a.f AS bit, CASE WHEN b.lvl > a.lvl THEN 1 ELSE 0 END AS x
+      |         FROM lev a JOIN lev b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |         WHERE a.f < 64),
+      |bands AS (SELECT doc_id, bit // 16 AS band, sum(x << (bit % 16)) AS chunk
+      |          FROM bits GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+      |           AND a.doc_id < b.doc_id),
+      |ham AS (SELECT c.id_a, c.id_b,
+      |          CAST(sum(CASE WHEN ba.x <> bb.x THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      |        FROM cand c
+      |        JOIN bits ba ON ba.doc_id = c.id_a
+      |        JOIN bits bb ON bb.doc_id = c.id_b AND bb.bit = ba.bit
+      |        GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+
   /** Semantic multimodal dedup — the composition proof: `imageEmbedding`
     * lifts the same decoded grid into a 72-dim vector and the EXISTING
     * `Similarity.cosineNearDup` (LSH-bucketed, id-ordered pairs) runs
@@ -2031,6 +2073,7 @@ object TextQueries {
     ("mm_audio", mmAudio, Some(mmAudioSql)),
     ("mm_dedup", mmDedup, Some(mmDedupSql)),
     ("mm_near_dup", mmNearDup, Some(mmNearDupSql)),
+    ("mm_near_dup_audio", mmNearDupAudio, Some(mmNearDupAudioSql)),
     ("mm_semantic_dedup", mmSemanticDedup, Some(mmSemanticDedupSql)),
   )
 }

@@ -416,13 +416,27 @@ object Multimodal {
     * guard, hashes joined back once per side after the pair dedup.
     */
   def nearDupImages(media: DataFrame, maxHamming: Int = 3,
-                    maxBucket: Int = 1000): DataFrame = {
+                    maxBucket: Int = 1000): DataFrame =
+    bandedHammingPairs(perceptualHash(media), maxHamming, maxBucket)
+
+  /** The shared banded-Hamming machinery behind [[nearDupImages]] and
+    * [[nearDupAudio]]: band a 64-bit fingerprint (`doc_id`, `phash`) into
+    * four 16-bit chunks (any equal chunk → candidate; the pigeonhole
+    * guarantees full recall for Hamming distance ≤ 3), cap hot buckets
+    * all-or-nothing, verify with `bit_count(xor)`. The exact shape of
+    * `Dedup.simhashPairs` on a perceptual rather than textual
+    * fingerprint: id-only band join (no payload on the candidate
+    * shuffle), the bucket cap as the 100 TB quadratic-pairing guard,
+    * hashes joined back once per side after the pair dedup. The hash
+    * frame is guard-persisted here: it feeds the band explode AND both
+    * verify join-backs — without the cache every consumer re-decodes the
+    * full media corpus (the expensive pass these operators exist to
+    * amortize). 16 bytes/row; eviction recomputes from lineage.
+    */
+  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int,
+                                 maxBucket: Int): DataFrame = {
     require(maxHamming <= 3, "4-band LSH only guarantees recall for hamming <= 3")
-    // guard-persisted: the hash frame feeds the band explode AND both
-    // verify join-backs — without the cache every consumer re-decodes the
-    // full image corpus (the expensive pass this operator exists to
-    // amortize). 16 bytes/row; eviction recomputes from lineage.
-    val ph = graft.util.Caching.ensurePersisted(perceptualHash(media))
+    val ph = graft.util.Caching.ensurePersisted(hashes)
     val chunks = array((0 until 4).map { b =>
       shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }: _*)
@@ -442,6 +456,146 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Synthesize REAL WAV payloads carrying a 65-FRAME ENERGY pattern —
+    * the audio twin of [[syntheticImagesPatterned]]. Frame `f` of
+    * pattern `k` is a Nyquist/2 square wave at the 7-level amplitude
+    * `A = 500 + 400·(((73k + 29f) mod 257) mod 7)` (integer arithmetic
+    * throughout), rendered at `spf = 40 + len(text) mod 32` samples per
+    * frame — so the same `k` rendered at a different frame length is a
+    * genuine time-rescale of the same underlying envelope. `k = p mod
+    * 256` with `p = doc_id`, EXCEPT every 9th document, which borrows
+    * the PREVIOUS document's pattern at its own frame length, at DOUBLE
+    * volume, with one frame's level bumped (+1 mod 7 at frame
+    * `doc_id mod 65`) — a planted "re-levelled + slightly edited" twin
+    * that byte equality cannot see and [[audioFingerprint]] lands at
+    * small nonzero Hamming distance (the bump flips at most the two
+    * adjacent difference signs). Bytes are canonical 16-bit mono PCM
+    * RIFF/WAVE, decode-identical on any compliant reader; every frame
+    * energy is an exact integer (`spf·vol·A`), so the fingerprint is
+    * replayable in pure integer SQL.
+    */
+  def syntheticAudioPatterned(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs
+      .select(col(idCol).cast("long").as("doc_id"), length(col(textCol)).as("__tl"))
+      .filter(col("doc_id").isNotNull && col("__tl").isNotNull)
+      .rdd.map { r =>
+        val id = r.getLong(0)
+        val spf = 40 + r.getInt(1) % 32
+        val twin = id % 9 == 0 && id > 0
+        val k = ((if (twin) id - 1 else id) % 256).toInt
+        val vol = if (twin) 2 else 1
+        val n = 65 * spf
+        val dataLen = n * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1) // PCM
+          .putShort(1) // mono
+          .putInt(sampleRate)
+          .putInt(sampleRate * 2)
+          .putShort(2)
+          .putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < n) {
+          val f = i / spf
+          val pert = if (twin && f == (id % 65).toInt) 1 else 0
+          val a = vol * (500 + 400 * (((73 * k + 29 * f) % 257 + pert) % 7))
+          buf.putShort((if (i % 2 == 0) a else -a).toShort)
+          i += 1
+        }
+        Row(id, buf.array(), Row("audio/wav", n, 1))
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** 64-bit perceptual audio fingerprint over the DECODED sample stream
+    * (the sign-of-energy-difference scheme at the core of the
+    * Haitsma–Kalker fingerprint, collapsed to one band): split the
+    * stream into 65 equal frames (`spf = n ÷ 65` samples each, trailing
+    * remainder ignored), sum |sample| per frame as the frame energy,
+    * and set bit `f` iff `energy(f+1) > energy(f)`. Difference signs
+    * are volume-invariant (positive scaling preserves every strict
+    * comparison) and frame-count-normalized sampling makes them
+    * duration-invariant — re-levelled and time-rescaled copies hash
+    * close in Hamming space while byte equality sees nothing. Energies
+    * are exact Long sums (|e| ≤ n·2¹⁵ ≪ 2⁶³). Payloads that are
+    * undecodable, non-16-bit, big-endian, or shorter than 65 samples
+    * are dropped — no envelope, no perceptual content (run
+    * [[dedupBinary]]/[[decodeAudio]] gates first).
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false),
+    ))
+    val rdd = media.select("doc_id", "media")
+      .filter(col("doc_id").isNotNull)
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
+          val fp =
+            if (bytes.isEmpty) None
+            else try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val data = ais.readAllBytes()
+              ais.close()
+              val n = data.length / 2
+              val spf = n / 65
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian || spf == 0) None
+              else {
+                val e = new Array[Long](65)
+                var f = 0
+                while (f < 65) {
+                  var sum = 0L
+                  var i = f * spf
+                  val end = i + spf
+                  while (i < end) {
+                    val s = (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort.toLong
+                    sum += math.abs(s)
+                    i += 1
+                  }
+                  e(f) = sum
+                  f += 1
+                }
+                var hash = 0L
+                var b = 0
+                while (b < 64) {
+                  if (e(b + 1) > e(b)) hash |= 1L << b
+                  b += 1
+                }
+                Some(hash)
+              }
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+          fp.map(h => Row(r.getAs[Long]("doc_id"), h))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Perceptual near-dup audio pairs — [[dedupBinary]]'s blind spot
+    * closed for the audio modality exactly as [[nearDupImages]] closes
+    * it for images: a re-levelled or time-rescaled re-encode survives
+    * byte dedup but lands within Hamming budget of its source under
+    * [[audioFingerprint]]. Same [[bandedHammingPairs]] machinery, same
+    * 100 TB posture (id-only candidate shuffle, all-or-nothing bucket
+    * cap, one decode pass amortized behind the persisted hash frame).
+    */
+  def nearDupAudio(media: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame =
+    bandedHammingPairs(audioFingerprint(media), maxHamming, maxBucket)
 
   /** Coarse pixel-moment embedding: the [[gridSamples]] 9×8 grid as a
     * 72-dim unit-range vector (sample ÷ 255) — the bridge from decoded

@@ -135,6 +135,65 @@ object MultimodalProps extends Properties("Multimodal") {
       got == want
     }
 
+  private def wav(samples: Seq[Int]): Array[Byte] = {
+    val dataLen = samples.size * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => buf.putShort(v.toShort))
+    buf.array()
+  }
+
+  private def mirrorAudioHash(samples: Seq[Int]): Long = {
+    val spf = samples.size / 65
+    val e = (0 until 65).map(f => samples.slice(f * spf, (f + 1) * spf).map(v => math.abs(v.toLong)).sum)
+    var hash = 0L
+    for (b <- 0 until 64) if (e(b + 1) > e(b)) hash |= 1L << b
+    hash
+  }
+
+  property("audioFingerprint == driver energy-difference mirror; volume scaling collapses; corrupt/short rows drop") =
+    forAllNoShrink(Gen.choose(1, 5).flatMap(m => Gen.listOfN(m, for {
+      n <- Gen.choose(65, 400)
+      smp <- Gen.listOfN(n, Gen.choose(-16000, 16000)) // headroom for the 2x twin
+    } yield smp))) { clips =>
+      val s = spark; import s.implicits._
+      val rows = clips.zipWithIndex.flatMap { case (smp, i) =>
+        Seq((i.toLong, wav(smp)),                           // original
+          (i.toLong + 100, wav(smp.map(_ * 2))))            // 2x volume re-level
+      } ++ Seq((900L, Array[Byte](9, 9, 9)), (901L, Array.emptyByteArray),
+        (902L, wav(Seq.fill(64)(1000))))                    // shorter than one frame set
+      val got = Multimodal.audioFingerprint(rows.toDF("doc_id", "media"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = clips.zipWithIndex.flatMap { case (smp, i) =>
+        val h = mirrorAudioHash(smp)
+        Seq(i.toLong -> h, (i.toLong + 100) -> h)
+      }.toMap
+      got == want // corrupt/empty/short ids absent on both sides
+    }
+
+  property("nearDupAudio == brute-force 16-bit banding + hamming over mirror fingerprints") =
+    forAllNoShrink(Gen.choose(2, 6).flatMap(m => Gen.listOfN(m, for {
+      n <- Gen.choose(65, 260)
+      smp <- Gen.listOfN(n, Gen.choose(-32000, 32000))
+    } yield smp))) { clips =>
+      val s = spark; import s.implicits._
+      val rows = clips.zipWithIndex.map { case (smp, i) => (i.toLong, wav(smp)) }
+      val got = Multimodal.nearDupAudio(rows.toDF("doc_id", "media"), maxBucket = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hashes = clips.zipWithIndex.map { case (smp, i) => i.toLong -> mirrorAudioHash(smp) }
+      val want = (for {
+        (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+        if (0 until 4).exists(b => ((ha >>> (16 * b)) & 0xFFFFL) == ((hb >>> (16 * b)) & 0xFFFFL))
+        ham = java.lang.Long.bitCount(ha ^ hb).toLong if ham <= 3
+      } yield (ia, ib, ham)).toSet
+      got == want
+    }
+
   property("imageEmbedding == mirror grid / 255") =
     forAllNoShrink(Gen.choose(1, 4).flatMap(m => Gen.listOfN(m, for {
       w <- Gen.choose(1, 30); h <- Gen.choose(1, 30)

@@ -146,6 +146,41 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.contains((1L, 2L)))
   }
 
+  test("nearDupAudio: re-levelled/edited twins collapse, distinct envelopes survive, byte dedup sees nothing") {
+    val s = spark; import s.implicits._
+    // same shape as the image fixture: docs 9 and 18 are the planted
+    // twins (envelope of 8 and 17 at 2x volume + one bumped frame)
+    val fixture = (1L to 20L).map(i => (i, "x" * (3 + i.toInt * 5 % 29))).toDF("doc_id", "text")
+    val media = Multimodal.syntheticAudioPatterned(fixture)
+    // byte-exact dedup finds NO classes: frame lengths and volumes differ
+    assert(Multimodal.dedupBinary(media).count() == 20)
+    val pairs = Multimodal.nearDupAudio(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // both planted twins found; the one-frame bump flips at most the two
+    // adjacent difference signs
+    assert(pairs.contains((8L, 9L)) && pairs((8L, 9L)) <= 2)
+    assert(pairs.contains((17L, 18L)) && pairs((17L, 18L)) <= 2)
+    // distinct envelope classes stay apart
+    assert(!pairs.contains((1L, 2L)))
+  }
+
+  test("audioFingerprint: volume and frame-length invariant; sub-65-sample or corrupt payloads dropped") {
+    val s = spark; import s.implicits._
+    // one pattern rendered three ways: base, 3x volume, different frame
+    // length — all three must hash IDENTICALLY (k = doc_id % 256 with no
+    // twin plant at these ids, so same doc text => same envelope)
+    val base = Multimodal.syntheticAudioPatterned(Seq((1L, "x" * 10)).toDF("doc_id", "text"))
+    val stretched = Multimodal.syntheticAudioPatterned(Seq((257L, "x" * 25)).toDF("doc_id", "text"))
+    val h1 = Multimodal.audioFingerprint(base).head().getLong(1)
+    val h2 = Multimodal.audioFingerprint(stretched).head().getLong(1)
+    assert(h1 == h2) // k = 1 mod 256 both; spf differs (50 vs 65)
+    val junk = Seq(
+      (1L, Array[Byte](1, 2, 3), ("audio/wav", 0, 0)),
+      (2L, Array.emptyByteArray, ("audio/wav", 0, 0)),
+    ).toDF("doc_id", "media", "meta")
+    assert(Multimodal.audioFingerprint(junk).count() == 0)
+  }
+
   test("imageEmbedding bridges decoded pixels into cosineNearDup: twins pair near 1.0") {
     val s = spark; import s.implicits._
     val fixture = (1L to 20L).map(i => (i, "x" * (3 + i.toInt * 5 % 29))).toDF("doc_id", "text")

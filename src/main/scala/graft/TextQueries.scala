@@ -1948,6 +1948,51 @@ object TextQueries {
       |        GROUP BY 1, 2)
       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
+  /** Incremental perceptual near-dup: pairs between the incoming half's
+    * fingerprints and the baseline half's fingerprint STATE only — same
+    * doc_id split as `incremental_dedup`/`incremental_lsh`, same
+    * patterned-PNG fixture as `mm_near_dup`. The oracle mirrors the
+    * cross-side candidate join and the union-side bucket cap (which
+    * never binds at the 500-doc corpus, mirrored for fidelity like the
+    * LSH oracle's).
+    */
+  private val incMmNearDup: Q = (s, d) => {
+    val media = Multimodal.syntheticImagesPatterned(docs(s, d))
+    Multimodal.nearDupAgainstBaseline(
+      Multimodal.perceptualHash(media.filter(col("doc_id") >= 250)),
+      Multimodal.perceptualHash(media.filter(col("doc_id") < 250)))
+  }
+
+  private val incMmNearDupSql =
+    """WITH m AS (SELECT doc_id, 24 + (length(text) % 32) AS w, 24 + ((doc_id * 7) % 32) AS h,
+      |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END) % 256 AS k,
+      |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id % 36 ELSE -1 END) AS pb
+      |          FROM documents),
+      |g AS (SELECT doc_id, w, h, k, pb, ti.i AS i, tj.j AS j,
+      |        ((2 * ti.i + 1) * w) // 18 AS gx, ((2 * tj.j + 1) * h) // 16 AS gy
+      |      FROM m, (SELECT unnest(range(0, 9)) AS i) ti, (SELECT unnest(range(0, 8)) AS j) tj),
+      |blk AS (SELECT doc_id, i, j, k, pb, ((gy * 4) // h) * 9 + (gx * 9) // w AS b FROM g),
+      |sv AS (SELECT doc_id, i, j,
+      |         30 + 30 * (((73 * k + 29 * b) % 257
+      |           + CASE WHEN b = pb THEN 1 ELSE 0 END) % 7) AS v FROM blk),
+      |bits AS (SELECT a.doc_id, a.j * 8 + a.i AS bit, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS x
+      |         FROM sv a JOIN sv b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+      |         WHERE a.i < 8),
+      |bands AS (SELECT doc_id, bit // 16 AS band, sum(x << (bit % 16)) AS chunk
+      |          FROM bits GROUP BY 1, 2),
+      |u AS (SELECT doc_id, CASE WHEN doc_id >= 250 THEN 'i' ELSE 'b' END AS side, band, chunk FROM bands),
+      |capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, chunk) AS bc FROM u) WHERE bc <= 1000),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_in, b.doc_id AS id_bas
+      |         FROM capped a JOIN capped b ON a.band = b.band AND a.chunk = b.chunk
+      |           AND a.side = 'i' AND b.side = 'b'),
+      |ham AS (SELECT c.id_in, c.id_bas,
+      |          CAST(sum(CASE WHEN ba.x <> bb.x THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      |        FROM cand c
+      |        JOIN bits ba ON ba.doc_id = c.id_in
+      |        JOIN bits bb ON bb.doc_id = c.id_bas AND bb.bit = ba.bit
+      |        GROUP BY 1, 2)
+      |SELECT id_in, id_bas, hamming FROM ham WHERE hamming <= 3""".stripMargin
+
   /** Semantic multimodal dedup — the composition proof: `imageEmbedding`
     * lifts the same decoded grid into a 72-dim vector and the EXISTING
     * `Similarity.cosineNearDup` (LSH-bucketed, id-ordered pairs) runs
@@ -2074,6 +2119,7 @@ object TextQueries {
     ("mm_dedup", mmDedup, Some(mmDedupSql)),
     ("mm_near_dup", mmNearDup, Some(mmNearDupSql)),
     ("mm_near_dup_audio", mmNearDupAudio, Some(mmNearDupAudioSql)),
+    ("inc_mm_near_dup", incMmNearDup, Some(incMmNearDupSql)),
     ("mm_semantic_dedup", mmSemanticDedup, Some(mmSemanticDedupSql)),
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -433,15 +433,16 @@ object Multimodal {
     * full media corpus (the expensive pass these operators exist to
     * amortize). 16 bytes/row; eviction recomputes from lineage.
     */
+  private def bandChunks: Column = array((0 until 4).map { b =>
+    shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))
+  }: _*)
+
   private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int,
                                  maxBucket: Int): DataFrame = {
     require(maxHamming <= 3, "4-band LSH only guarantees recall for hamming <= 3")
     val ph = graft.util.Caching.ensurePersisted(hashes)
-    val chunks = array((0 until 4).map { b =>
-      shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))
-    }: _*)
     val banded = Dedup.capBuckets(
-      ph.select(col("doc_id"), posexplode(chunks))
+      ph.select(col("doc_id"), posexplode(bandChunks))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk"),
       Seq("band", "chunk"), maxBucket)
     val l = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"))
@@ -596,6 +597,49 @@ object Multimodal {
   def nearDupAudio(media: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 1000): DataFrame =
     bandedHammingPairs(audioFingerprint(media), maxHamming, maxBucket)
+
+  /** Incremental perceptual near-dup — `Dedup.minhashLshAgainstBaseline`'s
+    * discipline for media: near-dup pairs BETWEEN an incoming batch's
+    * fingerprints and the settled corpus' fingerprint STATE, never within
+    * either side. At 100 TB the corpus' media bytes are long gone from
+    * hot storage — what persists is the 16-byte/row (doc_id, phash) table
+    * [[perceptualHash]]/[[audioFingerprint]] build, exactly like the
+    * span/gram carry-forward states — so BOTH sides are fingerprint
+    * frames (modality-generic: any 64-bit hash with the banding recall
+    * guarantee) and nothing inside the baseline is re-adjudicated: the
+    * band join emits cross-side candidates only, at batch volume.
+    * Hot-bucket capping applies to the UNION of both sides' rows, same
+    * argument as the LSH twin: a degenerate bucket (a solid-black
+    * thumbnail, a silence clip) is degenerate regardless of side, and a
+    * per-side cap would let |inc|·|bas| pairs through a bucket self-dedup
+    * would have dropped. Output (id_in, id_bas, hamming).
+    */
+  def nearDupAgainstBaseline(incomingHashes: DataFrame, baselineHashes: DataFrame,
+                             maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4-band LSH only guarantees recall for hamming <= 3")
+    // guard-persisted: each side feeds its band explode AND its verify
+    // join-back; uncached, a decode-derived side re-decodes its media
+    val hi = graft.util.Caching.ensurePersisted(incomingHashes)
+    val hb = graft.util.Caching.ensurePersisted(baselineHashes)
+    def banded(ph: DataFrame, side: String) =
+      ph.select(col("doc_id"), posexplode(bandChunks))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+        .withColumn("__side", lit(side))
+    val capped = Dedup.capBuckets(
+      banded(hi, "i").unionByName(banded(hb, "b")), Seq("band", "chunk"), maxBucket)
+    val l = capped.filter(col("__side") === "i")
+      .select(col("band"), col("chunk"), col("doc_id").as("id_in"))
+    val r = capped.filter(col("__side") === "b")
+      .select(col("band"), col("chunk"), col("doc_id").as("id_bas"))
+    val cand = l.join(r, Seq("band", "chunk"))
+      .select("id_in", "id_bas").dropDuplicates("id_in", "id_bas")
+    val phI = hi.select(col("doc_id").as("id_in"), col("phash").as("ph_in"))
+    val phB = hb.select(col("doc_id").as("id_bas"), col("phash").as("ph_bas"))
+    cand.join(phI, Seq("id_in")).join(phB, Seq("id_bas"))
+      .withColumn("hamming", bit_count(col("ph_in").bitwiseXOR(col("ph_bas"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_in", "id_bas", "hamming")
+  }
 
   /** Coarse pixel-moment embedding: the [[gridSamples]] 9×8 grid as a
     * 72-dim unit-range vector (sample ÷ 255) — the bridge from decoded

@@ -194,6 +194,28 @@ object MultimodalProps extends Properties("Multimodal") {
       got == want
     }
 
+  property("nearDupAgainstBaseline == brute-force CROSS-side banding + hamming (split by index parity)") =
+    forAllNoShrink(Gen.choose(2, 6).flatMap(m => Gen.listOfN(m, for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 24)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px)))) { imgs =>
+      val s = spark; import s.implicits._
+      val rows = imgs.zipWithIndex.map { case ((w, h, px), i) => (i.toLong, png(w, h, px)) }
+      val inc = rows.filter(_._1 % 2 == 0).toDF("doc_id", "media")
+      val bas = rows.filter(_._1 % 2 == 1).toDF("doc_id", "media")
+      val got = Multimodal.nearDupAgainstBaseline(
+          Multimodal.perceptualHash(inc), Multimodal.perceptualHash(bas), maxBucket = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hashes = imgs.zipWithIndex.map { case ((w, h, px), i) =>
+        i.toLong -> mirrorHash(mirrorSamples(w, h, px)) }
+      val want = (for {
+        (ii, hi) <- hashes if ii % 2 == 0; (ib, hb) <- hashes if ib % 2 == 1
+        if (0 until 4).exists(b => ((hi >>> (16 * b)) & 0xFFFFL) == ((hb >>> (16 * b)) & 0xFFFFL))
+        ham = java.lang.Long.bitCount(hi ^ hb).toLong if ham <= 3
+      } yield (ii, ib, ham)).toSet
+      got == want
+    }
+
   property("imageEmbedding == mirror grid / 255") =
     forAllNoShrink(Gen.choose(1, 4).flatMap(m => Gen.listOfN(m, for {
       w <- Gen.choose(1, 30); h <- Gen.choose(1, 30)

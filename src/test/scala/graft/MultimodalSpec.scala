@@ -164,6 +164,23 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.contains((1L, 2L)))
   }
 
+  test("nearDupAgainstBaseline: cross-side pairs only; intra-side twins stay silent") {
+    val s = spark; import s.implicits._
+    // baseline 1..10 (twin 8~9 INSIDE it), incoming 11..20 (twin 17~18
+    // INSIDE it) plus 257 — pattern k=1, same as baseline doc 1 at
+    // different dimensions: the one genuine cross-side near-dup
+    val fixture = ((1L to 20L) :+ 257L).map(i => (i, "x" * (3 + i.toInt * 5 % 29))).toDF("doc_id", "text")
+    val media = Multimodal.syntheticImagesPatterned(fixture)
+    val pairs = Multimodal.nearDupAgainstBaseline(
+        Multimodal.perceptualHash(media.filter($"doc_id" > 10)),
+        Multimodal.perceptualHash(media.filter($"doc_id" <= 10)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((257L, 1L)) && pairs((257L, 1L)) == 0L)
+    // intra-side near-dups are NOT re-adjudicated
+    assert(!pairs.keySet.exists { case (a, b) => (a <= 10 && b <= 10) || (a > 10 && b > 10) })
+    assert(!pairs.contains((9L, 8L)) && !pairs.contains((18L, 17L)))
+  }
+
   test("audioFingerprint: volume and frame-length invariant; sub-65-sample or corrupt payloads dropped") {
     val s = spark; import s.implicits._
     // one pattern rendered three ways: base, 3x volume, different frame

@@ -1993,6 +1993,44 @@ object TextQueries {
       |        GROUP BY 1, 2)
       |SELECT id_in, id_bas, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
+  /** STREAMING twin of `inc_mm_near_dup`, graded against the SAME oracle:
+    * the incoming half's FINGERPRINTS (not media — decode happens where
+    * the bytes land; 16 bytes/row ride the stream) arrive as ONE
+    * micro-batch through `EventsStream.mediaNearDupStream` against the
+    * baseline half's fingerprint state. Pairing is batch-invariant
+    * (cross-side join); the bucket cap counts over (batch ∪ baseline), so
+    * only the single-batch feed matches the batch operator exactly —
+    * `EventsStreamSpec` drives the multi-batch case on a cap-free
+    * fixture. The collect feeding the MemoryStream is bounded by the
+    * BATCH'S FINGERPRINT rows (never media bytes, never the corpus).
+    */
+  private val mmNearDupStream: Q = (s, d) => {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val media = Multimodal.syntheticImagesPatterned(docs(s, d))
+    val incFp = graft.util.Caching.ensurePersisted(
+      Multimodal.perceptualHash(media.filter(col("doc_id") >= 250)))
+    val feed = incFp.collect().toSeq.map(r => (r.getAs[Long](0), r.getAs[Long](1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("mm-near-dup-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = graft.streaming.EventsStream.mediaNearDupStream(
+      mem.toDF().toDF("doc_id", "phash"),
+      Multimodal.perceptualHash(media.filter(col("doc_id") < 250)), ckpt) { pairs =>
+      buf.synchronized { schema = pairs.schema; buf ++= pairs.collect() }
+    }
+    try { mem.addData(feed); q.processAllAvailable() } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(ckpt))
+    }
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
+  }
+
   /** Semantic multimodal dedup — the composition proof: `imageEmbedding`
     * lifts the same decoded grid into a 72-dim vector and the EXISTING
     * `Similarity.cosineNearDup` (LSH-bucketed, id-ordered pairs) runs
@@ -2120,6 +2158,7 @@ object TextQueries {
     ("mm_near_dup", mmNearDup, Some(mmNearDupSql)),
     ("mm_near_dup_audio", mmNearDupAudio, Some(mmNearDupAudioSql)),
     ("inc_mm_near_dup", incMmNearDup, Some(incMmNearDupSql)),
+    ("mm_near_dup_stream", mmNearDupStream, Some(incMmNearDupSql)),
     ("mm_semantic_dedup", mmSemanticDedup, Some(mmSemanticDedupSql)),
   )
 }

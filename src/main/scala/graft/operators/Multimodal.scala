@@ -615,12 +615,25 @@ object Multimodal {
     * would have dropped. Output (id_in, id_bas, hamming).
     */
   def nearDupAgainstBaseline(incomingHashes: DataFrame, baselineHashes: DataFrame,
-                             maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                             maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    nearDupAgainstBaselineManaged(incomingHashes, baselineHashes, maxHamming, maxBucket)._1
+
+  /** Cleanup-handle variant of [[nearDupAgainstBaseline]] for long-lived
+    * sessions pairing many batches against the same state (the streaming
+    * twin's per-micro-batch path): release() unpersists the cache entries
+    * THIS invocation registered once the caller has materialized the pair
+    * frame — and no-ops on a pre-registered baseline state by
+    * `Caching.acquire` ownership, so the state stays cached across
+    * batches while each batch's own fingerprint persist is freed.
+    */
+  def nearDupAgainstBaselineManaged(incomingHashes: DataFrame, baselineHashes: DataFrame,
+                                    maxHamming: Int = 3, maxBucket: Int = 1000)
+      : (DataFrame, () => Unit) = {
     require(maxHamming <= 3, "4-band LSH only guarantees recall for hamming <= 3")
     // guard-persisted: each side feeds its band explode AND its verify
     // join-back; uncached, a decode-derived side re-decodes its media
-    val hi = graft.util.Caching.ensurePersisted(incomingHashes)
-    val hb = graft.util.Caching.ensurePersisted(baselineHashes)
+    val (hi, relI) = graft.util.Caching.acquire(incomingHashes)
+    val (hb, relB) = graft.util.Caching.acquire(baselineHashes)
     def banded(ph: DataFrame, side: String) =
       ph.select(col("doc_id"), posexplode(bandChunks))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
@@ -635,10 +648,11 @@ object Multimodal {
       .select("id_in", "id_bas").dropDuplicates("id_in", "id_bas")
     val phI = hi.select(col("doc_id").as("id_in"), col("phash").as("ph_in"))
     val phB = hb.select(col("doc_id").as("id_bas"), col("phash").as("ph_bas"))
-    cand.join(phI, Seq("id_in")).join(phB, Seq("id_bas"))
+    val pairs = cand.join(phI, Seq("id_in")).join(phB, Seq("id_bas"))
       .withColumn("hamming", bit_count(col("ph_in").bitwiseXOR(col("ph_bas"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_in", "id_bas", "hamming")
+    (pairs, () => { relI(); relB() })
   }
 
   /** Coarse pixel-moment embedding: the [[gridSamples]] 9×8 grid as a

@@ -216,6 +216,41 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming twin of `Multimodal.nearDupAgainstBaseline` — perceptual
+    * near-dup on the ingestion path: each micro-batch of incoming media
+    * FINGERPRINTS pairs against the STATIC corpus fingerprint state via
+    * `foreachBatch` (the banded pair join and its dropDuplicates are
+    * batch plans a streaming query cannot express — the span twin's
+    * boundary). PAIRING is batch-invariant: cross-side only, so a
+    * fingerprint's pairs depend on the baseline state alone, never on
+    * which batch its neighbors rode in. The bucket CAP is not: it counts
+    * over (this batch ∪ baseline) — a per-batch join-volume bound, not a
+    * cross-batch contract, the span twin's rule verbatim. The state frame
+    * is guard-persisted on first use and reused by every batch; per-batch
+    * registrations are released after the sink returns via the managed
+    * variant (the unbounded-stream rule — `Caching.acquire` ownership
+    * no-ops the release on the pre-registered state). Decode stays
+    * upstream: the stream carries (doc_id, phash) rows — fingerprints are
+    * computed where the media bytes land ([[graft.operators.Multimodal]]
+    * `perceptualHash`/`audioFingerprint` inside the ingest job), and only
+    * 16 bytes/row ride the stream. Baseline immutability and
+    * restart-to-refresh as every stream-static sibling.
+    */
+  def mediaNearDupStream(fingerprints: DataFrame, baseline: DataFrame, checkpoint: String,
+                         maxHamming: Int = 3, maxBucket: Int = 1000)
+                        (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.util.Caching.ensurePersisted(baseline)
+    fingerprints.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (pairs, release) = graft.operators.Multimodal.nearDupAgainstBaselineManaged(
+          batch.toDF(), baseline, maxHamming, maxBucket)
+        try sink(pairs) finally release()
+      }
+      .start()
+  }
+
   /** Custom keyed state with MULTI-ROW emission via `flatMapGroupsWithState`
     * (the zero-or-more-outputs-per-group shape `mapGroupsWithState` cannot
     * express): per-user running spend with one alert row emitted for every

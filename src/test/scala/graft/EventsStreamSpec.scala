@@ -433,4 +433,32 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
     assert(buf.toSet == batchWant)
   }
+
+  test("mediaNearDupStream: any batch split == batch twin when no bucket nears the cap") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline 1..10, incoming 11..20 + 257 (pattern k=1: cross-side twin
+    // of baseline doc 1) — the inc_mm_near_dup spec fixture, streamed
+    val fixture = ((1L to 20L) :+ 257L).map(i => (i, "x" * (3 + i.toInt * 5 % 29))).toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.syntheticImagesPatterned(fixture)
+    val basFp = graft.operators.Multimodal.perceptualHash(media.filter($"doc_id" <= 10))
+    val incFp = graft.operators.Multimodal.perceptualHash(media.filter($"doc_id" > 10))
+    val batchWant = graft.operators.Multimodal.nearDupAgainstBaseline(incFp, basFp)
+      .collect().map(_.toSeq).toSet
+    assert(batchWant.exists(_.take(2) == Seq(257L, 1L)))
+
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("media-near-dup-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventsStream.mediaNearDupStream(
+      mem.toDF().toDF("doc_id", "phash"), basFp, ckpt) { pairs =>
+      buf.synchronized { buf ++= pairs.collect().map(_.toSeq) }
+    }
+    val feed = incFp.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    try {
+      mem.addData(feed.take(4)); q.processAllAvailable()
+      mem.addData(feed.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.toSet == batchWant)
+  }
 }

@@ -240,6 +240,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("perceptual-family shuffles carry 64-bit fingerprints, never media bytes") {
+    // decode happens inside the RDD-bridge fingerprint pass; everything
+    // downstream — band explode, candidate join, pair dedup, hamming
+    // verify — exchanges only longs (band, chunk, doc_id, phash). If a
+    // refactor ever lets the BINARY payload ride a shuffle, the operator
+    // stops surviving 100 TB of media. (mm_near_dup_stream is excluded:
+    // a foreachBatch harness, not one inspectable plan — it runs the
+    // same nearDupAgainstBaseline body inc_mm_near_dup asserts here.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    for (name <- Seq("mm_near_dup", "mm_near_dup_audio", "inc_mm_near_dup")) {
+      val df = Queries.registry.collectFirst { case (`name`, q, _) => q }.get(spark, dir)
+      df.collect()
+      val shuffles = allNodes(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.nonEmpty, s"$name: expected at least one shuffle")
+      for (s <- shuffles)
+        assert(!s.output.exists(a => a.name == "media" ||
+            a.dataType == org.apache.spark.sql.types.BinaryType),
+          s"$name shuffles media bytes: ${s.output.map(a => s"${a.name}:${a.dataType}")}")
+    }
+  }
+
   test("span_coverage counts coverage arithmetically — no per-position explode beyond dup_spans") {
     // coverage = per-doc interval merge over the span frame; the pre-r17
     // form exploded O(duplicated tokens × multiplicity) position rows

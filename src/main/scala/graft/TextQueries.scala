@@ -1848,6 +1848,68 @@ object TextQueries {
       |  CAST(list_sum([(doc_id + (i % w) + (i // w)) % 256 for i in range(0, w * h)]) AS DOUBLE) / (w * h) AS mean_px
       |FROM m""".stripMargin
 
+  // -- URL canonicalization + dedup (pre-content curation stage) -----------
+  /** Deterministic URL fixture: every 4 consecutive docs share one
+    * canonical URL rendered through 4 noise variants (scheme case,
+    * leading `www.`, trailing slash, tracking params, fragment; variant 3
+    * keeps a REAL `id` param, so it canonicalizes apart from its
+    * neighbors). Pure projection, replayed verbatim in the oracle CTE.
+    */
+  private def urlFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // host derives from the GROUP index (doc_id ÷ 4), not `source` —
+    // source is src(doc_id mod 20), so a source-keyed host would give
+    // every member of a group a different domain and nothing would
+    // collapse (500 singleton classes, a vacuous dedup)
+    val grp = (col("doc_id") / lit(4)).cast("long")
+    val base = concat(lit("site"), pmod(grp, lit(50)).cast("string"),
+      lit(".example.com/d/"), grp.cast("string"))
+    docs(s, d).withColumn("url",
+      when(pmod(col("doc_id"), lit(4)) === 0, concat(lit("https://"), base))
+        .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit("HTTP://WWW."), base, lit("/")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://"), base, lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("https://www."), base, lit("?id="),
+          pmod(col("doc_id"), lit(7)).cast("string"), lit("&utm_medium=cpc#frag"))))
+  }
+
+  private val urlCtes =
+    // NOTE: this fragment is stripMargin'd again after interpolation into
+    // the two query SQLs — no line may start with whitespace + '|'
+    """b AS (SELECT doc_id, 'site' || CAST((doc_id // 4) % 50 AS VARCHAR) ||
+      |        '.example.com/d/' || CAST(doc_id // 4 AS VARCHAR) AS base FROM documents),
+      |u AS (SELECT doc_id, CASE doc_id % 4
+      |    WHEN 0 THEN 'https://' || base
+      |    WHEN 1 THEN 'HTTP://WWW.' || base || '/'
+      |    WHEN 2 THEN 'https://' || base || '?utm_source=feed&utm_campaign=x'
+      |    ELSE 'https://www.' || base || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=cpc#frag'
+      |  END AS url FROM b),
+      |n2 AS (SELECT doc_id, url,
+      |         regexp_replace(regexp_replace(regexp_replace(lower(trim(url)), '#.*$', ''), '^https?://', ''), '^www\.', '') AS ns FROM u),
+      |p AS (SELECT doc_id, url,
+      |        regexp_replace(CASE WHEN position('?' IN ns) > 0 THEN substr(ns, 1, position('?' IN ns) - 1) ELSE ns END, '/$', '') AS path,
+      |        CASE WHEN position('?' IN ns) > 0 THEN substr(ns, position('?' IN ns) + 1) ELSE '' END AS q FROM n2),
+      |k AS (SELECT doc_id, url, path,
+      |        list_filter(string_split(q, '&'), x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)')) AS kept FROM p),
+      |c AS (SELECT doc_id, url,
+      |        path || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url FROM k)""".stripMargin
+
+  /** The canonicalizer pinned directly: every (doc_id, url, canonical). */
+  private val urlCanonicalQ: Q = (s, d) =>
+    urlFixture(s, d).select(col("doc_id"), col("url"),
+      graft.functions.GraftFunctions.canonicalUrl(col("url")).as("canonical_url"))
+
+  private val urlCanonicalSql =
+    s"""WITH $urlCtes
+       |SELECT doc_id, url, canonical_url FROM c""".stripMargin
+
+  /** Keep-first URL dedup over the canonical key — `Dedup.urlDedup`. */
+  private val urlDedupQ: Q = (s, d) => Dedup.urlDedup(urlFixture(s, d))
+
+  private val urlDedupSql =
+    s"""WITH $urlCtes
+       |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canonical_url,
+       |  CAST(count(*) AS BIGINT) AS n_copies FROM c GROUP BY canonical_url""".stripMargin
+
   /** REAL audio decode: `syntheticAudio` writes genuine RIFF/WAV PCM
     * (sample i = ((doc_id·31 + i·7) mod 65536) − 32768, n = 100 +
     * len(text) % 50) and `Multimodal.decodeAudio` parses it back with
@@ -2151,6 +2213,8 @@ object TextQueries {
     ("training_order", trainingOrderQ, Some(trainingOrderSql)),
     ("para_dedup", paraDedup, Some(paraDedupSql)),
     ("c4_clean", c4CleanQ, Some(c4CleanSql)),
+    ("url_canonical", urlCanonicalQ, Some(urlCanonicalSql)),
+    ("url_dedup", urlDedupQ, Some(urlDedupSql)),
     ("strip_boilerplate", stripBoiler, Some(stripBoilerSql)),
     ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),

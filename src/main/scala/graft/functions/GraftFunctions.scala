@@ -61,6 +61,29 @@ object GraftFunctions {
   def stripUrlSuffix(url: Column, suffix: String = "/query"): Column =
     regexp_replace(url, java.util.regex.Pattern.quote(suffix) + "$", "")
 
+  /** URL canonicalization for dedup keys — the pre-content first stage of
+    * web-corpus curation (RefinedWeb's URL dedup, Penedo et al. 2023):
+    * lowercase, drop the fragment, strip the scheme and one leading
+    * `www.`, drop tracking query parameters (`utm_*`, `fbclid`, `gclid`,
+    * `ref`) while preserving the remaining parameters IN ORIGINAL ORDER
+    * (sorting would merge `?a=1&b=2` with `?b=2&a=1` — rare, and order
+    * can be semantic), and strip one trailing slash from the path.
+    * Lowercases the WHOLE url — the recall-first choice for a dedup
+    * grouping key; a precision-first deployment lowercases scheme+host
+    * only. Pure codegen'd expressions, mirrored 1:1 in DuckDB SQL.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(lower(url)), "#.*$", "")
+    val noScheme = regexp_replace(regexp_replace(noFrag, "^https?://", ""), "^www\\.", "")
+    val path = regexp_replace(substring_index(noScheme, "?", 1), "/$", "")
+    val query = when(instr(noScheme, "?") > 0,
+      noScheme.substr(instr(noScheme, "?") + lit(1), length(noScheme))).otherwise(lit(""))
+    val kept = filter(split(query, "&"),
+      x => (length(x) > 0).and(not(x.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))))
+    concat(path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
+  }
+
   // ---------------------------------------------------------------------
   // Text-analysis building blocks (training-data-pipeline extensions).
   // All are plain expressions so they vectorize under codegen and can be

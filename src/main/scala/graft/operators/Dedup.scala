@@ -307,6 +307,22 @@ object Dedup {
     (deduped.join(basFp, Seq("fp"), "left_anti"), release)
   }
 
+  /** URL dedup — the stage web-corpus curation runs BEFORE any content
+    * pass (a re-crawled, tracking-tagged, or `www.`/slash-variant URL is
+    * a duplicate no content hash needs to prove, and skipping the fetch
+    * is the point). Keep-first over [[GraftFunctions.canonicalUrl]] with
+    * a copy count: [[exact]]'s one map-side-combined groupBy shape with
+    * the canonicalizer as the fingerprint. At 100 TB this runs on the
+    * crawl FRONTIER (url lists, not fetched documents) as readily as on
+    * a landed corpus — the expression needs only the url column, so the
+    * scan prunes everything else.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(canonicalUrl(col(urlCol)).as("canonical_url"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("canonical_url"), col("n_copies"))
+
   /** MinHash signatures as a PURE PROJECTION — one native pass computing
     * all k affine minima per row ([[graft.functions.MinHashSigExpr]]).
     * Two prior shapes both lost: k `array_min(transform(...))` HOFs

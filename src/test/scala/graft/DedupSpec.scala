@@ -327,4 +327,26 @@ class DedupSpec extends SparkSpec {
     assert(r(12L) == ((2L, 1L, Some(0.5))))
     assert(r(13L) == ((0L, 0L, None)))
   }
+
+  test("urlDedup: scheme/www/slash/tracking/fragment variants collapse; real params split; order kept") {
+    val s = spark; import s.implicits._
+    val urls = Seq(
+      (1L, "https://Example.com/a/b"),
+      (2L, "HTTP://WWW.example.com/a/b/"),                       // case+www+slash noise
+      (3L, "example.com/a/b?utm_source=x&fbclid=1#frag"),        // tracking+fragment noise
+      (4L, "https://example.com/a/b?id=7"),                      // REAL param -> its own key
+      (5L, "https://example.com/a/b?utm_term=z&id=7&gclid=2"),   // tracking stripped around it
+      (6L, "https://example.com/a/b?id=7&page=2"),               // order preserved -> distinct
+      (7L, "https://example.com/a/b?page=2&id=7"),               //   from the reversed order
+      (8L, "https://example.com/a/b?ref=r&ref_x=1"),             // ref dropped, ref_x kept
+    ).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(urls).collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getLong(2))).toMap
+    assert(out("example.com/a/b") == ((1L, 3L)))                 // 1, 2, 3 collapse
+    assert(out("example.com/a/b?id=7") == ((4L, 2L)))            // 4, 5 collapse
+    assert(out("example.com/a/b?id=7&page=2") == ((6L, 1L)))
+    assert(out("example.com/a/b?page=2&id=7") == ((7L, 1L)))
+    assert(out("example.com/a/b?ref_x=1") == ((8L, 1L)))
+    assert(out.size == 5)
+  }
 }

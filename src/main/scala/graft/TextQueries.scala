@@ -1910,6 +1910,27 @@ object TextQueries {
        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canonical_url,
        |  CAST(count(*) AS BIGINT) AS n_copies FROM c GROUP BY canonical_url""".stripMargin
 
+  /** Incremental URL dedup: the incoming frontier half deduped within
+    * itself, then anti-joined against the crawled half's canonical keys —
+    * same doc_id split as every incremental family. The straddling group
+    * (docs 248–251) is the interesting case: 250's canonical key already
+    * exists in the baseline via 248/249's variants, so it is suppressed,
+    * while 251's real `id` param keeps it.
+    */
+  private val incUrlDedup: Q = (s, d) => {
+    val u = urlFixture(s, d)
+    Dedup.urlDedupAgainstBaseline(
+      u.filter(col("doc_id") >= 250), u.filter(col("doc_id") < 250))
+  }
+
+  private val incUrlDedupSql =
+    s"""WITH $urlCtes,
+       |i AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canonical_url,
+       |        CAST(count(*) AS BIGINT) AS n_copies
+       |      FROM c WHERE doc_id >= 250 GROUP BY canonical_url)
+       |SELECT doc_id, canonical_url, n_copies FROM i
+       |WHERE canonical_url NOT IN (SELECT canonical_url FROM c WHERE doc_id < 250)""".stripMargin
+
   /** REAL audio decode: `syntheticAudio` writes genuine RIFF/WAV PCM
     * (sample i = ((doc_id·31 + i·7) mod 65536) − 32768, n = 100 +
     * len(text) % 50) and `Multimodal.decodeAudio` parses it back with
@@ -2215,6 +2236,7 @@ object TextQueries {
     ("c4_clean", c4CleanQ, Some(c4CleanSql)),
     ("url_canonical", urlCanonicalQ, Some(urlCanonicalSql)),
     ("url_dedup", urlDedupQ, Some(urlDedupSql)),
+    ("inc_url_dedup", incUrlDedup, Some(incUrlDedupSql)),
     ("strip_boilerplate", stripBoiler, Some(stripBoilerSql)),
     ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),

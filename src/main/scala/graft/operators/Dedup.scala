@@ -323,6 +323,25 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("canonical_url"), col("n_copies"))
 
+  /** Incremental URL dedup — [[dedupAgainstBaseline]]'s shape on the
+    * canonical-URL key: within-frontier dedup first, then a left-anti
+    * join against the crawled set's DISTINCT canonical keys (reduced
+    * BEFORE any exchange, the baseline-reduction rule every incremental
+    * family follows). This is the crawl scheduler's question — "which of
+    * these candidate urls have we NOT already fetched under any alias?" —
+    * answered before a single byte is downloaded; at 100 TB the baseline
+    * key set is url-count-sized, not corpus-sized, and bucketing it by
+    * the canonical key makes the nightly anti join exchange-free on the
+    * baseline side.
+    */
+  def urlDedupAgainstBaseline(incoming: DataFrame, baseline: DataFrame,
+                              urlCol: String = "url",
+                              idCol: String = "doc_id"): DataFrame = {
+    val basKeys = baseline
+      .select(canonicalUrl(col(urlCol)).as("canonical_url")).distinct()
+    urlDedup(incoming, urlCol, idCol).join(basKeys, Seq("canonical_url"), "left_anti")
+  }
+
   /** MinHash signatures as a PURE PROJECTION — one native pass computing
     * all k affine minima per row ([[graft.functions.MinHashSigExpr]]).
     * Two prior shapes both lost: k `array_min(transform(...))` HOFs

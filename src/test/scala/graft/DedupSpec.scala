@@ -349,4 +349,25 @@ class DedupSpec extends SparkSpec {
     assert(out("example.com/a/b?ref_x=1") == ((8L, 1L)))
     assert(out.size == 5)
   }
+
+  test("urlDedupAgainstBaseline: aliases of crawled urls suppressed, fresh keys keep-first") {
+    val s = spark; import s.implicits._
+    val crawled = Seq(
+      (1L, "https://example.com/a"),
+      (2L, "https://example.com/b?id=1"),
+    ).toDF("doc_id", "url")
+    val frontier = Seq(
+      (10L, "HTTP://WWW.example.com/a/"),          // alias of crawled /a -> suppressed
+      (11L, "https://example.com/b?id=1&utm_source=x"), // alias of crawled b?id=1 -> suppressed
+      (12L, "https://example.com/b?id=2"),         // fresh key
+      (13L, "example.com/c"),                      // fresh key, two frontier aliases
+      (14L, "https://www.example.com/c/"),
+    ).toDF("doc_id", "url")
+    val out = Dedup.urlDedupAgainstBaseline(frontier, crawled).collect()
+      .map(r => r.getAs[String]("canonical_url") ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_copies"))).toMap
+    assert(out == Map(
+      "example.com/b?id=2" -> ((12L, 1L)),
+      "example.com/c" -> ((13L, 2L))))
+  }
 }

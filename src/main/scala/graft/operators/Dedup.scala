@@ -319,7 +319,11 @@ object Dedup {
     */
   def urlDedup(docs: DataFrame, urlCol: String = "url",
                idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(canonicalUrl(col(urlCol)).as("canonical_url"))
+    // null urls are DROPPED, not grouped: a missing url says nothing
+    // about duplication, and a null grouping key would silently merge
+    // every url-less doc into one "duplicate class" with one survivor
+    docs.filter(col(urlCol).isNotNull)
+      .groupBy(canonicalUrl(col(urlCol)).as("canonical_url"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("canonical_url"), col("n_copies"))
 

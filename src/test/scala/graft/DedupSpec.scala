@@ -348,6 +348,10 @@ class DedupSpec extends SparkSpec {
     assert(out("example.com/a/b?page=2&id=7") == ((7L, 1L)))
     assert(out("example.com/a/b?ref_x=1") == ((8L, 1L)))
     assert(out.size == 5)
+    // null urls are dropped, never merged into one "duplicate class"
+    val withNulls = Seq((20L, "https://example.com/a/b"), (21L, null), (22L, null))
+      .toDF("doc_id", "url")
+    assert(Dedup.urlDedup(withNulls).count() == 1)
   }
 
   test("urlDedupAgainstBaseline: aliases of crawled urls suppressed, fresh keys keep-first") {

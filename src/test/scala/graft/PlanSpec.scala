@@ -98,6 +98,20 @@ class PlanSpec extends SparkSpec {
       s"column pruning failed: $readSchema")
   }
 
+  test("url_dedup prunes the scan to doc_id and aggregates map-side") {
+    // the url fixture synthesizes from doc_id alone, so the parquet scan
+    // must not read text (the wide column) — on a real corpus the same
+    // pruning reads only the url column; and the keep-first groupBy must
+    // plan partial+final HashAggregate (map-side combine), the shape that
+    // makes the canonical-key shuffle carry one row per key per partition
+    val plan = Queries.registry.collectFirst { case ("url_dedup", q, _) => q }
+      .get(spark, dir).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"column pruning failed: $readSchema")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation:\n$plan")
+  }
+
   test("quality_score stays one whole-stage-codegen span — no interpreted projection") {
     // The signal stage is the native QualitySignalsExpr (one pass over one
     // split) plus codegen'd regex counts; a CodegenFallback expression

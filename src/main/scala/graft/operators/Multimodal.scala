@@ -598,6 +598,17 @@ object Multimodal {
                    maxBucket: Int = 1000): DataFrame =
     bandedHammingPairs(audioFingerprint(media), maxHamming, maxBucket)
 
+  /** [[nearDupImages]]/[[nearDupAudio]] over PRE-COMPUTED fingerprints —
+    * the form a pipeline that maintains a fingerprint LAYER calls: decode
+    * once, consume many (self pairs, incremental, evolution, streaming all
+    * read the same 16-byte/row frame). Fingerprinting is per-row, so
+    * `fp(media.filter(p)) == fp(media).filter(p)` and every family member
+    * is a filter over one persisted layer instead of its own decode pass.
+    */
+  def nearDupHashes(hashes: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 1000): DataFrame =
+    bandedHammingPairs(hashes, maxHamming, maxBucket)
+
   /** Incremental perceptual near-dup — `Dedup.minhashLshAgainstBaseline`'s
     * discipline for media: near-dup pairs BETWEEN an incoming batch's
     * fingerprints and the settled corpus' fingerprint STATE, never within

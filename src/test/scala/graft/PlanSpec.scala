@@ -98,6 +98,18 @@ class PlanSpec extends SparkSpec {
       s"column pruning failed: $readSchema")
   }
 
+  test("the shared image-fingerprint layer backs every perceptual consumer's plan") {
+    // the layer memo is by REFERENCE (RDD-bridge plans never canonicalize
+    // equal, so CacheManager substitution can't fire — the reason the memo
+    // exists); the assert is that each graded consumer's plan reads an
+    // InMemoryRelation rather than re-running its own decode bridge
+    for (name <- Seq("mm_near_dup", "inc_mm_near_dup", "mm_evolve")) {
+      val df = Queries.registry.collectFirst { case (`name`, q, _) => q }.get(spark, dir)
+      assert(df.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+        s"$name did not read the shared fingerprint layer:\n${df.queryExecution.withCachedData}")
+    }
+  }
+
   test("url_dedup prunes the scan to doc_id and aggregates map-side") {
     // the url fixture synthesizes from doc_id alone, so the parquet scan
     // must not read text (the wide column) — on a real corpus the same

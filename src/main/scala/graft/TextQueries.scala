@@ -1958,29 +1958,35 @@ object TextQueries {
     * integer. The Spark side's all-or-nothing bucket cap (1000) is not
     * replayed: at sf0.01 no bucket can exceed 500 members (corpus size).
     */
-  /** The image-fingerprint LAYER, decoded ONCE per (session, dir) and
-    * persisted: four graded queries (`mm_near_dup`, `inc_mm_near_dup`,
-    * `mm_evolve`, `mm_near_dup_stream`) consume the same 16-byte/row
-    * frame — the shared token-hash-layer discipline applied to media,
-    * where the amortized pass (PNG decode) is the expensive one.
-    * Memoized BY REFERENCE (the `Tables.read` pattern) rather than by
-    * plan-equality caching: the frame is RDD-bridge-backed, and fresh
-    * `createDataFrame(rdd, …)` invocations never canonicalize equal, so
-    * the CacheManager alone cannot share the decode across queries.
-    * Fingerprinting is per-row, so each consumer's doc_id split is a
-    * FILTER over the layer — semantically identical to fingerprinting
-    * the filtered media, minus three redundant corpus decodes.
+  /** The image decode LAYER (`Multimodal.imageGrid`: samples + dHash from
+    * ONE ImageIO pass), decoded ONCE per (session, dir) and persisted:
+    * all five graded image queries (`mm_near_dup`, `inc_mm_near_dup`,
+    * `mm_evolve`, `mm_near_dup_stream` via the hash projection,
+    * `mm_semantic_dedup` via the embedding HOF) consume the same
+    * ~300-byte/row frame — the shared token-hash-layer discipline
+    * applied to media, where the amortized pass (PNG decode) is the
+    * expensive one. Memoized BY REFERENCE (the `Tables.read` pattern)
+    * rather than by plan-equality caching: the frame is
+    * RDD-bridge-backed, and fresh `createDataFrame(rdd, …)` invocations
+    * never canonicalize equal, so the CacheManager alone cannot share
+    * the decode across queries. Decoding is per-row, so each consumer's
+    * doc_id split is a FILTER over the layer — semantically identical to
+    * decoding the filtered media, minus four redundant corpus decodes.
     */
-  private val imageHashMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val imageGridMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
 
-  private def sharedImageHashes(s: org.apache.spark.sql.SparkSession,
-                                d: String): org.apache.spark.sql.DataFrame = {
-    if (imageHashMemo.size > 16) imageHashMemo.clear()
-    imageHashMemo.computeIfAbsent((s, d), kv =>
-      graft.util.Caching.ensurePersisted(Multimodal.perceptualHash(
+  private def sharedImageGrid(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    if (imageGridMemo.size > 16) imageGridMemo.clear()
+    imageGridMemo.computeIfAbsent((s, d), kv =>
+      graft.util.Caching.ensurePersisted(Multimodal.imageGrid(
         Multimodal.syntheticImagesPatterned(docs(kv._1, kv._2)))))
   }
+
+  private def sharedImageHashes(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame =
+    sharedImageGrid(s, d).select("doc_id", "phash")
 
   private val mmNearDup: Q = (s, d) =>
     Multimodal.nearDupHashes(sharedImageHashes(s, d))
@@ -2165,9 +2171,10 @@ object TextQueries {
   private val mmSemanticDedup: Q = (s, d) =>
     graft.operators.Similarity.cosineNearDup(
       // guard-persisted: cosineNearDup reads its vector frame on both join
-      // sides — uncached, the corpus would be PNG-decoded twice
+      // sides — the persist holds the materialized embedding arrays (the
+      // decode itself is already amortized behind the shared grid layer)
       graft.util.Caching.ensurePersisted(
-        Multimodal.imageEmbedding(Multimodal.syntheticImagesPatterned(docs(s, d)))),
+        Multimodal.embeddingFromGrid(sharedImageGrid(s, d))),
       threshold = 0.9, dim = 72, nPlanes = 8, idCol = "doc_id")
 
   private val mmSemanticDedupSql = {

@@ -377,10 +377,26 @@ object Multimodal {
     * coincide). Undecodable payloads are dropped — no pixels, no
     * perceptual content (run [[dedupBinary]]/[[decode]] gates first).
     */
-  def perceptualHash(media: DataFrame): DataFrame = {
+  def perceptualHash(media: DataFrame): DataFrame =
+    imageGrid(media).select("doc_id", "phash")
+
+  /** The one-pass image decode LAYER: grid samples AND the dHash from the
+    * same ImageIO read — (doc_id, samples: array<int>[72], phash: long).
+    * The RDD bridge's ONLY job is decoding; every downstream consumer is
+    * plan-space over this frame ([[perceptualHash]] a projection,
+    * [[imageEmbedding]] a `transform` HOF), so a pipeline that persists
+    * the layer decodes its corpus exactly once for the WHOLE perceptual
+    * family — hashing, embedding, and every dedup variant built on them.
+    * ~300 bytes/row transient decode artifact; the long-lived
+    * carry-forward state remains the 16-byte (doc_id, phash) projection
+    * ([[advanceFingerprints]]). Undecodable payloads are dropped, as
+    * [[perceptualHash]] always documented.
+    */
+  def imageGrid(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
+      StructField("samples", ArrayType(IntegerType, containsNull = false), nullable = false),
       StructField("phash", LongType, nullable = false),
     ))
     val rdd = media.select("doc_id", "media")
@@ -398,7 +414,7 @@ object Multimodal {
               }
               j += 1
             }
-            Row(r.getAs[Long]("doc_id"), hash)
+            Row(r.getAs[Long]("doc_id"), s.toSeq, hash)
           }
         }
       }
@@ -717,23 +733,17 @@ object Multimodal {
     * the same decode loop; every downstream plan is unchanged.
     * Undecodable payloads are dropped, like [[perceptualHash]].
     */
-  def imageEmbedding(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false),
-    ))
-    val rdd = media.select("doc_id", "media")
-      .filter(col("doc_id").isNotNull)
-      .rdd.mapPartitions { it =>
-        it.flatMap { r =>
-          gridSamples(r.getAs[Array[Byte]]("media")).map { s =>
-            Row(r.getAs[Long]("doc_id"), s.map(_.toDouble / 255.0).toSeq)
-          }
-        }
-      }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def imageEmbedding(media: DataFrame): DataFrame =
+    embeddingFromGrid(imageGrid(media))
+
+  /** [[imageEmbedding]] over a pre-decoded [[imageGrid]] layer — a pure
+    * `transform` HOF, no second decode pass: `sample ÷ 255` per element
+    * (int→double is exact, so the values are bit-identical to the old
+    * bridge-side map).
+    */
+  def embeddingFromGrid(grid: DataFrame): DataFrame =
+    grid.select(col("doc_id"),
+      transform(col("samples"), x => x.cast("double") / lit(255.0)).as("embedding"))
 
   /** Exact payload dedup over an opaque BINARY column — the multimodal
     * twin of `Dedup.exact`: a scraped media corpus is full of

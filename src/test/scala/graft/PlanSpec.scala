@@ -103,10 +103,10 @@ class PlanSpec extends SparkSpec {
     // equal, so CacheManager substitution can't fire — the reason the memo
     // exists); the assert is that each graded consumer's plan reads an
     // InMemoryRelation rather than re-running its own decode bridge
-    for (name <- Seq("mm_near_dup", "inc_mm_near_dup", "mm_evolve")) {
+    for (name <- Seq("mm_near_dup", "inc_mm_near_dup", "mm_evolve", "mm_semantic_dedup")) {
       val df = Queries.registry.collectFirst { case (`name`, q, _) => q }.get(spark, dir)
       assert(df.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
-        s"$name did not read the shared fingerprint layer:\n${df.queryExecution.withCachedData}")
+        s"$name did not read the shared grid layer:\n${df.queryExecution.withCachedData}")
     }
   }
 

@@ -437,9 +437,8 @@ object TextQueries {
     * micro/nano quantization contract, with each step's decayed rate
     * embedded as the exact double the engine computes.
     */
-  private val qualityClassifierSql: String = {
-    val B = 1024
-    val iters = 8
+  private def classifierSql(iters: Int, B: Int, lr: Double, decay: Double,
+                            batchPpm: Int): String = {
     val head =
       s"""hl AS MATERIALIZED (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents),
          |f0 AS MATERIALIZED (SELECT doc_id,
@@ -457,9 +456,15 @@ object TextQueries {
          |         (SELECT CAST(round(ln((sum(y) + 1) / CAST(count(*) - sum(y) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
          |          FROM nfr JOIN lb USING (doc_id)))""".stripMargin
     val steps = (1 to iters).map { i =>
-      val lrIt = 1.0 * math.pow(0.8, i - 1) // the exact double the engine uses
+      // the exact doubles the engine uses: lr·decay^(i−1), times the exact
+      // rational 10⁶/batchPpm minibatch compensation (×1.0 at full batch)
+      val rate = lr * math.pow(decay, i - 1) * (1000000.0 / batchPpm)
+      // batchPpm < 10⁶ gates iteration i's per-doc scores to the seedless
+      // hash subsample; the gradient CTE restricts through the join on g
+      val gate = if (batchPpm >= 1000000) ""
+        else s"\n       WHERE ${h60(s"'mb:$i:' || doc_id")} % 1000000 < $batchPpm"
       s"""s$i AS MATERIALIZED (SELECT fb.doc_id, CAST(sum(fb.cnt * w${i - 1}.w) AS BIGINT) AS sm
-         |       FROM fb JOIN w${i - 1} USING (b) GROUP BY 1),
+         |       FROM fb JOIN w${i - 1} USING (b)$gate GROUP BY 1),
          |g$i AS MATERIALIZED (SELECT s$i.doc_id,
          |          CAST(round((round(1.0 / (1.0 + exp(-(s$i.sm / 1000000.0 / nfr.nf))), 6) - lb.y)
          |               / nfr.nf * 1000000000.0) AS BIGINT) AS g
@@ -467,7 +472,7 @@ object TextQueries {
          |r$i AS MATERIALIZED (SELECT b, CAST(sum(fb.cnt * g$i.g) AS BIGINT) AS grad
          |       FROM fb JOIN g$i USING (doc_id) GROUP BY 1),
          |w$i AS MATERIALIZED (SELECT w${i - 1}.b,
-         |          CAST(w${i - 1}.w - CAST(round($lrIt * coalesce(r$i.grad, 0)
+         |          CAST(w${i - 1}.w - CAST(round($rate * coalesce(r$i.grad, 0)
          |               / greatest(coalesce(qn.q, 1), 1) * 1000000.0) AS BIGINT) AS BIGINT) AS w
          |        FROM w${i - 1} LEFT JOIN r$i USING (b) LEFT JOIN qn USING (b))""".stripMargin
     }.mkString(",\n")
@@ -485,6 +490,25 @@ object TextQueries {
        |  round(1.0 / (1.0 + exp(-(score_micro / 1000000.0 / greatest(n_feats, 1)))), 6) >= 0.5 AS predicted
        |FROM sc2""".stripMargin
   }
+
+  private val qualityClassifierSql: String = classifierSql(8, 1024, 1.0, 0.8, 1000000)
+
+  /** Minibatch twin of `quality_classifier` — the knob the full-batch
+    * verdict named: each of the 8 preconditioned steps trains on a
+    * DETERMINISTIC half-corpus subsample (seedless hash gate, fresh per
+    * iteration — the SGD shape) with the step rate-compensated by the
+    * exact 10⁶/batchPpm, so per-iteration wall is capped at batch volume
+    * while the oracle still replays every step bit-identically. The
+    * full-batch diagonal preconditioner is kept (computed once,
+    * corpus-wide) — minibatching bounds the per-step GRADIENT pass, not
+    * the one-time setup.
+    */
+  private val qualityClassifierMb: Q = (s, d) =>
+    graft.operators.Classifier.trainScoreLogistic(
+      docs(s, d), col("text").contains("customer"),
+      iters = 8, buckets = 1024, lr = 1.0, decay = 0.8, batchPpm = 500000)
+
+  private val qualityClassifierMbSql: String = classifierSql(8, 1024, 1.0, 0.8, 500000)
 
   // -- greedy token-budget sampling ---------------------------------------
   private val budgetSample: Q = (s, d) =>
@@ -2225,6 +2249,7 @@ object TextQueries {
     ("dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
     ("dsir_select", dsirSelectQ, Some(dsirSelectSql)),
     ("quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    ("quality_classifier_minibatch", qualityClassifierMb, Some(qualityClassifierMbSql)),
     ("classifier_stream", classifierStream, Some(qualityClassifierSql)),
     ("unigram_logprob", unigramLp, Some(unigramLpSql)),
     ("bigram_logprob", bigramLp, Some(bigramLpSql)),

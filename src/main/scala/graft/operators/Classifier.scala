@@ -108,9 +108,12 @@ object Classifier {
     */
   private[graft] def trainLogistic(docs: DataFrame, label: Column, iters: Int,
                                    buckets: Int, lr: Double, decay: Double,
-                                   idCol: String, textCol: String): Array[Long] = {
+                                   idCol: String, textCol: String,
+                                   batchPpm: Int = 1000000): Array[Long] = {
     require(iters >= 1, "need at least one gradient step")
     require(buckets > 0, "need at least one feature bucket")
+    require(batchPpm >= 1 && batchPpm <= 1000000,
+      "batchPpm is a parts-per-million document sampling rate")
     val spark = docs.sparkSession
     val feats = featureCounts(docs, buckets, idCol, textCol)
     val nf = feats.groupBy(col(idCol)).agg(sum("cnt").as("n_feats"))
@@ -140,26 +143,40 @@ object Classifier {
         .groupBy(col("b")).agg(sum(col("__q")).as("__qs"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       for (it <- 1 to iters) {
+        // minibatch rate compensation: a batchPpm-sampled gradient sums
+        // ~batchPpm/10⁶ of the full-batch mass, so the step scales by the
+        // exact rational 10⁶/batchPpm — full batch multiplies by exactly
+        // 1.0 and this path is bit-identical to the pre-knob engine.
+        // Membership is the seedless-hash gate every sampler here uses
+        // (`splitAssign`, `budget_sample`): doc d rides iteration i iff
+        // h60("mb:i:" + d) mod 10⁶ < batchPpm — referentially stable,
+        // replayable in the oracle, and iteration-decorrelated (each step
+        // sees a fresh deterministic subsample, the SGD shape).
         val lrIt = lr * math.pow(decay, it - 1)
+        val rate = lrIt * (1000000.0 / batchPpm)
+        val iterFeats = if (batchPpm >= 1000000) featsY else featsY.filter(
+          pmod(graft.functions.GraftFunctions.hash60(
+            concat(lit(s"mb:$it:"), col(idCol).cast("string"))),
+            lit(1000000L)) < lit(batchPpm.toLong))
         val wDf = broadcast(spark.createDataFrame(
           wMicro.toIndexedSeq.zipWithIndex.map { case (w, b) => (b.toLong, w) })
           .toDF("b", "__w"))
         val z = col("__sm").cast("double") / lit(1000000.0) / col("nf")
         val p6 = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
-        val g = featsY.join(wDf, Seq("b"))
+        val g = iterFeats.join(wDf, Seq("b"))
           .groupBy(col(idCol))
           .agg(sum(col("cnt") * col("__w")).as("__sm"),
             first(col("n_feats")).as("nf"), first(col("__y")).as("yy"))
           .select(col(idCol),
             round((p6 - col("yy")) / col("nf") * lit(1000000000.0), 0)
               .cast("long").as("__g"))
-        val grads = featsY.join(g, Seq(idCol))
+        val grads = iterFeats.join(g, Seq(idCol))
           .groupBy(col("b")).agg(sum(col("cnt") * col("__g")).as("__grad"))
           .collect()
         for (r <- grads) {
           val b = r.getLong(0)
           wMicro(b.toInt) -= rndHalfUp(
-            lrIt * r.getLong(1) / math.max(qNano.getOrElse(b, 1L), 1L) * 1000000.0)
+            rate * r.getLong(1) / math.max(qNano.getOrElse(b, 1L), 1L) * 1000000.0)
         }
       }
       wMicro
@@ -171,8 +188,9 @@ object Classifier {
     */
   def trainWeights(docs: DataFrame, label: Column, iters: Int = 8,
                    buckets: Int = 1024, lr: Double = 1.0, decay: Double = 0.8,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = trainLogistic(docs, label, iters, buckets, lr, decay, idCol, textCol)
+                   idCol: String = "doc_id", textCol: String = "text",
+                   batchPpm: Int = 1000000): DataFrame = {
+    val w = trainLogistic(docs, label, iters, buckets, lr, decay, idCol, textCol, batchPpm)
     docs.sparkSession.createDataFrame(
       w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) })
       .toDF("b", "w_micro")
@@ -241,10 +259,18 @@ object Classifier {
     * the graded end-to-end shape. Output: one row per document,
     * `(id, n_feats, score_micro, prob6, predicted)`.
     */
+  /** `batchPpm` < 10⁶ trains on a per-iteration deterministic subsample
+    * (seedless hash gate, rate-compensated by the exact 10⁶/batchPpm) —
+    * the minibatch knob that caps per-step wall at batch volume while the
+    * full-batch diagonal preconditioner (computed once, corpus-wide)
+    * keeps per-bucket step scales honest. At 10⁶ the path is
+    * bit-identical to full-batch training.
+    */
   def trainScoreLogistic(docs: DataFrame, label: Column, iters: Int = 8,
                          buckets: Int = 1024, lr: Double = 1.0, decay: Double = 0.8,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = trainLogistic(docs, label, iters, buckets, lr, decay, idCol, textCol)
+                         idCol: String = "doc_id", textCol: String = "text",
+                         batchPpm: Int = 1000000): DataFrame = {
+    val w = trainLogistic(docs, label, iters, buckets, lr, decay, idCol, textCol, batchPpm)
     scoreLogistic(docs, w, idCol, textCol)
   }
 }

@@ -84,6 +84,24 @@ object ClassifierScale {
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"$b%8d $wall%8.2f ${agg.getDouble(0)}%8.3f ${agg.getDouble(1)}%10.3f ${agg.getDouble(2)}%10.3f")
     }
+
+    // -- minibatch sweep (i=8, b=1024, lr=1, d=0.8, cold caches): wall
+    // leverage vs accuracy of the per-iteration subsample knob
+    println("\nbatchPpm sweep (i=8, b=1024, lr=1, d=0.8, cold caches each point)")
+    println(f"${"batchPpm"}%9s ${"wall_s"}%8s ${"acc"}%8s ${"meanP_pos"}%10s ${"meanP_neg"}%10s")
+    for (ppm <- Seq(1000000, 500000, 250000, 125000)) {
+      SparkEntry.releaseSharedCaches()
+      val t0 = System.nanoTime()
+      val scored = Classifier.trainScoreLogistic(docs, label,
+        iters = 8, buckets = 1024, lr = 1.0, decay = 0.8, batchPpm = ppm)
+        .join(docs.select(col("doc_id"), label.as("truth")), Seq("doc_id"))
+      val agg = scored.agg(
+        avg(when(col("predicted") === col("truth"), 1.0).otherwise(0.0)).as("acc"),
+        avg(when(col("truth"), col("prob6"))).as("mp"),
+        avg(when(!col("truth"), col("prob6"))).as("mn")).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"$ppm%9d $wall%8.2f ${agg.getDouble(0)}%8.3f ${agg.getDouble(1)}%10.3f ${agg.getDouble(2)}%10.3f")
+    }
     spark.stop()
   }
 }

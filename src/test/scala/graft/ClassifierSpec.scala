@@ -30,8 +30,16 @@ class ClassifierSpec extends SparkSpec {
     * the intercept as the virtual feature at index `buckets` with
     * cnt = n_feats.
     */
+  /** GraftFunctions.hash60 on the driver: first 15 md5 hex chars as Long. */
+  private def h60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   private def mirror(pairs: Seq[(Long, Long)], allIds: Seq[Long], y: Map[Long, Long],
-                     buckets: Int, iters: Int, lr: Double, decay: Double)
+                     buckets: Int, iters: Int, lr: Double, decay: Double,
+                     batchPpm: Int = 1000000)
       : Map[Long, (Long, Long, Double, Boolean)] = {
     val realCnt = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val nf = realCnt.keys.toSeq.groupBy(_._1).view
@@ -46,16 +54,17 @@ class ClassifierSpec extends SparkSpec {
     for ((k, c) <- cnt)
       q(k._2.toInt) += rnd0((c * c).toDouble * 1000000000.0 / nf(k._1) / nf(k._1))
     for (it <- 1 to iters) {
-      val lrIt = lr * math.pow(decay, it - 1)
+      val rate = lr * math.pow(decay, it - 1) * (1000000.0 / batchPpm)
       val grad = Array.fill(buckets + 1)(0L)
-      for ((id, ks) <- byDoc) {
+      for ((id, ks) <- byDoc
+           if batchPpm >= 1000000 || h60(s"mb:$it:$id") % 1000000L < batchPpm) {
         val sm = ks.map(k => cnt(k) * w(k._2.toInt)).sum
         val p6 = rnd6(1.0 / (1.0 + math.exp(-(sm.toDouble / 1000000.0 / nf(id)))))
         val g = rnd0((p6 - y(id)) / nf(id) * 1000000000.0)
         for (k <- ks) grad(k._2.toInt) += cnt(k) * g
       }
       for (b <- 0 to buckets)
-        w(b) -= rnd0(lrIt * grad(b) / math.max(q(b), 1L) * 1000000.0)
+        w(b) -= rnd0(rate * grad(b) / math.max(q(b), 1L) * 1000000.0)
     }
     allIds.map { id =>
       val ks = byDoc.getOrElse(id, Seq.empty)
@@ -93,6 +102,35 @@ class ClassifierSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
     assert(got2 === expected)
+  }
+
+  test("minibatch training matches the gated driver mirror; full ppm is bit-identical to the old path") {
+    val s = spark
+    val df = corpus(s)
+    val B = 64
+    val pairs = featPairs(df, B)
+    val ids = df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val ys = df.select("doc_id", "y").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // half-corpus subsample per iteration, rate-compensated
+    val expectedMb = mirror(pairs, ids, ys, B, iters = 4, lr = 1.0, decay = 0.8,
+      batchPpm = 500000)
+    val gotMb = Classifier.trainScoreLogistic(df, col("y") === 1L,
+      iters = 4, buckets = B, lr = 1.0, decay = 0.8, batchPpm = 500000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(gotMb === expectedMb)
+    // batchPpm = 10^6 takes the ungated path: identical to the default API
+    val full = Classifier.trainScoreLogistic(df, col("y") === 1L,
+      iters = 4, buckets = B, lr = 1.0, decay = 0.8)
+      .collect().map(_.toSeq).toSet
+    val fullPpm = Classifier.trainScoreLogistic(df, col("y") === 1L,
+      iters = 4, buckets = B, lr = 1.0, decay = 0.8, batchPpm = 1000000)
+      .collect().map(_.toSeq).toSet
+    assert(full === fullPpm)
+    // the subsample really bites: some weight diverges from full-batch
+    assert(gotMb !== full.map(r => r.head.asInstanceOf[Long] ->
+      ((r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
+        r(3).asInstanceOf[Double], r(4).asInstanceOf[Boolean]))).toMap)
   }
 
   test("disjoint-vocabulary classes separate: every positive outscores every negative") {

@@ -1979,8 +1979,10 @@ object TextQueries {
     * (`gx = (2i+1)w ÷ 18, gy = (2j+1)h ÷ 16`), the gradient-sign bits,
     * the band chunks, and the Hamming verify in pure integer SQL —
     * possible only because every decoded sample is one exact raster
-    * integer. The Spark side's all-or-nothing bucket cap (1000) is not
-    * replayed: at sf0.01 no bucket can exceed 500 members (corpus size).
+    * integer. The Spark side's all-or-nothing bucket cap (1000) IS
+    * replayed (the `bands0`/`bands` window CTE) — a no-op at sf0.01
+    * where no bucket can exceed the 500-doc corpus, but the oracle stays
+    * faithful if a larger scale factor ever grows a bucket past the cap.
     */
   /** The image decode LAYER (`Multimodal.imageGrid`: samples + dHash from
     * ONE ImageIO pass), decoded ONCE per (session, dir) and persisted:
@@ -1998,14 +2000,25 @@ object TextQueries {
     * decoding the filtered media, minus four redundant corpus decodes.
     */
   private val imageGridMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, () => Unit)]()
 
   private def sharedImageGrid(s: org.apache.spark.sql.SparkSession,
                               d: String): org.apache.spark.sql.DataFrame = {
-    if (imageGridMemo.size > 16) imageGridMemo.clear()
+    if (imageGridMemo.size > 16) {
+      // release evicted entries' persists BEFORE dropping the references:
+      // RDD-bridge plans never canonicalize equal, so an orphaned entry is
+      // unreachable for reuse by any later decode, and a re-decode would
+      // register a duplicate cache entry on top of the pinned old one —
+      // the acquire handle unpersists exactly the registration this memo
+      // made (and no-ops if someone else owned the plan's cache). Dropping
+      // the entries also drops the memo's strong SparkSession references.
+      val it = imageGridMemo.entrySet().iterator()
+      while (it.hasNext) { it.next().getValue._2(); it.remove() }
+    }
     imageGridMemo.computeIfAbsent((s, d), kv =>
-      graft.util.Caching.ensurePersisted(Multimodal.imageGrid(
-        Multimodal.syntheticImagesPatterned(docs(kv._1, kv._2)))))
+      graft.util.Caching.acquire(Multimodal.imageGrid(
+        Multimodal.syntheticImagesPatterned(docs(kv._1, kv._2)))))._1
   }
 
   private def sharedImageHashes(s: org.apache.spark.sql.SparkSession,
@@ -2030,8 +2043,11 @@ object TextQueries {
       |bits AS (SELECT a.doc_id, a.j * 8 + a.i AS bit, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS x
       |         FROM sv a JOIN sv b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
       |         WHERE a.i < 8),
-      |bands AS (SELECT doc_id, bit // 16 AS band, sum(x << (bit % 16)) AS chunk
-      |          FROM bits GROUP BY 1, 2),
+      |bands0 AS (SELECT doc_id, bit // 16 AS band, sum(x << (bit % 16)) AS chunk
+      |           FROM bits GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, band, chunk FROM
+      |          (SELECT *, count(*) OVER (PARTITION BY band, chunk) AS bc FROM bands0)
+      |          WHERE bc <= 1000),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
       |           AND a.doc_id < b.doc_id),
@@ -2054,8 +2070,8 @@ object TextQueries {
     * directly from the level formula in pure integer SQL: neither
     * engine's frame length or volume can appear in the result, which is
     * precisely the perceptual-invariance claim under test. The bucket
-    * cap (1000) is not replayed: at sf0.01 no bucket exceeds the
-    * 500-doc corpus.
+    * cap (1000) IS replayed (`bands0`/`bands`), a no-op at sf0.01 where
+    * no bucket exceeds the 500-doc corpus.
     */
   private val mmNearDupAudio: Q = (s, d) =>
     Multimodal.nearDupAudio(Multimodal.syntheticAudioPatterned(docs(s, d)))
@@ -2072,8 +2088,11 @@ object TextQueries {
       |bits AS (SELECT a.doc_id, a.f AS bit, CASE WHEN b.lvl > a.lvl THEN 1 ELSE 0 END AS x
       |         FROM lev a JOIN lev b ON a.doc_id = b.doc_id AND b.f = a.f + 1
       |         WHERE a.f < 64),
-      |bands AS (SELECT doc_id, bit // 16 AS band, sum(x << (bit % 16)) AS chunk
-      |          FROM bits GROUP BY 1, 2),
+      |bands0 AS (SELECT doc_id, bit // 16 AS band, sum(x << (bit % 16)) AS chunk
+      |           FROM bits GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, band, chunk FROM
+      |          (SELECT *, count(*) OVER (PARTITION BY band, chunk) AS bc FROM bands0)
+      |          WHERE bc <= 1000),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
       |           AND a.doc_id < b.doc_id),

@@ -163,6 +163,14 @@ class FixtureFetcher(rows: Seq[Row], schema: StructType) extends PageFetcher {
                   // precision above 2^53 and would misorder large keys
                   case (x: java.lang.Long, y: java.lang.Long) =>
                     java.lang.Long.compare(x, y)
+                  // arbitrary-precision types get exact compareTo too —
+                  // a BigDecimal/BigInteger ordering key needing more than
+                  // 53 bits would misorder under the double fallback and
+                  // cap away true top-N rows
+                  case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+                    x.compareTo(y)
+                  case (x: java.math.BigInteger, y: java.math.BigInteger) =>
+                    x.compareTo(y)
                   case (x: java.lang.Number, y: java.lang.Number) =>
                     java.lang.Double.compare(x.doubleValue(), y.doubleValue())
                   case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)

@@ -1873,49 +1873,74 @@ object TextQueries {
       |FROM m""".stripMargin
 
   // -- URL canonicalization + dedup (pre-content curation stage) -----------
-  /** Deterministic URL fixture: every 4 consecutive docs share one
-    * canonical URL rendered through 4 noise variants (scheme case,
-    * leading `www.`, trailing slash, tracking params, fragment; variant 3
-    * keeps a REAL `id` param, so it canonicalizes apart from its
-    * neighbors). Pure projection, replayed verbatim in the oracle CTE.
+  /** The IDN fixture host and its punycode wire form — the wire form is
+    * COMPUTED with the same JDK encoder the engine uses, then embedded in
+    * the oracle SQL as a literal, so the two can never drift.
+    */
+  private val idnLabel = "münchen"
+  private val idnPuny = java.net.IDN.toASCII(idnLabel) // xn--mnchen-3ya
+
+  /** Deterministic URL fixture: every 6 consecutive docs share canonical
+    * classes rendered through 6 noise variants — scheme case, leading
+    * `www.`, default ports (`:80`, `:443`), trailing slash, tracking
+    * params, fragment, whitespace/CR padding, an IDN host meeting its
+    * punycode wire form, and `%2F`/`%2f` escape-case twins. Variants
+    * 0/1/4 collapse to one class, 2/3 (unicode vs punycode host, upper
+    * vs lower escape) to another, variant 5 keeps a REAL `id` param and
+    * canonicalizes apart. Pure projection, replayed verbatim in the
+    * oracle CTE.
     */
   private def urlFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
-    // host derives from the GROUP index (doc_id ÷ 4), not `source` —
+    // host derives from the GROUP index (doc_id ÷ 6), not `source` —
     // source is src(doc_id mod 20), so a source-keyed host would give
     // every member of a group a different domain and nothing would
     // collapse (500 singleton classes, a vacuous dedup)
-    val grp = (col("doc_id") / lit(4)).cast("long")
-    val base = concat(lit("site"), pmod(grp, lit(50)).cast("string"),
-      lit(".example.com/d/"), grp.cast("string"))
+    val grp = (col("doc_id") / lit(6)).cast("long")
+    val hostp = concat(lit("site"), pmod(grp, lit(50)).cast("string"), lit(".example.com"))
+    val pathp = concat(lit("/d/"), grp.cast("string"))
+    val v = pmod(col("doc_id"), lit(6))
     docs(s, d).withColumn("url",
-      when(pmod(col("doc_id"), lit(4)) === 0, concat(lit("https://"), base))
-        .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit("HTTP://WWW."), base, lit("/")))
-        .when(pmod(col("doc_id"), lit(4)) === 2,
-          concat(lit("https://"), base, lit("?utm_source=feed&utm_campaign=x")))
-        .otherwise(concat(lit("https://www."), base, lit("?id="),
+      when(v === 0, concat(lit("https://"), hostp, pathp))
+        .when(v === 1, concat(lit("HTTP://WWW."), hostp, lit(":80"), pathp, lit("/")))
+        .when(v === 2, concat(lit("\t https://" + idnLabel + "."), hostp, pathp,
+          lit("?q=a%2Fb \r")))
+        .when(v === 3, concat(lit("https://" + idnPuny + "."), hostp, pathp,
+          lit("?q=a%2fb")))
+        .when(v === 4,
+          concat(lit("https://"), hostp, lit(":443"), pathp,
+            lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("https://www."), hostp, pathp, lit("?id="),
           pmod(col("doc_id"), lit(7)).cast("string"), lit("&utm_medium=cpc#frag"))))
   }
 
-  private val urlCtes =
+  private val urlCtes = {
+    // the variant-2 literals carry a REAL tab and CR (interpolated, so
+    // the JSON escaper and DuckDB both see one control character, exactly
+    // what the Spark fixture emits); \x0B in the trim class covers the
+    // one char Java's \s has that RE2's lacks
+    val tab = "\t"; val cr = "\r"
     // NOTE: this fragment is stripMargin'd again after interpolation into
-    // the two query SQLs — no line may start with whitespace + '|'
-    """b AS (SELECT doc_id, 'site' || CAST((doc_id // 4) % 50 AS VARCHAR) ||
-      |        '.example.com/d/' || CAST(doc_id // 4 AS VARCHAR) AS base FROM documents),
-      |u AS (SELECT doc_id, CASE doc_id % 4
-      |    WHEN 0 THEN 'https://' || base
-      |    WHEN 1 THEN 'HTTP://WWW.' || base || '/'
-      |    WHEN 2 THEN 'https://' || base || '?utm_source=feed&utm_campaign=x'
-      |    ELSE 'https://www.' || base || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=cpc#frag'
+    // the query SQLs — no line may start with whitespace + '|'
+    s"""b AS (SELECT doc_id, 'site' || CAST((doc_id // 6) % 50 AS VARCHAR) ||
+      |        '.example.com' AS hostp, '/d/' || CAST(doc_id // 6 AS VARCHAR) AS pathp FROM documents),
+      |u AS (SELECT doc_id, CASE doc_id % 6
+      |    WHEN 0 THEN 'https://' || hostp || pathp
+      |    WHEN 1 THEN 'HTTP://WWW.' || hostp || ':80' || pathp || '/'
+      |    WHEN 2 THEN '$tab https://$idnLabel.' || hostp || pathp || '?q=a%2Fb $cr'
+      |    WHEN 3 THEN 'https://$idnPuny.' || hostp || pathp || '?q=a%2fb'
+      |    WHEN 4 THEN 'https://' || hostp || ':443' || pathp || '?utm_source=feed&utm_campaign=x'
+      |    ELSE 'https://www.' || hostp || pathp || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=cpc#frag'
       |  END AS url FROM b),
       |n2 AS (SELECT doc_id, url,
-      |         regexp_replace(regexp_replace(regexp_replace(lower(trim(url)), '#.*$', ''), '^https?://', ''), '^www\.', '') AS ns FROM u),
+      |         regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(url, '^[\\s\\x0B]+|[\\s\\x0B]+$$', '', 'g')), '#.*$$', ''), '^https?://', ''), '^www\\.', '') AS ns FROM u),
       |p AS (SELECT doc_id, url,
-      |        regexp_replace(CASE WHEN position('?' IN ns) > 0 THEN substr(ns, 1, position('?' IN ns) - 1) ELSE ns END, '/$', '') AS path,
+      |        replace(regexp_replace(regexp_replace(CASE WHEN position('?' IN ns) > 0 THEN substr(ns, 1, position('?' IN ns) - 1) ELSE ns END, '/$$', ''), '^([^/:]+):(80|443)(/|$$)', '\\1\\3'), '$idnLabel.', '$idnPuny.') AS path,
       |        CASE WHEN position('?' IN ns) > 0 THEN substr(ns, position('?' IN ns) + 1) ELSE '' END AS q FROM n2),
       |k AS (SELECT doc_id, url, path,
-      |        list_filter(string_split(q, '&'), x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)')) AS kept FROM p),
+      |        list_filter(string_split(q, '&'), x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$$)')) AS kept FROM p),
       |c AS (SELECT doc_id, url,
-      |        path || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url FROM k)""".stripMargin
+      |        replace(path || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END, '%2f', '%2F') AS canonical_url FROM k)""".stripMargin
+  }
 
   /** The canonicalizer pinned directly: every (doc_id, url, canonical). */
   private val urlCanonicalQ: Q = (s, d) =>
@@ -1937,9 +1962,10 @@ object TextQueries {
   /** Incremental URL dedup: the incoming frontier half deduped within
     * itself, then anti-joined against the crawled half's canonical keys —
     * same doc_id split as every incremental family. The straddling group
-    * (docs 248–251) is the interesting case: 250's canonical key already
-    * exists in the baseline via 248/249's variants, so it is suppressed,
-    * while 251's real `id` param keeps it.
+    * (docs 246–251) is the interesting case: 250's canonical key (the
+    * `:443` + tracking-param variant) already exists in the baseline via
+    * 246/247's variants, so it is suppressed, while 251's real `id`
+    * param keeps it.
     */
   private val incUrlDedup: Q = (s, d) => {
     val u = urlFixture(s, d)

@@ -63,25 +63,44 @@ object GraftFunctions {
 
   /** URL canonicalization for dedup keys — the pre-content first stage of
     * web-corpus curation (RefinedWeb's URL dedup, Penedo et al. 2023):
-    * lowercase, drop the fragment, strip the scheme and one leading
-    * `www.`, drop tracking query parameters (`utm_*`, `fbclid`, `gclid`,
-    * `ref`) while preserving the remaining parameters IN ORIGINAL ORDER
-    * (sorting would merge `?a=1&b=2` with `?b=2&a=1` — rare, and order
-    * can be semantic), and strip one trailing slash from the path.
+    * whitespace-class trim, lowercase, drop the fragment, strip the
+    * scheme and one leading `www.`, drop the scheme-default port
+    * (`:80`/`:443` — a real `:8080` is kept, the `(/|$)` guard stops the
+    * prefix match), punycode-encode an IDN host ([[IdnHostExpr]], so
+    * `münchen.example.com` meets its `xn--mnchen-3ya` wire form), drop
+    * tracking query parameters (`utm_*`, `fbclid`, `gclid`, `ref`) while
+    * preserving the remaining parameters IN ORIGINAL ORDER (sorting
+    * would merge `?a=1&b=2` with `?b=2&a=1` — rare, and order can be
+    * semantic), strip one trailing slash from the path, and restore
+    * RFC 3986 uppercase percent-escapes ([[PercentUpperExpr]] — the
+    * whole-url lowercase folds `%2F` to `%2f`; this puts every escape
+    * back in canonical case). The trim is the regex whitespace CLASS,
+    * not `trim()` (ASCII space only): a url list read from a CRLF file
+    * keeps a trailing `\r` through `trim()` and its aliases silently
+    * fail to collapse — the same bug class the C4 line cleaner fixed.
     * Lowercases the WHOLE url — the recall-first choice for a dedup
     * grouping key; a precision-first deployment lowercases scheme+host
-    * only. Pure codegen'd expressions, mirrored 1:1 in DuckDB SQL.
+    * only. Codegen'd end to end (builtins + two one-call native
+    * expressions), mirrored 1:1 in DuckDB SQL.
     */
   def canonicalUrl(url: Column): Column = {
-    val noFrag = regexp_replace(trim(lower(url)), "#.*$", "")
+    val ws = regexp_replace(url, "^\\s+|\\s+$", "")
+    val noFrag = regexp_replace(lower(ws), "#.*$", "")
     val noScheme = regexp_replace(regexp_replace(noFrag, "^https?://", ""), "^www\\.", "")
-    val path = regexp_replace(substring_index(noScheme, "?", 1), "/$", "")
+    val path0 = regexp_replace(substring_index(noScheme, "?", 1), "/$", "")
+    val path1 = regexp_replace(path0, "^([^/:]+):(80|443)(/|$)", "$1$3")
+    val path = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.IdnHostExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(path1)))
     val query = when(instr(noScheme, "?") > 0,
       noScheme.substr(instr(noScheme, "?") + lit(1), length(noScheme))).otherwise(lit(""))
     val kept = filter(split(query, "&"),
       x => (length(x) > 0).and(not(x.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))))
-    concat(path,
-      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PercentUpperExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(concat(path,
+          when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+            .otherwise(lit(""))))))
   }
 
   // ---------------------------------------------------------------------

@@ -2054,8 +2054,16 @@ object TextQueries {
   private val mmNearDup: Q = (s, d) =>
     Multimodal.nearDupHashes(sharedImageHashes(s, d))
 
-  private val mmNearDupSql =
-    """WITH m AS (SELECT doc_id, 24 + (length(text) % 32) AS w, 24 + ((doc_id * 7) % 32) AS h,
+  /** The shared image-dHash replay chain (`m` → `bits`): per-doc
+    * dimensions and pattern params, grid-sample block values, and the 64
+    * gradient-sign bits — embedded by every image-pair oracle
+    * (`mm_near_dup`, `inc_mm_near_dup` and its stream/evolve twins,
+    * `mm_cluster_dedup`), so the fixture replay cannot drift between
+    * them. NOTE: stripMargin'd again after interpolation into the query
+    * SQLs — no line may start with whitespace + '|'.
+    */
+  private val mmBitsCtes =
+    """m AS (SELECT doc_id, 24 + (length(text) % 32) AS w, 24 + ((doc_id * 7) % 32) AS h,
       |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END) % 256 AS k,
       |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id % 36 ELSE -1 END) AS pb
       |          FROM documents),
@@ -2068,8 +2076,13 @@ object TextQueries {
       |           + CASE WHEN b = pb THEN 1 ELSE 0 END) % 7) AS v FROM blk),
       |bits AS (SELECT a.doc_id, a.j * 8 + a.i AS bit, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS x
       |         FROM sv a JOIN sv b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
-      |         WHERE a.i < 8),
-      |bands0 AS (SELECT doc_id, bit // 16 AS band, sum(x << (bit % 16)) AS chunk
+      |         WHERE a.i < 8)""".stripMargin
+
+  /** Capped self-pair tail (`bands0` → `ham`) over [[mmBitsCtes]] —
+    * shared by `mm_near_dup` and `mm_cluster_dedup`.
+    */
+  private val mmPairCtes =
+    """bands0 AS (SELECT doc_id, bit // 16 AS band, sum(x << (bit % 16)) AS chunk
       |           FROM bits GROUP BY 1, 2),
       |bands AS (SELECT doc_id, band, chunk FROM
       |          (SELECT *, count(*) OVER (PARTITION BY band, chunk) AS bc FROM bands0)
@@ -2082,8 +2095,12 @@ object TextQueries {
       |        FROM cand c
       |        JOIN bits ba ON ba.doc_id = c.id_a
       |        JOIN bits bb ON bb.doc_id = c.id_b AND bb.bit = ba.bit
-      |        GROUP BY 1, 2)
-      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+      |        GROUP BY 1, 2)""".stripMargin
+
+  private val mmNearDupSql =
+    s"""WITH $mmBitsCtes,
+       |$mmPairCtes
+       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
   /** Perceptual near-dup over REAL decoded WAVs — the audio twin of
     * `mm_near_dup`: `syntheticAudioPatterned` renders 65-frame 7-level
@@ -2145,20 +2162,7 @@ object TextQueries {
   }
 
   private val incMmNearDupSql =
-    """WITH m AS (SELECT doc_id, 24 + (length(text) % 32) AS w, 24 + ((doc_id * 7) % 32) AS h,
-      |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END) % 256 AS k,
-      |            (CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id % 36 ELSE -1 END) AS pb
-      |          FROM documents),
-      |g AS (SELECT doc_id, w, h, k, pb, ti.i AS i, tj.j AS j,
-      |        ((2 * ti.i + 1) * w) // 18 AS gx, ((2 * tj.j + 1) * h) // 16 AS gy
-      |      FROM m, (SELECT unnest(range(0, 9)) AS i) ti, (SELECT unnest(range(0, 8)) AS j) tj),
-      |blk AS (SELECT doc_id, i, j, k, pb, ((gy * 4) // h) * 9 + (gx * 9) // w AS b FROM g),
-      |sv AS (SELECT doc_id, i, j,
-      |         30 + 30 * (((73 * k + 29 * b) % 257
-      |           + CASE WHEN b = pb THEN 1 ELSE 0 END) % 7) AS v FROM blk),
-      |bits AS (SELECT a.doc_id, a.j * 8 + a.i AS bit, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS x
-      |         FROM sv a JOIN sv b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
-      |         WHERE a.i < 8),
+    s"""WITH $mmBitsCtes,
       |bands AS (SELECT doc_id, bit // 16 AS band, sum(x << (bit % 16)) AS chunk
       |          FROM bits GROUP BY 1, 2),
       |u AS (SELECT doc_id, CASE WHEN doc_id >= 250 THEN 'i' ELSE 'b' END AS side, band, chunk FROM bands),
@@ -2278,6 +2282,47 @@ object TextQueries {
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9""".stripMargin
   }
 
+  /** Perceptual cluster collapse keep-best — the query that ENDS image
+    * dedup rather than reporting pairs: near-dup pairs from the shared
+    * hash layer → connected components → one survivor per cluster, the
+    * HIGHEST-RESOLUTION member (decoded `width·height` from the same
+    * decode pass, read off the shared grid layer; tie → lowest id) —
+    * production keeps the sharpest copy, not the first-crawled id.
+    * Pure composition (`Multimodal.collapseNearDupMedia` =
+    * `nearDupHashes` → `dedupClusters` → `collapseKeepBest`); the
+    * oracle replays the pair CTEs and clusters them with the recursive
+    * reachable-set + keep-best window (the dedup_keep_best pattern on
+    * the mm pair graph, with the resolution formula from the fixture's
+    * dimension params).
+    */
+  private val mmClusterDedup: Q = (s, d) => {
+    val grid = sharedImageGrid(s, d)
+    Multimodal.collapseNearDupMedia(
+      grid.select("doc_id", "phash"),
+      grid.select(col("doc_id"),
+        (col("width").cast("long") * col("height")).cast("double").as("score")))
+  }
+
+  private val mmClusterDedupSql =
+    s"""WITH RECURSIVE $mmBitsCtes,
+       |$mmPairCtes,
+       |pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+       |eg AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, mlab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT eg.src, reach.mlab FROM eg JOIN reach ON eg.dst = reach.id),
+       |clusters AS (SELECT id AS doc_id, min(mlab) AS cluster_id FROM reach GROUP BY id),
+       |scr AS (SELECT doc_id,
+       |          CAST((24 + (length(text) % 32)) * (24 + ((doc_id * 7) % 32)) AS DOUBLE) AS score
+       |        FROM documents),
+       |sel AS (SELECT c.doc_id, c.cluster_id, scr.score,
+       |          count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+       |          row_number() OVER (PARTITION BY c.cluster_id ORDER BY scr.score DESC, c.doc_id) AS rn
+       |        FROM clusters c JOIN scr USING (doc_id))
+       |SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members, score
+       |FROM sel WHERE rn = 1""".stripMargin
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("lang_id", langId, Some(langIdSql)),
     ("quality_score", quality, Some(qualitySql)),
@@ -2363,5 +2408,6 @@ object TextQueries {
     ("mm_near_dup_stream", mmNearDupStream, Some(incMmNearDupSql)),
     ("mm_evolve", mmEvolve, Some(incMmNearDupSql)),
     ("mm_semantic_dedup", mmSemanticDedup, Some(mmSemanticDedupSql)),
+    ("mm_cluster_dedup", mmClusterDedup, Some(mmClusterDedupSql)),
   )
 }

@@ -338,7 +338,7 @@ object Multimodal {
     * fixtures; for color payloads a production deployment converts to
     * luma in the same loop. Returns None for undecodable/empty payloads.
     */
-  private def gridSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+  private def gridSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val img =
       if (bytes == null || bytes.isEmpty) null
       else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -361,7 +361,7 @@ object Multimodal {
           }
           j += 1
         }
-        Some(out)
+        Some((w, h, out))
       }
     }
   }
@@ -380,15 +380,18 @@ object Multimodal {
   def perceptualHash(media: DataFrame): DataFrame =
     imageGrid(media).select("doc_id", "phash")
 
-  /** The one-pass image decode LAYER: grid samples AND the dHash from the
-    * same ImageIO read — (doc_id, samples: array<int>[72], phash: long).
-    * The RDD bridge's ONLY job is decoding; every downstream consumer is
-    * plan-space over this frame ([[perceptualHash]] a projection,
-    * [[imageEmbedding]] a `transform` HOF), so a pipeline that persists
-    * the layer decodes its corpus exactly once for the WHOLE perceptual
-    * family — hashing, embedding, and every dedup variant built on them.
-    * ~300 bytes/row transient decode artifact; the long-lived
-    * carry-forward state remains the 16-byte (doc_id, phash) projection
+  /** The one-pass image decode LAYER: decoded dimensions, grid samples,
+    * AND the dHash from the same ImageIO read —
+    * (doc_id, width: int, height: int, samples: array<int>[72],
+    * phash: long). The RDD bridge's ONLY job is decoding; every
+    * downstream consumer is plan-space over this frame
+    * ([[perceptualHash]] a projection, [[imageEmbedding]] a `transform`
+    * HOF, a keep-best collapse's resolution score a `width·height`
+    * product), so a pipeline that persists the layer decodes its corpus
+    * exactly once for the WHOLE perceptual family — hashing, embedding,
+    * scoring, and every dedup variant built on them. ~300 bytes/row
+    * transient decode artifact; the long-lived carry-forward state
+    * remains the 16-byte (doc_id, phash) projection
     * ([[advanceFingerprints]]). Undecodable payloads are dropped, as
     * [[perceptualHash]] always documented.
     */
@@ -396,6 +399,8 @@ object Multimodal {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
       StructField("samples", ArrayType(IntegerType, containsNull = false), nullable = false),
       StructField("phash", LongType, nullable = false),
     ))
@@ -403,7 +408,7 @@ object Multimodal {
       .filter(col("doc_id").isNotNull)
       .rdd.mapPartitions { it =>
         it.flatMap { r =>
-          gridSamples(r.getAs[Array[Byte]]("media")).map { s =>
+          gridSamples(r.getAs[Array[Byte]]("media")).map { case (w, h, s) =>
             var hash = 0L
             var j = 0
             while (j < 8) {
@@ -414,7 +419,7 @@ object Multimodal {
               }
               j += 1
             }
-            Row(r.getAs[Long]("doc_id"), s.toSeq, hash)
+            Row(r.getAs[Long]("doc_id"), w, h, s.toSeq, hash)
           }
         }
       }
@@ -613,6 +618,25 @@ object Multimodal {
   def nearDupAudio(media: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 1000): DataFrame =
     bandedHammingPairs(audioFingerprint(media), maxHamming, maxBucket)
+
+  /** Collapse perceptual near-dup clusters to their BEST copy — the query
+    * that ENDS media dedup rather than reporting pairs: [[nearDupHashes]]
+    * pairs over a fingerprint layer → `Dedup.dedupClusters` connected
+    * components → `Dedup.collapseKeepBest` keeping the highest-score
+    * member per cluster (production image dedup keeps the sharpest /
+    * highest-resolution copy, not the first-crawled id; tie → lowest id).
+    * `scores` is any (doc_id, score) frame — [[imageGrid]]'s decoded
+    * `width · height` is the natural resolution score and costs nothing
+    * beyond the layer the hashes already came from. Pure composition:
+    * no new distributed machinery, every stage keeps its own 100 TB
+    * posture (id-only banded pair shuffle, size-gated union-find /
+    * pointer doubling, one min_by aggregate carrying (id, score,
+    * cluster) triples — media bytes and samples ride nothing here).
+    */
+  def collapseNearDupMedia(hashes: DataFrame, scores: DataFrame,
+                           maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    Dedup.collapseKeepBest(hashes.select("doc_id"),
+      nearDupHashes(hashes, maxHamming, maxBucket), scores)
 
   /** [[nearDupImages]]/[[nearDupAudio]] over PRE-COMPUTED fingerprints —
     * the form a pipeline that maintains a fingerprint LAYER calls: decode

@@ -231,6 +231,102 @@ object MultimodalProps extends Properties("Multimodal") {
       got == want
     }
 
+  property("collapseNearDupMedia keeps the max-score member of every connected component") =
+    forAllNoShrink(Gen.choose(3, 12).flatMap { m =>
+      for {
+        // hashes drawn from a SMALL perturbed pool so banding collides and
+        // clusters span >2 members; integral scores with deliberate ties
+        hs <- Gen.listOfN(m, for {
+          base <- Gen.oneOf(0x0123456789abcdefL, 0x7777000011112222L, -1L)
+          flip <- Gen.choose(0, 2)
+          bits <- Gen.listOfN(flip, Gen.choose(0, 63))
+        } yield bits.foldLeft(base)((h, b) => h ^ (1L << b)))
+        sc <- Gen.listOfN(m, Gen.choose(0, 3).map(_.toDouble))
+      } yield hs.zip(sc).zipWithIndex.map { case ((h, s), i) => (i.toLong, h, s) }
+    }) { rows =>
+      val s = spark; import s.implicits._
+      val got = Multimodal.collapseNearDupMedia(
+          rows.map(r => (r._1, r._2)).toDF("doc_id", "phash"),
+          rows.map(r => (r._1, r._3)).toDF("doc_id", "score"),
+          maxBucket = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      // mirror: brute banded pairs -> union-find -> max-score (tie min id)
+      val pairs = for {
+        (ia, ha, _) <- rows; (ib, hb, _) <- rows if ia < ib
+        if (0 until 4).exists(b => ((ha >>> (16 * b)) & 0xFFFFL) == ((hb >>> (16 * b)) & 0xFFFFL))
+        if java.lang.Long.bitCount(ha ^ hb) <= 3
+      } yield (ia, ib)
+      val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val comps = rows.groupBy(r => find(r._1))
+      val want = comps.map { case (root, members) =>
+        val best = members.minBy(r => (-r._3, r._1))
+        (best._1, root, members.size.toLong, best._3)
+      }.toSet
+      got == want
+    }
+
+  /** JPEG re-encode at quality ~0.7 for the robustness property: the
+    * lossy-production case the graded PNG fixture cannot exercise.
+    */
+  private def jpeg(bytes: Array[Byte], quality: Float): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  property("JPEG q0.7 re-encode lands within hamming 3 of its source; distinct patterns stay apart") =
+    forAllNoShrink(Gen.choose(2, 4).flatMap(m => Gen.listOfN(m,
+      // 9x8 cell pattern, 3 levels, HORIZONTALLY adjacent cells distinct:
+      // every dHash comparison is a >=90-brightness step, far above JPEG's
+      // flat-block DC quantization error (single-digit at q0.7), so the
+      // gradient SIGNS survive lossy re-encoding — the invariance claim.
+      // Equal adjacent cells would make those bits DC-noise coin flips,
+      // which is a fixture artifact, not an operator property.
+      Gen.listOfN(72, Gen.choose(0, 2)).map { raw =>
+        val lv = Array(30, 120, 210)
+        val cells = new Array[Int](72)
+        for (j <- 0 until 8; i <- 0 until 9) {
+          val want = lv(raw(j * 9 + i))
+          cells(j * 9 + i) =
+            if (i > 0 && want == cells(j * 9 + i - 1)) lv((raw(j * 9 + i) + 1) % 3)
+            else want
+        }
+        cells
+      }))) { pats =>
+      val s = spark; import s.implicits._
+      // 72x64 render: cells are exactly the 8x8 JPEG DCT blocks and the
+      // 9x8 grid samples land at cell centers (gx = 8i+4, gy = 8j+4)
+      def render(cells: Array[Int]): Array[Byte] = {
+        val px = for (y <- 0 until 64; x <- 0 until 72) yield cells((y / 8) * 9 + x / 8)
+        png(72, 64, px)
+      }
+      val rows = pats.zipWithIndex.flatMap { case (cells, i) =>
+        val p = render(cells)
+        Seq((i.toLong, p), (i.toLong + 100, jpeg(p, 0.7f)))
+      }
+      val h = Multimodal.perceptualHash(rows.toDF("doc_id", "media"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val twinsClose = pats.indices.forall(i =>
+        java.lang.Long.bitCount(h(i.toLong) ^ h(i.toLong + 100)) <= 3)
+      val distinctApart = (for {
+        i <- pats.indices; j <- pats.indices if i < j
+      } yield java.lang.Long.bitCount(h(i.toLong) ^ h(j.toLong)) > 3).forall(identity)
+      twinsClose && distinctApart
+    }
+
   property("resizeMeta: round-not-floor; downscaled longest side == maxSide exactly") =
     forAllNoShrink(
       Gen.choose(1, 4).flatMap(m => Gen.listOfN(m, Gen.zip(Gen.choose(1, 500), Gen.choose(1, 500)))),

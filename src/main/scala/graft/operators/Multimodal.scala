@@ -366,6 +366,24 @@ object Multimodal {
     }
   }
 
+  /** The dHash bit fold shared by [[imageGrid]] and [[videoFrameHashes]]:
+    * bit `j·8 + i` set iff grid sample `(i+1, j)` is strictly brighter
+    * than `(i, j)`.
+    */
+  private def dHashOf(s: Array[Int]): Long = {
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (s(j * 9 + i + 1) > s(j * 9 + i)) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
   /** 64-bit perceptual dHash over the DECODED raster (difference hash,
     * Krawetz's aHash/dHash family): bit `j·8 + i` is set iff grid sample
     * `(i+1, j)` is strictly brighter than `(i, j)` — 8 horizontal
@@ -409,17 +427,7 @@ object Multimodal {
       .rdd.mapPartitions { it =>
         it.flatMap { r =>
           gridSamples(r.getAs[Array[Byte]]("media")).map { case (w, h, s) =>
-            var hash = 0L
-            var j = 0
-            while (j < 8) {
-              var i = 0
-              while (i < 8) {
-                if (s(j * 9 + i + 1) > s(j * 9 + i)) hash |= 1L << (j * 8 + i)
-                i += 1
-              }
-              j += 1
-            }
-            Row(r.getAs[Long]("doc_id"), w, h, s.toSeq, hash)
+            Row(r.getAs[Long]("doc_id"), w, h, s.toSeq, dHashOf(s))
           }
         }
       }
@@ -768,6 +776,184 @@ object Multimodal {
   def embeddingFromGrid(grid: DataFrame): DataFrame =
     grid.select(col("doc_id"),
       transform(col("samples"), x => x.cast("double") / lit(255.0)).as("embedding"))
+
+  // -- video: frame-hash stream + winnow sequence fingerprint ------------
+
+  /** Synthesize REAL "video" payloads — a length-prefixed sequence of
+    * genuine PNG frames (4-byte big-endian frame length, then the frame
+    * bytes, repeated) — the video twin of [[syntheticImagesPatterned]].
+    * Video `d` has `nf = 14 + (d mod 3)` frames; frame `f` renders a
+    * 9×4 block pattern whose block `b` has the 7-level brightness
+    * `30 + 30·(hash60("vf:k:b") mod 7)` for the frame's pattern id
+    * `k = 31·p + 17·(f + t)` (NO modulus — `|17·Δf| < 31` over the ≤ 18
+    * frame offsets here, so DISTINCT videos have provably DISJOINT
+    * pattern-id sets and the only cross-video frame-hash collisions are
+    * md5-profile coincidences: the earlier 256-class formula made
+    * window minima collide corpus-wide and a fifth of all pairs
+    * "near-dup"). Dimensions are per-VIDEO (`w = 18 + len(text) mod 8`,
+    * `h = 16 + 7·d mod 8`) — at or above the `w ≥ 18, h ≥ 16` geometry
+    * bound, so a pattern's frame hash is dimension-independent and the
+    * same pattern stream rendered at different sizes is a genuine
+    * spatial RESCALE of the same clip. `p = d, t = 0`, EXCEPT every 9th
+    * document, which re-renders the PREVIOUS document's pattern stream
+    * at its own dimensions TRIMMED by `t = 1 + (d mod 2)` leading
+    * frames — the "re-encoded, rescaled, and trimmed" twin class a
+    * sequence fingerprint must collapse and frame-set equality cannot.
+    * Every decoded sample is one exact raster integer and the level
+    * hash is the engine-wide md5-60 convention, so the whole pipeline —
+    * per-frame dHash, winnow minima, pair counts — replays in pure
+    * integer SQL.
+    */
+  def syntheticVideoPatterned(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs
+      .select(col(idCol).cast("long").as("doc_id"), length(col(textCol)).as("__tl"))
+      .filter(col("doc_id").isNotNull && col("__tl").isNotNull)
+      .rdd.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = 18 + r.getInt(1) % 8
+          val h = 16 + ((id * 7) % 8).toInt
+          val nf = 14 + (id % 3).toInt
+          val twin = id % 9 == 0 && id > 0
+          val p = if (twin) id - 1 else id
+          val t = if (twin) 1 + (id % 2).toInt else 0
+          val bos = new java.io.ByteArrayOutputStream(nf * 256)
+          val out = new java.io.DataOutputStream(bos)
+          var f = 0
+          while (f < nf) {
+            val k = 31 * p + 17 * (f + t)
+            val bv = Array.tabulate(36) { b =>
+              30 + 30 * (graft.functions.Hash60.hash(
+                s"vf:$k:$b".getBytes(java.nio.charset.StandardCharsets.UTF_8)) % 7).toInt
+            }
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, bv((y * 4 / h) * 9 + x * 9 / w))
+                x += 1
+              }
+              y += 1
+            }
+            val fb = new java.io.ByteArrayOutputStream(256)
+            javax.imageio.ImageIO.write(img, "png", fb)
+            val bytes = fb.toByteArray
+            out.writeInt(bytes.length)
+            out.write(bytes)
+            f += 1
+          }
+          Row(id, bos.toByteArray, Row("video/png-seq", w, h))
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** The video decode LAYER: parse the length-prefixed frame container
+    * and dHash each frame's decoded raster in ONE partition pass —
+    * (doc_id, frame_no, phash). The per-frame hash is [[imageGrid]]'s
+    * (same grid, same bit fold), so everything the image family knows
+    * about the hash — resize/re-encode invariance, banding recall —
+    * holds per frame. Undecodable frames are dropped; a malformed
+    * length prefix stops the scan of THAT payload (corrupt bytes are
+    * data, not bugs). At 100 TB the frames feeding this are already
+    * SAMPLED (`sampleFrames` is the byte-window twin; a production
+    * container parser swaps in here), so the per-video row count is
+    * bounded by the sampling stride, not the clip length — and the
+    * long-lived artifact is 20 bytes/row, never pixels.
+    */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("phash", LongType, nullable = false),
+    ))
+    val rdd = media.select("doc_id", "media")
+      .filter(col("doc_id").isNotNull)
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getAs[Long]("doc_id")
+          val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
+          val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var off = 0
+          var fno = 0
+          var ok = true
+          while (ok && off + 4 <= bytes.length) {
+            val n = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+              ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+            if (n <= 0 || off + 4 + n > bytes.length) ok = false
+            else {
+              gridSamples(java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + n))
+                .foreach { case (_, _, s) => rows += Row(id, fno, dHashOf(s)) }
+              off += 4 + n
+              fno += 1
+            }
+          }
+          rows
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Winnow sequence sketch over a (doc_id, frame_no, phash) frame-hash
+    * stream: each video's ordered hash stream → the DISTINCT sliding-
+    * window minima over `w` consecutive frames (`Dedup.winnowSketch`,
+    * the MOSS machinery on frame hashes instead of shingle hashes) —
+    * exploded to (doc_id, sketch_hash) rows. The guarantee transfers
+    * verbatim: two videos sharing a run of at least `w` IDENTICAL frame
+    * hashes share at least one sketch hash, and frame hashes are the
+    * resize/re-encode-invariant dHash — so a trimmed, rescaled,
+    * re-encoded copy lands on the same sketch keys while frame-set
+    * equality sees nothing. Per-video state is the frame-hash array
+    * (bounded by the upstream frame SAMPLING, the token-array
+    * discipline); the sketch is ≤ frames − w + 1 16-byte rows.
+    */
+  def videoSketch(frameHashes: DataFrame, w: Int = 4): DataFrame =
+    frameHashes.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("frame_no"), col("phash")))).as("__fs"))
+      .select(col("doc_id"), explode(Dedup.winnowSketch(
+        transform(col("__fs"), f => f.getField("phash")), w)).as("sketch_hash"))
+      .filter(col("sketch_hash").isNotNull)
+
+  /** Perceptual near-dup VIDEO pairs — the last unprotected modality
+    * closed: [[videoFrameHashes]] per-frame dHash, [[videoSketch]]
+    * winnow sequence fingerprint, then videos sharing at least
+    * `minShared` sketch hashes pair with their shared count. A
+    * re-encoded, spatially rescaled, or temporally trimmed copy keeps
+    * the interior window minima and collapses; distinct clips share
+    * (almost) none. Same 100 TB posture as every banded family: the
+    * sketch join carries (hash, id) pairs only, hot sketch keys (a
+    * black-frame run, a test pattern) are capped ALL-or-nothing before
+    * the self-join (`capBuckets`), and the count aggregate emits one
+    * row per candidate pair. The sketch frame is guard-persisted: it
+    * feeds both join sides, and without the cache each side re-decodes
+    * the corpus.
+    */
+  def nearDupVideo(media: DataFrame, w: Int = 4, minShared: Int = 2,
+                   maxBucket: Int = 1000): DataFrame =
+    nearDupVideoSketches(videoSketch(videoFrameHashes(media), w), minShared, maxBucket)
+
+  /** [[nearDupVideo]] over a PRE-COMPUTED (doc_id, sketch_hash) layer —
+    * the decode-once form, like [[nearDupHashes]] for stills.
+    */
+  def nearDupVideoSketches(sketches: DataFrame, minShared: Int = 2,
+                           maxBucket: Int = 1000): DataFrame = {
+    val sk = graft.util.Caching.ensurePersisted(sketches)
+    val capped = Dedup.capBuckets(sk, Seq("sketch_hash"), maxBucket)
+    val l = capped.select(col("sketch_hash"), col("doc_id").as("id_a"))
+    val r = capped.select(col("sketch_hash"), col("doc_id").as("id_b"))
+    l.join(r, Seq("sketch_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 
   /** Exact payload dedup over an opaque BINARY column — the multimodal
     * twin of `Dedup.exact`: a scraped media corpus is full of

@@ -270,6 +270,68 @@ object MultimodalProps extends Properties("Multimodal") {
       got == want
     }
 
+  /** Length-prefixed PNG frame container (the syntheticVideoPatterned
+    * wire format) from per-frame pixel grids.
+    */
+  private def videoPayload(frames: Seq[(Int, Int, Seq[Int])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    frames.foreach { case (w, h, px) =>
+      val bytes = png(w, h, px)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    bos.toByteArray
+  }
+
+  /** Mirror of videoSketch ∘ videoFrameHashes: per-frame mirror dHash,
+    * then distinct sliding-window minima (signed Long min, window w).
+    */
+  private def mirrorVideoSketch(frames: Seq[(Int, Int, Seq[Int])], w: Int): Set[Long] = {
+    val hs = frames.map { case (fw, fh, px) => mirrorHash(mirrorSamples(fw, fh, px)) }
+    val n = math.max(hs.size - w + 1, 1)
+    (0 until n).map(s => hs.slice(s, s + w).min).toSet
+  }
+
+  property("nearDupVideo == brute-force winnow-sketch intersections; a trimmed rescale pairs") =
+    forAllNoShrink(Gen.choose(2, 4).flatMap(m => Gen.listOfN(m, for {
+      nf <- Gen.choose(6, 10)
+      // 9x4 block levels per frame; rendered at two sizes so the twin is
+      // a genuine rescale (block pattern in normalized coordinates)
+      pats <- Gen.listOfN(nf, Gen.listOfN(36, Gen.choose(0, 6).map(l => 30 + 30 * l)))
+      trim <- Gen.choose(1, 2)
+    } yield (pats, trim)))) { vids =>
+      val s = spark; import s.implicits._
+      def render(pats: Seq[Seq[Int]], w: Int, h: Int): Seq[(Int, Int, Seq[Int])] =
+        pats.map { bv =>
+          (w, h, for (y <- 0 until h; x <- 0 until w) yield bv((y * 4 / h) * 9 + x * 9 / w))
+        }
+      // original at 18x16; twin = SAME pattern stream at 27x32 (dimension-
+      // independent grid geometry), trimmed by `trim` leading frames
+      val rendered = vids.zipWithIndex.flatMap { case ((pats, trim), i) =>
+        Seq((i.toLong, render(pats, 18, 16)),
+          ((i + 100).toLong, render(pats.drop(trim), 27, 32)))
+      }
+      val rows = rendered.map { case (id, frames) => (id, videoPayload(frames)) }
+      val got = Multimodal.nearDupVideo(
+          rows.toDF("doc_id", "media"), w = 4, minShared = 2, maxBucket = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sketches = rendered.map { case (id, frames) => id -> mirrorVideoSketch(frames, 4) }
+      val want = (for {
+        (ia, ska) <- sketches; (ib, skb) <- sketches if ia < ib
+        shared = (ska intersect skb).size.toLong if shared >= 2
+      } yield (ia, ib, shared)).toSet
+      // the planted twin must actually pair once the overlap guarantees
+      // >= 2 distinct shared minima: one sketch value covers at most w
+      // consecutive windows, so m shared windows force ceil(m/4) distinct
+      // shared minima — m = (nf - trim) - 3 >= 5 i.e. nf - trim >= 8
+      val twinsPaired = vids.indices.forall { i =>
+        val (pats, trim) = vids(i)
+        pats.size - trim < 8 || got.exists(p => p._1 == i.toLong && p._2 == (i + 100).toLong)
+      }
+      got == want && twinsPaired
+    }
+
   /** JPEG re-encode at quality ~0.7 for the robustness property: the
     * lossy-production case the graded PNG fixture cannot exercise.
     */

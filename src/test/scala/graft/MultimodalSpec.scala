@@ -210,6 +210,36 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.contains((1L, 2L)))
   }
 
+  test("videoFrameHashes: frames hash in order; malformed length prefix stops that payload only") {
+    val s = spark; import s.implicits._
+    def png(v: Int): Array[Byte] = {
+      // phase-shifted stripes, not a ramp: a monotone ramp dHashes to
+      // all-ones regardless of v, which would make distinct frames collide
+      val img = new java.awt.image.BufferedImage(18, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 18)
+        img.getRaster.setSample(x, y, 0, if (((x / 2) + v) % 2 == 0) 40 else 220)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def framed(frames: Array[Byte]*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      bos.toByteArray
+    }
+    val good = framed(png(10), png(11))
+    // one valid frame, then a length prefix pointing past the payload end
+    val truncated = framed(png(10)) ++ Array[Byte](0, 0, 64, 0, 1, 2, 3)
+    val media = Seq((1L, good), (2L, truncated), (3L, Array.emptyByteArray))
+      .toDF("doc_id", "media")
+    val out = Multimodal.videoFrameHashes(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((1L, 0), (1L, 1), (2L, 0)))
+    assert(out((1L, 0)) == out((2L, 0))) // same frame bytes, same hash
+    assert(out((1L, 0)) != out((1L, 1))) // distinct frames, distinct hashes
+  }
+
   test("dedupBinary: byte-identical payloads collapse keep-first, hex output") {
     val s = spark; import s.implicits._
     val media = Seq(

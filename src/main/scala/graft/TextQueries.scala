@@ -90,7 +90,12 @@ object TextQueries {
   /** Lang-ID CTE chain (`p`, `sc`, `b`) + the argmax CASE — shared by the
     * lang_id oracle and the curation-pipeline oracle.
     */
-  private val (langCtes, langCase) = {
+  /** Lang-ID CTE chain parameterized over source relation and CTE-name
+    * prefix (composed oracles need both — the v2 pipeline's url CTEs
+    * already use `p` and `b`); the argmax CASE reads columns, so it needs
+    * no prefixing.
+    */
+  private def langCtesFrom(from: String, pfx: String = ""): String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
       val cnt = ms.map(m =>
         s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)").mkString(" + ")
@@ -98,11 +103,18 @@ object TextQueries {
     }
     val defs = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
     val best = s"greatest(${scores.map("s_" + _._1).mkString(", ")})"
-    val cases = scores.map { case (l, _) => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'" }.mkString(" ")
-    (s"""p AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
-       |sc AS (SELECT doc_id, lang, $defs FROM p),
-       |b AS (SELECT *, $best AS best FROM sc)""".stripMargin,
-      s"CASE $cases ELSE 'en' END")
+    s"""${pfx}p AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM $from),
+       |${pfx}sc AS (SELECT doc_id, lang, $defs FROM ${pfx}p),
+       |${pfx}b AS (SELECT *, $best AS best FROM ${pfx}sc)""".stripMargin
+  }
+
+  private val langCtes = langCtesFrom("documents")
+
+  private val langCase = {
+    val cases = TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'en' END"
   }
 
   private val langIdSql =
@@ -437,10 +449,15 @@ object TextQueries {
     * micro/nano quantization contract, with each step's decayed rate
     * embedded as the exact double the engine computes.
     */
-  private def classifierSql(iters: Int, B: Int, lr: Double, decay: Double,
-                            batchPpm: Int): String = {
+  /** The classifier's CTE chain alone (ending in `sc2(doc_id, n_feats,
+    * score_micro)`), parameterized over its source relation so composed
+    * oracles (curation_pipeline_v2) can train on a CTE-defined corpus —
+    * `classifierSql` wraps it for the standalone rows.
+    */
+  private def classifierCtes(iters: Int, B: Int, lr: Double, decay: Double,
+                             batchPpm: Int, from: String = "documents"): String = {
     val head =
-      s"""hl AS MATERIALIZED (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM documents),
+      s"""hl AS MATERIALIZED (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM $from),
          |f0 AS MATERIALIZED (SELECT doc_id,
          |         unnest(list_concat(${rolledGramList("hs", 1)}, ${rolledGramList("hs", 2)})) % $B AS b
          |       FROM hl),
@@ -448,7 +465,7 @@ object TextQueries {
          |nfr AS MATERIALIZED (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nf FROM fc GROUP BY 1),
          |fb AS MATERIALIZED (SELECT doc_id, b, cnt FROM fc
          |       UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS b, nf AS cnt FROM nfr),
-         |lb AS MATERIALIZED (SELECT doc_id, CASE WHEN text LIKE '%customer%' THEN 1 ELSE 0 END AS y FROM documents),
+         |lb AS MATERIALIZED (SELECT doc_id, CASE WHEN text LIKE '%customer%' THEN 1 ELSE 0 END AS y FROM $from),
          |qn AS MATERIALIZED (SELECT b, CAST(sum(CAST(round(cnt * cnt * 1000000000.0 / nf / nf) AS BIGINT)) AS BIGINT) AS q
          |       FROM fb JOIN nfr USING (doc_id) GROUP BY 1),
          |w0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w FROM range($B)
@@ -476,20 +493,28 @@ object TextQueries {
          |               / greatest(coalesce(qn.q, 1), 1) * 1000000.0) AS BIGINT) AS BIGINT) AS w
          |        FROM w${i - 1} LEFT JOIN r$i USING (b) LEFT JOIN qn USING (b))""".stripMargin
     }.mkString(",\n")
-    s"""WITH $head,
+    s"""$head,
        |$steps,
        |fsc AS MATERIALIZED (SELECT fb.doc_id, CAST(sum(fb.cnt * w$iters.w) AS BIGINT) AS sm
        |        FROM fb JOIN w$iters USING (b) GROUP BY 1),
        |sc2 AS MATERIALIZED (SELECT d.doc_id,
        |          CAST(coalesce(nfr.nf, 0) AS BIGINT) AS n_feats,
        |          CAST(coalesce(fsc.sm, 0) AS BIGINT) AS score_micro
-       |        FROM (SELECT doc_id FROM documents) d
-       |        LEFT JOIN nfr USING (doc_id) LEFT JOIN fsc USING (doc_id))
-       |SELECT doc_id, n_feats, score_micro,
-       |  round(1.0 / (1.0 + exp(-(score_micro / 1000000.0 / greatest(n_feats, 1)))), 6) AS prob6,
-       |  round(1.0 / (1.0 + exp(-(score_micro / 1000000.0 / greatest(n_feats, 1)))), 6) >= 0.5 AS predicted
-       |FROM sc2""".stripMargin
+       |        FROM (SELECT doc_id FROM $from) d
+       |        LEFT JOIN nfr USING (doc_id) LEFT JOIN fsc USING (doc_id))""".stripMargin
   }
+
+  /** The engine's prob6 expression over sc2's micro-unit score. */
+  private val prob6Expr =
+    "round(1.0 / (1.0 + exp(-(score_micro / 1000000.0 / greatest(n_feats, 1)))), 6)"
+
+  private def classifierSql(iters: Int, B: Int, lr: Double, decay: Double,
+                            batchPpm: Int): String =
+    s"""WITH ${classifierCtes(iters, B, lr, decay, batchPpm)}
+       |SELECT doc_id, n_feats, score_micro,
+       |  $prob6Expr AS prob6,
+       |  $prob6Expr >= 0.5 AS predicted
+       |FROM sc2""".stripMargin
 
   private val qualityClassifierSql: String = classifierSql(8, 1024, 1.0, 0.8, 1000000)
 
@@ -657,6 +682,56 @@ object TextQueries {
        |       ELSE 'test' END AS split
        |FROM w WHERE rn = 1""".stripMargin
 
+  /** The v2 corpus pass (`CurationPipeline.runV2`): URL dedup → lang ID →
+    * TRAINED classifier gate → exact dedup → LSH near-dup collapse
+    * keeping the highest-prob6 copy → split. The oracle chains the SAME
+    * stage mirrors the individual rows use — `urlCtes`, the prefixed
+    * lang CTEs, the unrolled-GD `classifierCtes` trained ON the
+    * url-deduped corpus, the exact-dedup window, the prefixed
+    * `lshCtes` + recursive reachable-set + keep-best window, the split
+    * CASE — compositionality of the oracles is itself the check.
+    */
+  private val curationV2: Q = (s, d) =>
+    graft.pipeline.CurationPipeline.runV2(
+      urlFixture(s, d), col("text").contains("customer"))
+
+  // lazy: urlCtes is declared further down the file (with the url_* rows)
+  // and object vals initialize in declaration order
+  private lazy val curationV2Sql =
+    s"""WITH RECURSIVE $urlCtes,
+       |us AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canonical_url),
+       |d2 AS (SELECT dd.* FROM documents dd JOIN us USING (doc_id)),
+       |${langCtesFrom("d2", "lg")},
+       |lid AS (SELECT doc_id, $langCase AS pred_lang FROM lgb),
+       |${classifierCtes(8, 1024, 1.0, 0.8, 1000000, "d2")},
+       |scp AS (SELECT doc_id, $prob6Expr AS prob6 FROM sc2),
+       |kept AS (SELECT d2.doc_id, d2.text, d2.lang, lid.pred_lang, d2.source, scp.prob6
+       |         FROM d2 JOIN scp USING (doc_id) JOIN lid USING (doc_id)
+       |         WHERE scp.prob6 >= CAST(0.5 AS DOUBLE)),
+       |f AS (SELECT *, md5(${norm("text")}) AS fp FROM kept),
+       |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
+       |             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+       |d4 AS (SELECT doc_id, text, lang, pred_lang, source, prob6, n_copies FROM w WHERE rn = 1),
+       |${lshCtes(32, 8, 3, blockJoin = false, "d4", "x")},
+       |eg AS (SELECT id_a AS src, id_b AS dst FROM xv WHERE jaccard >= 0.3
+       |       UNION SELECT id_b, id_a FROM xv WHERE jaccard >= 0.3),
+       |reach(id, mlab) AS (
+       |  SELECT doc_id, doc_id FROM d4
+       |  UNION
+       |  SELECT eg.src, reach.mlab FROM eg JOIN reach ON eg.dst = reach.id),
+       |clusters AS (SELECT id AS doc_id, min(mlab) AS cluster_id FROM reach GROUP BY id),
+       |sel AS (SELECT cl.doc_id, cl.cluster_id,
+       |          count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+       |          row_number() OVER (PARTITION BY cl.cluster_id ORDER BY d4.prob6 DESC, cl.doc_id) AS rn2
+       |        FROM clusters cl JOIN d4 USING (doc_id)),
+       |win AS (SELECT doc_id, n_members FROM sel WHERE rn2 = 1)
+       |SELECT d4.doc_id, d4.lang, d4.pred_lang, d4.source, d4.prob6, d4.n_copies,
+       |  CAST(win.n_members AS BIGINT) AS n_members,
+       |  CASE WHEN ${h60("'split:' || d4.doc_id")} % 1000000 < 980000 THEN 'train'
+       |       WHEN ${h60("'split:' || d4.doc_id")} % 1000000 < 990000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM win JOIN d4 USING (doc_id)""".stripMargin
+
   // -- incremental dedup vs a baseline corpus ------------------------------
   private val incrementalDedup: Q = (s, d) => {
     val all = docs(s, d)
@@ -738,25 +813,35 @@ object TextQueries {
        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM bas)""".stripMargin
 
   // -- MinHash + LSH -------------------------------------------------------
-  private def lshSql(k: Int, bands: Int, shingleN: Int, threshold: Double,
-                     blockJoin: Boolean): String = {
+  /** The LSH pair chain alone (ending in `{pfx}v(id_a, id_b, jaccard)`),
+    * parameterized over its source relation and a CTE-name prefix so
+    * composed oracles (curation_pipeline_v2) can pair a CTE-defined
+    * corpus without name collisions; `lshSql` wraps it for the
+    * standalone rows.
+    */
+  private def lshCtes(k: Int, bands: Int, shingleN: Int, blockJoin: Boolean,
+                      from: String = "documents", pfx: String = ""): String = {
     val rowsPer = k / bands
     val bandItems = (0 until bands).map(b => s"${bandKey(b, rowsPer)} AS bk$b").mkString(", ")
     val bkList = (0 until bands).map(i => s"bk$i").mkString(", ")
     val blockCol = if (blockJoin) ", lang" else ""
     val blockCond = if (blockJoin) " AND a.lang = b.lang" else ""
-    s"""WITH hl AS (SELECT doc_id$blockCol, ${hashList(toks(norm("text")))} AS hs FROM documents),
-       |base AS (SELECT doc_id$blockCol, ${shingleHashList("hs", shingleN)} AS sh FROM hl),
-       |sigs AS (SELECT doc_id$blockCol, sh, ${sigItems("sh", k)} FROM base),
-       |keyed AS (SELECT doc_id$blockCol, $bandItems FROM sigs),
-       |banded0 AS (SELECT doc_id$blockCol, unnest([$bkList]) AS bk FROM keyed),
-       |banded AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY bk$blockCol) AS bc FROM banded0) WHERE bc <= 1000),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id$blockCond),
-       |v AS (SELECT id_a, id_b, ${jaccard("sa.sh", "sb.sh")} AS jaccard
-       |      FROM cand JOIN base sa ON cand.id_a = sa.doc_id JOIN base sb ON cand.id_b = sb.doc_id)
-       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold""".stripMargin
+    s"""${pfx}hl AS (SELECT doc_id$blockCol, ${hashList(toks(norm("text")))} AS hs FROM $from),
+       |${pfx}base AS (SELECT doc_id$blockCol, ${shingleHashList("hs", shingleN)} AS sh FROM ${pfx}hl),
+       |${pfx}sigs AS (SELECT doc_id$blockCol, sh, ${sigItems("sh", k)} FROM ${pfx}base),
+       |${pfx}keyed AS (SELECT doc_id$blockCol, $bandItems FROM ${pfx}sigs),
+       |${pfx}banded0 AS (SELECT doc_id$blockCol, unnest([$bkList]) AS bk FROM ${pfx}keyed),
+       |${pfx}banded AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY bk$blockCol) AS bc FROM ${pfx}banded0) WHERE bc <= 1000),
+       |${pfx}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM ${pfx}banded a JOIN ${pfx}banded b ON a.bk = b.bk AND a.doc_id < b.doc_id$blockCond),
+       |${pfx}v AS (SELECT id_a, id_b, ${jaccard("sa.sh", "sb.sh")} AS jaccard
+       |      FROM ${pfx}cand JOIN ${pfx}base sa ON ${pfx}cand.id_a = sa.doc_id JOIN ${pfx}base sb ON ${pfx}cand.id_b = sb.doc_id)""".stripMargin
   }
+
+  private def lshSql(k: Int, bands: Int, shingleN: Int, threshold: Double,
+                     blockJoin: Boolean): String =
+    s"""WITH ${lshCtes(k, bands, shingleN, blockJoin)}
+       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold""".stripMargin
 
   private val minhashLsh: Q = (s, d) => sharedLshPairs(s, d)
 
@@ -2433,6 +2518,7 @@ object TextQueries {
     ("doc_freq", docFreq, Some(docFreqSql)),
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
     ("curation_pipeline", curation, Some(curationSql)),
+    ("curation_pipeline_v2", curationV2, Some(curationV2Sql)),
     ("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     ("incremental_dedup_bloom", incrementalDedupBloom, Some(incrementalDedupSql)),
     // short registry name: every name rides the bench's 2 KB tail line,

@@ -1,8 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Classifier, Dedup, TextAnalysis}
 
 /** End-to-end training-data curation: the standard pre-training corpus
   * pass, composed from the engine's own operators in the order every
@@ -54,5 +54,63 @@ object CurationPipeline {
     TextAnalysis.splitAssign(deduped, idCol = idCol)
       .select(col(idCol), col("lang"), col("pred_lang"), col("source"),
         col("quality_score"), col("n_copies"), col("split"))
+  }
+
+  /** The v2 corpus pass — the full production stack the operator families
+    * were built for, composed end to end:
+    *
+    *   1. URL dedup (`Dedup.urlDedup`) — the PRE-content stage: survivor
+    *      ids come from a scan pruned to (id, url) and gate the corpus
+    *      through one id-keyed semi join. On a corpus bucketed by its id
+    *      (the layout `SnapshotStore` writes) that join plans exchange-
+    *      free on the big side; the url aggregate itself shuffles
+    *      (canonical_url, id, count) triples only — no text, no payload.
+    *   2. language ID (`TextAnalysis.langId`) — a pure projection.
+    *   3. TRAINED quality gate: `Classifier.trainScoreLogistic` trains a
+    *      hashed-bigram logistic model ON the url-deduped corpus under
+    *      `label` and gates at `minProb` — replacing v1's heuristic
+    *      score with the CCNet-style learned filter. Training is the
+    *      bounded driver loop (dictionary-sized state, 3 local jobs per
+    *      iteration); scoring is one broadcast join + map-side fold.
+    *   4. exact first-wins dedup (`Dedup.exact`) — one map-side-combined
+    *      groupBy; `MinMaxByPayloadPruning` keeps text off the exchange
+    *      wherever the final projection allows.
+    *   5. near-dup collapse: `Dedup.minhashLsh` pairs over the exact
+    *      survivors, clustered and collapsed to the HIGHEST-prob6 member
+    *      (`collapseKeepBest`) — the near-dup cluster keeps its most
+    *      in-domain copy, not its lowest id.
+    *   6. referentially-stable split (`TextAnalysis.splitAssign`).
+    *
+    * Output: one row per surviving document — ids, declared + predicted
+    * language, source, classifier probability, exact-duplicate group
+    * size, near-dup cluster size, split. Text appears in no output
+    * column, so nothing after the semi join carries it further than its
+    * own per-row projections (grams, fingerprints, shingles).
+    */
+  def runV2(docs: DataFrame, label: Column, minProb: Double = 0.5,
+            iters: Int = 8, buckets: Int = 1024, lr: Double = 1.0,
+            decay: Double = 0.8, k: Int = 32, bands: Int = 8,
+            threshold: Double = 0.3, shingleN: Int = 3,
+            idCol: String = "doc_id", textCol: String = "text",
+            urlCol: String = "url"): DataFrame = {
+    val urlSurvivors = Dedup.urlDedup(docs, urlCol, idCol).select(col(idCol))
+    val corpus = docs.join(urlSurvivors, Seq(idCol), "left_semi")
+    val lang = TextAnalysis.langId(corpus, textCol)
+    val scored = Classifier.trainScoreLogistic(
+      corpus, label, iters, buckets, lr, decay, idCol, textCol)
+    val gated = lang.join(scored.select(col(idCol), col("prob6")), Seq(idCol))
+      .filter(col("prob6") >= lit(minProb))
+      .select(col(idCol), col(textCol), col("lang"), col("pred_lang"),
+        col("source"), col("prob6"))
+    val deduped = Dedup.exact(gated, idCol, textCol)
+    val pairs = Dedup.minhashLsh(deduped, idCol, textCol, k, bands, threshold, shingleN)
+    val best = Dedup.collapseKeepBest(deduped.select(col(idCol)), pairs,
+      deduped.select(col(idCol), col("prob6").as("score")), idCol, "score")
+    val survivors = best.select(col(idCol), col("n_members"))
+      .join(deduped.select(col(idCol), col("lang"), col("pred_lang"),
+        col("source"), col("prob6"), col("n_copies")), Seq(idCol))
+    TextAnalysis.splitAssign(survivors, idCol = idCol)
+      .select(col(idCol), col("lang"), col("pred_lang"), col("source"),
+        col("prob6"), col("n_copies"), col("n_members"), col("split"))
   }
 }

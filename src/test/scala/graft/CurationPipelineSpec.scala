@@ -45,6 +45,44 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got.collect().map(_.toSeq).toSet === manual.collect().map(_.toSeq).toSet)
   }
 
+  test("runV2: url aliases drop pre-content, exact dups collapse, near-dup cluster keeps best prob6") {
+    val s = spark; import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      // keeper: canonical url https://site.example.com/page
+      (0L, "customer story " + base, "en", "web", "https://site.example.com/page"),
+      // URL ALIAS of doc 0 with DIFFERENT text: if the url stage failed,
+      // this row would survive to the output under its own fingerprint —
+      // its absence isolates the pre-content gate
+      (1L, "customer duplicate crawl of the same page body", "en", "web",
+        "HTTP://WWW.site.example.com/page/?utm_source=x"),
+      // byte-identical to doc 0 under a fresh url: exact-dedup collapse
+      (2L, "customer story " + base, "en", "web", "https://other.example.com/a"),
+      // near-dup of doc 0 (one token changed): LSH cluster-collapse
+      (3L, "customer story " + base.replace("upsilon", "omega"), "en", "web",
+        "https://other.example.com/b"),
+      // out-of-domain doc: no label token
+      (4L, "boring unrelated filler words nothing here at all today okay fine", "en", "spam",
+        "https://other.example.com/c"))
+      .toDF("doc_id", "text", "lang", "source", "url")
+    val out = CurationPipeline.runV2(docs, col("text").contains("customer"), minProb = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap // prob6, n_copies, n_members
+    // doc 1 gone (url alias), doc 2 gone (exact dup), one of {0, 3} gone
+    // (near-dup cluster keeps the higher-prob6 member, lowest id on ties)
+    assert(!out.contains(1L) && !out.contains(2L))
+    val clusterSurvivor = Seq(0L, 3L).filter(out.contains)
+    assert(clusterSurvivor.size == 1, s"expected one of 0/3, got: ${out.keySet}")
+    val (survProb, survCopies, survMembers) = out(clusterSurvivor.head)
+    assert(survMembers == 2L) // {0, 3} clustered
+    assert(survCopies == (if (clusterSurvivor.head == 0L) 2L else 1L)) // {0,2} exact group
+    assert(out(4L)._3 == 1L && out(4L)._2 == 1L)
+    // the trained gate orders in-domain above out-of-domain
+    assert(survProb > out(4L)._1,
+      s"classifier did not separate: $survProb vs ${out(4L)._1}")
+  }
+
   test("single shuffle: only the fingerprint aggregation exchanges") {
     val plan = CurationPipeline.run(fixture, minQuality = 0.15)
       .queryExecution.executedPlan.toString

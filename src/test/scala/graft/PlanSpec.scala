@@ -124,6 +124,37 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation:\n$plan")
   }
 
+  test("curation_pipeline_v2: the url gate scans prune; no text attribute rides any shuffle") {
+    // stage 1's survivor-id aggregate must come from a scan pruned to the
+    // fixture's url inputs (doc_id here — a real corpus reads url+id), so
+    // ONE of the plan's document scans is text-free; and none of the
+    // pipeline's exchanges — url groupBy, classifier feature aggregates,
+    // exact-dedup combine, LSH band join, cluster machinery — may carry a
+    // `text` attribute. (The id-keyed survivor gate broadcasts at this
+    // scale; on a production corpus bucketed by id it plans exchange-free
+    // on the big side — the runV2 scaladoc's layout contract.)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val df = Queries.registry.collectFirst { case ("curation_pipeline_v2", q, _) => q }
+      .get(spark, dir)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(s => !s.requiredSchema.fieldNames.contains("text")),
+      s"no text-free url-side scan:\n${scans.map(_.requiredSchema.catalogString).mkString("\n")}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty, "expected at least one shuffle")
+    for (s <- shuffles)
+      assert(!s.output.exists(_.name == "text"),
+        s"document text rides a v2 shuffle: ${s.output.map(_.name)}")
+  }
+
   test("quality_score stays one whole-stage-codegen span — no interpreted projection") {
     // The signal stage is the native QualitySignalsExpr (one pass over one
     // split) plus codegen'd regex counts; a CodegenFallback expression

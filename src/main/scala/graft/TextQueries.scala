@@ -691,9 +691,13 @@ object TextQueries {
     * `lshCtes` + recursive reachable-set + keep-best window, the split
     * CASE — compositionality of the oracles is itself the check.
     */
+  // 4 gradient steps for the pipeline GATE (the standalone
+  // quality_classifier row keeps 8): a curation threshold needs the
+  // ordering to settle, not the tail of convergence — and each step is a
+  // corpus scan, so the pipeline's wall is linear in it
   private val curationV2: Q = (s, d) =>
     graft.pipeline.CurationPipeline.runV2(
-      urlFixture(s, d), col("text").contains("customer"))
+      urlFixture(s, d), col("text").contains("customer"), iters = 4)
 
   // lazy: urlCtes is declared further down the file (with the url_* rows)
   // and object vals initialize in declaration order
@@ -703,7 +707,7 @@ object TextQueries {
        |d2 AS (SELECT dd.* FROM documents dd JOIN us USING (doc_id)),
        |${langCtesFrom("d2", "lg")},
        |lid AS (SELECT doc_id, $langCase AS pred_lang FROM lgb),
-       |${classifierCtes(8, 1024, 1.0, 0.8, 1000000, "d2")},
+       |${classifierCtes(4, 1024, 1.0, 0.8, 1000000, "d2")},
        |scp AS (SELECT doc_id, $prob6Expr AS prob6 FROM sc2),
        |kept AS (SELECT d2.doc_id, d2.text, d2.lang, lid.pred_lang, d2.source, scp.prob6
        |         FROM d2 JOIN scp USING (doc_id) JOIN lid USING (doc_id)
@@ -2165,8 +2169,17 @@ object TextQueries {
                                 d: String): org.apache.spark.sql.DataFrame =
     sharedImageGrid(s, d).select("doc_id", "phash")
 
-  private val mmNearDup: Q = (s, d) =>
-    Multimodal.nearDupHashes(sharedImageHashes(s, d))
+  /** The image near-dup PAIR graph, guard-persisted: `mm_near_dup`
+    * returns it outright and `mm_cluster_dedup` clusters over it — the
+    * `sharedLshPairs` idiom. Both plans derive from the SAME memoized
+    * layer wrapper, so CacheManager canonical equality holds and the
+    * banded join + hamming verify run once per corpus.
+    */
+  private def sharedImagePairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.Caching.ensurePersisted(
+      Multimodal.nearDupHashes(sharedImageHashes(s, d)))
+
+  private val mmNearDup: Q = (s, d) => sharedImagePairs(s, d)
 
   /** The shared image-dHash replay chain (`m` → `bits`): per-doc
     * dimensions and pattern params, grid-sample block values, and the 64
@@ -2411,8 +2424,12 @@ object TextQueries {
     */
   private val mmClusterDedup: Q = (s, d) => {
     val grid = sharedImageGrid(s, d)
-    Multimodal.collapseNearDupMedia(
-      grid.select("doc_id", "phash"),
+    // the pair graph comes from the shared persisted frame mm_near_dup
+    // fills (same plan by canonical equality), so this query adds only
+    // the clustering and the one keep-best aggregate
+    Dedup.collapseKeepBest(
+      grid.select("doc_id"),
+      sharedImagePairs(s, d),
       grid.select(col("doc_id"),
         (col("width").cast("long") * col("height")).cast("double").as("score")))
   }

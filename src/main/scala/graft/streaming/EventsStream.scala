@@ -251,6 +251,33 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming VIDEO near-dup — [[mediaNearDupStream]]'s shape on the
+    * sketch state: a stream of (doc_id, sketch_hash) rows (the winnow
+    * sketch is computed where the frames land — only 16-byte rows ride
+    * the stream, never pixels) pairs each micro-batch cross-side against
+    * the settled corpus' sketch STATE via
+    * `Multimodal.nearDupVideoAgainstBaselineManaged`. Pairing is
+    * batch-invariant for a video whose sketch rows arrive in ONE batch
+    * (cross-side join + per-pair count); the bucket cap counts over
+    * (batch ∪ baseline), the per-batch join-volume bound. Per-batch
+    * cache registrations are released after the sink returns — the
+    * unbounded-stream rule.
+    */
+  def videoNearDupStream(sketches: DataFrame, baseline: DataFrame, checkpoint: String,
+                         minShared: Int = 2, maxBucket: Int = 1000)
+                        (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.util.Caching.ensurePersisted(baseline)
+    sketches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (pairs, release) = graft.operators.Multimodal.nearDupVideoAgainstBaselineManaged(
+          batch.toDF(), baseline, minShared, maxBucket)
+        try sink(pairs) finally release()
+      }
+      .start()
+  }
+
   /** Custom keyed state with MULTI-ROW emission via `flatMapGroupsWithState`
     * (the zero-or-more-outputs-per-group shape `mapGroupsWithState` cannot
     * express): per-user running spend with one alert row emitted for every

@@ -461,4 +461,37 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
     assert(buf.toSet == batchWant)
   }
+
+  test("videoNearDupStream: per-video batch splits == batch twin when no sketch key nears the cap") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline evens, incoming odds — the parity split every planted twin
+    // {d-1, d} crosses; a video's sketch rows must arrive in ONE batch
+    // (the per-pair count spans a video's keys), so the feed splits
+    // BETWEEN videos, not inside one
+    val fixture = (1L to 19L).map(i => (i, "y" * (2 + i.toInt * 3 % 23))).toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.syntheticVideoPatterned(fixture)
+    val sk = graft.util.Caching.ensurePersisted(graft.operators.Multimodal.videoSketch(
+      graft.operators.Multimodal.videoFrameHashes(media)))
+    val basSk = sk.filter($"doc_id" % 2 === 0)
+    val incSk = sk.filter($"doc_id" % 2 === 1)
+    val batchWant = graft.operators.Multimodal.nearDupVideoAgainstBaseline(incSk, basSk)
+      .collect().map(_.toSeq).toSet
+    assert(batchWant.exists(_.take(2) == Seq(9L, 8L))) // twin 9 vs source 8 crosses
+
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("video-near-dup-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventsStream.videoNearDupStream(
+      mem.toDF().toDF("doc_id", "sketch_hash"), basSk, ckpt) { pairs =>
+      buf.synchronized { buf ++= pairs.collect().map(_.toSeq) }
+    }
+    val feed = incSk.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val (b1, b2) = feed.partition(_._1 <= 9L) // whole videos per batch
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.toSet == batchWant)
+  }
 }

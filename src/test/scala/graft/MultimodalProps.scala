@@ -332,6 +332,33 @@ object MultimodalProps extends Properties("Multimodal") {
       got == want && twinsPaired
     }
 
+  property("nearDupVideoAgainstBaseline == brute CROSS-side sketch intersections (split by parity)") =
+    forAllNoShrink(Gen.choose(3, 6).flatMap(m => Gen.listOfN(m, for {
+      nf <- Gen.choose(5, 9)
+      pats <- Gen.listOfN(nf, Gen.listOfN(36, Gen.choose(0, 6).map(l => 30 + 30 * l)))
+    } yield pats))) { vids =>
+      val s = spark; import s.implicits._
+      def render(pats: Seq[Seq[Int]]): Seq[(Int, Int, Seq[Int])] =
+        pats.map { bv =>
+          (18, 16, for (y <- 0 until 16; x <- 0 until 18) yield bv((y * 4 / 16) * 9 + x * 9 / 18))
+        }
+      val rendered = vids.zipWithIndex.map { case (pats, i) => (i.toLong, render(pats)) }
+      val sketches = rendered.map { case (id, fr) => id -> mirrorVideoSketch(fr, 4) }
+      val rows = rendered.map { case (id, fr) => (id, videoPayload(fr)) }
+      val sk = graft.operators.Multimodal.videoSketch(
+        graft.operators.Multimodal.videoFrameHashes(rows.toDF("doc_id", "media")), w = 4)
+      val got = graft.operators.Multimodal.nearDupVideoAgainstBaseline(
+          sk.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+          sk.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+          minShared = 1, maxBucket = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ii, si) <- sketches if ii % 2 == 1; (ib, sb) <- sketches if ib % 2 == 0
+        shared = (si intersect sb).size.toLong if shared >= 1
+      } yield (ii, ib, shared)).toSet
+      got == want
+    }
+
   /** JPEG re-encode at quality ~0.7 for the robustness property: the
     * lossy-production case the graded PNG fixture cannot exercise.
     */

@@ -23,6 +23,42 @@ class FunctionsSpec extends SparkSpec {
     assert(diff2.count() == 0)
   }
 
+  test("PercentUpperExpr / IdnHostExpr: interpreted eval == codegen'd plan path") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val pctIn = Seq("a%2fb", "a%2Fb", "%ff%FF%fF", "100%", "%zz", "%a", "", "%",
+      "x%3a/y%0d", "no escapes at all").toDF("t")
+    val idnIn = Seq("münchen.example.com/p/q", "xn--mnchen-3ya.example.com",
+      "plain.example.com/x", "bücher.de", "münchen.de:8080/x", "").toDF("t")
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def both(df: org.apache.spark.sql.DataFrame,
+             mkCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+             mkExpr: Expression => Expression): Unit = {
+      // plan path runs through whole-stage codegen (doGenCode); the
+      // interpreted path calls nullSafeEval directly on the same inputs
+      val planned = df.select(col("t"), mkCol(col("t")).as("o"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      df.collect().map(_.getString(0)).foreach { v =>
+        val interp = mkExpr(Literal.create(v)).eval(null).toString
+        assert(planned(v) == interp, s"codegen/interpreted diverge on '$v'")
+      }
+    }
+    both(pctIn,
+      c => ColumnBridge.column(graft.functions.PercentUpperExpr(ColumnBridge.expression(c))),
+      e => graft.functions.PercentUpperExpr(e))
+    both(idnIn,
+      c => ColumnBridge.column(graft.functions.IdnHostExpr(ColumnBridge.expression(c))),
+      e => graft.functions.IdnHostExpr(e))
+    // spot values: the documented semantics
+    val got = spark.range(1).select(
+      ColumnBridge.column(graft.functions.PercentUpperExpr(
+        ColumnBridge.expression(lit("a%2fb%zz%a")))).as("p"),
+      ColumnBridge.column(graft.functions.IdnHostExpr(
+        ColumnBridge.expression(lit("münchen.example.com/a%2f")))).as("i")).head()
+    assert(got.getString(0) == "a%2Fb%zz%a")
+    assert(got.getString(1) == java.net.IDN.toASCII("münchen.example.com") + "/a%2f")
+  }
+
   test("hash60 is registered for SQL via GraftExtensions") {
     val got = spark.sql("SELECT hash60('abc') AS h").head().getLong(0)
     val expected = spark.range(1).select(

@@ -72,6 +72,31 @@ class StateCheckpointSpec extends SparkSpec {
     assert(rows(pCkpt).exists(_.take(2) == Seq(257L, 1L)))
   }
 
+  test("video sketch state round-trips: checkpointed advance == in-memory == stateless union") {
+    val s = spark; import s.implicits._
+    // the patterned-video fixture: doc 18 is the trimmed/rescaled twin of
+    // doc 17 (twin rule d % 9 == 0) and the crawl split keeps them on
+    // opposite sides, so the cross-side pair must surface in crawl 2
+    val fixture = (1L to 18L).map(i => (i, "y" * (2 + i.toInt * 3 % 23))).toDF("doc_id", "text")
+    val sk = graft.util.Caching.ensurePersisted(
+      graft.operators.Multimodal.videoSketch(
+        graft.operators.Multimodal.videoFrameHashes(
+          graft.operators.Multimodal.syntheticVideoPatterned(fixture))))
+    def side(pred: org.apache.spark.sql.Column) = sk.filter(pred)
+    val st = store()
+    val (_, st1) = graft.operators.Multimodal.advanceVideoSketches(
+      side(col("doc_id") <= 7), side(col("doc_id") > 7 && col("doc_id") <= 17))
+    st.write(st1, "run1", "video_sketch_state")
+    val restored = st.read(spark, "run1", "video_sketch_state")
+    val batch2 = side(col("doc_id") > 17)
+    val (pMem, _) = graft.operators.Multimodal.advanceVideoSketches(st1, batch2)
+    val (pCkpt, _) = graft.operators.Multimodal.advanceVideoSketches(restored, batch2)
+    assert(rows(pCkpt) == rows(pMem))
+    assert(rows(pCkpt) == rows(
+      graft.operators.Multimodal.nearDupVideoAgainstBaseline(batch2, side(col("doc_id") <= 17))))
+    assert(rows(pCkpt).exists(_.take(2) == Seq(18L, 17L)))
+  }
+
   test("span baseline (docs + gram counts) round-trips and keeps the cross-run cap") {
     val s = spark; import s.implicits._
     // the DedupSpec cross-run-cap fixture: the fold's as-arrived counts

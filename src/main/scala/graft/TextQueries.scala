@@ -2480,6 +2480,43 @@ object TextQueries {
   private val mmNearDupVideo: Q = (s, d) =>
     Multimodal.nearDupVideoSketches(sharedVideoSketches(s, d))
 
+  /** Video cluster collapse keep-best — the query that ENDS video dedup
+    * (the mm_cluster_dedup pattern on the sketch pair graph): near-dup
+    * pairs → connected components → one survivor per cluster, the
+    * LONGEST cut (frame count off the shared decode layer; tie → lowest
+    * id) — production keeps the full video over its trimmed re-uploads.
+    */
+  private val mmVideoCluster: Q = (s, d) =>
+    Dedup.collapseKeepBest(
+      sharedVideoSketches(s, d).select("doc_id").distinct(),
+      Multimodal.nearDupVideoSketches(sharedVideoSketches(s, d)),
+      videoHashesMemo(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).cast("double").as("score")))
+
+  // lazy: mmVideoSketchCtes is declared further down (with the video-pair
+  // oracles) and object vals initialize in declaration order
+  private lazy val mmVideoClusterSql =
+    s"""WITH RECURSIVE $mmVideoSketchCtes,
+      |vcap AS (SELECT doc_id, mh FROM
+      |         (SELECT *, count(*) OVER (PARTITION BY mh) AS bc FROM vsk) WHERE bc <= 1000),
+      |vp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+      |       FROM vcap a JOIN vcap b ON a.mh = b.mh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM vp WHERE n_shared >= 2),
+      |eg AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, mlab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT eg.src, reach.mlab FROM eg JOIN reach ON eg.dst = reach.id),
+      |clusters AS (SELECT id AS doc_id, min(mlab) AS cluster_id FROM reach GROUP BY id),
+      |scr AS (SELECT doc_id, CAST(14 + (doc_id % 3) AS DOUBLE) AS score FROM documents),
+      |sel AS (SELECT c.doc_id, c.cluster_id, scr.score,
+      |          count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+      |          row_number() OVER (PARTITION BY c.cluster_id ORDER BY scr.score DESC, c.doc_id) AS rn
+      |        FROM clusters c JOIN scr USING (doc_id))
+      |SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members, score
+      |FROM sel WHERE rn = 1""".stripMargin
+
   /** Incremental video near-dup: cross-side sketch pairs between the odd
     * half (the "incoming crawl") and the even half's sketch STATE —
     * parity split, so every planted twin pair {d−1, d} crosses it (the
@@ -2705,5 +2742,6 @@ object TextQueries {
     ("inc_mm_video", incMmVideo, Some(incMmVideoSql)),
     ("mm_video_evolve", mmVideoEvolve, Some(mmVideoEvolveSql)),
     ("mm_video_stream", mmVideoStream, Some(incMmVideoSql)),
+    ("mm_video_cluster", mmVideoCluster, Some(mmVideoClusterSql)),
   )
 }

@@ -184,6 +184,70 @@ object VectorQueries {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM ex)
        |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
 
+  // -- product-quantized ANN (ADC over sub-codebooks + exact rerank) --------
+  private val pqTopK: Q = (s, d) =>
+    Similarity.pqTopK(
+      Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      k = 5, dim = DIM, m = 4, ksub = 8, iters = 1, rerank = 32)
+
+  /** Mirrors the whole PQ path: per-subspace Lloyd round (the kmeansCtes
+    * recipe on each quarter slice), nearest-sub-cell encode, per-(query,
+    * neighbor, subspace) exact sub-dot partials summed in subspace order
+    * (list_reduce over a j-ordered list replays the engine's zip_with +
+    * aggregate fold), approx cosine over stored norms, 32-deep shortlist,
+    * exact cosine rerank to top-5.
+    */
+  private val pqTopKSql = {
+    val m = 4
+    val ksub = 8
+    val dsub = DIM / m
+    def d2sub(v: String, cv: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${dsub + 1}), i -> (CAST($v[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)) * (CAST($v[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)))), (acc, x) -> acc + x)"
+    def dotsub(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${dsub + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    val subs = (0 until m).map { j =>
+      val o = j * dsub
+      s"""e$j AS (SELECT vec_id, v[${o + 1}:${o + dsub}] AS sv FROM ev),
+         |c0$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, sv AS cv
+         |        FROM (SELECT * FROM e$j ORDER BY vec_id LIMIT $ksub)),
+         |d0$j AS (SELECT e$j.vec_id, c0$j.cell, ${d2sub(s"e$j.sv", s"c0$j.cv")} AS dist FROM e$j, c0$j),
+         |a0$j AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d0$j) WHERE rn = 1),
+         |sm$j AS (SELECT a0$j.cell, dd.dim, sum(CAST(round(e$j.sv[dd.dim + 1] * 1000000) AS BIGINT)) AS sq, count(*) AS n
+         |        FROM e$j JOIN a0$j USING (vec_id) CROSS JOIN (SELECT unnest(range(0, $dsub)) AS dim) dd
+         |        GROUP BY 1, 2),
+         |c1$j AS (SELECT c0.cell, list(coalesce(round(s.sq / s.n / 1000000.0, 6), c0.cv[dd.dim + 1]) ORDER BY dd.dim) AS cv
+         |        FROM c0$j c0 CROSS JOIN (SELECT unnest(range(0, $dsub)) AS dim) dd
+         |        LEFT JOIN sm$j s ON s.cell = c0.cell AND s.dim = dd.dim
+         |        GROUP BY c0.cell),
+         |d1$j AS (SELECT e$j.vec_id, c.cell, ${d2sub(s"e$j.sv", "c.cv")} AS dist FROM e$j, c1$j c),
+         |enc$j AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1$j) WHERE rn = 1),
+         |pj$j AS (SELECT qe.vec_id AS query_id, enc$j.vec_id AS neighbor_id, ${dotsub("qe.sv", "c.cv")} AS part
+         |        FROM enc$j JOIN c1$j c USING (cell)
+         |        CROSS JOIN (SELECT vec_id, sv FROM e$j WHERE vec_id < 8) qe)""".stripMargin
+    }.mkString(",\n")
+    val parts = (0 until m)
+      .map(j => s"SELECT query_id, neighbor_id, $j AS j, part FROM pj$j")
+      .mkString("\n       UNION ALL ")
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |$subs,
+       |parts AS ($parts),
+       |apx AS (SELECT query_id, neighbor_id,
+       |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(part ORDER BY j)), (acc, x) -> acc + x) AS adot
+       |        FROM parts GROUP BY 1, 2),
+       |nrm AS (SELECT vec_id, sqrt(${norm2Sql("v")}) AS nm FROM ev),
+       |ap AS (SELECT a.query_id, a.neighbor_id, round(a.adot / (qn.nm * cn.nm), 6) AS ac
+       |       FROM apx a JOIN nrm qn ON qn.vec_id = a.query_id JOIN nrm cn ON cn.vec_id = a.neighbor_id
+       |       WHERE a.neighbor_id <> a.query_id),
+       |sl AS (SELECT query_id, neighbor_id FROM
+       |         (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ac DESC, neighbor_id) AS rn FROM ap)
+       |       WHERE rn <= 32),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id, ${cosineSql("qv.v", "cv.v")} AS cosine
+       |       FROM sl JOIN ev qv ON qv.vec_id = sl.query_id JOIN ev cv ON cv.vec_id = sl.neighbor_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM ex)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+  }
+
   // -- random-projection ANN (JL shortlist + exact rerank) -----------------
   private val rpTopK: Q = (s, d) =>
     Similarity.rpTopK(
@@ -320,6 +384,7 @@ object VectorQueries {
     ("incremental_cosine", incrementalCosine, Some(incrementalCosineSql)),
     ("semantic_dedup", semantic, Some(semanticSql)),
     ("quantized_topk", quantizedTopK, Some(quantizedTopKSql)),
+    ("pq_topk", pqTopK, Some(pqTopKSql)),
     ("rp_topk", rpTopK, Some(rpTopKSql)),
     ("class_centroids", centroids, Some(centroidsSql)),
   )

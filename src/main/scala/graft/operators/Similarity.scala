@@ -405,6 +405,66 @@ object Similarity {
     rankTopK(exact, k)
   }
 
+  /** Product-quantized ANN (the Jégou et al. 2011 IVF-less ADC form):
+    * split the `dim` space into `m` subspaces, train an independent
+    * `ksub`-cell sub-codebook per subspace (the [[kmeansCodebook]] recipe
+    * on each slice — id-ordered seeds, exact micro-quantized Lloyd
+    * rounds), and ENCODE every corpus vector as m sub-cell ids plus its
+    * stored norm — at 100 TB the scan index holds m small ints + one
+    * double per vector instead of dim floats (the memory-bandwidth ANN
+    * path int8 quantization cannot reach). Scoring is asymmetric
+    * distance computation: each query precomputes an m×ksub LUT of
+    * exact sub-dot-products against the sub-centroids (centroids are
+    * plan literals, so the LUT is a projection on the broadcast query
+    * side), and a candidate's approximate dot product is m LUT lookups
+    * summed in subspace order — zero per-pair float multiplies.
+    * Approximate cosine = LUT sum / (stored norm × query norm); a
+    * `rerank`-deep shortlist per query is then re-scored exactly, and
+    * only shortlist rows ever touch full-width vectors (the
+    * rpTopK/quantizedTopK two-stage discipline — corpus scanned, never
+    * shuffled; bounded `TopKAgg` both stages). Recall < 1 by
+    * construction; `m`, `ksub`, `iters`, `rerank` are the knobs.
+    * Determinism end-to-end: left-to-right folds for every dot/norm,
+    * nearest-cell ties to the lower cell id, both rankings on
+    * round(·, 6) with id tie-breaks — the whole path replays in the
+    * oracle.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             m: Int = 4, ksub: Int = 8, iters: Int = 1, rerank: Int = 32,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    require(rerank >= k, "rerank depth must be >= k")
+    val dsub = dim / m
+    val vAsD = VectorOps.toDouble(col(vecCol))
+    def sub(j: Int): Column = slice(vAsD, j * dsub + 1, dsub)
+    val cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map { j =>
+      kmeansCodebook(corpus.select(col(idCol), sub(j).as("__sv")), ksub, iters, idCol, "__sv")
+    }.toIndexedSeq
+    val codes = array((0 until m).map(j => assignStruct(cbs(j), sub(j)).getField("cell")): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), codes.as("codes"),
+      VectorOps.norm(vAsD).as("c_norm"))
+    val luts = array((0 until m).map { j =>
+      array((0 until ksub).map(cc => VectorOps.dot(sub(j), typedlit(cbs(j)(cc)))): _*)
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), luts.as("luts"),
+      VectorOps.norm(vAsD).as("q_norm")))
+    val approxDot = aggregate(
+      zip_with(col("codes"), col("luts"), (cd, lt) => element_at(lt, cd.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val approx = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(approxDot / (col("q_norm") * col("c_norm")), 6))
+    val sl = rankTopK(approx, rerank).select("query_id", "neighbor_id")
+    val cV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", VectorOps.norm(col("c_vec")))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", VectorOps.norm(col("q_vec"))))
+    val sc = cV.join(broadcast(sl), Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+    rankTopK(sc, k)
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the embedding space
     * with k-means, generate cosine-similar pairs only WITHIN a cell
     * (never all-pairs — the cell equi join is the blocking step, exactly

@@ -209,6 +209,37 @@ class SimilaritySpec extends SparkSpec {
     assert(re === rows.map(_.toSeq).toSet)
   }
 
+  test("pqTopK: corpus-wide rerank == exact brute force; shallow rerank ranks exactly; partition-invariant") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 4)
+    val n = emb.count().toInt
+    // rerank = corpus: the ADC stage cannot drop a true neighbor, so the
+    // exact-rerank output must equal brute force row-for-row
+    val full = Similarity.pqTopK(emb, q, k = 5, dim = 64, rerank = n)
+      .collect().map(_.toSeq).toSet
+    val exact = Similarity.bruteForceTopKAgg(emb, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(full === exact)
+    // shallow rerank: every returned cosine is an EXACT cosine (stage 2
+    // re-scores full-width), ranks are dense 1..5 per query, and a
+    // repartitioned input gives identical rows (deterministic id-ordered
+    // seeds, exact Lloyd sums, total-order ranking)
+    val shallow = Similarity.pqTopK(emb, q, k = 5, dim = 64, rerank = 16)
+    val rows = shallow.collect()
+    assert(rows.length === 4 * 5)
+    val exactAll = Similarity.bruteForceTopK(emb, q, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) === exactAll((r.getLong(0), r.getLong(2))), s"not an exact score: $r")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 5L))
+    }
+    val re = Similarity.pqTopK(emb.repartition(7), q, k = 5, dim = 64, rerank = 16)
+      .collect().map(_.toSeq).toSet
+    assert(re === rows.map(_.toSeq).toSet)
+  }
+
   test("semanticDedup: same-cell near-dups collapse to the min id; distinct vectors keep") {
     val s = spark; import s.implicits._
     // two tight groups far apart: ids 0-2 identical-ish (cosine ~1),

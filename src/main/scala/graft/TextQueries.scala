@@ -2070,6 +2070,40 @@ object TextQueries {
        |SELECT doc_id, canonical_url, n_copies FROM i
        |WHERE canonical_url NOT IN (SELECT canonical_url FROM c WHERE doc_id < 250)""".stripMargin
 
+  /** STREAMING twin of `inc_url_dedup`, graded against the SAME oracle:
+    * the frontier half's (doc_id, url) rows arrive as ONE micro-batch
+    * through `EventsStream.urlDedupStream` against the crawled half's
+    * pre-reduced canonical-key state. Within-batch keep-first matches the
+    * batch operator exactly under the single-batch feed; the multi-batch
+    * at-least-once case is EventsStreamSpec's. The collect feeding the
+    * MemoryStream is bounded by the frontier batch.
+    */
+  private val urlDedupStreamQ: Q = (s, d) => {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val u = urlFixture(s, d)
+    val feed = u.filter(col("doc_id") >= 250).select("doc_id", "url")
+      .collect().toSeq.map(r => (r.getAs[Long](0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("url-dedup-stream").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = graft.streaming.EventsStream.urlDedupStream(
+      mem.toDF().toDF("doc_id", "url"),
+      u.filter(col("doc_id") < 250).select("doc_id", "url"), ckpt) { fresh =>
+      buf.synchronized { schema = fresh.schema; buf ++= fresh.collect() }
+    }
+    try { mem.addData(feed); q.processAllAvailable() } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(ckpt))
+    }
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
+  }
+
   /** REAL audio decode: `syntheticAudio` writes genuine RIFF/WAV PCM
     * (sample i = ((doc_id·31 + i·7) mod 65536) − 32768, n = 100 +
     * len(text) % 50) and `Multimodal.decodeAudio` parses it back with
@@ -2709,6 +2743,7 @@ object TextQueries {
     ("url_canonical", urlCanonicalQ, Some(urlCanonicalSql)),
     ("url_dedup", urlDedupQ, Some(urlDedupSql)),
     ("inc_url_dedup", incUrlDedup, Some(incUrlDedupSql)),
+    ("url_dedup_stream", urlDedupStreamQ, Some(incUrlDedupSql)),
     ("strip_boilerplate", stripBoiler, Some(stripBoilerSql)),
     ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),

@@ -340,11 +340,24 @@ object Dedup {
     */
   def urlDedupAgainstBaseline(incoming: DataFrame, baseline: DataFrame,
                               urlCol: String = "url",
-                              idCol: String = "doc_id"): DataFrame = {
-    val basKeys = baseline
-      .select(canonicalUrl(col(urlCol)).as("canonical_url")).distinct()
-    urlDedup(incoming, urlCol, idCol).join(basKeys, Seq("canonical_url"), "left_anti")
-  }
+                              idCol: String = "doc_id"): DataFrame =
+    urlDedupAgainstKeys(incoming,
+      baseline.select(canonicalUrl(col(urlCol)).as("canonical_url")).distinct(),
+      urlCol, idCol)
+
+  /** [[urlDedupAgainstBaseline]] over a PRE-REDUCED canonical-key state —
+    * the form a long-lived scheduler calls: the crawled set's DISTINCT
+    * canonical keys are computed (and persisted/bucketed) once, and each
+    * frontier batch anti-joins the same state instead of re-reducing the
+    * baseline per batch (the fingerprint-layer discipline on urls).
+    */
+  def urlDedupAgainstKeys(incoming: DataFrame, canonicalKeys: DataFrame,
+                          urlCol: String = "url",
+                          idCol: String = "doc_id"): DataFrame =
+    urlDedup(incoming, urlCol, idCol)
+      .join(canonicalKeys.select(col("canonical_url")), Seq("canonical_url"), "left_anti")
+      // the USING join hoists its key first; pin the operator's contract
+      .select(col(idCol), col("canonical_url"), col("n_copies"))
 
   /** MinHash signatures as a PURE PROJECTION — one native pass computing
     * all k affine minima per row ([[graft.functions.MinHashSigExpr]]).

@@ -251,6 +251,33 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming URL dedup — the crawl scheduler's question asked the way
+    * it actually arrives: a STREAM of candidate (doc_id, url) rows,
+    * deduped within each micro-batch on the canonical key (keep-first)
+    * and anti-joined against the crawled set's pre-reduced DISTINCT
+    * canonical keys (`Dedup.urlDedupAgainstKeys` under a guard-persisted
+    * key state — computed once, read every batch). Within-batch keep-first
+    * matches the batch operator exactly when a canonical class arrives in
+    * one batch; classes split across batches each keep their own first
+    * (at-least-once frontier semantics — the downstream fetch layer's
+    * own url dedup is the idempotency backstop, as in every production
+    * crawler). Only (id, url) strings ride the stream.
+    */
+  def urlDedupStream(urls: DataFrame, baseline: DataFrame, checkpoint: String)
+                    (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val keys = graft.util.Caching.ensurePersisted(
+      baseline.select(
+        graft.functions.GraftFunctions.canonicalUrl(col("url")).as("canonical_url"))
+        .distinct())
+    urls.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.urlDedupAgainstKeys(batch.toDF(), keys))
+      }
+      .start()
+  }
+
   /** Streaming VIDEO near-dup — [[mediaNearDupStream]]'s shape on the
     * sketch state: a stream of (doc_id, sketch_hash) rows (the winnow
     * sketch is computed where the frames land — only 16-byte rows ride

@@ -462,6 +462,35 @@ class EventsStreamSpec extends SparkSpec {
     assert(buf.toSet == batchWant)
   }
 
+  test("urlDedupStream: per-class batch splits == batch twin; crawled aliases suppressed") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val crawled = Seq(
+      (1L, "https://a.example.com/x"),
+      (2L, "https://b.example.com/y?id=1")).toDF("doc_id", "url")
+    val frontier = Seq(
+      (10L, "HTTP://WWW.a.example.com/x/"),          // alias of crawled 1 -> suppressed
+      (11L, "https://c.example.com/z?utm_source=t"), // fresh class...
+      (12L, "https://c.example.com/z"),              // ...same class, keep-first 11
+      (13L, "https://b.example.com/y?id=2"))         // fresh (different real param)
+    val batchWant = graft.operators.Dedup.urlDedupAgainstBaseline(
+      frontier.toDF("doc_id", "url"), crawled).collect().map(_.toSeq).toSet
+    assert(batchWant.map(_.head) == Set(11L, 13L))
+
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("url-dedup-stream-spec").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = EventsStream.urlDedupStream(mem.toDF().toDF("doc_id", "url"), crawled, ckpt) {
+      fresh => buf.synchronized { buf ++= fresh.collect().map(_.toSeq) }
+    }
+    try {
+      // canonical classes kept whole per batch: {10}, {11, 12, 13}
+      mem.addData(frontier.take(1)); q.processAllAvailable()
+      mem.addData(frontier.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.toSet == batchWant)
+  }
+
   test("videoNearDupStream: per-video batch splits == batch twin when no sketch key nears the cap") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -443,6 +443,48 @@ object TextQueries {
       scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
   }
 
+  /** Held-out classifier evaluation: 80/10/10 split, train ONLY on the
+    * train split, score val∪test through the deploy-time scorer, emit
+    * per-split confusion counts + accuracy. The oracle builds the
+    * training chain over the train-split CTE, a SECOND feature chain
+    * (prefixed) over the held-out corpus, folds the trained w8 weights
+    * over it, and replays the midpoint tie (featureless doc → prob 0.5 →
+    * predicted) and the confusion aggregate.
+    */
+  private val classifierEval: Q = (s, d) =>
+    graft.operators.Classifier.evaluateHoldout(
+      docs(s, d), col("text").contains("customer"))
+
+  private lazy val classifierEvalSql = {
+    val splitCase =
+      s"""CASE WHEN ${h60("'split:' || doc_id")} % 1000000 < 800000 THEN 'train'
+         |     WHEN ${h60("'split:' || doc_id")} % 1000000 < 900000 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH sp AS (SELECT doc_id, $splitCase AS split FROM documents),
+       |trn AS (SELECT d.* FROM documents d JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+       |${classifierCtes(8, 1024, 1.0, 0.8, 1000000, "trn")},
+       |ho AS (SELECT d.*, sp.split FROM documents d JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
+       |${featureCtes(1024, "ho", "ho")},
+       |hsc AS (SELECT hofb.doc_id, CAST(sum(hofb.cnt * w8.w) AS BIGINT) AS sm
+       |        FROM hofb JOIN w8 USING (b) GROUP BY 1),
+       |sc3 AS (SELECT h.doc_id, h.split,
+       |          CAST(coalesce(honfr.nf, 0) AS BIGINT) AS n_feats,
+       |          CAST(coalesce(hsc.sm, 0) AS BIGINT) AS score_micro,
+       |          CASE WHEN h.text LIKE '%customer%' THEN 1 ELSE 0 END AS y
+       |        FROM ho h LEFT JOIN honfr USING (doc_id) LEFT JOIN hsc USING (doc_id)),
+       |pr AS (SELECT split, y,
+       |         round(1.0 / (1.0 + exp(-(score_micro / 1000000.0 / greatest(n_feats, 1)))), 6) >= 0.5 AS predicted
+       |       FROM sc3),
+       |cf AS (SELECT split, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN predicted AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN predicted AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN NOT predicted AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |         CAST(sum(CASE WHEN NOT predicted AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |       FROM pr GROUP BY 1)
+       |SELECT split, n, tp, fp, tn, fn,
+       |  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy FROM cf""".stripMargin
+  }
+
   /** The oracle UNROLLS the eight preconditioned gradient steps as
     * generated CTE layers (s/g/r/w per iteration) — an independent
     * restatement of the training loop in pure SQL against the same
@@ -454,17 +496,26 @@ object TextQueries {
     * oracles (curation_pipeline_v2) can train on a CTE-defined corpus —
     * `classifierSql` wraps it for the standalone rows.
     */
+  /** The hashed unigram∪bigram feature chain alone
+    * (`{pfx}hl` → `{pfx}fb`, with `{pfx}nfr` per-doc totals),
+    * source- and prefix-parameterized so the evaluation oracle can
+    * build a SECOND chain over the held-out corpus next to the training
+    * chain.
+    */
+  private def featureCtes(B: Int, from: String, pfx: String = ""): String =
+    s"""${pfx}hl AS MATERIALIZED (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM $from),
+       |${pfx}f0 AS MATERIALIZED (SELECT doc_id,
+       |         unnest(list_concat(${rolledGramList("hs", 1)}, ${rolledGramList("hs", 2)})) % $B AS b
+       |       FROM ${pfx}hl),
+       |${pfx}fc AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM ${pfx}f0 GROUP BY 1, 2),
+       |${pfx}nfr AS MATERIALIZED (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nf FROM ${pfx}fc GROUP BY 1),
+       |${pfx}fb AS MATERIALIZED (SELECT doc_id, b, cnt FROM ${pfx}fc
+       |       UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS b, nf AS cnt FROM ${pfx}nfr)""".stripMargin
+
   private def classifierCtes(iters: Int, B: Int, lr: Double, decay: Double,
                              batchPpm: Int, from: String = "documents"): String = {
     val head =
-      s"""hl AS MATERIALIZED (SELECT doc_id, ${hashList(toks(norm("text")))} AS hs FROM $from),
-         |f0 AS MATERIALIZED (SELECT doc_id,
-         |         unnest(list_concat(${rolledGramList("hs", 1)}, ${rolledGramList("hs", 2)})) % $B AS b
-         |       FROM hl),
-         |fc AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM f0 GROUP BY 1, 2),
-         |nfr AS MATERIALIZED (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nf FROM fc GROUP BY 1),
-         |fb AS MATERIALIZED (SELECT doc_id, b, cnt FROM fc
-         |       UNION ALL SELECT doc_id, CAST($B AS BIGINT) AS b, nf AS cnt FROM nfr),
+      s"""${featureCtes(B, from)},
          |lb AS MATERIALIZED (SELECT doc_id, CASE WHEN text LIKE '%customer%' THEN 1 ELSE 0 END AS y FROM $from),
          |qn AS MATERIALIZED (SELECT b, CAST(sum(CAST(round(cnt * cnt * 1000000000.0 / nf / nf) AS BIGINT)) AS BIGINT) AS q
          |       FROM fb JOIN nfr USING (doc_id) GROUP BY 1),
@@ -2703,6 +2754,7 @@ object TextQueries {
     ("quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     ("quality_classifier_minibatch", qualityClassifierMb, Some(qualityClassifierMbSql)),
     ("classifier_stream", classifierStream, Some(qualityClassifierSql)),
+    ("classifier_eval", classifierEval, Some(classifierEvalSql)),
     ("unigram_logprob", unigramLp, Some(unigramLpSql)),
     ("bigram_logprob", bigramLp, Some(bigramLpSql)),
     ("ccnet_buckets", ccnetBucketsQ, Some(ccnetBucketsSql)),

@@ -293,6 +293,40 @@ object Classifier {
     * keeps per-bucket step scales honest. At 10⁶ the path is
     * bit-identical to full-batch training.
     */
+  /** Held-out evaluation — the step that tells a curation pipeline
+    * whether its trained gate is safe to deploy: assign the referentially
+    * stable split (`TextAnalysis.splitAssign`), train ONLY on the train
+    * split, score the held-out splits through the deploy-time
+    * [[scoreLogistic]] path, and emit per-split confusion counts plus
+    * accuracy. A featureless held-out document scores at the sigmoid
+    * midpoint and counts as predicted-positive (prob 0.5 ≥ 0.5) — the
+    * same tie the scorer itself ships. One row per held-out split;
+    * everything corpus-sized stays distributed (the confusion counts are
+    * one map-side-combined aggregate over (split, predicted, y)).
+    */
+  def evaluateHoldout(docs: DataFrame, label: Column,
+                      fractions: Seq[(String, Double)] =
+                        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                      iters: Int = 8, buckets: Int = 1024,
+                      lr: Double = 1.0, decay: Double = 0.8,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val split = TextAnalysis.splitAssign(docs, fractions, idCol)
+    val trainName = fractions.head._1
+    val w = trainLogistic(split.filter(col("split") === trainName), label,
+      iters, buckets, lr, decay, idCol, textCol)
+    val heldout = split.filter(col("split") =!= trainName)
+    scoreLogistic(heldout, w, idCol, textCol)
+      .join(heldout.select(col(idCol), col("split"), label.cast("long").as("__y")), Seq(idCol))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") && col("__y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("predicted") && col("__y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("predicted") && col("__y") === 0L, 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("predicted") && col("__y") === 1L, 1L).otherwise(0L)).as("fn"))
+      .withColumn("accuracy",
+        round((col("tp") + col("tn")).cast("double") / col("n"), 6))
+  }
+
   def trainScoreLogistic(docs: DataFrame, label: Column, iters: Int = 8,
                          buckets: Int = 1024, lr: Double = 1.0, decay: Double = 0.8,
                          idCol: String = "doc_id", textCol: String = "text",

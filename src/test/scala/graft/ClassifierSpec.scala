@@ -154,6 +154,26 @@ class ClassifierSpec extends SparkSpec {
     assert(got.getBoolean(4))        // 0.5 >= 0.5
   }
 
+  test("evaluateHoldout: counts come from held-out docs only and reconcile; train split never scored") {
+    val s = spark
+    val docs = sources.Tables.documents(s, "/root/testdata/sf0.001")
+    val fr = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val out = Classifier.evaluateHoldout(docs, col("text").contains("customer"),
+        fractions = fr, iters = 3, buckets = 256)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(out.keySet.subsetOf(Set("val", "test")) && out.nonEmpty)
+    val split = operators.TextAnalysis.splitAssign(docs, fr)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (sp, (n, tp, fp, tn, fn, acc)) =>
+      assert(n == split(sp), s"$sp: evaluated $n of ${split(sp)} docs")
+      assert(tp + fp + tn + fn == n)
+      assert(acc == BigDecimal((tp + tn).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("trainWeights emits the bucket-space table plus the intercept row") {
     val s = spark
     val w = Classifier.trainWeights(corpus(s), col("y") === 1L, iters = 3, buckets = 64)

@@ -282,9 +282,14 @@ object Classifier {
     * train+score pass builds the gram/count layer exactly once —
     * [[scoreLogistic]]'s independent feature build is the
     * deploy-time path for scoring a DIFFERENT corpus under trained
-    * weights. Outputs are identical (the features are deterministic);
-    * the final scored frame embeds the featsY lineage, so a consumer
-    * that materializes after release() recomputes, never miscounts.
+    * weights. Outputs are identical (the features are deterministic).
+    * The featsY registration is LEFT for LRU (the engine-wide layer
+    * discipline, not the training loop's acquire/release): the returned
+    * frame's plan still reads it when the CALLER materializes — an
+    * eager release here would force a full featsY recompute under the
+    * scoring pass — and repeat invocations over an equal corpus plan
+    * (bench passes, a retrained nightly gate) reuse the entry by
+    * canonical equality instead of rebuilding the feature layer.
     */
   /** `batchPpm` < 10⁶ trains on a per-iteration deterministic subsample
     * (seedless hash gate, rate-compensated by the exact 10⁶/batchPpm) —
@@ -332,24 +337,22 @@ object Classifier {
                          idCol: String = "doc_id", textCol: String = "text",
                          batchPpm: Int = 1000000): DataFrame = {
     val spark = docs.sparkSession
-    val (featsY, release) = acquireFeatsY(docs, label, buckets, idCol, textCol)
-    try {
-      val w = trainOn(featsY, iters, buckets, lr, decay, idCol, batchPpm)
-      val wDf = broadcast(spark.createDataFrame(
-        w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) })
-        .toDF("b", "__w"))
-      val perDoc = featsY.join(wDf, Seq("b"))
-        .groupBy(col(idCol))
-        .agg(sum(col("cnt") * col("__w")).as("__sm"),
-          first(col("n_feats")).as("n_feats"))
-      val z = col("score_micro").cast("double") / lit(1000000.0) /
-        greatest(col("n_feats"), lit(1L))
-      docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-        .select(col(idCol),
-          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-          coalesce(col("__sm"), lit(0L)).as("score_micro"))
-        .withColumn("prob6", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
-        .withColumn("predicted", col("prob6") >= lit(0.5))
-    } finally release()
+    val (featsY, _) = acquireFeatsY(docs, label, buckets, idCol, textCol)
+    val w = trainOn(featsY, iters, buckets, lr, decay, idCol, batchPpm)
+    val wDf = broadcast(spark.createDataFrame(
+      w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) })
+      .toDF("b", "__w"))
+    val perDoc = featsY.join(wDf, Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("__w")).as("__sm"),
+        first(col("n_feats")).as("n_feats"))
+    val z = col("score_micro").cast("double") / lit(1000000.0) /
+      greatest(col("n_feats"), lit(1L))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("__sm"), lit(0L)).as("score_micro"))
+      .withColumn("prob6", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+      .withColumn("predicted", col("prob6") >= lit(0.5))
   }
 }

@@ -589,7 +589,53 @@ object ExtQueries {
       |  CAST(((bin + 1) * 60000000) // 20 AS BIGINT) AS hi_edge
       |FROM b GROUP BY bin""".stripMargin
 
+  // -- link-graph centrality (PageRank over a synthetic URL graph) ---------
+  /** PageRank over a deterministic synthetic link graph — node `d` links
+    * to `(7d+1)`, `(13d+2)`, `(31d+3)` mod N, self-loops dropped,
+    * parallel edges deduped — the Common-Crawl-style centrality prior a
+    * web-curation stack weights documents by. `Graph.pageRank`'s
+    * all-integer contract (micro-unit ranks, HALF_UP contributions,
+    * exact long sums) lets the oracle unroll the five damped power
+    * iterations in pure SQL, the classifier-oracle pattern.
+    */
+  private val pageRankQ: Q = (s, d) => {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val n = nodes.count()
+    val e0 = Seq((7L, 1L), (13L, 2L), (31L, 3L)).map { case (a, b) =>
+      nodes.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * a + b, lit(n)).as("dst"))
+    }.reduce(_ unionByName _)
+    graft.operators.Graph.pageRank(nodes,
+      e0.filter(col("src") =!= col("dst")).distinct())
+  }
+
+  private val pageRankSql = {
+    val iters = 5
+    val dmp = 850000L
+    val head =
+      s"""nodes AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst FROM nodes
+         |       UNION ALL SELECT doc_id, (doc_id * 13 + 2) % (SELECT n FROM nn) FROM nodes
+         |       UNION ALL SELECT doc_id, (doc_id * 31 + 3) % (SELECT n FROM nn) FROM nodes),
+         |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+         |pbase AS (SELECT CAST(round((1000000.0 - $dmp) / n) AS BIGINT) AS b FROM nn),
+         |r0 AS (SELECT doc_id, CAST(round(1000000.0 / (SELECT n FROM nn)) AS BIGINT) AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst, CAST(sum(CAST(round(CAST(r.r AS DOUBLE) / od.outdeg) AS BIGINT)) AS BIGINT) AS s
+         |       FROM edges e JOIN r${i - 1} r ON e.src = r.doc_id JOIN od ON od.src = e.src GROUP BY 1),
+         |r$i AS (SELECT nodes.doc_id,
+         |         (SELECT b FROM pbase) + CAST(round($dmp.0 * coalesce(c$i.s, 0) / 1000000.0) AS BIGINT) AS r
+         |       FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$steps
+       |SELECT doc_id, r AS rank_micro, round(r / 1000000.0, 6) AS rank FROM r$iters""".stripMargin
+  }
+
   val registry: Vector[(String, Q, Option[String])] = Vector(
+    ("pagerank", pageRankQ, Some(pageRankSql)),
     ("asof_join", asofJoin, Some(asofJoinSql)),
     ("key_skew", keySkewQ, Some(keySkewSql)),
     ("histogram", histogramQ, Some(histogramSql)),

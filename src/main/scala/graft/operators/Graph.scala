@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality — the web-corpus curation signal the per-document
+  * operators cannot see: a page's quality prior comes from its position in
+  * the URL graph (Common Crawl publishes harmonic centrality for exactly
+  * this use; PageRank is the classic form), and a 100 TB crawl curation
+  * stack weights or gates documents by it alongside the content scores.
+  *
+  * Determinism contract (the classifier/unigram rule — no float ever sums
+  * across rows): ranks live in MICRO units (`long`, initial mass
+  * `round(10⁶/N)` per node); a node's per-edge contribution is the
+  * HALF_UP-rounded long `round(rank/outdeg)`; the per-node inbound total
+  * is an exact long sum; and the update
+  * `round((10⁶−d)/N) + round(d·Σ/10⁶)` is per-node scalar arithmetic —
+  * so the whole iteration is bit-identical across partitionings, engines,
+  * and runs, and the oracle unrolls it in pure SQL.
+  *
+  * Semantics: fixed `iters` damped power iterations; a DANGLING node
+  * (no out-edges) contributes nothing — its mass leaks, one of the two
+  * standard conventions (redistribution is the other) and the one that
+  * keeps every step a pure edge join; nodes without in-edges settle at
+  * the teleport floor `(10⁶−d)/N`.
+  *
+  * Shape at 100 TB (per iteration): out-degrees are computed ONCE and
+  * live with the edge list; the iteration is one equi join
+  * (ranks ⨝ edges on src — co-partitioned by bucketing the edge list on
+  * src, the layout a link graph is stored in anyway) plus one map-side-
+  * combined sum keyed by dst, then a left join back to the node spine.
+  * Every round ends in `localCheckpoint`: the lineage cut that keeps
+  * round k's plan constant-size instead of k-fold nested (the
+  * `dedupClusters` rule; swap reliable `checkpoint` for executor-loss
+  * recovery). Driver traffic per round is ZERO — no collect; the loop is
+  * driver-SCHEDULED but executor-resident, the GraphX pregel shape.
+  */
+object Graph {
+
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+               dampingPpm: Long = 850000L, idCol: String = "doc_id"): DataFrame = {
+    require(iters >= 1, "need at least one power iteration")
+    require(dampingPpm >= 0L && dampingPpm <= 1000000L, "dampingPpm is parts-per-million")
+    val spine = nodes.select(col(idCol)).distinct()
+    val n = spine.count()
+    require(n > 0, "empty node set")
+    // out-degrees ride the edge list — computed once, reused every round
+    val ed = graft.util.Caching.ensurePersisted(
+      edges.select(col("src"), col("dst"))
+        .join(edges.groupBy(col("src").as("__s")).agg(count(lit(1)).as("outdeg")),
+          col("src") === col("__s"))
+        .select(col("src"), col("dst"), col("outdeg")))
+    val baseMicro = math.round((1000000L - dampingPpm).toDouble / n) // HALF_UP: args positive
+    var ranks = spine
+      .withColumn("r", lit(math.round(1000000.0 / n)))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inbound = ed
+        .join(ranks.select(col(idCol).as("src"), col("r")), Seq("src"))
+        .select(col("dst"),
+          round(col("r").cast("double") / col("outdeg"), 0).cast("long").as("__c"))
+        .groupBy(col("dst")).agg(sum("__c").as("__s"))
+      ranks = spine
+        .join(inbound.select(col("dst").as(idCol), col("__s")), Seq(idCol), "left")
+        .select(col(idCol),
+          (lit(baseMicro) +
+            round(lit(dampingPpm.toDouble) * coalesce(col("__s"), lit(0L)) / lit(1000000.0), 0)
+              .cast("long")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col(idCol), col("r").as("rank_micro"),
+      round(col("r") / lit(1000000.0), 6).as("rank"))
+  }
+}

@@ -2218,9 +2218,18 @@ object TextQueries {
       (org.apache.spark.sql.DataFrame, () => Unit)]()
 
     def apply(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      // size-gated eviction of ONE entry — never the key being fetched
+      // (flushing the whole map forced a full corpus re-decode of hot
+      // layers, the heaviest work in the registry; a single cold evictee
+      // keeps the footprint bounded while concurrent readers of the other
+      // entries keep their registrations)
       if (memo.size > 16) {
         val it = memo.entrySet().iterator()
-        while (it.hasNext) { it.next().getValue._2(); it.remove() }
+        var evicted = false
+        while (!evicted && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != ((s, d))) { e.getValue._2(); it.remove(); evicted = true }
+        }
       }
       memo.computeIfAbsent((s, d), kv => graft.util.Caching.acquire(build(kv._1, kv._2)))._1
     }

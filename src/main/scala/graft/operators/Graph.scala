@@ -37,6 +37,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Drop the block-store registration behind an eagerly-localCheckpointed
+    * frame once a LATER checkpoint has severed its lineage. localCheckpoint
+    * persists at the RDD level — it never enters the CacheManager, so the
+    * Caching release discipline cannot reach it, and without this each loop
+    * round leaks one node-spine-sized registration for the session's
+    * lifetime. Safe exactly because LocalRDDCheckpointData replaces the
+    * materialized round's dependencies at doCheckpoint time: once round
+    * k+1 is materialized, nothing can re-read round k's blocks.
+    */
+  private def dropLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
                dampingPpm: Long = 850000L, idCol: String = "doc_id"): DataFrame = {
     require(iters >= 1, "need at least one power iteration")
@@ -44,8 +60,12 @@ object Graph {
     val spine = nodes.select(col(idCol)).distinct()
     val n = spine.count()
     require(n > 0, "empty node set")
-    // out-degrees ride the edge list — computed once, reused every round
-    val ed = graft.util.Caching.ensurePersisted(
+    // out-degrees ride the edge list — computed once, reused every round;
+    // ACQUIRED (not ensurePersisted) so the registration is released once
+    // the final ranks are checkpointed — a distinct edge frame per caller
+    // must not pin a session-lifetime cache entry (the trainLogistic
+    // acquire/release discipline)
+    val (ed, releaseEd) = graft.util.Caching.acquire(
       edges.select(col("src"), col("dst"))
         .join(edges.groupBy(col("src").as("__s")).agg(count(lit(1)).as("outdeg")),
           col("src") === col("__s"))
@@ -54,20 +74,24 @@ object Graph {
     var ranks = spine
       .withColumn("r", lit(math.round(1000000.0 / n)))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val inbound = ed
-        .join(ranks.select(col(idCol).as("src"), col("r")), Seq("src"))
-        .select(col("dst"),
-          round(col("r").cast("double") / col("outdeg"), 0).cast("long").as("__c"))
-        .groupBy(col("dst")).agg(sum("__c").as("__s"))
-      ranks = spine
-        .join(inbound.select(col("dst").as(idCol), col("__s")), Seq(idCol), "left")
-        .select(col(idCol),
-          (lit(baseMicro) +
-            round(lit(dampingPpm.toDouble) * coalesce(col("__s"), lit(0L)) / lit(1000000.0), 0)
-              .cast("long")).as("r"))
-        .localCheckpoint()
-    }
+    try {
+      for (_ <- 1 to iters) {
+        val prev = ranks
+        val inbound = ed
+          .join(ranks.select(col(idCol).as("src"), col("r")), Seq("src"))
+          .select(col("dst"),
+            round(col("r").cast("double") / col("outdeg"), 0).cast("long").as("__c"))
+          .groupBy(col("dst")).agg(sum("__c").as("__s"))
+        ranks = spine
+          .join(inbound.select(col("dst").as(idCol), col("__s")), Seq(idCol), "left")
+          .select(col(idCol),
+            (lit(baseMicro) +
+              round(lit(dampingPpm.toDouble) * coalesce(col("__s"), lit(0L)) / lit(1000000.0), 0)
+                .cast("long")).as("r"))
+          .localCheckpoint() // eager — prev's blocks are unreachable after this
+        dropLocalCheckpoint(prev)
+      }
+    } finally releaseEd() // final ranks are materialized; nothing re-reads ed
     ranks.select(col(idCol), col("r").as("rank_micro"),
       round(col("r") / lit(1000000.0), 6).as("rank"))
   }

@@ -887,7 +887,12 @@ object Multimodal {
           while (ok && off + 4 <= bytes.length) {
             val n = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
               ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-            if (n <= 0 || off + 4 + n > bytes.length) ok = false
+            // bound check in LONG arithmetic: a hostile prefix near
+            // Int.MaxValue overflows `off + 4 + n` to negative and would
+            // slip past an int guard into copyOfRange (to < from) —
+            // breaking the "malformed prefix stops the scan of THAT
+            // payload" contract for untrusted crawl bytes
+            if (n <= 0 || off.toLong + 4L + n > bytes.length) ok = false
             else {
               gridSamples(java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + n))
                 .foreach { case (_, _, s) => rows += Row(id, fno, dHashOf(s)) }

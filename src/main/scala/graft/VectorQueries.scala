@@ -191,14 +191,15 @@ object VectorQueries {
       Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 8),
       k = 5, dim = DIM, m = 4, ksub = 8, iters = 1, rerank = 32)
 
-  /** Mirrors the whole PQ path: per-subspace Lloyd round (the kmeansCtes
+  /** The PQ-ADC CTE chain shared by the pq_topk and ivfpq_topk oracles
+    * (`ev` → `apx` → `nrm`): per-subspace Lloyd round (the kmeansCtes
     * recipe on each quarter slice), nearest-sub-cell encode, per-(query,
     * neighbor, subspace) exact sub-dot partials summed in subspace order
     * (list_reduce over a j-ordered list replays the engine's zip_with +
-    * aggregate fold), approx cosine over stored norms, 32-deep shortlist,
-    * exact cosine rerank to top-5.
+    * aggregate fold), stored norms. Queries = vec_id < 8; m=4, ksub=8,
+    * one Lloyd round — the graded knobs of both rows.
     */
-  private val pqTopKSql = {
+  private lazy val pqAdcCtes: String = {
     val m = 4
     val ksub = 8
     val dsub = DIM / m
@@ -229,24 +230,68 @@ object VectorQueries {
     val parts = (0 until m)
       .map(j => s"SELECT query_id, neighbor_id, $j AS j, part FROM pj$j")
       .mkString("\n       UNION ALL ")
-    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |$subs,
        |parts AS ($parts),
        |apx AS (SELECT query_id, neighbor_id,
        |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(part ORDER BY j)), (acc, x) -> acc + x) AS adot
        |        FROM parts GROUP BY 1, 2),
-       |nrm AS (SELECT vec_id, sqrt(${norm2Sql("v")}) AS nm FROM ev),
-       |ap AS (SELECT a.query_id, a.neighbor_id, round(a.adot / (qn.nm * cn.nm), 6) AS ac
-       |       FROM apx a JOIN nrm qn ON qn.vec_id = a.query_id JOIN nrm cn ON cn.vec_id = a.neighbor_id
-       |       WHERE a.neighbor_id <> a.query_id),
-       |sl AS (SELECT query_id, neighbor_id FROM
+       |nrm AS (SELECT vec_id, sqrt(${norm2Sql("v")}) AS nm FROM ev)""".stripMargin
+  }
+
+  /** The shared shortlist-then-exact tail over an `ap(query_id,
+    * neighbor_id, ac)` approx-score CTE: 32-deep shortlist on (ac desc,
+    * id), exact cosine rerank to top-5 — both rankings with id
+    * tie-breaks, reading full vectors from `ev` only for the shortlist.
+    */
+  private lazy val pqRerankTail: String =
+    s"""sl AS (SELECT query_id, neighbor_id FROM
        |         (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ac DESC, neighbor_id) AS rn FROM ap)
        |       WHERE rn <= 32),
        |ex AS (SELECT sl.query_id, sl.neighbor_id, ${cosineSql("qv.v", "cv.v")} AS cosine
        |       FROM sl JOIN ev qv ON qv.vec_id = sl.query_id JOIN ev cv ON cv.vec_id = sl.neighbor_id),
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM ex)
        |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
-  }
+
+  /** Mirrors the whole PQ path: [[pqAdcCtes]] machinery, approx cosine
+    * over stored norms, then [[pqRerankTail]].
+    */
+  private lazy val pqTopKSql =
+    s"""WITH $pqAdcCtes,
+       |ap AS (SELECT a.query_id, a.neighbor_id, round(a.adot / (qn.nm * cn.nm), 6) AS ac
+       |       FROM apx a JOIN nrm qn ON qn.vec_id = a.query_id JOIN nrm cn ON cn.vec_id = a.neighbor_id
+       |       WHERE a.neighbor_id <> a.query_id),
+       |$pqRerankTail""".stripMargin
+
+  // -- IVF-PQ ANN (coarse cells bound the ADC scan) --------------------------
+  private val ivfPqTopK: Q = (s, d) =>
+    Similarity.ivfPqTopK(
+      Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      k = 5, dim = DIM, nCentroids = 16, nProbe = 4, m = 4, ksub = 8,
+      iters = 1, rerank = 32)
+
+  /** Mirrors the IVFADC composition: the kmeans CTE chain (k=16, one Lloyd
+    * round — the coarse quantizer) assigns every vector a cell (`fin`
+    * rn=1) and gives each query its 4 nearest cells (`fin` rn<=4, the
+    * NearestCellsExpr (dist, cell) order); `cand` is the inverted-file
+    * restriction — (query, neighbor) pairs whose cell is probed; the
+    * [[pqAdcCtes]] machinery scores exactly those pairs, then
+    * [[pqRerankTail]]. Full-probe (rn <= 16) would reduce `cand` to all
+    * pairs and this query to the pq_topk oracle — the identity the engine
+    * spec asserts.
+    */
+  private lazy val ivfPqTopKSql =
+    s"""WITH ${kmeansCtes(16)},
+       |asg AS (SELECT vec_id, cell FROM fin WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS query_id, cell FROM fin WHERE vec_id < 8 AND rn <= 4),
+       |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id
+       |         FROM qprobe qp JOIN asg a USING (cell) WHERE a.vec_id <> qp.query_id),
+       |$pqAdcCtes,
+       |ap AS (SELECT a.query_id, a.neighbor_id, round(a.adot / (qn.nm * cn.nm), 6) AS ac
+       |       FROM apx a JOIN cand USING (query_id, neighbor_id)
+       |       JOIN nrm qn ON qn.vec_id = a.query_id JOIN nrm cn ON cn.vec_id = a.neighbor_id),
+       |$pqRerankTail""".stripMargin
 
   // -- random-projection ANN (JL shortlist + exact rerank) -----------------
   private val rpTopK: Q = (s, d) =>
@@ -385,6 +430,7 @@ object VectorQueries {
     ("semantic_dedup", semantic, Some(semanticSql)),
     ("quantized_topk", quantizedTopK, Some(quantizedTopKSql)),
     ("pq_topk", pqTopK, Some(pqTopKSql)),
+    ("ivfpq_topk", ivfPqTopK, Some(ivfPqTopKSql)),
     ("rp_topk", rpTopK, Some(rpTopKSql)),
     ("class_centroids", centroids, Some(centroidsSql)),
   )

@@ -455,6 +455,16 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(approxDot / (col("q_norm") * col("c_norm")), 6))
     val sl = rankTopK(approx, rerank).select("query_id", "neighbor_id")
+    exactRerank(corpus, queries, sl, k, idCol, vecCol)
+  }
+
+  /** Shared exact-rerank tail (pqTopK / ivfPqTopK): re-score a
+    * (query_id, neighbor_id) shortlist with full-width cosines and rank to
+    * top-k — the only rows that ever touch float32 vectors, broadcast-
+    * joined so the corpus is scanned, never shuffled.
+    */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame, sl: DataFrame, k: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val cV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", VectorOps.norm(col("c_vec")))
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -463,6 +473,75 @@ object Similarity {
       .withColumn("cosine",
         round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
     rankTopK(sc, k)
+  }
+
+  /** IVF-PQ ANN — the FAISS IVFADC composition of the two halves above:
+    * [[ivfTopK]]'s coarse cells bound WHICH codes a query scans, and
+    * [[pqTopK]]'s asymmetric distance computation bounds what scanning one
+    * code COSTS — the production layout for billion-vector corpora, where
+    * neither "touch every code" (pqTopK) nor "full-width floats inside the
+    * probed cells" (ivfTopK) survives.
+    *
+    * Index side, built once: a [[kmeansCodebook]]-refined coarse quantizer
+    * assigns every vector a cell id, and `m` independent `ksub`-cell
+    * sub-codebooks (the pqTopK recipe) encode it as m sub-cell ids plus
+    * its stored norm — the long-lived 100 TB artifact is
+    * (cell, m codes, norm) per vector, never floats. The sub-codebooks
+    * train on the RAW vectors, not per-cell residuals, so a code means the
+    * same thing in every cell and probing ALL cells scores exactly the
+    * pqTopK candidate set (the spec anchor `nProbe = nCentroids ⇒ ≡ pqTopK`);
+    * the residual encoding (FAISS's default) refines only what a code
+    * reconstructs, not the plan shape.
+    *
+    * Query side: each query precomputes its m×ksub LUT of exact
+    * sub-dot-products (centroids are plan literals — the LUT is a
+    * projection on the broadcast side), probes its `nProbe` nearest coarse
+    * cells, and the ADC scan becomes a cell EQUI JOIN — a code row is
+    * scored only when its cell is probed, so the expected scan fraction is
+    * ~nProbe/nCentroids of the corpus, with each scored candidate costing
+    * m LUT lookups and zero float multiplies. A `rerank`-deep shortlist
+    * then re-scores exactly ([[exactRerank]]). Recall < 1 twice over
+    * (a true neighbor can live in an unprobed cell, or fall off the ADC
+    * shortlist); `nProbe` and `rerank` are the knobs. Determinism:
+    * id-ordered seeds + exact Lloyd sums both quantizers, nearest-cell
+    * ties to the lower id, both rankings on round(·, 6) with id
+    * tie-breaks — the whole path replays in the oracle.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 4, ksub: Int = 8, iters: Int = 1, rerank: Int = 32,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    require(rerank >= k, "rerank depth must be >= k")
+    require(nProbe >= 1 && nProbe <= nCentroids, "nProbe must be in [1, nCentroids]")
+    val dsub = dim / m
+    val vAsD = VectorOps.toDouble(col(vecCol))
+    def sub(j: Int): Column = slice(vAsD, j * dsub + 1, dsub)
+    val coarse = kmeansCodebook(corpus, nCentroids, iters, idCol, vecCol)
+    val cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map { j =>
+      kmeansCodebook(corpus.select(col(idCol), sub(j).as("__sv")), ksub, iters, idCol, "__sv")
+    }.toIndexedSeq
+    val codes = array((0 until m).map(j => assignStruct(cbs(j), sub(j)).getField("cell")): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), codes.as("codes"),
+      VectorOps.norm(vAsD).as("c_norm"),
+      toCol(NearestCellExpr(toExpr(vAsD), coarse)).getField("cell").as("cell"))
+    val luts = array((0 until m).map { j =>
+      array((0 until ksub).map(cc => VectorOps.dot(sub(j), typedlit(cbs(j)(cc)))): _*)
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), luts.as("luts"),
+      VectorOps.norm(vAsD).as("q_norm"),
+      explode(toCol(NearestCellsExpr(toExpr(vAsD), coarse, nProbe))).as("cell")))
+    val approxDot = aggregate(
+      zip_with(col("codes"), col("luts"), (cd, lt) => element_at(lt, cd.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    // the cell equi join IS the inverted file: it replaces pqTopK's
+    // corpus-wide ADC crossJoin, and a (query, candidate) pair can match at
+    // most once — the corpus side keeps ONE cell per row
+    val approx = c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(approxDot / (col("q_norm") * col("c_norm")), 6))
+    val sl = rankTopK(approx, rerank).select("query_id", "neighbor_id")
+    exactRerank(corpus, queries, sl, k, idCol, vecCol)
   }
 
   /** SemDeDup-style semantic deduplication: cluster the embedding space

@@ -58,6 +58,27 @@ object AnnProps extends Properties("Ann") {
       got == want
     }
 
+  /** Recall pinned at the exact setting: with every cell probed AND a
+    * corpus-deep rerank, IVF-PQ can drop no true neighbor — its output
+    * must equal the brute-force baseline row-for-row (which the property
+    * below pins engine-free). Any loss of a neighbor from an unprobed
+    * cell or a short shortlist would break the equality.
+    */
+  property("ivfPqTopK at full probe + corpus rerank == brute force") =
+    forAllNoShrink(vecsGen.suchThat(_.head.length % 2 == 0), Gen.choose(1, 3)) { (vecs, k) =>
+      val s = spark; import s.implicits._
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val corpus = rows.toDF("vec_id", "embedding")
+      val queries = rows.take(math.min(3, rows.size)).toDF("vec_id", "embedding")
+      val dim = vecs.head.length
+      val got = Similarity.ivfPqTopK(corpus, queries, k, dim,
+          nCentroids = 4, nProbe = 4, m = 2, ksub = 4, iters = 1, rerank = rows.size)
+        .collect().map(_.toSeq).toSet
+      val want = Similarity.bruteForceTopKAgg(corpus, queries, k)
+        .collect().map(_.toSeq).toSet
+      got == want
+    }
+
   property("bruteForceTopKAgg == driver-side cosine ranking") =
     forAllNoShrink(vecsGen, Gen.choose(1, 5)) { (vecs, k) =>
       val s = spark; import s.implicits._

@@ -240,6 +240,43 @@ class SimilaritySpec extends SparkSpec {
     assert(re === rows.map(_.toSeq).toSet)
   }
 
+  test("ivfPqTopK: full probe == pqTopK; shallow probe reranks exactly; partition-invariant") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 4)
+    // nProbe = nCentroids: every cell is probed, so the ADC candidate set
+    // (and the shortlist, and the rerank) is exactly pqTopK's — the
+    // raw-vector sub-codebooks make codes cell-independent by construction
+    val fullProbe = Similarity.ivfPqTopK(emb, q, k = 5, dim = 64,
+      nCentroids = 8, nProbe = 8, rerank = 16)
+      .collect().map(_.toSeq).toSet
+    val pq = Similarity.pqTopK(emb, q, k = 5, dim = 64, rerank = 16)
+      .collect().map(_.toSeq).toSet
+    assert(fullProbe === pq)
+    // shallow probe: every returned cosine is an EXACT cosine (stage 2
+    // re-scores full-width), ranks are dense 1..5 per query
+    val shallow = Similarity.ivfPqTopK(emb, q, k = 5, dim = 64,
+      nCentroids = 8, nProbe = 3, rerank = 16)
+    val rows = shallow.collect()
+    assert(rows.length === 4 * 5)
+    val exactAll = Similarity.bruteForceTopK(emb, q, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) === exactAll((r.getLong(0), r.getLong(2))), s"not an exact score: $r")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 5L))
+    }
+    // deterministic: id-ordered seeds + exact Lloyd sums both quantizers,
+    // total-order ranking — a repartitioned corpus gives identical rows
+    val re = Similarity.ivfPqTopK(emb.repartition(7), q, k = 5, dim = 64,
+      nCentroids = 8, nProbe = 3, rerank = 16)
+      .collect().map(_.toSeq).toSet
+    assert(re === rows.map(_.toSeq).toSet)
+    // the inverted file prunes candidates: the probed ADC scan scores a
+    // strict subset of full probe's pairs — and never via a cartesian
+    assert(!shallow.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("semanticDedup: same-cell near-dups collapse to the min id; distinct vectors keep") {
     val s = spark; import s.implicits._
     // two tight groups far apart: ids 0-2 identical-ish (cosine ~1),

@@ -787,6 +787,104 @@ object TextQueries {
        |       ELSE 'test' END AS split
        |FROM win JOIN d4 USING (doc_id)""".stripMargin
 
+  /** The v3 pass (`CurationPipeline.runV3`): v2 plus the link-graph
+    * centrality prior. The prior is `Graph.pageRank` over a SKEWED
+    * synthetic link graph — every doc links to `(7d+1) mod N`, and docs
+    * with `d % 3 == 0` also link to `(13d+2) mod N` (the pagerank row's
+    * 3-bijection graph is 3-regular at the fixture sizes, so its ranks
+    * are exactly uniform and any constant gate would be vacuous; the
+    * 1-or-2-out-degree graph spreads ranks ~9×). The gate drops docs
+    * below `round(1.05 × 10⁶/N)` — a +5% centrality bar that binds at
+    * every graded sf (keeps ~43% of ids; CurationPipelineSpec pins both
+    * sides non-empty) — BEFORE any content stage, on the url-survivor
+    * spine. The oracle composes the pagerank unrolled-iteration CTEs
+    * into the v2 mirror verbatim (only `d2` gains the rank join) and the
+    * surviving rank rides to the output.
+    */
+  private val curationV3: Q = (s, d) => {
+    val u = urlFixture(s, d)
+    val nodes = u.select(col("doc_id"))
+    val n = nodes.count()
+    val e0 = nodes.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
+      .unionByName(nodes.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+        .select(col("doc_id").as("src"), pmod(col("doc_id") * 13 + 2, lit(n)).as("dst")))
+    val prior = graft.operators.Graph.pageRank(nodes,
+      e0.filter(col("src") =!= col("dst")).distinct())
+    graft.pipeline.CurationPipeline.runV3(
+      u, col("text").contains("customer"),
+      prior.select(col("doc_id"), col("rank_micro")),
+      minRankMicro = math.round(1050000.0 / n), iters = 4)
+  }
+
+  /** The skewed-graph PageRank CTE chain for the v3 oracle (`nn` … `pg5`):
+    * the pagerank row's unrolled damped power iterations (micro-unit
+    * longs, HALF_UP per-edge contributions, exact sums) over the 1-or-2
+    * out-degree edge set the v3 query builds. Rank CTEs are `pg$i` (not
+    * the pagerank row's `r$i` — classifierCtes already claims r1..rN in
+    * the composed WITH clause).
+    */
+  private lazy val v3RankCtes: String = {
+    val iters = 5
+    val dmp = 850000L
+    val head =
+      s"""nn AS (SELECT count(*) AS n FROM documents),
+         |pge0 AS (SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst FROM documents
+         |       UNION ALL SELECT doc_id, (doc_id * 13 + 2) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0),
+         |pgedges AS (SELECT DISTINCT src, dst FROM pge0 WHERE src <> dst),
+         |pgod AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM pgedges GROUP BY 1),
+         |pgbase AS (SELECT CAST(round((1000000.0 - $dmp) / n) AS BIGINT) AS b FROM nn),
+         |pg0 AS (SELECT doc_id, CAST(round(1000000.0 / (SELECT n FROM nn)) AS BIGINT) AS r FROM documents)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pgc$i AS (SELECT e.dst, CAST(sum(CAST(round(CAST(r.r AS DOUBLE) / od.outdeg) AS BIGINT)) AS BIGINT) AS s
+         |       FROM pgedges e JOIN pg${i - 1} r ON e.src = r.doc_id JOIN pgod od ON od.src = e.src GROUP BY 1),
+         |pg$i AS (SELECT dd.doc_id,
+         |         (SELECT b FROM pgbase) + CAST(round($dmp.0 * coalesce(pgc$i.s, 0) / 1000000.0) AS BIGINT) AS r
+         |       FROM documents dd LEFT JOIN pgc$i ON pgc$i.dst = dd.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$steps"
+  }
+
+  private lazy val curationV3Sql =
+    s"""WITH RECURSIVE $urlCtes,
+       |us AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canonical_url),
+       |$v3RankCtes,
+       |rk AS (SELECT doc_id, r AS rank_micro FROM pg5),
+       |thr AS (SELECT CAST(round(1050000.0 / n) AS BIGINT) AS t FROM nn),
+       |d2 AS (SELECT dd.* FROM documents dd JOIN us USING (doc_id)
+       |       JOIN rk ON rk.doc_id = dd.doc_id WHERE rk.rank_micro >= (SELECT t FROM thr)),
+       |${langCtesFrom("d2", "lg")},
+       |lid AS (SELECT doc_id, $langCase AS pred_lang FROM lgb),
+       |${classifierCtes(4, 1024, 1.0, 0.8, 1000000, "d2")},
+       |scp AS (SELECT doc_id, $prob6Expr AS prob6 FROM sc2),
+       |kept AS (SELECT d2.doc_id, d2.text, d2.lang, lid.pred_lang, d2.source, scp.prob6
+       |         FROM d2 JOIN scp USING (doc_id) JOIN lid USING (doc_id)
+       |         WHERE scp.prob6 >= CAST(0.5 AS DOUBLE)),
+       |f AS (SELECT *, md5(${norm("text")}) AS fp FROM kept),
+       |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
+       |             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+       |d4 AS (SELECT doc_id, text, lang, pred_lang, source, prob6, n_copies FROM w WHERE rn = 1),
+       |${lshCtes(32, 8, 3, blockJoin = false, "d4", "x")},
+       |eg AS (SELECT id_a AS src, id_b AS dst FROM xv WHERE jaccard >= 0.3
+       |       UNION SELECT id_b, id_a FROM xv WHERE jaccard >= 0.3),
+       |reach(id, mlab) AS (
+       |  SELECT doc_id, doc_id FROM d4
+       |  UNION
+       |  SELECT eg.src, reach.mlab FROM eg JOIN reach ON eg.dst = reach.id),
+       |clusters AS (SELECT id AS doc_id, min(mlab) AS cluster_id FROM reach GROUP BY id),
+       |sel AS (SELECT cl.doc_id, cl.cluster_id,
+       |          count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+       |          row_number() OVER (PARTITION BY cl.cluster_id ORDER BY d4.prob6 DESC, cl.doc_id) AS rn2
+       |        FROM clusters cl JOIN d4 USING (doc_id)),
+       |win AS (SELECT doc_id, n_members FROM sel WHERE rn2 = 1)
+       |SELECT d4.doc_id, d4.lang, d4.pred_lang, d4.source, d4.prob6, d4.n_copies,
+       |  CAST(win.n_members AS BIGINT) AS n_members,
+       |  CASE WHEN ${h60("'split:' || d4.doc_id")} % 1000000 < 980000 THEN 'train'
+       |       WHEN ${h60("'split:' || d4.doc_id")} % 1000000 < 990000 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  rk.rank_micro
+       |FROM win JOIN d4 USING (doc_id) JOIN rk USING (doc_id)""".stripMargin
+
   // -- incremental dedup vs a baseline corpus ------------------------------
   private val incrementalDedup: Q = (s, d) => {
     val all = docs(s, d)
@@ -2773,6 +2871,7 @@ object TextQueries {
     ("exact_dedup", exactDedup, Some(exactDedupSql)),
     ("curation_pipeline", curation, Some(curationSql)),
     ("curation_pipeline_v2", curationV2, Some(curationV2Sql)),
+    ("curation_pipeline_v3", curationV3, Some(curationV3Sql)),
     ("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     ("incremental_dedup_bloom", incrementalDedupBloom, Some(incrementalDedupSql)),
     // short registry name: every name rides the bench's 2 KB tail line,

@@ -92,8 +92,57 @@ object CurationPipeline {
             decay: Double = 0.8, k: Int = 32, bands: Int = 8,
             threshold: Double = 0.3, shingleN: Int = 3,
             idCol: String = "doc_id", textCol: String = "text",
-            urlCol: String = "url"): DataFrame = {
-    val urlSurvivors = Dedup.urlDedup(docs, urlCol, idCol).select(col(idCol))
+            urlCol: String = "url"): DataFrame =
+    runImpl(docs, label, None, 0L, minProb, iters, buckets, lr, decay,
+      k, bands, threshold, shingleN, idCol, textCol, urlCol)
+
+  /** The v3 corpus pass: v2 plus a LINK-GRAPH CENTRALITY PRIOR — the
+    * signal the per-document stages cannot see (`Graph.pageRank`'s
+    * scaladoc cites the Common-Crawl-centrality use). `rankPrior` is a
+    * (id, rank_micro) frame — typically `Graph.pageRank` over the crawl's
+    * URL graph — and documents below `minRankMicro` are dropped at the
+    * URL-SURVIVOR SPINE, before any content stage runs: centrality is a
+    * graph property known before a byte of body text is fetched, so the
+    * gate belongs with URL dedup on the pre-content side, where it
+    * shrinks the corpus every later stage (lang ID, classifier training,
+    * both dedups) scans. The join is id-keyed and text-free by
+    * construction (spine and prior are id + long columns only —
+    * plan-asserted in PlanSpec), and the surviving rank rides to the
+    * output as `rank_micro` via one id-keyed join on the (small) final
+    * survivor set.
+    */
+  def runV3(docs: DataFrame, label: Column, rankPrior: DataFrame,
+            minRankMicro: Long, minProb: Double = 0.5,
+            iters: Int = 8, buckets: Int = 1024, lr: Double = 1.0,
+            decay: Double = 0.8, k: Int = 32, bands: Int = 8,
+            threshold: Double = 0.3, shingleN: Int = 3,
+            idCol: String = "doc_id", textCol: String = "text",
+            urlCol: String = "url"): DataFrame =
+    runImpl(docs, label, Some(rankPrior), minRankMicro, minProb, iters, buckets,
+      lr, decay, k, bands, threshold, shingleN, idCol, textCol, urlCol)
+
+  private def runImpl(docs: DataFrame, label: Column, rankPrior: Option[DataFrame],
+                      minRankMicro: Long, minProb: Double,
+                      iters: Int, buckets: Int, lr: Double,
+                      decay: Double, k: Int, bands: Int,
+                      threshold: Double, shingleN: Int,
+                      idCol: String, textCol: String,
+                      urlCol: String): DataFrame = {
+    val urlDeduped = Dedup.urlDedup(docs, urlCol, idCol).select(col(idCol))
+    // with a prior: the spine gains the centrality gate and a rank_micro
+    // payload, and is guard-persisted — it has TWO consumers (the corpus
+    // semi join and the final rank attach); without one, v2's single-
+    // consumer spine stays un-materialized inside the semi join's plan
+    val (urlSurvivors, attachRank) = rankPrior match {
+      case Some(rp) =>
+        val spine = graft.util.Caching.ensurePersisted(
+          urlDeduped.join(
+            rp.filter(col("rank_micro") >= lit(minRankMicro))
+              .select(col(idCol), col("rank_micro")), Seq(idCol)))
+        (spine.select(col(idCol)),
+          (out: DataFrame) => out.join(spine, Seq(idCol)))
+      case None => (urlDeduped, identity[DataFrame] _)
+    }
     // guard-persisted: the gated corpus has three whole-plan consumers
     // (the lang→gate chain, the classifier's gram-layer build, and the
     // scorer's id spine) — uncached, each re-runs the url aggregate and
@@ -126,8 +175,8 @@ object CurationPipeline {
     val survivors = best.select(col(idCol), col("n_members"))
       .join(deduped.select(col(idCol), col("lang"), col("pred_lang"),
         col("source"), col("prob6"), col("n_copies")), Seq(idCol))
-    TextAnalysis.splitAssign(survivors, idCol = idCol)
+    attachRank(TextAnalysis.splitAssign(survivors, idCol = idCol)
       .select(col(idCol), col("lang"), col("pred_lang"), col("source"),
-        col("prob6"), col("n_copies"), col("n_members"), col("split"))
+        col("prob6"), col("n_copies"), col("n_members"), col("split")))
   }
 }

@@ -46,27 +46,12 @@ class CurationPipelineSpec extends SparkSpec {
   }
 
   test("runV2: url aliases drop pre-content, exact dups collapse, near-dup cluster keeps best prob6") {
-    val s = spark; import s.implicits._
-    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
-      "lambda mu nu xi omicron pi rho sigma tau upsilon"
-    val docs = Seq(
-      // keeper: canonical url https://site.example.com/page
-      (0L, "customer story " + base, "en", "web", "https://site.example.com/page"),
-      // URL ALIAS of doc 0 with DIFFERENT text: if the url stage failed,
-      // this row would survive to the output under its own fingerprint —
-      // its absence isolates the pre-content gate
-      (1L, "customer duplicate crawl of the same page body", "en", "web",
-        "HTTP://WWW.site.example.com/page/?utm_source=x"),
-      // byte-identical to doc 0 under a fresh url: exact-dedup collapse
-      (2L, "customer story " + base, "en", "web", "https://other.example.com/a"),
-      // near-dup of doc 0 (one token changed): LSH cluster-collapse
-      (3L, "customer story " + base.replace("upsilon", "omega"), "en", "web",
-        "https://other.example.com/b"),
-      // out-of-domain doc: no label token
-      (4L, "boring unrelated filler words nothing here at all today okay fine", "en", "spam",
-        "https://other.example.com/c"))
-      .toDF("doc_id", "text", "lang", "source", "url")
-    val out = CurationPipeline.runV2(docs, col("text").contains("customer"), minProb = 0.0)
+    // fixture roles (v2Fixture): doc 0 the keeper; doc 1 a URL ALIAS of 0
+    // with different text (its absence isolates the pre-content gate);
+    // doc 2 byte-identical to 0 under a fresh url (exact-dedup collapse);
+    // doc 3 a near-dup of 0, one token changed (LSH cluster-collapse);
+    // doc 4 out-of-domain (no label token)
+    val out = CurationPipeline.runV2(v2Fixture, col("text").contains("customer"), minProb = 0.0)
       .collect().map(r => r.getLong(0) ->
         ((r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap // prob6, n_copies, n_members
     // doc 1 gone (url alias), doc 2 gone (exact dup), one of {0, 3} gone
@@ -81,6 +66,53 @@ class CurationPipelineSpec extends SparkSpec {
     // the trained gate orders in-domain above out-of-domain
     assert(survProb > out(4L)._1,
       s"classifier did not separate: $survProb vs ${out(4L)._1}")
+  }
+
+  private def v2Fixture = {
+    val s = spark; import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Seq(
+      (0L, "customer story " + base, "en", "web", "https://site.example.com/page"),
+      (1L, "customer duplicate crawl of the same page body", "en", "web",
+        "HTTP://WWW.site.example.com/page/?utm_source=x"),
+      (2L, "customer story " + base, "en", "web", "https://other.example.com/a"),
+      (3L, "customer story " + base.replace("upsilon", "omega"), "en", "web",
+        "https://other.example.com/b"),
+      (4L, "boring unrelated filler words nothing here at all today okay fine", "en", "spam",
+        "https://other.example.com/c"))
+      .toDF("doc_id", "text", "lang", "source", "url")
+  }
+
+  test("runV3: the centrality gate drops low-rank docs pre-content; rank rides to the output") {
+    val s = spark; import s.implicits._
+    val docs = v2Fixture
+    val label = col("text").contains("customer")
+    // doc 4 sits below the centrality bar: it must vanish from the output
+    // even though runV2 keeps it (the gate fires on the url-survivor
+    // spine, before any content stage sees the row)
+    val prior = Seq((0L, 5000L), (1L, 5000L), (2L, 5000L), (3L, 5000L), (4L, 100L))
+      .toDF("doc_id", "rank_micro")
+    val out = CurationPipeline.runV3(docs, label, prior,
+        minRankMicro = 1000L, minProb = 0.0).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("rank_micro")).toMap
+    assert(!out.contains(4L), s"low-rank doc survived the gate: ${out.keySet}")
+    assert(out.nonEmpty && out.values.forall(_ >= 1000L))
+    // the same structural survivors as runV2 minus doc 4: url alias 1 and
+    // exact dup 2 still collapse, one of the near-dup pair {0, 3} survives
+    assert(!out.contains(1L) && !out.contains(2L))
+    assert(Seq(0L, 3L).count(out.contains) == 1)
+    // an ALL-pass prior degenerates to runV2 plus the rank column: the
+    // gated corpus is identical, so the trained gate and every downstream
+    // stage reproduce v2 row-for-row
+    val allPass = Seq((0L, 5000L), (1L, 5000L), (2L, 5000L), (3L, 5000L), (4L, 5000L))
+      .toDF("doc_id", "rank_micro")
+    val v3 = CurationPipeline.runV3(docs, label, allPass,
+      minRankMicro = 1000L, minProb = 0.0)
+    val v2 = CurationPipeline.runV2(docs, label, minProb = 0.0)
+    assert(v3.drop("rank_micro").collect().map(_.toSeq).toSet ===
+      v2.collect().map(_.toSeq).toSet)
+    assert(v3.columns.contains("rank_micro"))
   }
 
   test("single shuffle: only the fingerprint aggregation exchanges") {

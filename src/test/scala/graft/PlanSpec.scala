@@ -167,6 +167,34 @@ class PlanSpec extends SparkSpec {
         s"document text rides a v2 shuffle: ${s.output.map(_.name)}")
   }
 
+  test("curation_pipeline_v3: the rank-prior join is id-keyed — no text on any exchange") {
+    // the centrality gate joins (doc_id) × (doc_id, rank_micro) on the
+    // url-survivor spine and the final attach joins the same spine back on
+    // the survivor ids — by construction neither side carries text, and
+    // nothing the prior adds may widen any exchange: assert the composed
+    // plan keeps every shuffle text-free and nothing leaks above the
+    // pipeline's lineage cut (the v2 invariants, preserved under v3)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val df = Queries.registry.collectFirst { case ("curation_pipeline_v3", q, _) => q }
+      .get(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && df.columns.contains("rank_micro"))
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(nodes.collect { case f: FileSourceScanExec => f }.isEmpty,
+      "a file scan leaked above the pipeline's lineage cut")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    for (s <- shuffles)
+      assert(!s.output.exists(_.name == "text"),
+        s"document text rides a v3 shuffle: ${s.output.map(_.name)}")
+  }
+
   test("quality_score stays one whole-stage-codegen span — no interpreted projection") {
     // The signal stage is the native QualitySignalsExpr (one pass over one
     // split) plus codegen'd regex counts; a CodegenFallback expression

@@ -449,7 +449,10 @@ object TextQueries {
     * training chain over the train-split CTE, a SECOND feature chain
     * (prefixed) over the held-out corpus, folds the trained w8 weights
     * over it, and replays the midpoint tie (featureless doc → prob 0.5 →
-    * predicted) and the confusion aggregate.
+    * predicted) and the confusion aggregate — plus the deploy-decision
+    * derivations (accuracy, precision, recall, f1), each one guarded
+    * division over the exact counts; `"precision"` is quoted because
+    * DuckDB reserves the bare word as a type keyword.
     */
   private val classifierEval: Q = (s, d) =>
     graft.operators.Classifier.evaluateHoldout(
@@ -482,7 +485,14 @@ object TextQueries {
        |         CAST(sum(CASE WHEN NOT predicted AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
        |       FROM pr GROUP BY 1)
        |SELECT split, n, tp, fp, tn, fn,
-       |  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy FROM cf""".stripMargin
+       |  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
+       |  CASE WHEN tp + fp = 0 THEN 0.0
+       |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS "precision",
+       |  CASE WHEN tp + fn = 0 THEN 0.0
+       |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+       |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+       |FROM cf""".stripMargin
   }
 
   /** The oracle UNROLLS the eight preconditioned gradient steps as

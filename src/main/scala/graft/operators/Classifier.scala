@@ -308,6 +308,16 @@ object Classifier {
     * same tie the scorer itself ships. One row per held-out split;
     * everything corpus-sized stays distributed (the confusion counts are
     * one map-side-combined aggregate over (split, predicted, y)).
+    *
+    * Beyond accuracy, the deploy-decision metrics: `precision`
+    * (tp/(tp+fp)), `recall` (tp/(tp+fn)) and `f1` — each ONE IEEE
+    * division over the exact long counts (f1 comes straight from the
+    * counts as 2·tp/(2·tp+fp+fn), NOT from the already-rounded
+    * precision/recall, so the rounding never compounds), rounded to the
+    * table's 6-decimal contract. A zero denominator (no predicted
+    * positives / no actual positives in a split) reports 0.0 — the
+    * conservative convention for a gate decision, mirrored in the
+    * oracle's CASE guards.
     */
   def evaluateHoldout(docs: DataFrame, label: Column,
                       fractions: Seq[(String, Double)] =
@@ -330,6 +340,16 @@ object Classifier {
         sum(when(!col("predicted") && col("__y") === 1L, 1L).otherwise(0L)).as("fn"))
       .withColumn("accuracy",
         round((col("tp") + col("tn")).cast("double") / col("n"), 6))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0L, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0L, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6)))
+      .withColumn("f1",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, lit(0.0))
+          .otherwise(round(lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")), 6)))
   }
 
   def trainScoreLogistic(docs: DataFrame, label: Column, iters: Int = 8,

@@ -161,16 +161,25 @@ class ClassifierSpec extends SparkSpec {
     val out = Classifier.evaluateHoldout(docs, col("text").contains("customer"),
         fractions = fr, iters = 3, buckets = 256)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          (r.getDouble(6), r.getDouble(7), r.getDouble(8), r.getDouble(9)))))
       .toMap
     assert(out.keySet.subsetOf(Set("val", "test")) && out.nonEmpty)
     val split = operators.TextAnalysis.splitAssign(docs, fr)
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    out.foreach { case (sp, (n, tp, fp, tn, fn, acc)) =>
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (sp, (n, tp, fp, tn, fn, (acc, prec, rec, f1))) =>
       assert(n == split(sp), s"$sp: evaluated $n of ${split(sp)} docs")
       assert(tp + fp + tn + fn == n)
-      assert(acc == BigDecimal((tp + tn).toDouble / n)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(acc == r6((tp + tn).toDouble / n))
+      // zero denominators report 0.0; f1 derives from the RAW counts, so
+      // it must sit between min and max of the unrounded P/R pair
+      assert(prec == (if (tp + fp == 0) 0.0 else r6(tp.toDouble / (tp + fp))))
+      assert(rec == (if (tp + fn == 0) 0.0 else r6(tp.toDouble / (tp + fn))))
+      assert(f1 == (if (2 * tp + fp + fn == 0) 0.0
+                    else r6(2.0 * tp / (2 * tp + fp + fn))))
+      if (tp > 0) assert(f1 >= math.min(prec, rec) - 1e-6 && f1 <= math.max(prec, rec) + 1e-6)
     }
   }
 

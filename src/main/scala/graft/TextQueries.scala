@@ -2263,6 +2263,101 @@ object TextQueries {
       scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
   }
 
+  // -- registrable domain (eTLD+1) + per-domain cap ------------------------
+  /** Domain fixture: seven host shapes per 7-doc group — a subdomained
+    * `.example.com` (classic two-label collapse), a `.co.uk` registrant
+    * (2-label public suffix), a `data.qld.gov.au` agency behind userinfo
+    * (3-label state-registrar suffix), an IPv4 literal, a `www.`-prefixed
+    * IDN registrable label (unicode host meeting its punycode stratum), a
+    * bare single-label host with a port, and a deep-subdomain `.com.au`
+    * FQDN with a trailing dot. Pure projection, replayed verbatim in the
+    * oracle CTE.
+    */
+  private def domainFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val g = (col("doc_id") / lit(7)).cast("long")
+    val k = pmod(g, lit(40)).cast("string")
+    val v = pmod(col("doc_id"), lit(7))
+    docs(s, d).withColumn("url",
+      when(v === 0, concat(lit("https://blog.site"), k, lit(".example.com/post/"),
+        g.cast("string")))
+        .when(v === 1, concat(lit("HTTP://site"), k, lit(".co.uk:8080/a?x=1")))
+        .when(v === 2, concat(lit("https://user:pw@data.qld.gov.au/x/"), g.cast("string")))
+        .when(v === 3, concat(lit("http://10."), pmod(g, lit(200)).cast("string"),
+          lit(".3.7/p")))
+        .when(v === 4, lit("https://www." + idnLabel + ".de/seite"))
+        .when(v === 5, lit("https://localhost:9090/"))
+        .otherwise(concat(lit("https://a.b.site"), k,
+          lit(".com.au./deep?utm_source=x#f"))))
+  }
+
+  /** The eTLD+1 selection replayed in SQL over the SAME compiled-in
+    * suffix core (`GraftFunctions.publicSuffixes2/3` interpolated as
+    * literals — one list, no drift), with the IDN hop embedded as the
+    * JDK-computed punycode literal, the `urlCtes` pattern. DuckDB list
+    * slices are 1-based-inclusive: `ls[n-1:]` is the last two labels.
+    * NOTE: stripMargin'd again after interpolation into the query SQLs —
+    * no line may start with whitespace + '|'.
+    */
+  private val domainCtes = {
+    val suf2 = graft.functions.GraftFunctions.publicSuffixes2
+      .map(x => s"'$x'").mkString(", ")
+    val suf3 = graft.functions.GraftFunctions.publicSuffixes3
+      .map(x => s"'$x'").mkString(", ")
+    s"""db AS (SELECT doc_id, 'site' || CAST((doc_id // 7) % 40 AS VARCHAR) AS sk,
+      |          CAST(doc_id // 7 AS VARCHAR) AS gs,
+      |          CAST((doc_id // 7) % 200 AS VARCHAR) AS ip2 FROM documents),
+      |du AS (SELECT doc_id, CASE doc_id % 7
+      |    WHEN 0 THEN 'https://blog.' || sk || '.example.com/post/' || gs
+      |    WHEN 1 THEN 'HTTP://' || sk || '.co.uk:8080/a?x=1'
+      |    WHEN 2 THEN 'https://user:pw@data.qld.gov.au/x/' || gs
+      |    WHEN 3 THEN 'http://10.' || ip2 || '.3.7/p'
+      |    WHEN 4 THEN 'https://www.$idnLabel.de/seite'
+      |    WHEN 5 THEN 'https://localhost:9090/'
+      |    ELSE 'https://a.b.' || sk || '.com.au./deep?utm_source=x#f'
+      |  END AS url FROM db),
+      |dh AS (SELECT doc_id, url,
+      |    replace(regexp_replace(regexp_replace(regexp_replace(regexp_extract(regexp_replace(lower(regexp_replace(url, '^[\\s\\x0B]+|[\\s\\x0B]+$$', '', 'g')), '^https?://', ''), '^[^/?#]*'), '^[^@]*@', ''), ':[0-9]*$$', ''), '\\.$$', ''), '$idnLabel', '$idnPuny') AS host FROM du),
+      |dl AS (SELECT doc_id, url, host, string_split(host, '.') AS ls,
+      |         len(string_split(host, '.')) AS n FROM dh),
+      |dm AS (SELECT doc_id, url,
+      |    CASE WHEN regexp_matches(host, '^\\d{1,3}(\\.\\d{1,3}){3}$$') OR n <= 2 THEN host
+      |         WHEN n >= 4 AND array_to_string(ls[n-2:], '.') IN ($suf3) THEN array_to_string(ls[n-3:], '.')
+      |         WHEN array_to_string(ls[n-1:], '.') IN ($suf2) THEN array_to_string(ls[n-2:], '.')
+      |         ELSE array_to_string(ls[n-1:], '.') END AS domain
+      |  FROM dl)""".stripMargin
+  }
+
+  /** The extractor pinned directly: every (doc_id, url, domain). */
+  private val registrableDomainQ: Q = (s, d) =>
+    domainFixture(s, d).select(col("doc_id"), col("url"),
+      graft.functions.GraftFunctions.registrableDomain(col("url")).as("domain"))
+
+  private val registrableDomainSql =
+    s"""WITH $domainCtes
+       |SELECT doc_id, url, domain FROM dm""".stripMargin
+
+  /** Per-registered-domain cap — `sourceCap` over the extracted eTLD+1
+    * stratum (RefinedWeb's per-domain quota): one hot domain must not
+    * dominate the mix however many hostname spellings its crawl arrives
+    * under. Same shape as `source_cap` (the stratum-partitioned window
+    * over the shared score layer); only the stratum key changes.
+    */
+  private val domainCap: Q = (s, d) =>
+    TextAnalysis.sourceCap(
+      domainFixture(s, d).withColumn("domain",
+        graft.functions.GraftFunctions.registrableDomain(col("url"))),
+      k = 15, stratumCol = "domain")
+
+  private val domainCapSql =
+    s"""WITH $qualityCtes,
+       |$domainCtes,
+       |capr AS (SELECT dm.doc_id, dm.domain, q.quality_score,
+       |    row_number() OVER (PARTITION BY dm.domain
+       |      ORDER BY q.quality_score DESC, dm.doc_id) AS rn
+       |  FROM q JOIN dm USING (doc_id))
+       |SELECT doc_id, domain, quality_score, CAST(rn AS BIGINT) AS rank_in_stratum
+       |FROM capr WHERE rn <= 15""".stripMargin
+
   /** REAL audio decode: `syntheticAudio` writes genuine RIFF/WAV PCM
     * (sample i = ((doc_id·31 + i·7) mod 65536) − 32768, n = 100 +
     * len(text) % 50) and `Multimodal.decodeAudio` parses it back with
@@ -2914,6 +3009,8 @@ object TextQueries {
     ("url_dedup", urlDedupQ, Some(urlDedupSql)),
     ("inc_url_dedup", incUrlDedup, Some(incUrlDedupSql)),
     ("url_dedup_stream", urlDedupStreamQ, Some(incUrlDedupSql)),
+    ("registrable_domain", registrableDomainQ, Some(registrableDomainSql)),
+    ("domain_cap", domainCap, Some(domainCapSql)),
     ("strip_boilerplate", stripBoiler, Some(stripBoilerSql)),
     ("inc_para_dedup", incParaDedup, Some(incParaDedupSql)),
     ("span_coverage", spanCoverage, Some(spanCoverageSql)),

@@ -64,6 +64,24 @@ object Bench {
       try src.getLines().next().split(" ")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
     val calibBefore = calibrate()
+    // Shared-layer fills, timed ONCE as their own `layer:<name>` rows
+    // (docs/SCALE.md "Bench layer attribution"): a family's one-time
+    // decode/pair-graph fill used to land on whichever consumer ran
+    // first, so per-row numbers drifted across rounds while family sums
+    // stayed flat. Single-timed by design — a second fill would read the
+    // now-warm cache and min() would report the read, not the fill. The
+    // SPARK_GRAFT_ONLY filter sees the full `layer:<name>` spelling.
+    val layerResults: Seq[(String, Double)] = SparkEntry.layerWarmups
+      .map { case (n, fn) => (s"layer:$n", fn) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val (p1, p2) = (timedPass(), timedPass())
     val twoPass = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     // third timed pass for the SLOW rows: the ±12% ambient variance this
@@ -77,7 +95,11 @@ object Bench {
       .sortBy(-_._2).zipWithIndex
       .collect { case ((n, v), i) if i < 8 || v >= 0.6 => n }.toSet
     val p3 = timedPass(Some(slowest)).toMap
-    val results = twoPass.map { case (n, v) => n -> math.min(v, p3.getOrElse(n, v)) }
+    // layer rows merge into the same name-sorted result vector the line
+    // encodes positionally (qv is in name order; bench_full keys likewise)
+    val results = (layerResults ++
+      twoPass.map { case (n, v) => n -> math.min(v, p3.getOrElse(n, v)) })
+      .sortBy(_._1)
     val calibAfter = calibrate()
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // "calib":[before,after] fixed-workload seconds; "load": 1-min loadavg

@@ -2478,6 +2478,24 @@ object TextQueries {
 
   private val mmNearDup: Q = (s, d) => sharedImagePairs(s, d)
 
+  /** Named shared-LAYER fills, for bench attribution (VERDICT r19 #2 /
+    * prescription #4): a family's one-time fill — the image decode+dHash
+    * grid, its banded pair graph, the video frame-hash layer, the text
+    * LSH pair graph — used to land on whichever consumer the scheduler
+    * timed first, so per-row numbers drifted 2× across rounds while the
+    * family sum stayed flat. `Bench` times these ONCE per run as
+    * `layer:<name>` rows before the query passes, so every consumer row
+    * then measures its own work. Order matters: `image_pairs` derives
+    * from `image_grid`, so filling grid first charges the pair row only
+    * the band join + verify. Fills are idempotent (memo / guarded
+    * persist), so correctness never depends on this list.
+    */
+  val layers: Vector[(String, Q)] = Vector(
+    ("image_grid", (s, d) => sharedImageGrid(s, d)),
+    ("image_pairs", (s, d) => sharedImagePairs(s, d)),
+    ("video_hashes", (s, d) => videoHashesMemo(s, d)),
+    ("lsh_pairs", (s, d) => sharedLshPairs(s, d)))
+
   /** The shared image-dHash replay chain (`m` → `bits`): per-doc
     * dimensions and pattern params, grid-sample block values, and the 64
     * gradient-sign bits — embedded by every image-pair oracle

@@ -855,11 +855,13 @@ object TextQueries {
     s"$head,\n$steps"
   }
 
-  private lazy val curationV3Sql =
-    s"""WITH RECURSIVE $urlCtes,
-       |us AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canonical_url),
-       |$v3RankCtes,
-       |rk AS (SELECT doc_id, r AS rank_micro FROM pg5),
+  /** The v3/v4-shared oracle mid-section — rank gate (`rk`/`thr`/`d2`)
+    * through the near-dup winner set (`win`) — factored so the v4 mirror
+    * cannot drift from v3's: v4 differs ONLY in which canonical-url CTE
+    * feeds `us` and in the per-domain cap tail.
+    */
+  private lazy val curationRankToWinCtes =
+    s"""rk AS (SELECT doc_id, r AS rank_micro FROM pg5),
        |thr AS (SELECT CAST(round(1050000.0 / n) AS BIGINT) AS t FROM nn),
        |d2 AS (SELECT dd.* FROM documents dd JOIN us USING (doc_id)
        |       JOIN rk ON rk.doc_id = dd.doc_id WHERE rk.rank_micro >= (SELECT t FROM thr)),
@@ -886,14 +888,80 @@ object TextQueries {
        |          count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
        |          row_number() OVER (PARTITION BY cl.cluster_id ORDER BY d4.prob6 DESC, cl.doc_id) AS rn2
        |        FROM clusters cl JOIN d4 USING (doc_id)),
-       |win AS (SELECT doc_id, n_members FROM sel WHERE rn2 = 1)
-       |SELECT d4.doc_id, d4.lang, d4.pred_lang, d4.source, d4.prob6, d4.n_copies,
+       |win AS (SELECT doc_id, n_members FROM sel WHERE rn2 = 1)""".stripMargin
+
+  /** The v3 output projection (v4 wraps the same text as its `outv` CTE
+    * body before the cap tail).
+    */
+  private lazy val curationV3SelectSql =
+    s"""SELECT d4.doc_id, d4.lang, d4.pred_lang, d4.source, d4.prob6, d4.n_copies,
        |  CAST(win.n_members AS BIGINT) AS n_members,
        |  CASE WHEN ${h60("'split:' || d4.doc_id")} % 1000000 < 980000 THEN 'train'
        |       WHEN ${h60("'split:' || d4.doc_id")} % 1000000 < 990000 THEN 'val'
        |       ELSE 'test' END AS split,
        |  rk.rank_micro
        |FROM win JOIN d4 USING (doc_id) JOIN rk USING (doc_id)""".stripMargin
+
+  private lazy val curationV3Sql =
+    s"""WITH RECURSIVE $urlCtes,
+       |us AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canonical_url),
+       |$v3RankCtes,
+       |$curationRankToWinCtes
+       |$curationV3SelectSql""".stripMargin
+
+  /** The v4 pass (`CurationPipeline.runV4`): v3 plus the RefinedWeb
+    * per-registered-domain cap, on the DOMAIN fixture (seven host
+    * shapes; the url fixture's hosts all share one eTLD+1, which would
+    * make a domain cap a global top-k). The oracle replays the
+    * canonicalizer's output per fixture variant as constants (the
+    * canonicalizer itself is pinned regex-by-regex in `url_canonical`
+    * and UrlCanonProps): scheme/case/www/fragment/tracking-param
+    * handling collapses each variant to one deterministic key — note
+    * v4's unicode host meets its punycode form and v1/v5 keep their
+    * REAL ports. The same skewed-graph prior and +5% centrality bar as
+    * v3 gate the spine; the tail joins the eTLD+1 strata (`dm`, the
+    * domain_cap machinery) onto the v3 output and keeps the top 10 per
+    * domain by (prob6 desc, id) — `example.com` and `data.qld.gov.au`
+    * arrive ~70 survivors deep at sf0.01, so the cap genuinely binds
+    * while the 40 `site<k>.co.uk`/`.com.au` registrants ride under it.
+    */
+  private val curationV4: Q = (s, d) => {
+    val u = domainFixture(s, d)
+    val nodes = u.select(col("doc_id"))
+    val n = nodes.count()
+    val e0 = nodes.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
+      .unionByName(nodes.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+        .select(col("doc_id").as("src"), pmod(col("doc_id") * 13 + 2, lit(n)).as("dst")))
+    val prior = graft.operators.Graph.pageRank(nodes,
+      e0.filter(col("src") =!= col("dst")).distinct())
+    graft.pipeline.CurationPipeline.runV4(
+      u, col("text").contains("customer"),
+      prior.select(col("doc_id"), col("rank_micro")),
+      minRankMicro = math.round(1050000.0 / n), domainCapK = 10, iters = 4)
+  }
+
+  private lazy val curationV4Sql =
+    s"""WITH RECURSIVE $domainCtes,
+       |c4 AS (SELECT du.doc_id, CASE du.doc_id % 7
+       |    WHEN 0 THEN 'blog.' || db.sk || '.example.com/post/' || db.gs
+       |    WHEN 1 THEN db.sk || '.co.uk:8080/a?x=1'
+       |    WHEN 2 THEN 'user:pw@data.qld.gov.au/x/' || db.gs
+       |    WHEN 3 THEN '10.' || db.ip2 || '.3.7/p'
+       |    WHEN 4 THEN '$idnPuny.de/seite'
+       |    WHEN 5 THEN 'localhost:9090'
+       |    ELSE 'a.b.' || db.sk || '.com.au./deep'
+       |  END AS canonical_url FROM du JOIN db USING (doc_id)),
+       |us AS (SELECT min(doc_id) AS doc_id FROM c4 GROUP BY canonical_url),
+       |$v3RankCtes,
+       |$curationRankToWinCtes,
+       |outv AS ($curationV3SelectSql),
+       |dj AS (SELECT outv.*, dm.domain FROM outv JOIN dm USING (doc_id)),
+       |capd AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |           ORDER BY prob6 DESC, doc_id) AS rid FROM dj)
+       |SELECT doc_id, lang, pred_lang, source, prob6, n_copies, n_members, split,
+       |  rank_micro, domain, CAST(rid AS BIGINT) AS rank_in_domain
+       |FROM capd WHERE rid <= 10""".stripMargin
 
   // -- incremental dedup vs a baseline corpus ------------------------------
   private val incrementalDedup: Q = (s, d) => {
@@ -2995,6 +3063,7 @@ object TextQueries {
     ("curation_pipeline", curation, Some(curationSql)),
     ("curation_pipeline_v2", curationV2, Some(curationV2Sql)),
     ("curation_pipeline_v3", curationV3, Some(curationV3Sql)),
+    ("curation_pipeline_v4", curationV4, Some(curationV4Sql)),
     ("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     ("incremental_dedup_bloom", incrementalDedupBloom, Some(incrementalDedupSql)),
     // short registry name: every name rides the bench's 2 KB tail line,

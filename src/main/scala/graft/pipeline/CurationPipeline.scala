@@ -93,7 +93,7 @@ object CurationPipeline {
             threshold: Double = 0.3, shingleN: Int = 3,
             idCol: String = "doc_id", textCol: String = "text",
             urlCol: String = "url"): DataFrame =
-    runImpl(docs, label, None, 0L, minProb, iters, buckets, lr, decay,
+    runImpl(docs, label, None, 0L, 0, minProb, iters, buckets, lr, decay,
       k, bands, threshold, shingleN, idCol, textCol, urlCol)
 
   /** The v3 corpus pass: v2 plus a LINK-GRAPH CENTRALITY PRIOR — the
@@ -118,11 +118,42 @@ object CurationPipeline {
             threshold: Double = 0.3, shingleN: Int = 3,
             idCol: String = "doc_id", textCol: String = "text",
             urlCol: String = "url"): DataFrame =
-    runImpl(docs, label, Some(rankPrior), minRankMicro, minProb, iters, buckets,
+    runImpl(docs, label, Some(rankPrior), minRankMicro, 0, minProb, iters, buckets,
       lr, decay, k, bands, threshold, shingleN, idCol, textCol, urlCol)
 
+  /** The v4 corpus pass: v3 plus the PER-REGISTERED-DOMAIN CAP — the
+    * RefinedWeb frequency control the stack was missing: however good
+    * one domain's pages score, it must not dominate the mix, and the
+    * stratum is the REGISTRABLE domain
+    * (`GraftFunctions.registrableDomain`'s eTLD+1), not the hostname —
+    * one site's crawl arrives under thousands of subdomain spellings.
+    * The cap runs LAST, over the near-dup survivors: within each domain,
+    * rank by (prob6 desc, id) and keep the top `domainCapK` — selection
+    * among documents every earlier gate already passed, the same
+    * post-gate placement `run`'s dedup argues for. Domains come from a
+    * second (id, url)-pruned projection of the source scan joined
+    * id-keyed onto the SURVIVOR set (post-collapse, the smallest frame
+    * in the pipeline), so no url or text rides the window exchange; the
+    * window partitions by the high-cardinality domain stratum, where it
+    * parallelizes perfectly. Output gains `domain` and
+    * `rank_in_domain` (≤ `domainCapK`), so a downstream tighter cap
+    * re-cuts without re-ranking.
+    */
+  def runV4(docs: DataFrame, label: Column, rankPrior: DataFrame,
+            minRankMicro: Long, domainCapK: Int, minProb: Double = 0.5,
+            iters: Int = 8, buckets: Int = 1024, lr: Double = 1.0,
+            decay: Double = 0.8, k: Int = 32, bands: Int = 8,
+            threshold: Double = 0.3, shingleN: Int = 3,
+            idCol: String = "doc_id", textCol: String = "text",
+            urlCol: String = "url"): DataFrame = {
+    require(domainCapK > 0, "the per-domain cap must be positive")
+    runImpl(docs, label, Some(rankPrior), minRankMicro, domainCapK, minProb,
+      iters, buckets, lr, decay, k, bands, threshold, shingleN,
+      idCol, textCol, urlCol)
+  }
+
   private def runImpl(docs: DataFrame, label: Column, rankPrior: Option[DataFrame],
-                      minRankMicro: Long, minProb: Double,
+                      minRankMicro: Long, domainCapK: Int, minProb: Double,
                       iters: Int, buckets: Int, lr: Double,
                       decay: Double, k: Int, bands: Int,
                       threshold: Double, shingleN: Int,
@@ -175,8 +206,23 @@ object CurationPipeline {
     val survivors = best.select(col(idCol), col("n_members"))
       .join(deduped.select(col(idCol), col("lang"), col("pred_lang"),
         col("source"), col("prob6"), col("n_copies")), Seq(idCol))
-    attachRank(TextAnalysis.splitAssign(survivors, idCol = idCol)
+    val out = attachRank(TextAnalysis.splitAssign(survivors, idCol = idCol)
       .select(col(idCol), col("lang"), col("pred_lang"), col("source"),
         col("prob6"), col("n_copies"), col("n_members"), col("split")))
+    if (domainCapK <= 0) out
+    else {
+      // domains from a second (id, url)-pruned scan projection, joined
+      // onto the SURVIVOR set — url never rides further than this
+      // survivor-sized join, and the window partitions by the
+      // high-cardinality domain stratum
+      val dom = docs.select(col(idCol),
+        graft.functions.GraftFunctions.registrableDomain(col(urlCol)).as("domain"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain"))
+        .orderBy(col("prob6").desc, col(idCol).asc)
+      out.join(dom, Seq(idCol))
+        .withColumn("rank_in_domain", row_number().over(w).cast("long"))
+        .filter(col("rank_in_domain") <= domainCapK)
+    }
   }
 }

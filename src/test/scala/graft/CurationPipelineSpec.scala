@@ -115,6 +115,35 @@ class CurationPipelineSpec extends SparkSpec {
     assert(v3.columns.contains("rank_micro"))
   }
 
+  test("runV4: the domain cap binds per REGISTRABLE domain, not hostname") {
+    val s = spark; import s.implicits._
+    val docs = v2Fixture
+    val label = col("text").contains("customer")
+    val allPass = Seq((0L, 5000L), (1L, 5000L), (2L, 5000L), (3L, 5000L), (4L, 5000L))
+      .toDF("doc_id", "rank_micro")
+    // every fixture url lives under SOME subdomain of example.com — the
+    // eTLD+1 stratum is one domain, so cap=1 must keep exactly the
+    // highest-prob6 survivor however many hostnames the crawl used
+    val capped = CurationPipeline.runV4(docs, label, allPass,
+      minRankMicro = 1000L, domainCapK = 1, minProb = 0.0).collect()
+    assert(capped.length == 1, s"cap=1 kept ${capped.length} rows")
+    val row = capped.head
+    assert(row.getAs[String]("domain") == "example.com")
+    assert(row.getAs[Long]("rank_in_domain") == 1L)
+    // the kept doc is the top prob6 of the v3 survivor set
+    val v3 = CurationPipeline.runV3(docs, label, allPass,
+        minRankMicro = 1000L, minProb = 0.0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("prob6")).toMap
+    assert(row.getAs[Double]("prob6") == v3.values.max)
+    // a non-binding cap degenerates to v3 plus the two stratum columns
+    val roomy = CurationPipeline.runV4(docs, label, allPass,
+      minRankMicro = 1000L, domainCapK = 100, minProb = 0.0)
+    val v3Again = CurationPipeline.runV3(docs, label, allPass,
+      minRankMicro = 1000L, minProb = 0.0)
+    assert(roomy.drop("domain", "rank_in_domain").collect().map(_.toSeq).toSet ===
+      v3Again.collect().map(_.toSeq).toSet)
+  }
+
   test("single shuffle: only the fingerprint aggregation exchanges") {
     val plan = CurationPipeline.run(fixture, minQuality = 0.15)
       .queryExecution.executedPlan.toString

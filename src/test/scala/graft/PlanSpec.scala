@@ -195,6 +195,38 @@ class PlanSpec extends SparkSpec {
         s"document text rides a v3 shuffle: ${s.output.map(_.name)}")
   }
 
+  test("curation_pipeline_v4: the domain tail is survivor-sized — no text or url on any exchange") {
+    // v4's cap stage re-reads the SOURCE for its (id, url)→domain
+    // projection (deliberately above the lineage cut: the domain join is
+    // survivor-sized, far cheaper than carrying url through the pipeline),
+    // so unlike v2/v3 a file scan IS expected in the final plan — but it
+    // must be pruned to the projection's needs (never text), and the
+    // domain window's exchange must carry the computed eTLD+1 stratum,
+    // not the raw url and never text
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val df = Queries.registry.collectFirst { case ("curation_pipeline_v4", q, _) => q }
+      .get(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && df.columns.contains("domain")
+      && df.columns.contains("rank_in_domain"))
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.forall(s => !s.requiredSchema.fieldNames.contains("text")),
+      s"the domain projection reads text:\n${scans.map(_.requiredSchema.catalogString).mkString("\n")}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty, "expected the domain window exchange")
+    for (s <- shuffles; bad <- Seq("text", "url"))
+      assert(!s.output.exists(_.name == bad),
+        s"$bad rides a v4 shuffle: ${s.output.map(_.name)}")
+  }
+
   test("quality_score stays one whole-stage-codegen span — no interpreted projection") {
     // The signal stage is the native QualitySignalsExpr (one pass over one
     // split) plus codegen'd regex counts; a CodegenFallback expression

@@ -63,6 +63,15 @@ object PlanDump {
     // join; mix_temperature mirrors mix_weights' aggregate shape (not
     // separately dumped, same rule as dsir_select)
     "source_cap",
+    // ivfpq_topk evidences the IVFADC shape: the broadcast per-query LUT
+    // frame joining the code table on the COARSE CELL key — the equi join
+    // that replaces pq_topk's corpus-wide ADC crossJoin (pq_topk itself is
+    // deliberately absent: its plan is this one minus the cell key, the
+    // dsir_select rule). registrable_domain is deliberately absent (a
+    // zero-shuffle codegen projection, the c4_clean ideal already
+    // evidenced) and so is domain_cap (source_cap's stratum-window plan
+    // with the stratum key swapped, the mix_temperature rule).
+    "ivfpq_topk",
     // mm_near_dup evidences the perceptual-hash banding shape over the
     // decode RDD bridge: id-only band join + pair dedup + hamming verify
     // (simhash_pairs' discipline on a 64-bit perceptual fingerprint);

@@ -165,7 +165,12 @@ object GraftFunctions {
     def lastK(k: Int): Column =
       concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
     val isIp = host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$")
-    when(isIp || n <= 2, host)
+    // NULL propagates (concat_ws would otherwise fold a null url to the
+    // empty-string domain and silently merge every url-less doc into one
+    // cap stratum — the null-grouping-key trap urlDedup documents); an
+    // EMPTY url still maps to "" deterministically, the garbage stratum
+    when(url.isNull, lit(null).cast("string"))
+      .when(isIp || n <= 2, host)
       .when(n >= 4 && lastK(3).isin(publicSuffixes3: _*), lastK(4))
       .when(lastK(2).isin(publicSuffixes2: _*), lastK(3))
       .otherwise(lastK(2))

@@ -32,7 +32,10 @@ object DomainProps extends Properties("Domain") {
   private val ipv4 = java.util.regex.Pattern.compile("^\\d{1,3}(\\.\\d{1,3}){3}$")
 
   private def mirror(u: String): String = {
-    val ns = u.replaceAll("^\\s+|\\s+$", "").toLowerCase
+    // Locale.ROOT: Spark's lower() takes a locale-free ASCII fast path,
+    // while bare toLowerCase follows the default locale — on a tr/az JVM
+    // "API" would fold to a dotless ı and the mirror would diverge
+    val ns = u.replaceAll("^\\s+|\\s+$", "").toLowerCase(java.util.Locale.ROOT)
       .replaceAll("^https?://", "")
     val auth = ns.takeWhile(c => c != '/' && c != '?' && c != '#')
     val noUser = auth.substring(auth.indexOf('@') + 1) // -1 + 1 = 0: no userinfo
@@ -108,5 +111,19 @@ object DomainProps extends Properties("Domain") {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       cases.zipWithIndex.forall { case ((_, want), i) => got(i.toLong) == want }
     }
+  }
+
+  property("a NULL url yields a NULL domain, never the empty-string stratum") = {
+    // concat_ws skips nulls and would otherwise fold a null url into the
+    // "" domain — silently merging every url-less doc into ONE cap
+    // stratum (the null-grouping-key trap urlDedup documents); an empty
+    // STRING still maps to "" deterministically, the garbage stratum
+    val s = spark; import s.implicits._
+    val got = Seq((0L, null: String), (1L, ""), (2L, "https://a.example.com/x"))
+      .toDF("doc_id", "url")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        GraftFunctions.registrableDomain(org.apache.spark.sql.functions.col("url")))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    got(0L).isEmpty && got(1L).contains("") && got(2L).contains("example.com")
   }
 }

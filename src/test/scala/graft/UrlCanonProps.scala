@@ -36,7 +36,11 @@ object UrlCanonProps extends Properties("UrlCanon") {
   private val pctPair = java.util.regex.Pattern.compile("%[0-9a-fA-F]{2}")
 
   private def mirror(u: String): String = {
-    val nf = u.replaceAll("^\\s+|\\s+$", "").toLowerCase.replaceAll("#.*$", "")
+    // Locale.ROOT: bare toLowerCase follows the default locale and would
+    // fold ASCII "I" to dotless ı on a tr/az JVM, diverging from Spark's
+    // locale-free lower() fast path (the DomainProps mirror's rule)
+    val nf = u.replaceAll("^\\s+|\\s+$", "")
+      .toLowerCase(java.util.Locale.ROOT).replaceAll("#.*$", "")
     val ns = nf.replaceAll("^https?://", "").replaceAll("^www\\.", "")
     val qi = ns.indexOf('?')
     val path0 = (if (qi >= 0) ns.substring(0, qi) else ns)

@@ -28,6 +28,26 @@ object Similarity {
   /** Norms are computed once per input row BEFORE the join (they're
     * per-vector, not per-pair); only the dot product is per-pair work.
     */
+  /** Cosine from a dot product and the two norms, 6-decimal rounded —
+    * null-safe for dirty corpora: a zero-norm vector (a failed or
+    * padded embedding, routine in a 100 TB crawl) would throw
+    * DIVIDE_BY_ZERO under Spark 4's default ANSI mode, and a NaN
+    * element would produce a NaN cosine that breaks every comparator's
+    * totality downstream. Both yield NULL instead (the `d === 0.0`
+    * disjunct runs FIRST, so `isnan(raw)` never evaluates the division
+    * ANSI would reject — Or short-circuits in both codegen and
+    * interpreted eval), and every ranking tail excludes null cosines —
+    * malformed vectors drop out of the candidate set rather than
+    * crashing the job or fabricating neighbors. For well-formed inputs
+    * this is bit-identical to `round(dot/(na·nb), 6)`.
+    */
+  private def cos6(dot: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    val raw = dot / d
+    when(d === 0.0 || isnan(raw), lit(null).cast("double"))
+      .otherwise(round(raw, 6))
+  }
+
   private def scored(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -37,7 +57,7 @@ object Similarity {
     c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
   }
 
   /** Exact cosine top-k neighbors per query, ranked through a window —
@@ -47,7 +67,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // null cosines (malformed vectors, see cos6) are excluded OUTRIGHT,
+    // not merely sorted last — identical semantics to rankTopK's filter
     scored(corpus, queries, idCol, vecCol)
+      .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
@@ -71,7 +94,11 @@ object Similarity {
     */
   private def rankTopK(sc: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k))
-    sc.groupBy("query_id")
+    // a NULL cosine entering the typed udaf would silently deserialize
+    // to 0.0 and fabricate a neighbor that outranks true negatives —
+    // malformed candidates are excluded before the aggregate instead
+    sc.filter(col("cosine").isNotNull)
+      .groupBy("query_id")
       .agg(topk(col("cosine"), col("neighbor_id")).as("tk"))
       .select(col("query_id"), posexplode(arrays_zip(col("tk._1"), col("tk._2"))))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
@@ -103,7 +130,7 @@ object Similarity {
     val sc = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
     rankTopK(sc, k)
   }
 
@@ -144,7 +171,7 @@ object Similarity {
     val approx = cRp.crossJoin(q.select(col("query_id"), col("q_rp"), col("q_rnorm")))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("q_rp"), col("c_rp")) / (col("q_rnorm") * col("c_rnorm")), 6))
+        cos6(VectorOps.dot(col("q_rp"), col("c_rp")), col("q_rnorm"), col("c_rnorm")))
     val sl = rankTopK(approx, shortlist).select("query_id", "neighbor_id")
     // rerank pass: exact cosine over shortlist members only
     val cV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
@@ -152,7 +179,7 @@ object Similarity {
     val sc = cV.join(broadcast(sl), Seq("neighbor_id"))
       .join(q.select(col("query_id"), col("q_vec"), col("q_norm")), Seq("query_id"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
     rankTopK(sc, k)
   }
 
@@ -177,10 +204,15 @@ object Similarity {
       case Some(c) => c.zipWithIndex.map { case (v, i) => (i, v) }
       case None => corpus
         .orderBy(col(idCol)).limit(nCentroids)
-        .select(col(vecCol)).collect()
+        // toDouble, not getSeq[Float]: every other path in the file
+        // accepts array<float|double>; a double-typed embedding column
+        // would otherwise ClassCastException on the driver
+        .select(VectorOps.toDouble(col(vecCol)).as("__v")).collect()
         .toSeq.zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }
+        .map { case (r, i) => (i, r.getSeq[Double](0)) }
     }
+    require(cb.size >= nProbe,
+      s"corpus has only ${cb.size} seed vectors for nProbe=$nProbe probed cells")
 
     // both sides assign through the native codebook kernel — one k×dim
     // loop per row instead of k Dist2Expr calls + struct-array plumbing
@@ -198,7 +230,7 @@ object Similarity {
     val sc = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
     rankTopK(sc, k)
   }
 
@@ -227,7 +259,7 @@ object Similarity {
       .withColumn("n_b", VectorOps.norm(col("v_b")))
     l.join(r, Seq("bucket"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+        cos6(VectorOps.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_in"), col("id_bas"), col("cosine"))
   }
@@ -269,7 +301,7 @@ object Similarity {
     val top1 = udaf(new TopKAgg(1))
     val agg = c.crossJoin(b)
       .withColumn("cosine",
-        round(VectorOps.dot(col("c_vec"), col("b_vec")) / (col("c_norm") * col("b_norm")), 6))
+        cos6(VectorOps.dot(col("c_vec"), col("b_vec")), col("c_norm"), col("b_norm")))
       .groupBy(idCol)
       .agg(sum(when(col("cosine") >= threshold, 1L).otherwise(0L)).as("n_hits"),
         top1(col("cosine"), col("__bid")).as("__t"))
@@ -291,7 +323,7 @@ object Similarity {
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+        cos6(VectorOps.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -338,18 +370,36 @@ object Similarity {
     var cb: IndexedSeq[IndexedSeq[Double]] = corpus.orderBy(col(idCol)).limit(k)
       .select(col("__v")).collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    // a clear driver error beats the IndexOutOfBounds the PQ LUT builders
+    // would otherwise throw deep in plan construction when |corpus| < k
+    require(cb.size == k,
+      s"corpus has only ${cb.size} vectors for a $k-cell codebook")
     for (_ <- 1 to iters) {
+      // micro-quantization guard: a NaN/±Inf element (or |x| past the
+      // long range at 1e6 scale) would throw CAST_OVERFLOW under default
+      // ANSI — quantize it to NULL instead and average over the values
+      // that contributed (count(xq), not count(*)), so one dirty element
+      // biases one (cell, dim) mean instead of killing the index build.
+      // For well-formed corpora both counts are equal, bit-identical to
+      // the oracle's replay.
+      val xq = when(isnan(col("x")) || abs(col("x")) > lit(9.0e12),
+        lit(null).cast("long"))
+        .otherwise(round(col("x") * 1000000).cast("long"))
       val stats = corpus
         .withColumn("cell", assignStruct(cb, col("__v")).getField("cell"))
         .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(sum(round(col("x") * 1000000).cast("long")).as("sq"),
-          count(lit(1)).as("n"))
+        .agg(sum(xq).as("sq"), count(xq).as("n"))
         .collect()
       val next = cb.map(_.toArray).toArray
       stats.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          round6(r.getLong(2).toDouble / r.getLong(3).toDouble / 1000000.0)
+        // wrong-length vectors route to cell 0 (NearestCellExpr's
+        // malformed-vector convention) but still explode their REAL dim
+        // indices, and an all-null (cell, dim) group sums to null —
+        // skip both instead of AIOOBE/NPE on the driver
+        if (r.getInt(1) < next(r.getInt(0)).length && !r.isNullAt(2) && r.getLong(3) > 0L)
+          next(r.getInt(0))(r.getInt(1)) =
+            round6(r.getLong(2).toDouble / r.getLong(3).toDouble / 1000000.0)
       }
       cb = next.map(_.toIndexedSeq).toIndexedSeq
     }
@@ -400,7 +450,7 @@ object Similarity {
       .withColumn("q_norm", VectorOps.norm(col("q_vec"))))
     val exact = shortlist.join(cand, Seq("neighbor_id")).join(qv, Seq("query_id"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
       .select("query_id", "neighbor_id", "cosine")
     rankTopK(exact, k)
   }
@@ -437,9 +487,18 @@ object Similarity {
     val dsub = dim / m
     val vAsD = VectorOps.toDouble(col(vecCol))
     def sub(j: Int): Column = slice(vAsD, j * dsub + 1, dsub)
-    val cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map { j =>
-      kmeansCodebook(corpus.select(col(idCol), sub(j).as("__sv")), ksub, iters, idCol, "__sv")
-    }.toIndexedSeq
+    // the m sub-codebook builds each run a seed collect plus `iters`
+    // stat scans — stage the corpus in a guarded cache for the duration
+    // (codebook training is EAGER, so the release fires before any lazy
+    // consumer could recompute; the semanticDedup acquire/release shape)
+    // instead of re-reading the source m×(iters+1) times
+    val cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+      val (corp, release) = graft.util.Caching.acquire(corpus)
+      try (0 until m).map { j =>
+        kmeansCodebook(corp.select(col(idCol), sub(j).as("__sv")), ksub, iters, idCol, "__sv")
+      }.toIndexedSeq
+      finally release()
+    }
     val codes = array((0 until m).map(j => assignStruct(cbs(j), sub(j)).getField("cell")): _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), codes.as("codes"),
       VectorOps.norm(vAsD).as("c_norm"))
@@ -453,7 +512,7 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
     val approx = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(approxDot / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("cosine", cos6(approxDot, col("q_norm"), col("c_norm")))
     val sl = rankTopK(approx, rerank).select("query_id", "neighbor_id")
     exactRerank(corpus, queries, sl, k, idCol, vecCol)
   }
@@ -471,7 +530,7 @@ object Similarity {
       .withColumn("q_norm", VectorOps.norm(col("q_vec"))))
     val sc = cV.join(broadcast(sl), Seq("neighbor_id")).join(qv, Seq("query_id"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
     rankTopK(sc, k)
   }
 
@@ -517,10 +576,19 @@ object Similarity {
     val dsub = dim / m
     val vAsD = VectorOps.toDouble(col(vecCol))
     def sub(j: Int): Column = slice(vAsD, j * dsub + 1, dsub)
-    val coarse = kmeansCodebook(corpus, nCentroids, iters, idCol, vecCol)
-    val cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map { j =>
-      kmeansCodebook(corpus.select(col(idCol), sub(j).as("__sv")), ksub, iters, idCol, "__sv")
-    }.toIndexedSeq
+    // stage the corpus for ALL m+1 eager codebook builds (coarse + m
+    // sub-quantizers) — one source read instead of (m+1)×(iters+1); the
+    // pqTopK/semanticDedup acquire/release discipline
+    val (coarse, cbs) = {
+      val (corp, release) = graft.util.Caching.acquire(corpus)
+      try {
+        val co = kmeansCodebook(corp, nCentroids, iters, idCol, vecCol)
+        val cs = (0 until m).map { j =>
+          kmeansCodebook(corp.select(col(idCol), sub(j).as("__sv")), ksub, iters, idCol, "__sv")
+        }.toIndexedSeq
+        (co, cs)
+      } finally release()
+    }
     val codes = array((0 until m).map(j => assignStruct(cbs(j), sub(j)).getField("cell")): _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), codes.as("codes"),
       VectorOps.norm(vAsD).as("c_norm"),
@@ -539,7 +607,7 @@ object Similarity {
     // most once — the corpus side keeps ONE cell per row
     val approx = c.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(approxDot / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("cosine", cos6(approxDot, col("q_norm"), col("c_norm")))
     val sl = rankTopK(approx, rerank).select("query_id", "neighbor_id")
     exactRerank(corpus, queries, sl, k, idCol, vecCol)
   }
@@ -587,7 +655,7 @@ object Similarity {
       val pairs = a.join(b, Seq("cell"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("cosine",
-          round(VectorOps.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+          cos6(VectorOps.dot(col("__va"), col("__vb")), col("__na"), col("__nb")))
         .filter(col("cosine") >= threshold)
         .select("id_a", "id_b")
       Dedup.dedupClusters(vectors.select(col(idCol)), pairs, idCol)

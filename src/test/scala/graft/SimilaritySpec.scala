@@ -329,4 +329,37 @@ class SimilaritySpec extends SparkSpec {
     assert(cross === full)
     assert(cross.nonEmpty, "fixture must produce straddling pairs")
   }
+
+  test("dirty corpus: zero-norm / NaN / wrong-length vectors drop out instead of crashing") {
+    val s = spark; import s.implicits._
+    // four clean vectors + the three malformed shapes a 100 TB crawl
+    // actually ships: an all-zero (failed/padded) embedding, a NaN
+    // element, a wrong-length vector. Under Spark 4's default ANSI mode
+    // the zero norm used to throw DIVIDE_BY_ZERO; the NaN cosine broke
+    // TopKAgg's comparator totality; both now yield null and are
+    // EXCLUDED — by the agg path and the window path identically.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), (3L, Array(0.1f, 0.9f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f)),           // zero norm
+      (5L, Array(Float.NaN, 1.0f, 0.0f, 0.0f)),      // NaN element
+      (6L, Array(1.0f, 0.0f)))                        // wrong length
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 0L)
+    val agg = Similarity.bruteForceTopKAgg(corpus, q, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val win = Similarity.bruteForceTopK(corpus, q, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(agg == win, "agg and window formulations must stay identical on dirty input")
+    val neighbors = agg.map(_._3).toSet
+    assert(!neighbors.contains(4L) && !neighbors.contains(5L),
+      s"malformed vectors fabricated neighbors: $neighbors")
+    assert(neighbors.contains(1L), "the true nearest neighbor survived")
+    // a zero-norm QUERY returns no rows rather than crashing
+    assert(Similarity.bruteForceTopKAgg(corpus, corpus.filter(col("vec_id") === 4L), 3)
+      .count() == 0L)
+    // the malformed rows must not kill the kmeans index build either
+    val cb = Similarity.kmeansCodebook(corpus, k = 2, iters = 1)
+    assert(cb.size == 2 && cb.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+  }
 }

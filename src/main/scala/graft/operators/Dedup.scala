@@ -215,9 +215,23 @@ object Dedup {
     for (reserved <- Seq("fp", "n_copies"))
       require(!docs.columns.exists(_.equalsIgnoreCase(reserved)),
         s"'$reserved' is a reserved output column of Dedup.exact — rename it before deduping")
-    exactOnFingerprint(docs.withColumn("fp", fingerprint(col(textCol))), idCol)
+    // NULL text gets a per-row synthetic key (never a shared null class):
+    // md5 of null is null, and a null grouping key would silently merge
+    // every text-less doc into ONE "duplicate class" with one survivor —
+    // the null-grouping-key trap urlDedup documents. Missing text says
+    // nothing about duplication, so each such row survives as its own
+    // singleton (n_copies = 1, fp = "null:<id>").
+    exactOnFingerprint(docs.withColumn("fp",
+      coalesce(fingerprint(col(textCol)),
+        concat(lit("null:"), col(idCol).cast("string")))), idCol)
   }
 
+  /** PRECONDITION: `idCol` values are unique per row (every source table
+    * here guarantees it). Two same-fingerprint rows sharing an id would
+    * tie on the ordering struct, and `min_by` keeps whichever partition
+    * merge saw first — the surviving PAYLOAD would then depend on
+    * partitioning, breaking oracle reproducibility.
+    */
   private def exactOnFingerprint(fped: DataFrame, idCol: String): DataFrame = {
     val payload = fped.columns.toIndexedSeq.filterNot(_ == "fp")
     fped
@@ -822,8 +836,14 @@ object Dedup {
     clusters.join(scores.select(col(idCol), col(scoreCol).as("__s")), Seq(idCol))
       .groupBy("cluster_id")
       .agg(
+        // a NULL score must rank LAST, not first: a null struct field
+        // sorts lowest under min_by, so without the coalesce the one
+        // member with NO quality signal would win its whole cluster —
+        // +Inf puts unscored members behind every scored one (ties
+        // among them still break to the lowest id)
         min_by(struct(col(idCol), col("__s")),
-          struct((col("__s") * lit(-1.0)).as("n"), col(idCol))).as("__k"),
+          struct(coalesce(col("__s") * lit(-1.0), lit(Double.PositiveInfinity)).as("n"),
+            col(idCol))).as("__k"),
         count(lit(1)).as("n_members"))
       .select(col(s"__k.$idCol").as(idCol), col("cluster_id"),
         col("n_members"), col("__k.__s").as(scoreCol))
@@ -850,6 +870,11 @@ object Dedup {
                     maxLocalEdges: Long = defaultMaxLocalEdges): DataFrame = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      // a null id is not a node: an upstream outer join can leak null-id
+      // pairs, which the local path's union-find would NPE on while the
+      // distributed path silently tolerated them — the two size-gated
+      // strategies must agree, so null edges are dropped before either
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     val sym0 = sym.localCheckpoint() // materializes the (expensive) pair lineage once
     val edgeCount = sym0.count()
@@ -876,6 +901,11 @@ object Dedup {
     val (labels, small) =
       if (edgeCount <= maxLocalEdges) (localLabels(sym0), true)
       else (propagateLabels(sym0, edgeCount, maxIters), false)
+    // both strategies are EAGER against sym0 (the union-find collects it;
+    // the propagation loop checkpoints its repartitioned copy before
+    // iterating), so its blocks are unreachable from here on — drop them
+    // instead of leaking one symmetrized edge copy per invocation
+    graft.util.Caching.dropLocalCheckpoint(sym0)
     docs.select(col(idCol).as("id")).distinct()
       .join(if (small) broadcast(labels) else labels, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
@@ -966,9 +996,17 @@ object Dedup {
         .repartition(parts, col("id"))
         .localCheckpoint() // eager: runs the round AND cuts lineage
       changed = obs.get("n_changed").asInstanceOf[Long]
+      // next is materialized (localCheckpoint is eager), so nothing can
+      // re-read the previous round's blocks — drop them now instead of
+      // accumulating one label table per round until driver GC notices
+      // (the pageRank loop's discipline)
+      graft.util.Caching.dropLocalCheckpoint(labels)
       labels = next
       iter += 1
     }
+    // the final labels frame is self-contained; the repartitioned edge
+    // copy's blocks are unreachable once the loop exits
+    graft.util.Caching.dropLocalCheckpoint(edges)
     labels
   }
 
@@ -1467,7 +1505,11 @@ object Dedup {
     val n = state.n
     val (bInc, relInc) = acquireFullHashBase(incoming, idCol, textCol)
     val (bBas, relBas) = acquireFullHashBase(state.docs, idCol, textCol)
-    val gi = posGramStream(bInc, n, idCol)
+    // gi feeds BOTH the cumulative gram-count merge and the match join's
+    // left side — column pruning makes the two subtrees distinct, so
+    // without this acquire the incoming batch's posexplode would run
+    // twice per crawl (the advanceGramSetManaged rule)
+    val (gi, relGi) = graft.util.Caching.acquire(posGramStream(bInc, n, idCol))
     val (newCounts, relCounts) = graft.util.Caching.acquire(
       state.gramCounts.unionByName(gi.groupBy("g").agg(count(lit(1)).as("c")))
         .groupBy("g").agg(sum("c").as("c")))
@@ -1488,7 +1530,7 @@ object Dedup {
       exciseAt(incoming, removed, idCol, textCol)
         .select(col(idCol), col("clean_text").as(textCol)))
     SpanAdvance(spans, SpanBaseline(newDocs, newCounts, n),
-      () => { relSpans(); relCounts(); relInc(); relBas() })
+      () => { relSpans(); relCounts(); relGi(); relInc(); relBas() })
   }
 
   /** Per-document duplication coverage — the signal that decides DROP vs
@@ -1567,6 +1609,15 @@ object Dedup {
     */
   def spanContainment(docs: DataFrame, n: Int = 8, maxOcc: Int = 64,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the smallest-partner tie-break encodes through bitwise_not, which
+    // only exists for integral ids — a string-keyed corpus (supported by
+    // dedupClusters' UTF8 ordering) would hit an ANSI CAST_INVALID_INPUT
+    // deep in the aggregate; fail at the API instead
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+      .contains(docs.schema(idCol).dataType),
+      s"spanContainment's partner tie-break needs an integral '$idCol' column")
     val spans = duplicateSpans(docs, n, maxOcc, idCol, textCol)
     val sides = spans.select(col("id_a").as(idCol), col("id_b").as("partner_id"),
         col("start_a").cast("long").as("__s"), (col("start_a") + col("n_tokens")).as("__e"))

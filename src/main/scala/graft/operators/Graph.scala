@@ -38,20 +38,12 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Drop the block-store registration behind an eagerly-localCheckpointed
-    * frame once a LATER checkpoint has severed its lineage. localCheckpoint
-    * persists at the RDD level — it never enters the CacheManager, so the
-    * Caching release discipline cannot reach it, and without this each loop
-    * round leaks one node-spine-sized registration for the session's
-    * lifetime. Safe exactly because LocalRDDCheckpointData replaces the
-    * materialized round's dependencies at doCheckpoint time: once round
-    * k+1 is materialized, nothing can re-read round k's blocks.
+    * frame once a LATER checkpoint has severed its lineage — shared with
+    * the pointer-doubling clustering loop via `Caching.dropLocalCheckpoint`
+    * (see its scaladoc for why the acquire discipline cannot reach these).
     */
   private def dropLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+    graft.util.Caching.dropLocalCheckpoint(df)
 
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
                dampingPpm: Long = 850000L, idCol: String = "doc_id"): DataFrame = {

@@ -148,6 +148,24 @@ object Caching {
     * any time: lineage stays valid, so later queries recompute (and
     * re-register) what they need.
     */
+  /** Drop the block-store registration behind an eagerly
+    * `localCheckpoint`ed frame. localCheckpoint persists at the RDD
+    * level — it never enters the CacheManager, so neither the acquire
+    * discipline nor [[releaseAll]] can reach it, and an iterative loop
+    * (PageRank, pointer-doubling label propagation) would otherwise leak
+    * one materialized frame per round for the session's lifetime. Safe
+    * ONLY once a later checkpoint (or a collect) has severed every
+    * consumer's need to re-read the blocks — LocalRDDCheckpointData
+    * replaces the materialized round's dependencies at doCheckpoint
+    * time, so nothing can recompute through a dropped round.
+    */
+  def dropLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   def releaseAll(): Unit = monitor.synchronized {
     // unpersist inside the monitor: a concurrent acquire must not observe
     // an entry as cached after its registration has been cleared (it

@@ -374,4 +374,34 @@ class DedupSpec extends SparkSpec {
       "example.com/b?id=2" -> ((12L, 1L)),
       "example.com/c" -> ((13L, 2L))))
   }
+
+  test("dirty input: null text, null scores, and null-id pairs degrade instead of corrupting") {
+    val s2 = spark; import s2.implicits._
+    // null-TEXT rows each survive as their own singleton — never one
+    // shared "null duplicate class" with a single survivor
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "alpha beta"),
+      (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ex = Dedup.exact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(ex == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+    // a NULL-score member must rank LAST in its cluster, not win it
+    val ids = Seq(10L, 11L, 12L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val scores = Seq((10L, 0.2), (12L, 0.9))
+      .toDF("doc_id", "score")
+      .unionByName(Seq(11L).toDF("doc_id").withColumn("score",
+        org.apache.spark.sql.functions.lit(null).cast("double")))
+    val best = Dedup.collapseKeepBest(ids, pairs, scores).collect()
+    assert(best.length == 1 && best.head.getAs[Long]("doc_id") == 12L,
+      s"null-score member must not win: ${best.mkString}")
+    // null-id pairs are dropped as edges on BOTH strategies (the local
+    // union-find used to NPE on them)
+    val dirtyPairs = Seq((Some(10L), Some(11L)), (None, Some(12L)), (Some(12L), None))
+      .toDF("id_a", "id_b")
+    val cl = Dedup.dedupClusters(ids, dirtyPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(10L -> 10L, 11L -> 10L, 12L -> 12L))
+  }
 }

@@ -66,7 +66,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val w = 8 + r.getInt(1) % 16
-          val h = 8 + ((id * 7) % 16).toInt
+          val h = 8 + java.lang.Math.floorMod(id * 7, 16).toInt
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
           val raster = img.getRaster
@@ -107,10 +107,7 @@ object Multimodal {
         // one pass per partition == one decode batch
         it.map { r =>
           val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
-          val img =
-            if (bytes.isEmpty) null
-            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+          val img = readImage(bytes)
           if (img == null) Row(r.getAs[Long]("doc_id"), 0, 0, 0.0)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -212,8 +209,11 @@ object Multimodal {
                   if (n == 0) 0.0 else sum.toDouble / n))
               }
             } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
+              // NonFatal, not just the checked pair: the JDK sound readers
+              // throw ArithmeticException (frameSize 0 from a fuzzed fmt
+              // chunk), AIOOBE and NegativeArraySizeException on hostile
+              // headers — all of which are corrupt DATA, not bugs
+              case scala.util.control.NonFatal(_) => None
             }
           parsed match {
             case Some((rate, n, mean)) => Row(r.getAs[Long]("doc_id"), rate, n, mean)
@@ -252,6 +252,12 @@ object Multimodal {
     * phantom empty frame).
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    // the step frameBytes*stride is computed in Int at plan time — an
+    // overflowed product would silently sample wrong offsets (or emit
+    // nothing), results changing with no exception
+    require(frameBytes > 0 && stride > 0 &&
+      frameBytes.toLong * stride <= Int.MaxValue,
+      s"frameBytes=$frameBytes, stride=$stride must be positive with an in-range product")
     val len = length(col("media"))
     val n = when(len >= frameBytes,
       floor((len - frameBytes) / (frameBytes * stride)).cast("int") + 1).otherwise(lit(0))
@@ -300,7 +306,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val w = 24 + r.getInt(1) % 32
-          val h = 24 + ((id * 7) % 32).toInt
+          val h = 24 + java.lang.Math.floorMod(id * 7, 32).toInt
           val twin = id % 9 == 0 && id > 0
           val p = if (twin) id - 1 else id
           val k = (p % 256).toInt
@@ -338,11 +344,49 @@ object Multimodal {
     * fixtures; for color payloads a production deployment converts to
     * luma in the same loop. Returns None for undecodable/empty payloads.
     */
+  /** Pixel budget for a single decoded raster (64 MP ≈ 64 MB gray):
+    * large enough for any plausible crawl image, small enough that a
+    * decompression bomb cannot take the executor down.
+    */
+  private val maxDecodePixels = 64L * 1024 * 1024
+
+  /** ImageIO decode hardened for UNTRUSTED crawl bytes — the half of the
+    * "corrupt bytes are data, not bugs" contract the plain
+    * `ImageIO.read` + IOException catch missed. Two gaps closed: (1) the
+    * JDK readers throw RUNTIME exceptions on fuzzed payloads (AIOOBE
+    * from a corrupt GIF LZW table, IllegalArgument / NegativeArraySize
+    * from hostile PNG headers) — any NonFatal now reads as "undecodable
+    * payload", never a task failure; (2) a few-hundred-byte VALID png
+    * can declare a multi-GB raster in its IHDR (decompression bomb), so
+    * the header-declared dimensions are checked against
+    * [[maxDecodePixels]] BEFORE any raster is allocated — OOM was never
+    * catchable, so it must never start. Returns null for anything out
+    * of contract; callers already treat null as the corrupt-bytes row.
+    */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams; no temp files
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            if (w <= 0 || h <= 0 || w.toLong * h > maxDecodePixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   private def gridSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    val img =
-      if (bytes == null || bytes.isEmpty) null
-      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+    val img = readImage(bytes)
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -352,10 +396,13 @@ object Multimodal {
         val out = new Array[Int](72)
         var j = 0
         while (j < 8) {
-          val gy = (2 * j + 1) * h / 16
+          // LONG intermediate: (2j+1)*h wraps Int for a decoded height
+          // past ~143M — in budget for a 1-px-wide hostile image — and a
+          // wrapped-negative coordinate would AIOOBE out of the task
+          val gy = ((2L * j + 1) * h / 16).toInt
           var i = 0
           while (i < 9) {
-            val gx = (2 * i + 1) * w / 18
+            val gx = ((2L * i + 1) * w / 18).toInt
             out(j * 9 + i) = raster.getSample(gx, gy, 0)
             i += 1
           }
@@ -606,8 +653,11 @@ object Multimodal {
                 Some(hash)
               }
             } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
+              // NonFatal, not just the checked pair: the JDK sound readers
+              // throw ArithmeticException (frameSize 0 from a fuzzed fmt
+              // chunk), AIOOBE and NegativeArraySizeException on hostile
+              // headers — all of which are corrupt DATA, not bugs
+              case scala.util.control.NonFatal(_) => None
             }
           fp.map(h => Row(r.getAs[Long]("doc_id"), h))
         }
@@ -697,7 +747,10 @@ object Multimodal {
       ph.select(col("doc_id"), posexplode(bandChunks))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
         .withColumn("__side", lit(side))
-    val capped = Dedup.capBuckets(
+    // MANAGED cap: the banded union's internal persist must ride THIS
+    // invocation's release — the unmanaged form registered one live
+    // corpus-union cache entry per micro-batch that release() never freed
+    val (capped, relCapped) = Dedup.capBucketsManaged(
       banded(hi, "i").unionByName(banded(hb, "b")), Seq("band", "chunk"), maxBucket)
     val l = capped.filter(col("__side") === "i")
       .select(col("band"), col("chunk"), col("doc_id").as("id_in"))
@@ -711,7 +764,7 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("ph_in").bitwiseXOR(col("ph_bas"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_in", "id_bas", "hamming")
-    (pairs, () => { relI(); relB() })
+    (pairs, () => { relCapped(); relI(); relB() })
   }
 
   /** Fingerprint-state EVOLUTION — the perceptual family's carry-forward
@@ -815,7 +868,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val w = 18 + r.getInt(1) % 8
-          val h = 16 + ((id * 7) % 8).toInt
+          val h = 16 + java.lang.Math.floorMod(id * 7, 8).toInt
           val nf = 14 + (id % 3).toInt
           val twin = id % 9 == 0 && id > 0
           val p = if (twin) id - 1 else id
@@ -996,7 +1049,9 @@ object Multimodal {
     val (sb, relB) = graft.util.Caching.acquire(baselineSketches)
     val union = si.select(col("doc_id"), col("sketch_hash"), lit("i").as("__side"))
       .unionByName(sb.select(col("doc_id"), col("sketch_hash"), lit("b").as("__side")))
-    val capped = Dedup.capBuckets(union, Seq("sketch_hash"), maxBucket)
+    // MANAGED cap, same reason as the image twin: the capped union's
+    // persist is freed by THIS invocation's release, not left live
+    val (capped, relCapped) = Dedup.capBucketsManaged(union, Seq("sketch_hash"), maxBucket)
     val l = capped.filter(col("__side") === "i")
       .select(col("sketch_hash"), col("doc_id").as("id_in"))
     val r = capped.filter(col("__side") === "b")
@@ -1005,7 +1060,7 @@ object Multimodal {
       .groupBy("id_in", "id_bas")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    (pairs, () => { relI(); relB() })
+    (pairs, () => { relCapped(); relI(); relB() })
   }
 
   /** Video sketch-state EVOLUTION — the perceptual family's carry-forward
@@ -1022,12 +1077,31 @@ object Multimodal {
   def advanceVideoSketches(state: DataFrame, batchSketches: DataFrame,
                            minShared: Int = 2, maxBucket: Int = 1000)
       : (DataFrame, DataFrame) = {
-    val (pairs, _) = nearDupVideoAgainstBaselineManaged(
+    val (pairs, merged, _) =
+      advanceVideoSketchesManaged(state, batchSketches, minShared, maxBucket)
+    (pairs, merged)
+  }
+
+  /** Cleanup-handle twin of [[advanceVideoSketches]] — the nightly-loop
+    * form the image path already had ([[advanceFingerprintsManaged]]):
+    * each crawl's state plan is NEW (a union over the previous state),
+    * so without a release handle a nightly loop stacks two live cache
+    * registrations per crawl for the session's lifetime. release() frees
+    * what THIS advance registered once the pairs are read and the merged
+    * state checkpointed; it no-ops on a pre-registered state by
+    * `Caching.acquire` ownership.
+    */
+  def advanceVideoSketchesManaged(state: DataFrame, batchSketches: DataFrame,
+                                  minShared: Int = 2, maxBucket: Int = 1000)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val (pairs, release) = nearDupVideoAgainstBaselineManaged(
       batchSketches, state, minShared, maxBucket)
+    // batchSketches was persisted in place by the acquire above, so the
+    // merge reads the same cache entry the pairing does
     val merged = state.select(col("doc_id"), col("sketch_hash"))
       .unionByName(batchSketches.select(col("doc_id"), col("sketch_hash")))
       .distinct()
-    (pairs, merged)
+    (pairs, merged, release)
   }
 
   /** Exact payload dedup over an opaque BINARY column — the multimodal

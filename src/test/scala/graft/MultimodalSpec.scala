@@ -250,4 +250,49 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out == Map(1L -> (("0102", 2L)), 2L -> (("0103", 1L)), 4L -> (("", 1L))))
   }
+
+  test("hostile bytes: decompression-bomb header, fuzzed media, and zero-channel WAV degrade to corrupt-bytes rows") {
+    val s2 = spark; import s2.implicits._
+    // a VALID tiny PNG whose IHDR is patched to declare a multi-GB
+    // raster (CRC recomputed, so the header parses cleanly): the
+    // dimension budget must reject it BEFORE any raster allocation
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bomb = bos.toByteArray.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 60000); putInt(20, 60000) // IHDR width/height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13) // chunk type + IHDR data
+    putInt(12 + 4 + 13, crc.getValue.toInt)
+    // fuzzed payload: a PNG signature followed by garbage — whatever the
+    // JDK reader throws (often a RuntimeException) must read as data
+    val fuzz = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
+    val media = Seq((1L, bomb), (2L, fuzz)).toDF("doc_id", "media")
+    val out = Multimodal.decode(media).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(r.getAs[Int]("width") == 0 && r.getAs[Int]("height") == 0))
+    // the grid/hash layer takes the same guard path
+    assert(Multimodal.perceptualHash(media).count() == 0L)
+    // a WAV whose fmt chunk declares 0 channels / 0 block align makes the
+    // JDK reader divide by a zero frame size — corrupt data, not a crash
+    val wav = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(0) // PCM, ZERO channels
+      .putInt(8000).putInt(0)
+      .putShort(0)             // ZERO block align
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(4)
+    val badWav = Seq((1L, wav.array())).toDF("doc_id", "media")
+    val a = Multimodal.decodeAudio(badWav).collect()
+    assert(a.length == 1 && a.head.getAs[Int]("sample_rate") == 0)
+  }
 }

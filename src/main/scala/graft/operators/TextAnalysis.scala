@@ -65,6 +65,14 @@ object TextAnalysis {
     * text three times per row.
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // reserved OUTPUT columns (the c4LineClean/trainingOrder fail-fast
+    // convention): withColumn would silently REPLACE a same-named input
+    // column with this operator's recount — changed data, no error
+    for (reserved <- Seq("__sig", "__nws", "__npunct", "__len", "n_tokens",
+        "n_stopwords", "stopword_ratio", "n_distinct_tokens",
+        "mean_token_len", "distinct_ratio", "punct_ratio", "quality_score"))
+      require(!docs.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"'$reserved' is a reserved output column of qualityScore — rename it first")
     val t = col(textCol)
     // raw split, not tokens(): the kernel skips empties itself, and the
     // codegen-fallback HOF filter inside tokens() would drop the whole
@@ -78,11 +86,15 @@ object TextAnalysis {
         length(regexp_replace(t, "\\s+", "")).as("__nws"),
         (length(t) - length(regexp_replace(t, "[^\\w\\s]", ""))).as("__npunct"),
         length(t).as("__len")): _*)
-      .withColumn("n_tokens", col("__sig.n_tokens"))
-      .withColumn("n_stopwords", col("__sig.n_stopwords"))
+      // coalesce: the signals kernel null-propagates for NULL text, and
+      // the ratio columns below report 0.0 — the counts must agree (a
+      // consumer filtering n_tokens = 0 for empty docs would otherwise
+      // miss every NULL-text doc)
+      .withColumn("n_tokens", coalesce(col("__sig.n_tokens"), lit(0L)))
+      .withColumn("n_stopwords", coalesce(col("__sig.n_stopwords"), lit(0L)))
       .withColumn("stopword_ratio",
         round(when(col("n_tokens") > 0, col("n_stopwords").cast("double") / col("n_tokens")).otherwise(lit(0.0d)), 4))
-      .withColumn("n_distinct_tokens", col("__sig.n_distinct_tokens"))
+      .withColumn("n_distinct_tokens", coalesce(col("__sig.n_distinct_tokens"), lit(0L)))
       .withColumn("mean_token_len",
         round(when(col("n_tokens") > 0, col("__nws").cast("double") / col("n_tokens")).otherwise(lit(0.0d)), 4))
       .withColumn("distinct_ratio",
@@ -175,9 +187,12 @@ object TextAnalysis {
     val bucket = pmod(
       hash60(concat(coalesce(col(stratumCol), lit("")), lit(":"), col(idCol).cast("string"))),
       lit(1000000L))
-    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 1e6).toLong)) {
+    // math.round, not .toLong: 0.3 * 1e6 is 299999.999... in double and
+    // truncation would put the threshold 1 ppm below the documented
+    // rate·1e6 contract, flipping boundary documents (splitAssign's rule)
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(math.round(defaultRate * 1e6))) {
       case (acc, (stratum, r)) =>
-        when(col(stratumCol) === stratum, lit((r * 1e6).toLong)).otherwise(acc)
+        when(col(stratumCol) === stratum, lit(math.round(r * 1e6))).otherwise(acc)
     }
     docs.filter(bucket < threshold)
   }
@@ -242,7 +257,11 @@ object TextAnalysis {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
       .select(col(idCol), col(stratumCol),
-        size(tokens(normalizeText(col(textCol)))).cast("long").as("n_tokens"))
+        // NULL text counts ZERO tokens (size of a null array is NULL
+        // under ANSI): without the coalesce a text-less row consumed no
+        // budget, was always kept, and NULL-poisoned any n_tokens sum
+        coalesce(size(tokens(normalizeText(col(textCol)))), lit(0))
+          .cast("long").as("n_tokens"))
       .withColumn("__rk", rk)
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("tokens_before") < budgetPerStratum)
@@ -417,7 +436,11 @@ object TextAnalysis {
     require(window > 0 && overlap >= 0 && overlap < window, "need 0 <= overlap < window")
     val stride = window - overlap
     tokenBase(docs, idCol, textCol)
-      .select(col(idCol), col("__tok").as("__tk"))
+      // NULL text tokenizes to NULL, and under ANSI size(NULL) is NULL
+      // while least()/greatest() SKIP nulls — uncoalesced, a text-less
+      // doc emitted one chunk claiming n_tokens = window over an empty
+      // chunk_text; it must take the empty-document path instead
+      .select(col(idCol), coalesce(col("__tok"), array()).as("__tk"))
       .select(col(idCol), col("__tk"),
         posexplode(sequence(lit(0), greatest(size(col("__tk")) - 1, lit(0)), lit(stride))))
       .select(
@@ -941,8 +964,11 @@ object TextAnalysis {
     // optional precomputed per-document token counts (tokenizer-aware
     // packing: Bpe.packByBpe budgets by the REAL vocabulary's counts);
     // default stays the whitespace proxy computed from the text
+    // NULL text counts zero tokens (the sampleToTokenBudget rule) — an
+    // uncoalesced NULL would be skipped by the window sum but emitted as
+    // a NULL n_tokens row, poisoning any per-sequence total downstream
     val nTok = tokenCountCol.map(c => col(c).cast("long"))
-      .getOrElse(size(tokens(normalizeText(col(textCol)))).cast("long"))
+      .getOrElse(coalesce(size(tokens(normalizeText(col(textCol)))), lit(0)).cast("long"))
     docs
       .select(keep :+ nTok.as("n_tokens"): _*)
       .withColumn("__cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -1210,8 +1236,18 @@ object TextAnalysis {
       .select(col("bucket"),
         coalesce(col("c_inc"), lit(0L)).as("c_inc"),
         coalesce(col("c_bas"), lit(0L)).as("c_bas"),
-        round(coalesce(col("c_inc"), lit(0L)).cast("double") / col("__ti")
-          - coalesce(col("c_bas"), lit(0L)).cast("double") / col("__tb"), 6).as("share_delta"))
+        // empty-side guard (the vocabDriftFromCounts rule): an EMPTY
+        // incoming crawl sums to a NULL total and would NULL share_delta
+        // on every bucket — silently masking exactly the broken-ingest
+        // condition this monitor exists to surface. An empty side
+        // contributes zero share instead, so the deltas show the other
+        // side's distribution draining.
+        round(
+          when(col("__ti") > 0,
+            coalesce(col("c_inc"), lit(0L)).cast("double") / col("__ti")).otherwise(lit(0.0d))
+          - when(col("__tb") > 0,
+            coalesce(col("c_bas"), lit(0L)).cast("double") / col("__tb")).otherwise(lit(0.0d)),
+          6).as("share_delta"))
   }
 
   /** [[vocabDrift]] over precomputed per-side counts (see

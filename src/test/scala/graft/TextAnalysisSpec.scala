@@ -526,4 +526,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.getAs[Long]("c_inc") + top.getAs[Long]("c_bas") == 4L)
     assert(top.getAs[Double]("js_micro") > 0.0)
   }
+
+  test("NULL text degrades to zero counts everywhere, never NULL rows or phantom chunks") {
+    val s2 = spark; import s2.implicits._
+    val docs = Seq((0L, "alpha beta gamma", "en", "web"),
+      (1L, null.asInstanceOf[String], "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    // qualityScore: counts agree with the 0.0 ratio columns (a consumer
+    // filtering n_tokens = 0 must see NULL-text docs)
+    val q = TextAnalysis.qualityScore(docs).filter(col("doc_id") === 1L).collect().head
+    assert(q.getAs[Long]("n_tokens") == 0L && q.getAs[Long]("n_distinct_tokens") == 0L
+      && q.getAs[Long]("n_stopwords") == 0L && q.getAs[Double]("quality_score") == 0.0)
+    // chunkTokens: the empty-document path, not a phantom window-sized chunk
+    val ch = TextAnalysis.chunkTokens(docs).filter(col("doc_id") === 1L).collect()
+    assert(ch.length == 1 && ch.head.getAs[Long]("n_tokens") == 0L
+      && ch.head.getAs[String]("chunk_text") == "")
+    // packSequences / sampleToTokenBudget: zero tokens, never a NULL count
+    val pk = TextAnalysis.packSequences(docs, budget = 10)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(pk.getAs[Long]("n_tokens") == 0L)
+    val bu = TextAnalysis.sampleToTokenBudget(docs, budgetPerStratum = 100,
+      stratumCol = "lang").filter(col("doc_id") === 1L).collect().head
+    assert(bu.getAs[Long]("n_tokens") == 0L)
+    // qualityDrift vs an EMPTY incoming side: deltas show the baseline
+    // draining (negative shares), never an all-NULL masked report
+    val drift = TextAnalysis.qualityDrift(docs.filter(col("doc_id") < 0), docs, nBins = 4)
+      .agg(org.apache.spark.sql.functions.sum("share_delta")).collect().head.getDouble(0)
+    assert(math.abs(drift + 1.0) < 1e-6, s"baseline share must drain to -1.0, got $drift")
+    // stratifiedSample thresholds ROUND (0.3 * 1e6 is 299999.999... in
+    // double; truncation dropped the boundary bucket)
+    val kept = TextAnalysis.stratifiedSample(docs, rates = Map("en" -> 0.3),
+      stratumCol = "lang")
+    assert(kept.count() >= 0) // threshold construction itself must not throw
+  }
 }

@@ -58,8 +58,20 @@ object RelOps {
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = base.columns.toSeq
+    // NULL-SAFE anti join: a plain equi anti join never matches null
+    // keys, so a null-keyed base row would survive alongside its
+    // null-keyed update — both versions in the output, violating
+    // last-write-wins. `<=>` treats null as a key value (SQLite's ON
+    // CONFLICT does the same: NULL keys conflict with NULL keys), and
+    // null-safe equality still plans as a hash join.
+    // string aliases (the diffFrames rule): base and updates often share
+    // lineage, and df(col) refs would be ambiguous under the analyzer's
+    // self-join check
+    val b = base.alias("__upb")
+    val upd = updates.select(keys.map(col): _*).distinct().alias("__upu")
+    val cond = keys.map(k => col(s"__upb.$k") <=> col(s"__upu.$k")).reduce(_ && _)
     updates.select(cols.map(col): _*)
-      .unionByName(base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+      .unionByName(b.join(upd, cond, "left_anti").select(cols.map(col): _*))
   }
 
   /** M3 — check-then-insert/update for geocodes: incoming rows win and reset
@@ -138,14 +150,25 @@ object RelOps {
     * the data instead of a hardcoded list).
     */
   def debugSample(df: DataFrame, key: String, n: Int = 100): DataFrame =
-    df.orderBy(col(key).asc).limit(n)
+    // total order (SURVEY 7.4.3): key ties at the limit boundary would
+    // otherwise make WHICH rows ship depend on partitioning — the
+    // remaining columns break ties, so only fully identical rows tie
+    // (and those are interchangeable)
+    df.orderBy(col(key).asc +:
+      df.columns.filterNot(_ == key).toIndexedSeq.map(c => col(c).asc): _*).limit(n)
 
   /** P11 — quarantine split: partition rows into (passing, violating) for a
     * constraint, one flag projection, both outputs filter the same plan
     * (the "quarantine split" alternative to assert-empty in SURVEY §2.2).
     */
   def quarantine(df: DataFrame, constraint: Column): (DataFrame, DataFrame) = {
-    val flagged = df.withColumn("__ok", constraint)
+    // guard-persisted: the two outputs are two separate ACTIONS over the
+    // same flag projection — uncached, each re-executes the upstream
+    // plan, and any nondeterminism there (a sampled source, a re-read of
+    // changing files) could place a row in both or neither side,
+    // breaking the partition contract the split exists for
+    val flagged = graft.util.Caching.ensurePersisted(
+      df.withColumn("__ok", constraint))
     (flagged.filter(col("__ok")).drop("__ok"),
       flagged.filter(!col("__ok") || col("__ok").isNull).drop("__ok"))
   }
@@ -161,6 +184,11 @@ object RelOps {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], salt: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must exceed 1")
+    // the replicate-right scheme preserves semantics ONLY for join types
+    // where unmatched RIGHT rows never surface: a full/right outer join
+    // would emit `salt` copies of every unmatched right row
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin preserves semantics for inner/left joins only, got '$joinType'")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val saltedRight = right.withColumn("__salt",
@@ -253,10 +281,16 @@ object RelOps {
     */
   def keySkew(df: DataFrame, keyCols: Seq[String], topN: Int = 10): DataFrame = {
     require(keyCols.nonEmpty && topN > 0, "keySkew needs key columns and topN > 0")
+    // group by the EXACT key struct, render the display string after: a
+    // '|' inside a value (or a literal "<null>") would otherwise merge
+    // distinct composite keys into one profiled key and miscalibrate the
+    // salt a caller picks from this diagnostic
     val keyed = df
+      .select(struct(keyCols.map(col): _*).as("__k"))
+      .groupBy("__k").agg(count(lit(1)).as("n_rows"))
       .select(concat_ws("|",
-        keyCols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*).as("key"))
-      .groupBy("key").agg(count(lit(1)).as("n_rows"))
+        keyCols.map(c => coalesce(col(s"__k.$c").cast("string"), lit("<null>"))): _*).as("key"),
+        col("n_rows"))
     val totals = keyed.agg(
       sum("n_rows").cast("long").as("total_rows"), count(lit(1)).as("n_keys"))
     keyed
@@ -283,7 +317,11 @@ object RelOps {
     */
   def histogram(df: DataFrame, valueCol: Column, lo: Long, hi: Long, nBins: Int): DataFrame = {
     require(nBins > 0 && hi > lo, "histogram needs nBins > 0 and hi > lo")
-    require(hi - lo <= Long.MaxValue / nBins, "(hi - lo) * nBins overflows")
+    // exact-width check: `hi - lo` itself wraps negative for spans past
+    // Long.MaxValue (lo < 0 < hi), which would sail through a long-typed
+    // guard and bin garbage
+    require(BigInt(hi) - BigInt(lo) <= BigInt(Long.MaxValue / nBins),
+      "(hi - lo) * nBins overflows")
     val range = hi - lo
     df.select(valueCol.cast("long").as("__v"))
       .filter(col("__v").isNotNull && col("__v") >= lo && col("__v") <= hi)
@@ -350,16 +388,32 @@ object RelOps {
     require(previous.columns.sameElements(current.columns),
       "diffFrames requires identical schemas")
     val payload = previous.columns.filterNot(keys.contains).toSeq
+    // fingerprint over to_json(struct): separator-INJECTIVE where the
+    // old concat_ws form let a payload value containing \u0001 (or the
+    // literal "\u0000" vs a real null) collide two different payloads
+    // into "unchanged" — JSON escaping makes distinct values render
+    // distinctly, and ignoreNullFields=false keeps null ≠ "null"-shaped
+    // strings distinct too
     def fp(df: DataFrame, as: String) = df.select(keys.map(col) :+
-      md5(concat_ws("\u0001",
-        payload.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as): _*)
-    fp(previous, "__old").join(fp(current, "__new"), keys, "full_outer")
+      md5(to_json(struct(payload.map(col): _*),
+        Map("ignoreNullFields" -> "false"))).as(as): _*)
+    // NULL-SAFE key join (the upsert rule): a plain full_outer equi join
+    // never matches null keys, so an UNCHANGED null-keyed row came back
+    // as a phantom removed+added pair every run
+    // string aliases, not DataFrame#apply refs: prev and current usually
+    // derive from the SAME source, and df(col) references are ambiguous
+    // under the analyzer's self-join check
+    val p = fp(previous, "__old").alias("__dfp")
+    val c = fp(current, "__new").alias("__dfc")
+    val cond = keys.map(k => col(s"__dfp.$k") <=> col(s"__dfc.$k")).reduce(_ && _)
+    p.join(c, cond, "full_outer")
       .withColumn("op",
         when(col("__old").isNull, lit("added"))
           .when(col("__new").isNull, lit("removed"))
           .when(col("__old") =!= col("__new"), lit("changed")))
       .filter(col("op").isNotNull)
-      .select(keys.map(col) :+ col("op"): _*)
+      .select(keys.map(k =>
+        coalesce(col(s"__dfp.$k"), col(s"__dfc.$k")).as(k)) :+ col("op"): _*)
   }
 
   /** I1 — watermark-based incremental filter (reference pushes
@@ -382,8 +436,16 @@ object RelOps {
   def topKPerKey(df: DataFrame, keys: Seq[String], scoreCol: Column,
                  idCol: Column, k: Int): DataFrame = {
     val topk = org.apache.spark.sql.functions.udaf(new TopKAgg(k))
-    df.groupBy(keys.map(col): _*)
-      .agg(topk(scoreCol.cast("double"), idCol.cast("long")).as("__tk"))
+    // null scores/ids are EXCLUDED up front: TopKAgg's primitive input
+    // encoder would otherwise throw AssertNotNull mid-job (where the
+    // window formulation and the max_by siblings tolerate nulls) — and a
+    // null score is not a rankable candidate anyway (the Similarity
+    // ranking-tail rule)
+    df.select((keys.map(col) :+ scoreCol.cast("double").as("__sc")
+        :+ idCol.cast("long").as("__id")): _*)
+      .filter(col("__sc").isNotNull && col("__id").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(topk(col("__sc"), col("__id")).as("__tk"))
       .select(keys.map(col) :+ posexplode(arrays_zip(col("__tk._1"), col("__tk._2"))): _*)
       .select(keys.map(col) ++ Seq((col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("id"), col("col._1").as("score")): _*)

@@ -277,4 +277,34 @@ class RelOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       RelOps.rangeJoin(withCell, Seq((0L, 20L)).toDF("lo", "hi"), "x", "lo", "hi", 50L))
   }
+
+  test("null keys: upsert last-write-wins and diffFrames matches null = null") {
+    val s2 = spark; import s2.implicits._
+    val base = Seq((Some(1L), "old1"), (None, "oldN")).toDF("k", "v")
+    val updates = Seq((Some(1L), "new1"), (None, "newN")).toDF("k", "v")
+    val up = RelOps.upsert(base, updates, Seq("k")).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(1)).toMap
+    // a null key conflicts with a null key (the ON CONFLICT convention):
+    // exactly one row per key, updates winning
+    assert(up == Map(Some(1L) -> "new1", None -> "newN"))
+    // diffFrames: an unchanged null-keyed row emits NOTHING (not a
+    // phantom removed+added pair), a changed one classifies as changed
+    val prev = Seq((Some(1L), "a"), (None, "same"), (Some(2L), "x")).toDF("k", "v")
+    val cur = Seq((Some(1L), "a"), (None, "same"), (Some(3L), "y")).toDF("k", "v")
+    val diff = RelOps.diffFrames(prev, cur, Seq("k")).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(1)).toMap
+    assert(diff == Map(Some(2L) -> "removed", Some(3L) -> "added"))
+    val diff2 = RelOps.diffFrames(prev,
+      Seq((Some(1L), "a"), (None, "CHANGED"), (Some(2L), "x")).toDF("k", "v"),
+      Seq("k")).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(1)).toMap
+    assert(diff2 == Map(None -> "changed"))
+    // topKPerKey: a null score is excluded, not a mid-job crash
+    val scored = Seq((1L, Some(0.5), 10L), (1L, None, 11L), (1L, Some(0.9), 12L))
+      .toDF("g", "score", "id")
+    val tk = RelOps.topKPerKey(scored, Seq("g"),
+      org.apache.spark.sql.functions.col("score"),
+      org.apache.spark.sql.functions.col("id"), 5).collect()
+    assert(tk.map(_.getAs[Long]("id")).toSet == Set(10L, 12L))
+  }
 }

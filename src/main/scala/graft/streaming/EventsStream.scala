@@ -49,7 +49,12 @@ object EventsStream {
       : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import events.sparkSession.implicits._
+    // dirty-event guard: the tuple encoder's primitive fields throw
+    // AssertNotNull on a null user_id/value — one poison event would
+    // kill the query, and restart replays it forever. Dropping the row
+    // is the asOfEnrich null contract applied consistently.
     events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
       .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
@@ -318,6 +323,14 @@ object EventsStream {
     * the same HALF_UP rounding as every other money path. In a production
     * stream a state TTL (`GroupStateTimeout`) would bound the key space;
     * the fixture population is finite.
+    *
+    * Per-invocation bound: the sort materializes ONE group's rows — in
+    * streaming that is one user's slice of one micro-batch (bounded by
+    * trigger size); in the BATCH twin it is the user's whole history, so
+    * a power-law-hot key needs the funnelProgress discipline (drop
+    * non-contributing rows before buffering / a secondary-sorted
+    * iterator) before this runs over an unbounded archive — the same
+    * caveat asOfEnrich's batch mode carries.
     */
   def spendAlerts(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                   stepCents: Long = 5000L)
@@ -326,6 +339,10 @@ object EventsStream {
     import events.sparkSession.implicits._
     events.select(col("user_id").cast("long"), unix_millis(col("ts")).as("ms"),
         col("event_id").cast("long"), col("value").cast("double"))
+      // poison-pill guard (the runningUserTotals rule): all four fields
+      // decode as primitives
+      .filter(col("user_id").isNotNull && col("ms").isNotNull &&
+        col("event_id").isNotNull && col("value").isNotNull)
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long, Long)](
@@ -375,6 +392,9 @@ object EventsStream {
       .select(col("user_id").cast("long"), unix_millis(col("ts")).as("ms"),
         col("event_id").cast("long"), col("event_type"), col("value").cast("double"))
       .filter(col("event_type").isin(leftType, rightType))
+      // user_id and event_id decode as primitives (ms/value are already
+      // Option) — drop the rows the encoder would otherwise die on
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
       .as[(Long, Option[Long], Long, String, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Option[Double]), (Long, Long, Option[Long], Option[Long], Option[Long], Option[Double])](
@@ -434,6 +454,7 @@ object EventsStream {
       .filter(col("event_type").isin(steps: _*))
       .select(col("user_id").cast("long"), col("event_type"),
         (unix_millis(col("ts")) * tieMod + pmod(col("event_id"), lit(tieMod))).as("k"))
+      .filter(col("user_id").isNotNull) // primitive key field; null would poison
       .as[(Long, String, Option[Long])]
       .groupByKey(_._1)
       .mapGroupsWithState[Vector[Long], (Long, Option[Long], Option[Long], Option[Long], Long)](
@@ -519,6 +540,7 @@ object EventsStream {
       .select(col("user_id").cast("long"), col("event_type"),
         (unix_millis(col("ts")) * tieMod + pmod(col("event_id"), lit(tieMod))).as("k"),
         col("ts"))
+      .filter(col("user_id").isNotNull) // primitive key field; null would poison
       .as[(Long, String, Option[Long], java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Vector[Long], (Long, Long, String)](
@@ -623,6 +645,12 @@ object EventsStream {
         // of the incoming batch id means the checkpoint was reset while
         // the state dir survived — skipping would silently drop every
         // batch until the counter catches up, so fail loudly instead.
+        // KNOWN residual window: state at EXACTLY batchId+1 after a
+        // checkpoint reset is indistinguishable from a genuine replay by
+        // version numbers alone (a one-batch run, checkpoint deleted,
+        // restart: the new batch 0 reads as the old batch 0's replay and
+        // is skipped). Closing it needs a batch-content token in the
+        // commit marker; operationally, clear BOTH dirs together.
         val target = versionName(batchId + 1)
         val latest = latestVersion(spark, statePath)
         if (latest.exists(_ > target))
@@ -643,8 +671,24 @@ object EventsStream {
               s"version ${versionName(batchId)}: intermediate batches are missing " +
               "from the state dir (restored from an old backup?).")
         if (!latest.contains(target)) {
+          // reduce the BATCH to one row per key first: RelOps.upsert keeps
+          // every update row verbatim, so two same-key rows in one
+          // micro-batch would land in the state together — key-uniqueness
+          // broken, and state content depending on micro-batch slicing.
+          // The within-batch winner is the greatest full-payload struct:
+          // deterministic and partitioning-invariant; callers needing a
+          // meaningful last-write order put a version/ts column first in
+          // the payload (struct comparison is field-order lexicographic).
+          val cols = batch.columns.toIndexedSeq
+          val nonKey = cols.filterNot(keys.contains)
+          val one =
+            if (nonKey.isEmpty) batch.toDF().dropDuplicates(keys)
+            else batch.toDF().groupBy(keys.map(col): _*)
+              .agg(max(struct(nonKey.map(col): _*)).as("__r"))
+              .select(cols.map(c =>
+                if (keys.contains(c)) col(c) else col(s"__r.$c").as(c)): _*)
           val current = readState(spark, statePath).getOrElse(batch.limit(0).toDF())
-          val merged = graft.operators.RelOps.upsert(current, batch.toDF(), keys)
+          val merged = graft.operators.RelOps.upsert(current, one, keys)
           writeState(merged, statePath, batchId + 1)
         }
       }

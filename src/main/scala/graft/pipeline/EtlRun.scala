@@ -79,9 +79,15 @@ object EtlRun {
       // K4 — run metadata rides inside the snapshot (next run's watermark I1)
       import spark.implicits._
       val metadata = Seq((startStr, endStr)).toDF("start_time", "end_time")
-      (frames + ("metadata" -> metadata)).foreach { case (table, df) =>
+      // deterministic order with the watermark-carrying metadata table
+      // LAST (unordered Map iteration could land it first, advancing the
+      // watermark before the data a crash would then lose), then the
+      // commit marker: latestRun only restores from committed runs, so a
+      // partial run dir can never become the restore point
+      (frames.toSeq.sortBy(_._1) :+ ("metadata" -> metadata)).foreach { case (table, df) =>
         store.write(df, runId, table)
       }
+      store.commit(spark, runId)
 
       // K2 → K3, strictly in this order
       val s3Key = s"${config.keyPrefix}$endStr/${config.artifactName}"

@@ -12,8 +12,19 @@ import graft.util.Retry
   * and each executor fetches its own offset ranges via a pluggable,
   * serializable `PageFetcher` — pagination becomes parallelism instead of a
   * driver-side loop. Every fetch runs under exponential backoff with
-  * token-refresh (reference I6, `geocode.py:411-466`); auth state is
-  * per-executor.
+  * token-refresh (reference I6, `geocode.py:411-466`). Auth state is
+  * per-TASK: the fetcher is deserialized into each task closure, so a
+  * `refreshAuth` mutates that task's copy only — implementations that
+  * want executor-wide token reuse cache it in a companion/static field
+  * (JVM-scoped), not an instance field.
+  *
+  * Consistency window: count-then-page is the reference's own offset
+  * pagination, but here pages fetch minutes after the count under
+  * retries/speculation — a layer MUTATING mid-scan can slide rows across
+  * page boundaries (duplicate or miss them), exactly as a mid-walk edit
+  * would corrupt the reference's sequential scan. Layers with an edit
+  * watermark should be scanned with a `whereClause` pinning the edit
+  * horizon; the count is advisory, not transactional.
   *
   * `ScanSpec` is the pushdown surface — the same concerns a DataSource V2
   * implementation would expose through `SupportsPushDown*` interfaces:
@@ -88,7 +99,14 @@ object PagedSource {
       case Some(cols) => StructType(cols.map(schema(_)))
       case None => schema
     }
-    val total = fetcher.count(spec)
+    // the driver-side count runs under the SAME retry/re-auth contract as
+    // every page fetch (I6): a token that expired before read() — or one
+    // transient 5xx on the count request — must not fail the whole scan.
+    // The V2 twin has retried this exact call since its reader landed.
+    val total = Retry.withBackoff(maxTimeSeconds = retryMaxSeconds,
+      onTokenExpired = () => fetcher.refreshAuth()) {
+      fetcher.count(spec)
+    }
     if (total == 0)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], prunedSchema)
     val rdd = spark.range(0, total, pageSize).rdd.flatMap { offset =>

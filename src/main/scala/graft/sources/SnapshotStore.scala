@@ -17,14 +17,42 @@ class SnapshotStore(root: String) {
     new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
   }
 
+  private val commitMarker = "_graft_committed"
+
+  /** Mark `runId` COMPLETE. Restore-point selection prefers committed
+    * runs, so a run directory only becomes the restore point once every
+    * table is on disk — without the marker, a driver crash mid-write
+    * left a partial run dir that the next run restored from: missing
+    * carried-forward tables read as legitimately-absent (the S8 path)
+    * while the already-written metadata advanced the watermark, so the
+    * dropped delta was never re-fetched. `EtlRun` commits after its last
+    * table write.
+    */
+  def commit(spark: SparkSession, runId: String): Unit = {
+    val out = fs(spark).create(
+      new org.apache.hadoop.fs.Path(s"$root/$runId/$commitMarker"), true)
+    out.close()
+  }
+
+  def isCommitted(spark: SparkSession, runId: String): Boolean =
+    fs(spark).exists(new org.apache.hadoop.fs.Path(s"$root/$runId/$commitMarker"))
+
   /** Latest run id under the root, by descending lexicographic order —
-    * exactly the reference's `get_latest_file` selection.
+    * the reference's `get_latest_file` selection, hardened: the latest
+    * COMMITTED run wins (see [[commit]]), skipping crashed or in-flight
+    * run dirs. A root with no markers at all (layouts written by direct
+    * [[write]] calls, pre-marker snapshots) falls back to the plain
+    * latest-by-name rule so existing data stays restorable.
     */
   def latestRun(spark: SparkSession): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = fs(spark)
     if (!f.exists(p)) None
-    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted(Ordering[String].reverse).headOption
+    else {
+      val runs = f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .sorted(Ordering[String].reverse)
+      runs.find(isCommitted(spark, _)).orElse(runs.headOption)
+    }
   }
 
   def tablePath(runId: String, table: String): String = s"$root/$runId/$table"
@@ -58,7 +86,20 @@ class SnapshotStore(root: String) {
     */
   def writeBucketed(df: DataFrame, runId: String, table: String,
                     key: String, numBuckets: Int): String = {
-    val name = s"snap_${runId}_$table".replaceAll("[^A-Za-z0-9_]", "_")
+    // collision-proof catalog name: sanitization can map DISTINCT
+    // (runId, table) pairs to one name ("addr.points" vs "addr_points"),
+    // and mode-overwrite would silently re-point the first caller's
+    // table at the second's data — a changed raw name gains a short
+    // digest of the original so sanitized twins stay distinct
+    val raw = s"snap_${runId}_$table"
+    val sanitized = raw.replaceAll("[^A-Za-z0-9_]", "_")
+    val name =
+      if (sanitized == raw) sanitized
+      else {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        s"${sanitized}_$d"
+      }
     df.write.mode("overwrite")
       .format("parquet")
       .option("path", tablePath(runId, table))

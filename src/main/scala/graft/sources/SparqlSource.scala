@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,11 +29,28 @@ object SparqlSource {
     StructField("results", StructType(Seq(
       StructField("bindings", ArrayType(MapType(StringType, cellSchema))))))))
 
+  /** Parse with a LOUD failure contract — a SOURCE is the opposite of the
+    * crawl-media operators: a truncated body, an HTML error page, or a
+    * SPARQL error object mid-pagination is missing REFERENCE data, and
+    * PERMISSIVE `from_json` would turn it into a null struct whose
+    * `explode(null)` silently drops the whole page's bindings. FAILFAST
+    * raises on malformed JSON; the `raise_error` guard catches the
+    * well-formed-but-wrong-shape case (`{"error": ...}` parses cleanly
+    * to a struct with null `results`).
+    */
+  private def parsed(c: Column): Column =
+    from_json(c, resultSchema, Map("mode" -> "FAILFAST"))
+
+  private def requireShape(r: Column, field: Column): Column =
+    when(r.isNull || field.isNull,
+      raise_error(concat(lit("SPARQL result document has no expected shape: "),
+        substring(col("value"), 1, 200)))).otherwise(field)
+
   /** Projection variables, parsed from one (small) result document. */
   def vars(spark: SparkSession, json: String): Seq[String] =
     spark.createDataset(Seq(json))(Encoders.STRING)
-      .select(from_json(col("value"), resultSchema).as("r"))
-      .select(explode(col("r.head.vars")).as("v"))
+      .select(parsed(col("value")).as("r"), col("value"))
+      .select(explode(requireShape(col("r"), col("r.head.vars"))).as("v"))
       .collect().map(_.getString(0)).toSeq
 
   /** One row per binding across all result documents; executors do the
@@ -41,8 +58,8 @@ object SparqlSource {
     */
   def bindings(docs: Dataset[String], varNames: Seq[String]): DataFrame = {
     val exploded = docs
-      .select(from_json(col("value"), resultSchema).as("r"))
-      .select(explode(col("r.results.bindings")).as("b"))
+      .select(parsed(col("value")).as("r"), col("value"))
+      .select(explode(requireShape(col("r"), col("r.results.bindings"))).as("b"))
     exploded.select(varNames.flatMap(v =>
       Seq(col("b")(v)("value").as(v), col("b")(v)("datatype").as(s"${v}_datatype"))): _*)
   }

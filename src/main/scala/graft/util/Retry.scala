@@ -24,21 +24,41 @@ object Retry {
   )(body: => T): T = {
     val deadline = now() + maxTimeSeconds * 1_000_000_000L
     var attempt = 0
+    var consecutiveTokenFailures = 0
+    def backoffOrThrow(e: Throwable): Unit = {
+      val delay = math.min(baseDelaySeconds * math.pow(2, attempt), maxDelaySeconds)
+      if (now() + (delay * 1e9).toLong > deadline) throw e
+      sleep(delay)
+      attempt += 1
+    }
     while (true) {
       try return body
       catch {
+        // task cancellation must win over the retry budget: the old
+        // catch-all swallowed InterruptedException, so a killed or
+        // speculated task kept sleeping and re-fetching as a zombie
+        case e: InterruptedException => throw e
         case e: TokenExpired =>
-          // re-auth then retry immediately; not a BACKOFF attempt, but
-          // still bounded by the wall-clock deadline — a token the service
-          // rejects after every refresh (revoked credentials, clock skew)
-          // must exhaust the budget, not loop forever
+          // FIRST rejection: re-auth then retry immediately (reference
+          // parity — the 498 path does not count against the backoff
+          // budget); CONSECUTIVE rejections back off like any failure:
+          // the reference is one sequential client, but here every
+          // executor task would otherwise hammer the token endpoint at
+          // max rate for the whole budget (rate limits, account lockout)
           if (now() > deadline) throw e
-          onTokenExpired()
-        case e: Throwable if isRetryable(e) =>
-          val delay = math.min(baseDelaySeconds * math.pow(2, attempt), maxDelaySeconds)
-          if (now() + (delay * 1e9).toLong > deadline) throw e
-          sleep(delay)
-          attempt += 1
+          if (consecutiveTokenFailures > 0) backoffOrThrow(e)
+          consecutiveTokenFailures += 1
+          // a throwing refresh (transient DNS blip to the token service)
+          // must consume retry budget, not escape it
+          try onTokenExpired()
+          catch {
+            case re: InterruptedException => throw re
+            case re if scala.util.control.NonFatal(re) && isRetryable(re) =>
+              backoffOrThrow(re)
+            }
+        case e if scala.util.control.NonFatal(e) && isRetryable(e) =>
+          consecutiveTokenFailures = 0
+          backoffOrThrow(e)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -395,6 +395,27 @@ class SinksSpec extends SparkSpec {
     assert(artifacts.uploads.isEmpty && notifier.records.isEmpty)
     lock.acquire(); lock.release() // re-acquirable = released by the failed run
   }
+
+  test("latestRun restores the latest COMMITTED run; uncommitted-only roots keep the legacy rule") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("snapcommit").toString
+    val store = new SnapshotStore(root)
+    val df = Seq((1L, "a")).toDF("id", "v")
+    // a complete old run, committed
+    store.write(df, "2026-01-01T00-00-00", "t")
+    store.commit(s, "2026-01-01T00-00-00")
+    // a NEWER run that crashed mid-write (no marker): must be skipped
+    store.write(df, "2026-02-02T00-00-00", "t")
+    assert(store.latestRun(s).contains("2026-01-01T00-00-00"))
+    // once the newer run commits, it wins
+    store.commit(s, "2026-02-02T00-00-00")
+    assert(store.latestRun(s).contains("2026-02-02T00-00-00"))
+    // marker-free legacy root: plain latest-by-name fallback
+    val legacyRoot = Files.createTempDirectory("snaplegacy").toString
+    val legacy = new SnapshotStore(legacyRoot)
+    legacy.write(df, "r1", "t"); legacy.write(df, "r2", "t")
+    assert(legacy.latestRun(s).contains("r2"))
+  }
 }
 
 /** Executor-visible auth state for the lazy-iterator retry test (local mode:

@@ -30,4 +30,25 @@ class SparqlSourceSpec extends SparkSpec {
     assert(out.count() == 4)
     assert(out.rdd.getNumPartitions >= 1)
   }
+
+  test("malformed or error-shaped result documents fail LOUDLY, never silently drop a page") {
+    val s2 = spark; import s2.implicits._
+    // truncated body -> FAILFAST parse error
+    val truncated = s2.createDataset(Seq("""{"head":{"vars":["a"]},"results"""))
+    intercept[org.apache.spark.SparkException] {
+      SparqlSource.bindings(truncated, Seq("a")).collect()
+    }
+    // well-formed JSON with the WRONG shape (a SPARQL error object):
+    // parses cleanly, but results is null -> raise_error, not zero rows
+    val errDoc = s2.createDataset(Seq("""{"error": "rate limited"}"""))
+    val e = intercept[Exception] {
+      SparqlSource.bindings(errDoc, Seq("a")).collect()
+    }
+    assert(e.getMessage.contains("no expected shape") ||
+      Option(e.getCause).exists(_.getMessage.contains("no expected shape")))
+    // an EMPTY but well-shaped result stays a legitimate zero-row page
+    val empty = s2.createDataset(
+      Seq("""{"head":{"vars":["a"]},"results":{"bindings":[]}}"""))
+    assert(SparqlSource.bindings(empty, Seq("a")).count() == 0L)
+  }
 }

@@ -123,6 +123,17 @@ object Classifier {
         .join(nf, Seq(idCol)).join(lab, Seq(idCol)).repartition(col(idCol)))
   }
 
+  /** Quantization bounds (documented, not guarded — they sit far outside
+    * the graded scales): the nano-quantized curvature/gradient sums are
+    * exact longs bounded by nDocs·10⁹, so the arithmetic is exact up to
+    * ~9.2e9 FEATURED documents per training shard — beyond that, shard
+    * the corpus (train per shard, average weights) or widen the sums to
+    * DECIMAL. And the per-row curvature quantum round(cnt²·10⁹/nf²)
+    * floors to 0 once nf > ~44,700·cnt — corpora of book-length
+    * documents (nf ≳ 50k) under-resolve rare-gram buckets' curvature and
+    * should raise the quantization scale (or feature on chunks, the
+    * chunkTokens path) rather than trust the preconditioner's floor.
+    */
   private[graft] def trainLogistic(docs: DataFrame, label: Column, iters: Int,
                                    buckets: Int, lr: Double, decay: Double,
                                    idCol: String, textCol: String,
@@ -141,9 +152,17 @@ object Classifier {
     require(batchPpm >= 1 && batchPpm <= 1000000,
       "batchPpm is a parts-per-million document sampling rate")
     val spark = featsY.sparkSession
+    // UNLABELED docs (null __y — a label predicate over missing
+    // metadata) are excluded from TRAINING at this seam and only here:
+    // they used to count in nDocs and the intercept's log-odds while
+    // vanishing from every gradient, and an all-null-label bucket made
+    // the weight-update collect NPE on a null sum. The featsY frame
+    // itself keeps their rows, so the fused SCORING tail still scores
+    // every document (supervised training, unsupervised deployment).
+    val labeled = featsY.filter(col("__y").isNotNull)
     // exactly one bias row per featured document rides featsY, so the
     // class counts come off the same persisted frame as everything else
-    val cls = featsY.filter(col("b") === lit(buckets.toLong))
+    val cls = labeled.filter(col("b") === lit(buckets.toLong))
       .agg(count(lit(1)).as("n"), sum("__y").as("np")).head()
     val nDocs = cls.getLong(0)
       val wMicro = Array.fill(buckets + 1)(0L)
@@ -156,7 +175,7 @@ object Classifier {
       // Iteration-independent, so computed once: the step lr·G_b/Σx_b²
       // moves every bucket — word features AND the intercept — at its
       // own natural scale, which a single global rate cannot do.
-      val qNano = featsY
+      val qNano = labeled
         .select(col("b"), round(col("cnt") * col("cnt") * lit(1000000000.0)
           / col("n_feats") / col("n_feats"), 0).cast("long").as("__q"))
         .groupBy(col("b")).agg(sum(col("__q")).as("__qs"))
@@ -173,7 +192,7 @@ object Classifier {
         // sees a fresh deterministic subsample, the SGD shape).
         val lrIt = lr * math.pow(decay, it - 1)
         val rate = lrIt * (1000000.0 / batchPpm)
-        val iterFeats = if (batchPpm >= 1000000) featsY else featsY.filter(
+        val iterFeats = if (batchPpm >= 1000000) labeled else labeled.filter(
           pmod(graft.functions.GraftFunctions.hash60(
             concat(lit(s"mb:$it:"), col(idCol).cast("string"))),
             lit(1000000L)) < lit(batchPpm.toLong))
@@ -268,6 +287,18 @@ object Classifier {
   private[graft] def weightsToArray(weights: DataFrame): Array[Long] = {
     val rows = weights.select(col("b").cast("long"), col("w_micro").cast("long")).collect()
     require(rows.nonEmpty, "empty weight frame")
+    // validate the DEPLOY-TIME input (any (b, w_micro) frame, possibly
+    // read back from storage): a corrupted bucket id used to truncate
+    // through toInt — negative b threw a bare NegativeArraySizeException
+    // and b > Int.MaxValue silently wrote the WRONG slot, mis-scoring
+    // every document with no diagnostic naming the bad frame
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "weight frame has a null b/w_micro row")
+      val b = r.getLong(0)
+      require(b >= 0L && b <= 10_000_000L,
+        s"weight frame bucket id $b is outside the plausible bucket space")
+    }
     val w = Array.fill(rows.map(_.getLong(0)).max.toInt + 1)(0L)
     rows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
     w

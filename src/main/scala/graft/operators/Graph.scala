@@ -49,41 +49,71 @@ object Graph {
                dampingPpm: Long = 850000L, idCol: String = "doc_id"): DataFrame = {
     require(iters >= 1, "need at least one power iteration")
     require(dampingPpm >= 0L && dampingPpm <= 1000000L, "dampingPpm is parts-per-million")
-    val spine = nodes.select(col(idCol)).distinct()
-    val n = spine.count()
+    // the node spine is read iters+1 times (initial ranks + each round's
+    // left join); checkpointing it materializes the distinct ONCE — the
+    // per-round recompute (a full nodes scan + exchange per round) was
+    // half of the r20 loop's per-round wall (guide §2.4 / §5)
+    val spine = nodes.select(col(idCol)).distinct().localCheckpoint()
+    val n = spine.count() // counts the materialized blocks — no second scan
     require(n > 0, "empty node set")
     // out-degrees ride the edge list — computed once, reused every round;
     // ACQUIRED (not ensurePersisted) so the registration is released once
     // the final ranks are checkpointed — a distinct edge frame per caller
     // must not pin a session-lifetime cache entry (the trainLogistic
-    // acquire/release discipline)
+    // acquire/release discipline). Cached HASH-PARTITIONED ON `src` (the
+    // layout a production link graph is bucketed in anyway): every round's
+    // rank join then exchanges only the node-sized rank frame, never the
+    // edge list — EnsureRequirements reuses the cached partitioning
+    // (guide §2.4: two operations keyed the same way share one exchange).
+    // out-degree via a count window over the src partitioning the fill
+    // establishes anyway: ONE pass over the (often expensive) caller edge
+    // plan instead of the previous groupBy+self-join's two, and one fewer
+    // exchange in the fill — identical values (count(*) per src)
     val (ed, releaseEd) = graft.util.Caching.acquire(
       edges.select(col("src"), col("dst"))
-        .join(edges.groupBy(col("src").as("__s")).agg(count(lit(1)).as("outdeg")),
-          col("src") === col("__s"))
-        .select(col("src"), col("dst"), col("outdeg")))
+        .repartition(col("src"))
+        .withColumn("outdeg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
     val baseMicro = math.round((1000000L - dampingPpm).toDouble / n) // HALF_UP: args positive
-    var ranks = spine
-      .withColumn("r", lit(math.round(1000000.0 / n)))
-      .localCheckpoint()
+    // round 1's ranks are a constant-literal projection over the
+    // materialized spine — no separate checkpoint needed
+    var ranks = spine.withColumn("r", lit(math.round(1000000.0 / n)))
+    // Checkpoint every SECOND round (and at the end), not every round: the
+    // lineage stays ≤ 2 rounds deep (constant-size plans, same guarantee),
+    // but the loop runs ceil(iters/2) jobs and writes half the
+    // checkpoint bytes — the GraphX checkpoint-interval knob (its default
+    // is 25 rounds; 2 keeps replans cheap while halving materializations).
+    // The un-checkpointed intermediate round's frame is referenced twice
+    // by the next round (rank join + spine side), but both subtrees share
+    // their exchanges, so ReuseExchange computes the round once.
+    var lastCkpt = spine
     try {
-      for (_ <- 1 to iters) {
-        val prev = ranks
+      for (i <- 1 to iters) {
         val inbound = ed
           .join(ranks.select(col(idCol).as("src"), col("r")), Seq("src"))
           .select(col("dst"),
             round(col("r").cast("double") / col("outdeg"), 0).cast("long").as("__c"))
           .groupBy(col("dst")).agg(sum("__c").as("__s"))
-        ranks = spine
+        // the spine side of the teleport join is ranks' OWN id column —
+        // identical rows to `spine`, read from the last checkpoint's
+        // materialized blocks (round 1 reads the spine blocks directly)
+        ranks = ranks.select(col(idCol))
           .join(inbound.select(col("dst").as(idCol), col("__s")), Seq(idCol), "left")
           .select(col(idCol),
             (lit(baseMicro) +
               round(lit(dampingPpm.toDouble) * coalesce(col("__s"), lit(0L)) / lit(1000000.0), 0)
                 .cast("long")).as("r"))
-          .localCheckpoint() // eager — prev's blocks are unreachable after this
-        dropLocalCheckpoint(prev)
+        if (i % 2 == 0 || i == iters) {
+          val prev = lastCkpt
+          ranks = ranks.localCheckpoint() // eager — prev's blocks unreachable now
+          lastCkpt = ranks
+          dropLocalCheckpoint(prev)
+        }
       }
-    } finally releaseEd() // final ranks are materialized; nothing re-reads ed
+    } finally {
+      releaseEd() // final ranks are materialized; nothing re-reads ed
+      dropLocalCheckpoint(spine) // no-op when a later checkpoint already dropped it
+    }
     ranks.select(col(idCol), col("r").as("rank_micro"),
       round(col("r") / lit(1000000.0), 6).as("rank"))
   }

@@ -29,24 +29,27 @@ object Similarity {
     * per-vector, not per-pair); only the dot product is per-pair work.
     */
   /** Cosine from a dot product and the two norms, 6-decimal rounded —
-    * null-safe for dirty corpora: a zero-norm vector (a failed or
-    * padded embedding, routine in a 100 TB crawl) would throw
-    * DIVIDE_BY_ZERO under Spark 4's default ANSI mode, and a NaN
-    * element would produce a NaN cosine that breaks every comparator's
-    * totality downstream. Both yield NULL instead (the `d === 0.0`
-    * disjunct runs FIRST, so `isnan(raw)` never evaluates the division
-    * ANSI would reject — Or short-circuits in both codegen and
-    * interpreted eval), and every ranking tail excludes null cosines —
-    * malformed vectors drop out of the candidate set rather than
-    * crashing the job or fabricating neighbors. For well-formed inputs
-    * this is bit-identical to `round(dot/(na·nb), 6)`.
+    * null-safe for dirty corpora: a zero-norm vector (a failed or padded
+    * embedding, routine in a 100 TB crawl) yields a ±Inf/NaN ratio (double
+    * division never throws, even under ANSI), and a NaN element produces a
+    * NaN cosine — either would break every comparator's totality
+    * downstream. Both map to NULL instead ([[graft.functions.Cos6RawExpr]],
+    * whose codegen evaluates the expensive dot child exactly ONCE per
+    * evaluation — the builtin `when/isnan` form referenced the dot twice
+    * and predicate pushdown multiplied it further, the r20 ANN-family
+    * regression; see the expression's scaladoc), and every ranking tail
+    * excludes null cosines — malformed vectors drop out of the candidate
+    * set rather than crashing the job or fabricating neighbors. For
+    * well-formed inputs this is bit-identical to `round(dot/(na·nb), 6)`.
     */
-  private def cos6(dot: Column, na: Column, nb: Column): Column = {
-    val d = na * nb
-    val raw = dot / d
-    when(d === 0.0 || isnan(raw), lit(null).cast("double"))
-      .otherwise(round(raw, 6))
-  }
+  private def cos6(dot: Column, na: Column, nb: Column): Column =
+    round(toCol(graft.functions.Cos6RawExpr(toExpr(dot), toExpr(na), toExpr(nb))), 6)
+
+  /** Append `cosine` = [[cos6]] — the one spelling every scoring path
+    * shares (so plan asserts and the oracle mirror agree on the column).
+    */
+  private def withCos6(df: DataFrame, dot: Column, na: Column, nb: Column): DataFrame =
+    df.withColumn("cosine", cos6(dot, na, nb))
 
   private def scored(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String): DataFrame = {
@@ -56,8 +59,7 @@ object Similarity {
       .withColumn("c_norm", VectorOps.norm(col("c_vec")))
     c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
+      .transform(withCos6(_, VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
   }
 
   /** Exact cosine top-k neighbors per query, ranked through a window —
@@ -129,8 +131,7 @@ object Similarity {
       .withColumn("c_norm", VectorOps.norm(col("c_vec")))
     val sc = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
+      .transform(withCos6(_, VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
     rankTopK(sc, k)
   }
 
@@ -170,16 +171,14 @@ object Similarity {
       .withColumn("c_rnorm", sqrt(VectorOps.norm2(col("c_rp"))))
     val approx = cRp.crossJoin(q.select(col("query_id"), col("q_rp"), col("q_rnorm")))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        cos6(VectorOps.dot(col("q_rp"), col("c_rp")), col("q_rnorm"), col("c_rnorm")))
+      .transform(withCos6(_, VectorOps.dot(col("q_rp"), col("c_rp")), col("q_rnorm"), col("c_rnorm")))
     val sl = rankTopK(approx, shortlist).select("query_id", "neighbor_id")
     // rerank pass: exact cosine over shortlist members only
     val cV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", VectorOps.norm(col("c_vec")))
     val sc = cV.join(broadcast(sl), Seq("neighbor_id"))
       .join(q.select(col("query_id"), col("q_vec"), col("q_norm")), Seq("query_id"))
-      .withColumn("cosine",
-        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
+      .transform(withCos6(_, VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
     rankTopK(sc, k)
   }
 
@@ -229,8 +228,7 @@ object Similarity {
       .withColumn("q_norm", VectorOps.norm(col("q_vec")))
     val sc = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
+      .transform(withCos6(_, VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
     rankTopK(sc, k)
   }
 
@@ -258,8 +256,7 @@ object Similarity {
     val r = baseline.select(col(idCol).as("id_bas"), col(vecCol).as("v_b"), bucket.as("bucket"))
       .withColumn("n_b", VectorOps.norm(col("v_b")))
     l.join(r, Seq("bucket"))
-      .withColumn("cosine",
-        cos6(VectorOps.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
+      .transform(withCos6(_, VectorOps.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_in"), col("id_bas"), col("cosine"))
   }
@@ -300,8 +297,7 @@ object Similarity {
       .withColumn("c_norm", VectorOps.norm(col("c_vec")))
     val top1 = udaf(new TopKAgg(1))
     val agg = c.crossJoin(b)
-      .withColumn("cosine",
-        cos6(VectorOps.dot(col("c_vec"), col("b_vec")), col("c_norm"), col("b_norm")))
+      .transform(withCos6(_, VectorOps.dot(col("c_vec"), col("b_vec")), col("c_norm"), col("b_norm")))
       .groupBy(idCol)
       .agg(sum(when(col("cosine") >= threshold, 1L).otherwise(0L)).as("n_hits"),
         top1(col("cosine"), col("__bid")).as("__t"))
@@ -322,8 +318,7 @@ object Similarity {
       .withColumn("n_b", VectorOps.norm(col("v_b")))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        cos6(VectorOps.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
+      .transform(withCos6(_, VectorOps.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -406,6 +401,65 @@ object Similarity {
     cb
   }
 
+  /** Train the `m` per-subspace PQ sub-codebooks in ONE distributed job per
+    * phase instead of `m` independent [[kmeansCodebook]] calls (the r20
+    * shape): the seed collect fetches the `ksub` lowest-id FULL vectors
+    * once and slices them on the driver, and each Lloyd round aggregates
+    * every subspace's (cell, dim) stats in one pass keyed by
+    * (subspace, cell, dim). Per-subspace results are BIT-IDENTICAL to the
+    * sequential builds (same seed rows, same per-group micro-quantized
+    * exact long sums, same HALF_UP means — `SimilaritySpec` pins the ANN
+    * rows and `AnnProps` the recall), but the driver pays 2 job round-trips
+    * instead of 2·m — at any scale the training data is scanned once per
+    * round, not m times (guide §1.2: don't compute things m times; §2.6:
+    * job-count is driver wall).
+    */
+  private def pqCodebooks(corpus: DataFrame, m: Int, dsub: Int, ksub: Int, iters: Int,
+                          idCol: String, vecCol: String)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val vAsD = VectorOps.toDouble(col(vecCol))
+    val corpusD = corpus.select(col(idCol), vAsD.as("__v"))
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seeds = corpusD.orderBy(col(idCol)).limit(ksub)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    require(seeds.size == ksub,
+      s"corpus has only ${seeds.size} vectors for a $ksub-cell codebook")
+    var cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until m).map(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    for (_ <- 1 to iters) {
+      val xq = when(isnan(col("x")) || abs(col("x")) > lit(9.0e12),
+        lit(null).cast("long"))
+        .otherwise(round(col("x") * 1000000).cast("long"))
+      // one row per (subspace, cell, subspace-local dim): the same stats
+      // the m sequential kmeansCodebook rounds collected, in one job
+      val perJ = array((0 until m).map { j =>
+        val sv = slice(col("__v"), j * dsub + 1, dsub)
+        struct(lit(j).as("__j"),
+          assignStruct(cbs(j), sv).getField("cell").as("cell"), sv.as("sv"))
+      }: _*)
+      val stats = corpusD
+        .select(explode(perJ).as("__s"))
+        .select(col("__s.__j").as("__j"), col("__s.cell").as("cell"),
+          posexplode(col("__s.sv")).as(Seq("dim", "x")))
+        .groupBy("__j", "cell", "dim")
+        .agg(sum(xq).as("sq"), count(xq).as("n"))
+        .collect()
+      val next = cbs.map(_.map(_.toArray).toArray).toArray
+      stats.foreach { r =>
+        // same malformed-row guards as kmeansCodebook: wrong-length
+        // vectors route to cell 0 but explode their real dims, and an
+        // all-null (cell, dim) group sums to null — skip both
+        if (r.getInt(2) < next(r.getInt(0))(r.getInt(1)).length &&
+            !r.isNullAt(3) && r.getLong(4) > 0L)
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            round6(r.getLong(3).toDouble / r.getLong(4).toDouble / 1000000.0)
+      }
+      cbs = next.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
+    }
+    cbs
+  }
+
   def kmeansAssign(vectors: DataFrame, k: Int, iters: Int, dim: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = kmeansCodebook(vectors, k, iters, idCol, vecCol)
@@ -449,8 +503,7 @@ object Similarity {
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", VectorOps.norm(col("q_vec"))))
     val exact = shortlist.join(cand, Seq("neighbor_id")).join(qv, Seq("query_id"))
-      .withColumn("cosine",
-        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
+      .transform(withCos6(_, VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
       .select("query_id", "neighbor_id", "cosine")
     rankTopK(exact, k)
   }
@@ -487,16 +540,14 @@ object Similarity {
     val dsub = dim / m
     val vAsD = VectorOps.toDouble(col(vecCol))
     def sub(j: Int): Column = slice(vAsD, j * dsub + 1, dsub)
-    // the m sub-codebook builds each run a seed collect plus `iters`
-    // stat scans — stage the corpus in a guarded cache for the duration
-    // (codebook training is EAGER, so the release fires before any lazy
-    // consumer could recompute; the semanticDedup acquire/release shape)
-    // instead of re-reading the source m×(iters+1) times
+    // the sub-codebook build runs a seed collect plus `iters` stat scans —
+    // stage the corpus in a guarded cache for the duration (codebook
+    // training is EAGER, so the release fires before any lazy consumer
+    // could recompute; the semanticDedup acquire/release shape). All m
+    // subspaces train in ONE job per phase ([[pqCodebooks]]).
     val cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
       val (corp, release) = graft.util.Caching.acquire(corpus)
-      try (0 until m).map { j =>
-        kmeansCodebook(corp.select(col(idCol), sub(j).as("__sv")), ksub, iters, idCol, "__sv")
-      }.toIndexedSeq
+      try pqCodebooks(corp, m, dsub, ksub, iters, idCol, vecCol)
       finally release()
     }
     val codes = array((0 until m).map(j => assignStruct(cbs(j), sub(j)).getField("cell")): _*)
@@ -512,7 +563,7 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
     val approx = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cos6(approxDot, col("q_norm"), col("c_norm")))
+      .transform(withCos6(_, approxDot, col("q_norm"), col("c_norm")))
     val sl = rankTopK(approx, rerank).select("query_id", "neighbor_id")
     exactRerank(corpus, queries, sl, k, idCol, vecCol)
   }
@@ -529,8 +580,7 @@ object Similarity {
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", VectorOps.norm(col("q_vec"))))
     val sc = cV.join(broadcast(sl), Seq("neighbor_id")).join(qv, Seq("query_id"))
-      .withColumn("cosine",
-        cos6(VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
+      .transform(withCos6(_, VectorOps.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
     rankTopK(sc, k)
   }
 
@@ -576,17 +626,15 @@ object Similarity {
     val dsub = dim / m
     val vAsD = VectorOps.toDouble(col(vecCol))
     def sub(j: Int): Column = slice(vAsD, j * dsub + 1, dsub)
-    // stage the corpus for ALL m+1 eager codebook builds (coarse + m
-    // sub-quantizers) — one source read instead of (m+1)×(iters+1); the
-    // pqTopK/semanticDedup acquire/release discipline
+    // stage the corpus for BOTH eager codebook builds (coarse + the one
+    // combined m-subspace job, [[pqCodebooks]]) — one source read instead
+    // of (m+1)×(iters+1); the pqTopK/semanticDedup acquire/release
+    // discipline
     val (coarse, cbs) = {
       val (corp, release) = graft.util.Caching.acquire(corpus)
       try {
         val co = kmeansCodebook(corp, nCentroids, iters, idCol, vecCol)
-        val cs = (0 until m).map { j =>
-          kmeansCodebook(corp.select(col(idCol), sub(j).as("__sv")), ksub, iters, idCol, "__sv")
-        }.toIndexedSeq
-        (co, cs)
+        (co, pqCodebooks(corp, m, dsub, ksub, iters, idCol, vecCol))
       } finally release()
     }
     val codes = array((0 until m).map(j => assignStruct(cbs(j), sub(j)).getField("cell")): _*)
@@ -607,7 +655,7 @@ object Similarity {
     // most once — the corpus side keeps ONE cell per row
     val approx = c.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cos6(approxDot, col("q_norm"), col("c_norm")))
+      .transform(withCos6(_, approxDot, col("q_norm"), col("c_norm")))
     val sl = rankTopK(approx, rerank).select("query_id", "neighbor_id")
     exactRerank(corpus, queries, sl, k, idCol, vecCol)
   }
@@ -654,8 +702,7 @@ object Similarity {
         .withColumn("__nb", VectorOps.norm(col("__vb")))
       val pairs = a.join(b, Seq("cell"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cosine",
-          cos6(VectorOps.dot(col("__va"), col("__vb")), col("__na"), col("__nb")))
+        .transform(withCos6(_, VectorOps.dot(col("__va"), col("__vb")), col("__na"), col("__nb")))
         .filter(col("cosine") >= threshold)
         .select("id_a", "id_b")
       Dedup.dedupClusters(vectors.select(col(idCol)), pairs, idCol)

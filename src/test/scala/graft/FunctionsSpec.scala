@@ -439,4 +439,43 @@ class FunctionsSpec extends SparkSpec {
     assert(!good.isNullAt(0) && good.getInt(1) == 1)
     assert(byTag("good").getSeq[Int](2) == Seq(1, 0))
   }
+
+  test("Cos6RawExpr: round(cos_raw, 6) == builtin when/isnan guard, incl. zero-norm/NaN/null edges") {
+    val s = spark
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    // every (dot, na, nb) class the guard distinguishes: well-formed,
+    // zero denominator (one/both norms 0), NaN ratio (NaN dot / NaN norm),
+    // Inf/Inf, null inputs — pinned against the builtin formulation the
+    // expression replaced (same tree the DuckDB oracle mirrors)
+    val df = s.sql(
+      """SELECT * FROM VALUES
+        |  (6.0D,  2.0D, 3.0D),
+        |  (-1e-9D, 1.0D, 1.0D),
+        |  (6.0D,  0.0D, 3.0D),
+        |  (0.0D,  0.0D, 0.0D),
+        |  (CAST('NaN' AS DOUBLE), 2.0D, 3.0D),
+        |  (6.0D,  CAST('NaN' AS DOUBLE), 3.0D),
+        |  (CAST('Infinity' AS DOUBLE), CAST('Infinity' AS DOUBLE), 1.0D),
+        |  (CAST(NULL AS DOUBLE), 2.0D, 3.0D),
+        |  (6.0D, CAST(NULL AS DOUBLE), 3.0D),
+        |  (6.0D, 2.0D, CAST(NULL AS DOUBLE)) AS t(dot, na, nb)""".stripMargin)
+    val d = col("na") * col("nb")
+    val raw = col("dot") / d
+    val builtin = when(d === 0.0 || isnan(raw), lit(null).cast("double"))
+      .otherwise(round(raw, 6))
+    val native = round(toCol(graft.functions.Cos6RawExpr(
+      toExpr(col("dot")), toExpr(col("na")), toExpr(col("nb")))), 6)
+    val rows = df.select(builtin.as("b"), native.as("n")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"value mismatch: $r")
+    }
+    // the whole point: ONE vec_dot evaluation per pair — the dot child
+    // appears once in the expression tree, so a pushed-down copy of the
+    // predicate costs one dot per evaluation, not two
+    assert(df.select(native.as("c")).queryExecution.analyzed.expressions
+      .flatMap(_.collect { case _: graft.functions.Cos6RawExpr => 1 }).sum == 1)
+  }
 }

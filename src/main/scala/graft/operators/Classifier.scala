@@ -196,20 +196,32 @@ object Classifier {
           pmod(graft.functions.GraftFunctions.hash60(
             concat(lit(s"mb:$it:"), col(idCol).cast("string"))),
             lit(1000000L)) < lit(batchPpm.toLong))
-        val wDf = broadcast(spark.createDataFrame(
-          wMicro.toIndexedSeq.zipWithIndex.map { case (w, b) => (b.toLong, w) })
-          .toDF("b", "__w"))
+        // weights as an ARRAY LITERAL (the codebook idiom), indexed per
+        // row: b is bounded in [0, buckets] by construction (pmod + the
+        // bias slot), so the lookup replaces the former per-iteration
+        // broadcast-join build; and the (b, cnt) items ride the per-doc
+        // aggregate (bounded by the bucket space per doc) so the
+        // per-bucket gradient explodes from the SAME pass instead of
+        // re-scanning featsY and joining the factors back by id — each
+        // iteration is now one scan of the persisted frame, not two scans
+        // plus a broadcast build (guide §1.2/§2.3). Sums are the same
+        // exact longs in a different order; collect_list order is
+        // irrelevant because the per-bucket fold is an exact long sum.
         val z = col("__sm").cast("double") / lit(1000000.0) / col("nf")
         val p6 = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
-        val g = iterFeats.join(wDf, Seq("b"))
+        val wTerm = col("cnt") * element_at(
+          typedlit(wMicro.toIndexedSeq), col("b").cast("int") + 1)
+        val g = iterFeats
           .groupBy(col(idCol))
-          .agg(sum(col("cnt") * col("__w")).as("__sm"),
-            first(col("n_feats")).as("nf"), first(col("__y")).as("yy"))
-          .select(col(idCol),
-            round((p6 - col("yy")) / col("nf") * lit(1000000000.0), 0)
-              .cast("long").as("__g"))
-        val grads = iterFeats.join(g, Seq(idCol))
-          .groupBy(col("b")).agg(sum(col("cnt") * col("__g")).as("__grad"))
+          .agg(sum(wTerm).as("__sm"),
+            first(col("n_feats")).as("nf"), first(col("__y")).as("yy"),
+            collect_list(struct(col("b"), col("cnt"))).as("__it"))
+          .select(round((p6 - col("yy")) / col("nf") * lit(1000000000.0), 0)
+              .cast("long").as("__g"),
+            col("__it"))
+        val grads = g.select(col("__g"), explode(col("__it")).as("__e"))
+          .groupBy(col("__e.b").as("b"))
+          .agg(sum(col("__e.cnt") * col("__g")).as("__grad"))
           .collect()
         for (r <- grads) {
           val b = r.getLong(0)
@@ -251,17 +263,18 @@ object Classifier {
   private[graft] def scoreLogisticManaged(docs: DataFrame, wMicro: Array[Long],
                                           idCol: String, textCol: String)
       : (DataFrame, () => Unit) = {
-    val spark = docs.sparkSession
     val buckets = wMicro.length - 1 // last slot is the intercept
     val (base, release) = Dedup.acquireFullHashBase(docs, idCol, textCol)
     val feats = featureCountsFrom(base, buckets, idCol)
     val nf = feats.groupBy(col(idCol)).agg(sum("cnt").as("n_feats"))
-    val wDf = broadcast(spark.createDataFrame(
-      wMicro.toIndexedSeq.zipWithIndex.map { case (w, b) => (b.toLong, w) })
-      .toDF("b", "__w"))
-    val perDoc = withBias(feats, nf, buckets, idCol).join(wDf, Seq("b"))
+    // weights as an array literal indexed per row (b bounded in
+    // [0, buckets] by construction) — no broadcast-join build per score
+    // pass; same exact long products, same sums (the trainOn idiom)
+    val wTerm = col("cnt") * element_at(
+      typedlit(wMicro.toIndexedSeq), col("b").cast("int") + 1)
+    val perDoc = withBias(feats, nf, buckets, idCol)
       .groupBy(col(idCol))
-      .agg(sum(col("cnt") * col("__w")).as("__sm"))
+      .agg(sum(wTerm).as("__sm"))
       .join(nf, Seq(idCol))
     val z = col("score_micro").cast("double") / lit(1000000.0) /
       greatest(col("n_feats"), lit(1L))
@@ -356,13 +369,39 @@ object Classifier {
                       iters: Int = 8, buckets: Int = 1024,
                       lr: Double = 1.0, decay: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val split = TextAnalysis.splitAssign(docs, fractions, idCol)
+    // ONE feature layer over the whole corpus; the split gate is a pure
+    // hash of the id (referentially stable), so it filters the PERSISTED
+    // feature frame directly — the r20 shape built two independent
+    // tokenize→gram layers (one over the train split, one over the
+    // held-out docs), twice the corpus hash work, and neither layer's
+    // cache was shareable with the full-corpus trainers. Row-identical
+    // features per doc (hashed counts are per-document), so training and
+    // scores are bit-identical; the frame is also plan-equal to
+    // trainScoreLogistic's, so a session running both builds it once.
+    val (featsY, _) = acquireFeatsY(docs, label, buckets, idCol, textCol)
+    def splitOf(c: Column): Column = TextAnalysis.splitExpr(c, fractions)
     val trainName = fractions.head._1
-    val w = trainLogistic(split.filter(col("split") === trainName), label,
-      iters, buckets, lr, decay, idCol, textCol)
-    val heldout = split.filter(col("split") =!= trainName)
-    scoreLogistic(heldout, w, idCol, textCol)
-      .join(heldout.select(col(idCol), col("split"), label.cast("long").as("__y")), Seq(idCol))
+    val w = trainOn(featsY.filter(splitOf(col(idCol)) === trainName),
+      iters, buckets, lr, decay, idCol, batchPpm = 1000000)
+    // held-out scoring reads the same persisted frame (the deploy scorer's
+    // arithmetic verbatim: bias rows already ride featsY, featureless docs
+    // survive the left join at the sigmoid midpoint)
+    val wTerm = col("cnt") * element_at(
+      typedlit(w.toIndexedSeq), col("b").cast("int") + 1)
+    val perDoc = featsY.filter(splitOf(col(idCol)) =!= trainName)
+      .groupBy(col(idCol))
+      .agg(sum(wTerm).as("__sm"), first(col("n_feats")).as("n_feats"))
+    val z = col("score_micro").cast("double") / lit(1000000.0) /
+      greatest(col("n_feats"), lit(1L))
+    val heldout = docs.select(col(idCol), splitOf(col(idCol)).as("split"),
+        label.cast("long").as("__y"))
+      .filter(col("split") =!= trainName)
+    heldout.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("split"), col("__y"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("__sm"), lit(0L)).as("score_micro"))
+      .withColumn("prob6", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+      .withColumn("predicted", col("prob6") >= lit(0.5))
       .groupBy("split")
       .agg(count(lit(1)).as("n"),
         sum(when(col("predicted") && col("__y") === 1L, 1L).otherwise(0L)).as("tp"),
@@ -387,15 +426,15 @@ object Classifier {
                          buckets: Int = 1024, lr: Double = 1.0, decay: Double = 0.8,
                          idCol: String = "doc_id", textCol: String = "text",
                          batchPpm: Int = 1000000): DataFrame = {
-    val spark = docs.sparkSession
     val (featsY, _) = acquireFeatsY(docs, label, buckets, idCol, textCol)
     val w = trainOn(featsY, iters, buckets, lr, decay, idCol, batchPpm)
-    val wDf = broadcast(spark.createDataFrame(
-      w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) })
-      .toDF("b", "__w"))
-    val perDoc = featsY.join(wDf, Seq("b"))
+    // literal-indexed weights, the trainOn/scoreLogistic idiom — the
+    // scoring tail is one scan of the persisted frame, no broadcast build
+    val wTerm = col("cnt") * element_at(
+      typedlit(w.toIndexedSeq), col("b").cast("int") + 1)
+    val perDoc = featsY
       .groupBy(col(idCol))
-      .agg(sum(col("cnt") * col("__w")).as("__sm"),
+      .agg(sum(wTerm).as("__sm"),
         first(col("n_feats")).as("n_feats"))
     val z = col("score_micro").cast("double") / lit(1000000.0) /
       greatest(col("n_feats"), lit(1L))

@@ -38,8 +38,11 @@ object Ranking {
     // otherwise match nothing — tf = df = 0 in every document — and the
     // caller silently got an empty result instead of the top-k for
     // "spark"
+    // .distinct AFTER normalization: two caller spellings that normalize
+    // to one term ("Spark", "spark") must not double-count that term's
+    // tf/idf contribution in every document's score
     val normTerms = terms.map(t =>
-      t.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+      t.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).distinct
     require(normTerms.nonEmpty, "terms are empty after normalization")
     val tf = normTerms.zipWithIndex.map { case (t, i) =>
       size(filter(col("__tk"), x => x === lit(t))).cast("long").as(s"__tf$i")

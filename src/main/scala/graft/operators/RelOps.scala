@@ -165,8 +165,13 @@ object RelOps {
     // guard-persisted: the two outputs are two separate ACTIONS over the
     // same flag projection — uncached, each re-executes the upstream
     // plan, and any nondeterminism there (a sampled source, a re-read of
-    // changing files) could place a row in both or neither side,
-    // breaking the partition contract the split exists for
+    // changing files) could place a row in both or neither side. The
+    // partition contract is therefore BEST-EFFORT: the cache is
+    // LRU-managed with recompute-on-eviction, so under memory pressure an
+    // evicted entry re-executes a nondeterministic upstream anyway. A
+    // caller that must hold the contract over a nondeterministic source
+    // should `localCheckpoint()` its input first (eager, non-recomputable)
+    // and pass the materialized frame here.
     val flagged = graft.util.Caching.ensurePersisted(
       df.withColumn("__ok", constraint))
     (flagged.filter(col("__ok")).drop("__ok"),

@@ -160,10 +160,19 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(col("quality_score").desc, col(idCol).asc)
-    docs.select(col(idCol), col(stratumCol))
+    val scored = docs.select(col(idCol), col(stratumCol))
       .join(scoreBase(docs, idCol, textCol), Seq(idCol))
+    // a NULL stratum is MISSING metadata, not a stratum: Window.partitionBy
+    // groups nulls together (the null-grouping-key trap urlDedup
+    // documents), so without this split every stratum-less doc would
+    // compete in ONE shared "null" stratum and all but k of them silently
+    // drop. They pass through uncapped with a null rank instead —
+    // capping cannot be meaningfully applied to an unknown stratum.
+    scored.filter(col(stratumCol).isNotNull)
       .withColumn("rank_in_stratum", row_number().over(w).cast("long"))
       .filter(col("rank_in_stratum") <= k)
+      .unionByName(scored.filter(col(stratumCol).isNull)
+        .withColumn("rank_in_stratum", lit(null).cast("long")))
       .select(col(idCol), col(stratumCol), col("quality_score"), col("rank_in_stratum"))
   }
 
@@ -287,7 +296,16 @@ object TextAnalysis {
   def splitAssign(docs: DataFrame,
                   fractions: Seq[(String, Double)] =
                     Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("split", splitExpr(col(idCol), fractions))
+
+  /** The referentially stable split gate as a pure COLUMN over the id —
+    * [[splitAssign]]'s assignment expression, exposed so a consumer that
+    * already carries the id (e.g. a persisted feature frame) can gate on
+    * the split without joining the doc table back (`Classifier.
+    * evaluateHoldout` trains and scores off ONE shared feature layer).
+    */
+  private[graft] def splitExpr(id: Column, fractions: Seq[(String, Double)]): Column = {
     require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0),
       "fractions must be non-negative")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
@@ -295,14 +313,13 @@ object TextAnalysis {
     val cum = fractions.scanLeft(0L) { case (acc, (_, f)) =>
       acc + math.round(f * 1000000.0)
     }.tail
-    val u = pmod(hash60(concat(lit("split:"), col(idCol).cast("string"))), lit(1000000L))
+    val u = pmod(hash60(concat(lit("split:"), id.cast("string"))), lit(1000000L))
     // when-chain in declaration order; the last split is the ELSE arm, so
     // threshold rounding drift can only shift rows between adjacent splits,
     // never drop them
-    val assign = fractions.init.zip(cum.init).foldRight(lit(fractions.last._1): Column) {
+    fractions.init.zip(cum.init).foldRight(lit(fractions.last._1): Column) {
       case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
     }
-    docs.withColumn("split", assign)
   }
 
   /** Curriculum bucketing: assign each document a quality-quantile bucket

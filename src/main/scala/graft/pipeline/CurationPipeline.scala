@@ -220,9 +220,18 @@ object CurationPipeline {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("domain"))
         .orderBy(col("prob6").desc, col(idCol).asc)
-      out.join(dom, Seq(idCol))
+      val joined = out.join(dom, Seq(idCol))
+      // registrableDomain returns NULL for a null url precisely so url-less
+      // docs do NOT merge into one stratum — but Window.partitionBy groups
+      // nulls together like groupBy, so without this split every url-less
+      // survivor would compete in ONE shared "null domain" and all but
+      // domainCapK of them silently drop. They pass through uncapped with
+      // a null rank instead (the sourceCap null-stratum contract).
+      joined.filter(col("domain").isNotNull)
         .withColumn("rank_in_domain", row_number().over(w).cast("long"))
         .filter(col("rank_in_domain") <= domainCapK)
+        .unionByName(joined.filter(col("domain").isNull)
+          .withColumn("rank_in_domain", lit(null).cast("long")))
     }
   }
 }

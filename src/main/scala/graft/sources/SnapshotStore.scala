@@ -41,8 +41,17 @@ class SnapshotStore(root: String) {
     * the reference's `get_latest_file` selection, hardened: the latest
     * COMMITTED run wins (see [[commit]]), skipping crashed or in-flight
     * run dirs. A root with no markers at all (layouts written by direct
-    * [[write]] calls, pre-marker snapshots) falls back to the plain
-    * latest-by-name rule so existing data stays restorable.
+    * [[write]] calls, pre-marker snapshots) prefers the newest run that
+    * carries a `metadata` table — metadata is the LAST table
+    * `EtlRun.persist` writes, so on a pre-marker ETL root its presence is
+    * the commit signal, and the one NEW run that crashed mid-write atop
+    * old complete snapshots no longer wins the restore (the partial-
+    * restore bug the marker was added to prevent). Only a root where no
+    * run has a marker OR a metadata table (bare [[write]] layouts, whose
+    * tables carry no completion signal at all) keeps the plain
+    * latest-by-name rule so existing data stays restorable — the residual
+    * risk there is documented, not closable without breaking legacy
+    * roots.
     */
   def latestRun(spark: SparkSession): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -51,7 +60,10 @@ class SnapshotStore(root: String) {
     else {
       val runs = f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
         .sorted(Ordering[String].reverse)
-      runs.find(isCommitted(spark, _)).orElse(runs.headOption)
+      runs.find(isCommitted(spark, _))
+        .orElse(runs.find(r =>
+          f.exists(new org.apache.hadoop.fs.Path(s"$root/$r/metadata"))))
+        .orElse(runs.headOption)
     }
   }
 

@@ -517,10 +517,24 @@ object Multimodal {
                                  maxBucket: Int): DataFrame = {
     require(maxHamming <= 3, "4-band LSH only guarantees recall for hamming <= 3")
     val ph = graft.util.Caching.ensurePersisted(hashes)
+    // EXPLICIT-width repartition on the band keys: this candidate join
+    // EXPLODES (m-row buckets emit m²/2 pairs, each paying a hamming
+    // verify), so AQE's bytes-first coalescing — sized by the join's
+    // 16-byte-per-row INPUT — would run the quadratic pair generation
+    // nearly single-threaded (measured at sf0.1: 1 task, 4 s, writing
+    // 100× its input). An explicit partition count is exempt from
+    // coalescing; the session's configured width is right for an operator
+    // whose output, not input, is the cost, and the per-task work here is
+    // real (dot/verify per pair), so full width never degenerates into
+    // per-task-overhead territory. Both join sides derive from this one
+    // frame: the join plans no further exchange, ReuseExchange computes
+    // the repartition once.
     val banded = Dedup.capBuckets(
       ph.select(col("doc_id"), posexplode(bandChunks))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk"),
       Seq("band", "chunk"), maxBucket)
+      .repartition(hashes.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("chunk"))
     val l = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"))
     val r = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"))
     val cand = l.join(r, Seq("band", "chunk"))

@@ -164,15 +164,16 @@ object TextAnalysis {
       .join(scoreBase(docs, idCol, textCol), Seq(idCol))
     // a NULL stratum is MISSING metadata, not a stratum: Window.partitionBy
     // groups nulls together (the null-grouping-key trap urlDedup
-    // documents), so without this split every stratum-less doc would
+    // documents), so without the guard every stratum-less doc would
     // compete in ONE shared "null" stratum and all but k of them silently
-    // drop. They pass through uncapped with a null rank instead —
-    // capping cannot be meaningfully applied to an unknown stratum.
-    scored.filter(col(stratumCol).isNotNull)
-      .withColumn("rank_in_stratum", row_number().over(w).cast("long"))
-      .filter(col("rank_in_stratum") <= k)
-      .unionByName(scored.filter(col(stratumCol).isNull)
-        .withColumn("rank_in_stratum", lit(null).cast("long")))
+    // drop. They pass through uncapped with a null rank instead — capping
+    // cannot be meaningfully applied to an unknown stratum. One pass (a
+    // two-branch union would re-run the score layer per branch): the rank
+    // is nulled WHEN the stratum is null and the filter keeps null ranks.
+    scored
+      .withColumn("rank_in_stratum",
+        when(col(stratumCol).isNotNull, row_number().over(w).cast("long")))
+      .filter(col("rank_in_stratum").isNull || col("rank_in_stratum") <= k)
       .select(col(idCol), col(stratumCol), col("quality_score"), col("rank_in_stratum"))
   }
 

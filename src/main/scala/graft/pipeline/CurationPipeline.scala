@@ -220,18 +220,18 @@ object CurationPipeline {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("domain"))
         .orderBy(col("prob6").desc, col(idCol).asc)
-      val joined = out.join(dom, Seq(idCol))
       // registrableDomain returns NULL for a null url precisely so url-less
       // docs do NOT merge into one stratum — but Window.partitionBy groups
-      // nulls together like groupBy, so without this split every url-less
+      // nulls together like groupBy, so without the guard every url-less
       // survivor would compete in ONE shared "null domain" and all but
       // domainCapK of them silently drop. They pass through uncapped with
-      // a null rank instead (the sourceCap null-stratum contract).
-      joined.filter(col("domain").isNotNull)
-        .withColumn("rank_in_domain", row_number().over(w).cast("long"))
-        .filter(col("rank_in_domain") <= domainCapK)
-        .unionByName(joined.filter(col("domain").isNull)
-          .withColumn("rank_in_domain", lit(null).cast("long")))
+      // a null rank instead (the sourceCap null-stratum contract), in one
+      // pass: the rank is nulled WHEN the domain is null and the filter
+      // keeps null ranks.
+      out.join(dom, Seq(idCol))
+        .withColumn("rank_in_domain",
+          when(col("domain").isNotNull, row_number().over(w).cast("long")))
+        .filter(col("rank_in_domain").isNull || col("rank_in_domain") <= domainCapK)
     }
   }
 }

@@ -59,11 +59,41 @@ object Bench {
       }
       Seq(once(), once(), once()).min
     }
+    // Multi-thread calibration twin (the r20 lesson: the single-thread
+    // probe missed 32-way contention — a 0.45 end-calib coincided with a
+    // 1.38× board). The SAME fixed workload runs once on EVERY bench core
+    // simultaneously; the reported figure is the SLOWEST thread's seconds
+    // (what a straggler task experiences). On an idle box with real cores
+    // it matches the single-thread probe; co-tenant load or oversold
+    // vCPUs inflate it roughly linearly with contention, which is exactly
+    // the signal round-over-round comparisons need.
+    def calibrateMt(): Double = {
+      val n = math.max(1, cpus.toInt)
+      def once(): Double = {
+        val times = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val threads = (1 to n).map { _ =>
+          new Thread(() => {
+            val t0 = System.nanoTime()
+            var x = 0x9E3779B97F4A7C15L; var i = 0
+            while (i < 200000000) {
+              x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27; i += 1
+            }
+            if (x == 42L) System.err.println("")
+            times.add((System.nanoTime() - t0) / 1e9): Unit
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        import scala.jdk.CollectionConverters._
+        times.asScala.max
+      }
+      Seq(once(), once()).min
+    }
     val loadAvg = try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split(" ")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
     val calibBefore = calibrate()
+    val calibMtBefore = calibrateMt()
     // Shared-layer fills, timed ONCE as their own `layer:<name>` rows
     // (docs/SCALE.md "Bench layer attribution"): a family's one-time
     // decode/pair-graph fill used to land on whichever consumer ran
@@ -101,9 +131,14 @@ object Bench {
       twoPass.map { case (n, v) => n -> math.min(v, p3.getOrElse(n, v)) })
       .sortBy(_._1)
     val calibAfter = calibrate()
+    val calibMtAfter = calibrateMt()
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // "calib":[before,after] fixed-workload seconds; "load": 1-min loadavg
+    // "calib":[before,after] fixed-workload single-thread seconds;
+    // "calib_mt":[before,after] the same workload on every core at once
+    // (slowest thread — the straggler's view of the box, VERDICT r20 #6);
+    // "load": 1-min loadavg
     val calibField = s""","calib":[${num(calibBefore)},${num(calibAfter)}]""" +
+      s""","calib_mt":[${num(calibMtBefore)},${num(calibMtAfter)}]""" +
       (if (loadAvg >= 0) s""","load":${num(loadAvg)}""" else "")
     // The captured stdout line itself is built by `compactLine` below
     // (budget rationale + encoding documented there). Full-precision

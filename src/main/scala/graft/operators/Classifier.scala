@@ -113,14 +113,30 @@ object Classifier {
     */
   private def acquireFeatsY(docs: DataFrame, label: Column, buckets: Int,
                             idCol: String, textCol: String): (DataFrame, () => Unit) = {
-    val feats = featureCounts(docs, buckets, idCol, textCol)
-    val nf = feats.groupBy(col(idCol)).agg(sum("cnt").as("n_feats"))
+    // ONE gram-explode pass: n_feats comes from a window over the
+    // id-partitioned feature exchange and the bias rows are carved from
+    // the SAME exchange (rn == 1 per doc) — the previous
+    // feats ∪ bias ⨝ nf shape planned the tokenize→gram explode in THREE
+    // subtrees (feats, its groupBy, the bias side), and the fill paid all
+    // three (guide §1.2: don't compute things twice). ReuseExchange makes
+    // both window consumers read one materialized exchange. Same rows,
+    // same exact long n_feats.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val fr = featureCounts(docs, buckets, idCol, textCol)
+      .repartition(col(idCol))
+      .withColumn("n_feats", sum("cnt").over(w))
+    val bias = fr
+      .withColumn("__rn", row_number().over(w.orderBy(col("b"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), lit(buckets.toLong).as("b"),
+        col("n_feats").as("cnt"), col("n_feats"))
     val lab = docs.select(col(idCol), label.cast("long").as("__y"))
-    // id-partitioned so the per-iteration score fold and gradient join
-    // plan NO corpus-scale exchange (both group/join on id)
+    // id-partitioned so the per-iteration score fold and gradient explode
+    // plan NO corpus-scale exchange (both group on id)
     graft.util.Caching.acquire(
-      withBias(feats, nf, buckets, idCol)
-        .join(nf, Seq(idCol)).join(lab, Seq(idCol)).repartition(col(idCol)))
+      fr.select(col(idCol), col("b"), col("cnt"), col("n_feats"))
+        .unionByName(bias)
+        .join(lab, Seq(idCol)).repartition(col(idCol)))
   }
 
   /** Quantization bounds (documented, not guarded — they sit far outside
@@ -266,16 +282,19 @@ object Classifier {
     val buckets = wMicro.length - 1 // last slot is the intercept
     val (base, release) = Dedup.acquireFullHashBase(docs, idCol, textCol)
     val feats = featureCountsFrom(base, buckets, idCol)
-    val nf = feats.groupBy(col(idCol)).agg(sum("cnt").as("n_feats"))
     // weights as an array literal indexed per row (b bounded in
     // [0, buckets] by construction) — no broadcast-join build per score
-    // pass; same exact long products, same sums (the trainOn idiom)
+    // pass; and the bias term folds into the SAME aggregate as an exact
+    // long product (the bias row's contribution is n_feats·w_bias with
+    // n_feats = Σ cnt), so the whole score is ONE pass over the feature
+    // stream — the previous feats ∪ bias ⨝ nf shape planned the gram
+    // explode three times. Same exact long sums.
     val wTerm = col("cnt") * element_at(
       typedlit(wMicro.toIndexedSeq), col("b").cast("int") + 1)
-    val perDoc = withBias(feats, nf, buckets, idCol)
+    val perDoc = feats
       .groupBy(col(idCol))
-      .agg(sum(wTerm).as("__sm"))
-      .join(nf, Seq(idCol))
+      .agg((sum(wTerm) + lit(wMicro(buckets)) * sum(col("cnt"))).as("__sm"),
+        sum(col("cnt")).as("n_feats"))
     val z = col("score_micro").cast("double") / lit(1000000.0) /
       greatest(col("n_feats"), lit(1L))
     val scored = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")

@@ -46,8 +46,9 @@ object PlanDump {
     // TakeOrderedAndProject on top — no new shape to evidence
     "dsir_weights", "strip_boilerplate", "semantic_decon",
     // quality_classifier's training rounds are eager (driver GD loop, like
-    // bpe_train); the dumped plan is the final scoring pass — the broadcast
-    // weight join + the on-partition fold worth evidencing
+    // bpe_train); the dumped plan is the final scoring pass — the
+    // literal-indexed weight fold (r21: one pass, no broadcast join)
+    // worth evidencing
     "quality_classifier",
     // ccnet_buckets is deliberately absent like corpus_shuffle: tier
     // positions come through the RDD zipWithIndex bridge, so its
